@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.util.Det._
+
+/** Relational operator coverage (SURVEY §2.B): scans, filters, joins of
+  * every flavor, aggregation incl. grouping sets, windows, set ops,
+  * subqueries, top-k — written DataFrame-first so Catalyst owns the
+  * physical strategy (broadcast vs shuffle, pushdown, AQE).
+  *
+  * Scale posture: dimension tables (`region`, `nation` — fixed 5/25 rows
+  * at any SF) are explicitly `broadcast()`; fact-fact joins shuffle on
+  * their keys and aggregations are partial-first (Spark hash-agg), so
+  * every plan here survives a 1000-executor 100 TB run unchanged.
+  */
+object Relational {
+
+  def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+
+  /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
+    * partial agg, 6-group output. Reference surface: DataFusion agg
+    * (SURVEY §2.B "Aggregation"). */
+  private val q01 = QDef(
+    "q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+       |  ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)")} AS sum_charge,
+       |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q6 forecast: pure filter + global agg — the whole query is one
+    * parquet scan with pushed predicates, no shuffle beyond final merge. */
+  private val q02 = QDef(
+    "q02_revenue_forecast",
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q3 shipping priority: 3-way join (dim filter pushed below the
+    * join), grouped revenue, top-10. customer filter shrinks the build
+    * side so AQE broadcasts it at bench scale. */
+  private val q03 = QDef(
+    "q03_shipping_priority",
+    s"""SELECT l_orderkey,
+       |  ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS): orders having at least one heavy lineitem.
+    * `left_semi` keeps the probe side streaming — no row duplication. */
+  private val q04 = QDef(
+    "q04_priority_semijoin",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 local-supplier volume: 6-way join; `nation`/`region` are
+    * broadcast (25/5 rows at every SF), fact joins shuffle on keys. */
+  private val q05 = QDef(
+    "q05_region_volume",
+    s"""SELECT n_name,
+       |  ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val asia = broadcast(
+      Tables.nation(s, d).join(
+        broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(asia, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no large order. */
+  private val q06 = QDef(
+    "q06_idle_customers",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Ranking window: top-3 orders per market segment by total price.
+    * One shuffle on the partition key, in-partition sort. */
+  private val q07 = QDef(
+    "q07_segment_top_orders",
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Analytic window frame: per-customer running order total + previous
+    * order gap (lag). ROWS frame, deterministic tie-break on orderkey. */
+  private val q08 = QDef(
+    "q08_running_totals",
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       |  LAG(o_orderkey) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+       |FROM orders
+       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(30,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ROLLUP grouping sets with GROUPING() discriminators. */
+  private val q09 = QDef(
+    "q09_rollup_returns",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"),
+        col("g_ls"), col("sum_qty"), col("n"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION ALL over key sets. */
+  private val q10 = QDef(
+    "q10_set_ops",
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+      |SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big)
+      |UNION ALL
+      |SELECT 'only_building' AS tag, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big)
+      |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(big).withColumn("tag", lit("both"))
+      .unionByName(building.except(big).withColumn("tag", lit("only_building")))
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** Multi-distinct aggregation (expand-based in Spark). */
+  private val q11 = QDef(
+    "q11_distinct_agg",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  COUNT(DISTINCT l_orderkey) AS n_ord
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_ord"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Correlated scalar subquery: parts priced above their type's mean.
+    * Expressed as window mean (identical semantics, one shuffle). */
+  private val q12 = QDef(
+    "q12_above_type_avg",
+    s"""SELECT p_partkey, p_name, p_type, p_retailprice
+       |FROM (
+       |  SELECT p_partkey, p_name, p_type, p_retailprice,
+       |    CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) OVER (PARTITION BY p_type) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY p_type) AS type_avg
+       |  FROM part)
+       |WHERE p_retailprice > CAST(1.05 AS DOUBLE) * type_avg
+       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(s, d)
+      .withColumn("type_avg",
+        sum(col("p_retailprice").cast("decimal(30,6)")).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .filter(col("p_retailprice") > lit(1.05) * col("type_avg"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Top-k with dimension join: 20 largest orders + customer attributes. */
+  private val q13 = QDef(
+    "q13_top_orders",
+    """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style conditional aggregation: promo revenue share. */
+  private val q14 = QDef(
+    "q14_promo_share",
+    s"""SELECT
+       |  CAST(100.0 AS DOUBLE) * ${sqlDsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) ELSE CAST(0.0 AS DOUBLE) END")}
+       |    / ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS promo_revenue_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * dsum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0.0)))
+        / dsum(rev)).as("promo_revenue_pct"))
+  }
+
+  /** GROUP BY + HAVING: suppliers above a shipped-revenue threshold. */
+  private val q15 = QDef(
+    "q15_top_suppliers",
+    s"""SELECT l_suppkey, ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS total_rev,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |GROUP BY l_suppkey
+       |HAVING COUNT(*) > 100
+       |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 100)
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Outer join preserving empty groups: per-nation customer counts where
+    * nations without customers still appear (count 0). */
+  private val q16 = QDef(
+    "q16_nation_customers",
+    """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    broadcast(Tables.nation(s, d))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Date bucketing: monthly order volume/revenue via string month key
+    * (string keys sidestep timestamp-unit mismatches with the oracle). */
+  private val q17 = QDef(
+    "q17_monthly_orders",
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY strftime(o_orderdate, '%Y-%m')
+       |ORDER BY month""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** String functions: LIKE, upper, substring, length, concat. */
+  private val q18 = QDef(
+    "q18_string_funcs",
+    """SELECT p_brand, UPPER(SUBSTRING(p_name, 1, 5)) AS prefix,
+      |  COUNT(*) AS n, MIN(LENGTH(p_name)) AS min_len
+      |FROM part
+      |WHERE p_name LIKE '%bolt%' OR p_name LIKE '%widget%'
+      |GROUP BY p_brand, UPPER(SUBSTRING(p_name, 1, 5))
+      |ORDER BY p_brand, prefix""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%bolt%") || col("p_name").like("%widget%"))
+      .groupBy(col("p_brand"), upper(substring(col("p_name"), 1, 5)).as("prefix"))
+      .agg(count(lit(1)).as("n"), min(length(col("p_name"))).as("min_len"))
+      .orderBy(col("p_brand"), col("prefix"))
+  }
+}
