@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+
+/** Text-analysis + exact-dedup operators over the `documents` fixture —
+  * the oracle-checkable half of the LLM-pipeline surface (the sketch-
+  * based dedups live in [[DedupOps]]).
+  *
+  * Everything here is per-row expression work (codegen'd, no UDFs) plus
+  * at most one hash-aggregate shuffle — embarrassingly parallel at
+  * 100 TB. Ratios guard against 0 denominators with CASE (DuckDB yields
+  * NULL on double÷0 where Spark yields NaN/Inf — CASE makes both NULL).
+  */
+object TextOps {
+
+  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Non-empty whitespace tokens of `text`. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Corpus stats by language. */
+  private val t01 = QDef(
+    "t01_doc_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-document token counting + type-token ratio. */
+  private val t02 = QDef(
+    "t02_token_stats",
+    """WITH t AS (SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CASE WHEN n_tokens = 0 THEN NULL
+      |       ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS ttr
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_distinct", size(array_distinct(tokens(col("text")))))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("n_distinct").cast("double") / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token counts, mean token length, stopword ratio,
+    * and a boolean quality gate — the classic pretraining-filter shape. */
+  private val t03 = QDef(
+    "t03_quality_scores",
+    s"""WITH t AS (SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       |    length(replace(text, ' ', '')) AS n_nonspace,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN $sqlStops)) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE CAST(n_nonspace AS DOUBLE) / n_tokens END AS mean_token_len,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+       |  (n_tokens >= 5 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) AS quality_ok
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_stop",
+        size(filter(tokens(col("text")), t => array_contains(stopArr, t))))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("n_nonspace").cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 &&
+          col("n_stop").cast("double") / col("n_tokens") < 0.5)
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("stop_ratio"), col("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup (keep-first): one hash-aggregate on md5(text) — the
+    * 100 TB-scale exact pass before any sketch dedup. */
+  private val t04 = QDef(
+    "t04_exact_dedup_keepers",
+    """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+  }
+
+  /** Dedup summary: corpus size vs distinct-content size. */
+  private val t05 = QDef(
+    "t05_dedup_summary",
+    """SELECT COUNT(*) AS total_docs,
+      |  COUNT(DISTINCT md5(text)) AS distinct_docs,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("total_docs"),
+        countDistinct(md5(col("text"))).as("distinct_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+  }
+}
