@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+
+/** Sketch-based near-duplicate detection over `documents` — the core
+  * LLM-pretraining dedup toolkit, all expressed as Catalyst expression
+  * pipelines (higher-order functions, codegen'd; zero UDFs, zero
+  * collect).
+  *
+  * Scale shape, identical for every sketch here:
+  *   per-row signature (narrow) → explode to bucket keys (small constant
+  *   blow-up) → shuffle on bucket → in-bucket self-join → pair verify.
+  * At 100 TB the only shuffle is on the bucket key, and bucket width is
+  * tunable (bands × rows for MinHash, chunk bits for SimHash), which is
+  * exactly how skew is kept bounded.
+  *
+  * MinHash/LSH math follows Broder (1997) / MMDS ch.3: P[band match] =
+  * 1-(1-j^r)^b with b=16 bands × r=4 rows here — threshold ≈ 0.5,
+  * matching the est_jaccard ≥ 0.5 output gate (8×8 banding would miss
+  * ~40% of 0.75-jaccard pairs).
+  */
+object DedupOps {
+
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05)
+
+  /** Non-empty whitespace tokens (SQL-expression fragment). */
+  private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  /** Distinct word 3-gram shingles; whole text fallback for short docs. */
+  private val shinglesE =
+    s"""CASE WHEN size($toksE) >= 3
+       |  THEN array_distinct(transform(sequence(0, size($toksE) - 3),
+       |         i -> array_join(slice($toksE, i + 1, 3), ' ')))
+       |  ELSE array(text) END""".stripMargin
+
+  /** MinHash (64 perms as seeded xxhash64 minima) + LSH banding (8×8):
+    * candidate pairs whose signature agreement estimates Jaccard ≥ 0.5. */
+  private val d01 = QDef.noOracle("d01_minhash_lsh_pairs") { (s, d) =>
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), expr(shinglesE).as("sh"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 63), i -> array_min(transform(sh, g -> xxhash64(i, g))))").as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "bhash")))
+    val l = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bhash"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("a", "b")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST(64 AS DOUBLE)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** SimHash (Charikar 2002): 64-bit token-majority fingerprint, then
+    * hamming-≤3 candidate pairs via 4×16-bit chunk pigeonhole. */
+  private val d02 = QDef.noOracle("d02_simhash_pairs") { (s, d) =>
+    val hashed = Tables.documents(s, d).select(col("doc_id"),
+      expr(s"transform($toksE, t -> xxhash64(t))").as("hs"))
+    val sim = hashed.select(col("doc_id"),
+      expr("""CASE WHEN size(hs) = 0 THEN CAST(0 AS BIGINT)
+              |ELSE aggregate(
+              |  transform(sequence(0, 63), i ->
+              |    IF(size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) * 2 >= size(hs),
+              |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT), (acc, x) -> acc | x) END""".stripMargin).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), i -> (shiftright(simhash, i * 16) & 65535))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val l = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact n-gram Jaccard on blocked candidate pairs (same lang +
+    * length bucket) — the verify stage after any sketch prefilter.
+    * Oracle-checked: set algebra is integer-exact in both engines. */
+  private val d03 = QDef(
+    "d03_ngram_jaccard_pairs",
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+      |      THEN list_distinct(list_transform(
+      |             range(1, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1),
+      |             i -> list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) + len(b.sh) AS total
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+      |SELECT a, b, CAST(inter AS DOUBLE) / (total - inter) AS jaccard
+      |FROM p WHERE total - inter > 0 AND CAST(inter AS DOUBLE) / (total - inter) >= 0.3
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("long").as("len_bucket"),
+      expr(shinglesE).as("sh"))
+    val l = t.select(col("lang"), col("len_bucket"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = t.select(col("lang"), col("len_bucket"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("lang", "len_bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
+      .filter(col("total") - col("inter") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / (col("total") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Language ID by stopword-profile scoring (n-gram-free heuristic;
+    * deterministic argmax with alphabetical tie-break). */
+  private val d04 = QDef(
+    "d04_langid", {
+      val scores = profiles.map { case (lg, ws) =>
+        val set = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), t -> list_contains($set, t))) AS s_$lg"
+      }.mkString(",\n    ")
+      val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val caseArm = profiles.map { case (lg, _) =>
+        s"WHEN s_$lg = $best THEN '$lg'" }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE $caseArm END AS pred_lang,
+         |  (CASE $caseArm END = lang) AS hit
+         |FROM t ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val withScores = profiles.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lg, ws)) =>
+        val set = ws.map(w => s"'$w'").mkString("array(", ",", ")")
+        df.withColumn(s"s_$lg",
+          expr(s"size(filter($toksE, t -> array_contains($set, t)))"))
+    }
+    val best = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
+    val pred = profiles.foldRight(lit(null).cast("string")) {
+      case ((lg, _), acc) => when(col(s"s_$lg") === best, lit(lg)).otherwise(acc)
+    }
+    // foldRight builds WHEN de ... WHEN zh with first-match-wins on the
+    // OUTERMOST when — mirror the SQL CASE order (alphabetical).
+    withScores
+      .withColumn("pred_lang", pred)
+      .withColumn("hit", col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003): rolling 4-gram
+    * hashes, window-5 minima, distinct sorted fingerprint set. */
+  private val d05 = QDef.noOracle("d05_winnow_fingerprints") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"""CASE WHEN size($toksE) >= 4
+                |  THEN transform(sequence(0, size($toksE) - 4),
+                |         i -> xxhash64(array_join(slice($toksE, i + 1, 4), ' ')))
+                |  ELSE array(xxhash64(text)) END""".stripMargin).as("grams"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(grams) >= 5
+                |  THEN array_sort(array_distinct(transform(sequence(0, size(grams) - 5),
+                |         j -> array_min(slice(grams, j + 1, 5)))))
+                |  ELSE array(array_min(grams)) END""".stripMargin).as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")))
+      .select(col("doc_id"), col("n_fp"), col("fingerprints"))
+      .orderBy(col("doc_id"))
+  }
+}

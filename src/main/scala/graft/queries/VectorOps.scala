@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.util.Det._
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane-LSH bucketed variant as the scale path, and
+  * vector-statistics / near-dup aggregation.
+  *
+  * All arithmetic is done in double (elements cast up before multiply)
+  * with strict left-fold sums, so the DuckDB oracle can mirror it
+  * bit-exactly. Probe sets are small and broadcast; the candidate side
+  * streams — at 100 TB the brute-force query is one broadcast-join scan,
+  * and the LSH variant replaces the scan with a bucket-key shuffle.
+  */
+object VectorOps {
+
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04)
+
+  /** Left-fold double dot product of two array<double> columns. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** DuckDB mirror of [[dot]]: sequential list_sum over doubles. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def embeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+
+  /** Brute-force exact cosine top-5 for 10 probe vectors: broadcast the
+    * probes, stream the corpus once. */
+  private val v01 = QDef(
+    "v01_knn_brute",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    ${sqlDot("q.embedding", "c.embedding")} /
+       |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM p)
+       |SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-label vector statistics (count, mean L2 norm, mean first
+    * component) — the sanity profile a pipeline runs before ANN. */
+  private val v02 = QDef(
+    "v02_label_stats",
+    s"""SELECT label, COUNT(*) AS n,
+       |  ${sqlDsum(s"sqrt(${sqlDot("embedding", "embedding")})")} / COUNT(*) AS avg_norm,
+       |  ${sqlDsum("CAST(embedding[1] AS DOUBLE)")} / COUNT(*) AS avg_c0
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (dsum(norm("emb")) / count(lit(1))).as("avg_norm"),
+        (dsum(element_at(col("emb"), 1)) / count(lit(1))).as("avg_c0"))
+      .orderBy(col("label"))
+  }
+
+  /** Random-hyperplane LSH (Charikar 2002) ANN: 8-bit signs of dots
+    * with hash-seeded pseudo-random hyperplanes → bucket equi-join →
+    * exact cosine re-rank within bucket. The scale path: replaces the
+    * full scan with a shuffle on the bucket key. */
+  private val v03 = QDef.noOracle("v03_knn_lsh") { (s, d) =>
+    // hyperplane p, component i ~ U(-1, 1), derived deterministically
+    // from xxhash64(p, i) — no RNG state to distribute.
+    val bucketE =
+      """aggregate(transform(sequence(0, 7), p ->
+        |  IF(aggregate(zip_with(emb,
+        |       transform(sequence(0, 63), i -> (CAST(pmod(xxhash64(p, i), 2001) AS DOUBLE) - 1000.0) / 1000.0),
+        |       (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,
+        |     shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
+        |  CAST(0 AS BIGINT), (acc, v) -> acc | v)""".stripMargin
+    val e = embeddings(s, d).withColumn("bucket", expr(bucketE))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rank"), col("bucket"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding near-dup profile: per label-block, pair count and max /
+    * high-similarity counts — the aggregation form of cosine dedup
+    * (blocked self-join, no driver materialization). */
+  private val v04 = QDef(
+    "v04_near_dup_profile",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |p AS (
+       |  SELECT a.label AS label,
+       |    ${sqlDot("a.embedding", "b.embedding")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, COUNT(*) AS n_pairs,
+       |  CAST(COUNT(*) FILTER (WHERE sim > 0.3) AS BIGINT) AS n_similar,
+       |  MAX(sim) AS max_sim
+       |FROM p GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val l = e.select(col("label"), col("vec_id").as("a"), col("emb").as("emb_a"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("emb").as("emb_b"))
+    l.join(r, Seq("label"))
+      .where(col("a") < col("b"))
+      .withColumn("sim",
+        dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sim") > 0.3, 1L).otherwise(0L)).as("n_similar"),
+        max(col("sim")).as("max_sim"))
+      .orderBy(col("label"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupOps, VectorOps}
+
+/** Behavioral checks for the sketch dedup + vector ops on synthetic
+  * fixtures with KNOWN duplicates/neighbors (the driver fixtures have
+  * none at sf0.001, so these are the real semantic tests).
+  */
+class DedupVectorSpec extends GraftSuite {
+  import SparkTestBase.spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-fixture").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to the old green hill where it sleeps all day long"
+    val docs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcB", base.length.toLong), // exact dup of 0
+      (2L, base.replace("green", "blue"), "en", "srcA",
+        base.length.toLong), // near dup of 0
+      (3L, "completely unrelated words about spark catalyst optimizer " +
+        "plans and distributed shuffle execution at massive scale here",
+        "en", "srcA", 110L),
+      (4L, "", "de", "srcC", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val vecs = Seq(
+      (0L, vec(i => math.sin(i + 1).toFloat), 0),
+      (1L, vec(i => math.sin(i + 1).toFloat * 1.01f + 0.001f), 0), // ~v0
+      (2L, vec(i => math.cos(i * 3 + 2).toFloat), 1),
+      (3L, vec(i => if (i % 2 == 0) 1f else -1f), 1),
+      (4L, vec(i => math.sin(i + 1).toFloat * -1f), 0)) // antipode of v0
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def q(name: String) =
+    (DedupOps.defs ++ VectorOps.defs).find(_.name == name).get.fn(spark, dir)
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = q("d01_minhash_lsh_pairs")
+      .select("a", "b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // exact dup: identical signatures
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    // near dup: high but < 1 estimated jaccard
+    assert(pairs.get((0L, 2L)).exists(j => j >= 0.5))
+    assert(pairs.get((1L, 2L)).exists(j => j >= 0.5))
+    // unrelated doc never pairs
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash pairs exact dup at hamming 0") {
+    val rows = q("d02_simhash_pairs")
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(rows.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+    assert(!rows.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near pair high, blocked join") {
+    val rows = q("d03_ngram_jaccard_pairs")
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    assert(rows.exists { case (a, b, j) => a == 0L && b == 2L && j > 0.7 && j < 1.0 })
+  }
+
+  test("langid predicts en for english docs, deterministic on empty") {
+    val rows = q("d04_langid")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(rows(0L) == "en" && rows(3L) == "en")
+    assert(rows(4L) != null) // empty doc still gets the tie-break arm
+  }
+
+  test("winnow fingerprints: identical docs share fingerprints") {
+    val rows = q("d05_winnow_fingerprints")
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+    assert(rows(0L) == rows(1L))
+    assert(rows(0L) != rows(3L))
+    assert(rows(4L).nonEmpty) // empty text → single whole-text hash
+  }
+
+  test("brute knn: v1 is v0's top neighbor, antipode ranks last") {
+    val rows = q("v01_knn_brute")
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val v0 = rows.filter(_._1 == 0L).sortBy(_._3).map(_._2)
+    assert(v0.head == 1L)   // nearly identical vector
+    assert(v0.last == 4L)   // cosine -1 antipode
+  }
+
+  test("label stats cover all labels with positive norms") {
+    val rows = q("v02_label_stats")
+      .select("label", "n", "avg_norm").as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(0, 1))
+    assert(rows.forall(_._3 > 0))
+  }
+
+  test("lsh knn returns subset of brute-force results with same sims") {
+    val brute = q("v01_knn_brute")
+      .select("q_id", "vec_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = q("v03_knn_lsh")
+      .select("q_id", "vec_id", "sim").as[(Long, Long, Double)].collect()
+    // every LSH hit's exact sim matches the brute-force sim when present
+    for ((qid, vid, sim) <- lsh; bs <- brute.get((qid, vid)))
+      assert(math.abs(bs - sim) < 1e-12)
+  }
+}
