@@ -1,0 +1,123 @@
+package graft
+
+import scala.collection.mutable
+import scala.io.Source
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+import org.locationtech.jts.geom.Geometry
+
+import graft.spatial.Geo
+
+/** Minimal sqllogictest runner for the reference's test corpus
+  * (test fixture: src/test/resources/spatial_udf.slt, taken verbatim
+  * from /root/reference/src/sqllogictest/test_files/spatial_udf.slt).
+  *
+  * Implements the subset the corpus uses — `query <types> [rowsort]`
+  * blocks — plus the reference's normalization contract
+  * (engines/conversion.rs, normalize.rs:17-232): floats rounded to 12
+  * decimal places with trailing zeros trimmed, NULL for nulls,
+  * "(empty)" for empty strings, lowercase booleans.
+  *
+  * WKT-valued results get a geometry-semantic fallback compare
+  * (normalized structure + relative 1e-9 coordinate tolerance): JTS and
+  * the reference's geos/geo backends emit equivalent geometries with
+  * different ring rotations and last-ulp arithmetic.
+  */
+object SltRunner {
+
+  final case class Case(line: Int, sql: String, rowsort: Boolean, expected: Seq[String])
+  final case class Failure(c: Case, got: Seq[String], error: Option[String])
+
+  def parse(resource: String): Seq[Case] = {
+    val lines = Source.fromInputStream(
+      getClass.getResourceAsStream(resource), "UTF-8").getLines().toVector
+    val cases = mutable.Buffer[Case]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.startsWith("query ")) {
+        val rowsort = l.contains("rowsort")
+        val start = i + 1
+        val sql = mutable.Buffer[String]()
+        var j = start
+        while (j < lines.length && lines(j).trim != "----") { sql += lines(j); j += 1 }
+        j += 1 // skip ----
+        val expected = mutable.Buffer[String]()
+        while (j < lines.length && lines(j).trim.nonEmpty) { expected += lines(j); j += 1 }
+        cases += Case(start, sql.mkString("\n"), rowsort, expected.toSeq)
+        i = j
+      } else i += 1
+    }
+    cases.toSeq
+  }
+
+  def run(spark: SparkSession, resource: String): Seq[Failure] =
+    parse(resource).flatMap { c =>
+      try {
+        val rows = spark.sql(c.sql).collect()
+        val raw = rows.map(r =>
+          (0 until r.length).map(k => render(r.get(k))).mkString(" ")).toSeq
+        val (got, want) =
+          if (c.rowsort) (raw.sorted, c.expected.sorted) else (raw, c.expected)
+        val ok = got.size == want.size &&
+          got.zip(want).forall { case (g, e) => g == e || geomEq(g, e) }
+        if (ok) None else Some(Failure(c, got, None))
+      } catch {
+        case e: Throwable => Some(Failure(c, Nil, Some(e.getMessage)))
+      }
+    }
+
+  /** Reference normalization: conversion.rs float12 / NULL / (empty). */
+  def render(v: Any): String = v match {
+    case null                    => "NULL"
+    case b: Boolean              => if (b) "true" else "false"
+    case d: Double               => fmtFloat(BigDecimal(d))
+    case f: Float                => fmtFloat(BigDecimal(f.toDouble))
+    case d: java.math.BigDecimal => fmtFloat(BigDecimal(d))
+    case s: String               => if (s.isEmpty) "(empty)" else s
+    case b: Array[Byte]          => b.map("%02x".format(_)).mkString
+    case r: Row                  => // struct: sqllogictest-rs style {f: v, ...}
+      r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        s"$n: ${structVal(r.get(i))}"
+      }.mkString("{", ", ", "}")
+    case o => o.toString
+  }
+
+  /** Inside structs the reference renders f64 via Rust Display (1.0). */
+  private def structVal(v: Any): String = v match {
+    case null      => "NULL"
+    case d: Double => if (d == d.floor && !d.isInfinite) s"${d.toLong}.0" else d.toString
+    case o         => render(o)
+  }
+
+  private def fmtFloat(bd: BigDecimal): String = {
+    val r = bd.setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros
+    if (r.scale <= 0) r.setScale(0).toPlainString else r.toPlainString
+  }
+
+  /** Geometry-semantic equality of two (E)WKT strings. */
+  private def geomEq(got: String, expected: String): Boolean =
+    try {
+      val a = Geo.fromEwkt(got)
+      val b = Geo.fromEwkt(expected)
+      if (a == null || b == null) return false
+      a.getSRID == b.getSRID && {
+        a.normalize(); b.normalize()
+        sameCoords(a, b)
+      }
+    } catch { case _: Throwable => false }
+
+  private def sameCoords(a: Geometry, b: Geometry): Boolean = {
+    if (a.getGeometryType != b.getGeometryType) return false
+    val ca = a.getCoordinates
+    val cb = b.getCoordinates
+    ca.length == cb.length && ca.zip(cb).forall { case (p, q) =>
+      relEq(p.x, q.x) && relEq(p.y, q.y)
+    }
+  }
+
+  private def relEq(x: Double, y: Double): Boolean =
+    math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+}
