@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectPlannerStrategy(_ => SpatialJoinStrategy)
   }
 }
 

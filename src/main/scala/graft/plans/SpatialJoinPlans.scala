@@ -1,0 +1,258 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+import org.locationtech.jts.geom.{Envelope, Geometry => JtsGeometry}
+import org.locationtech.jts.index.strtree.STRtree
+
+import graft.spatial.Geo
+
+/** Spatial join planning — the Spark-native re-expression of the
+  * reference's SpatialJoinExec subsystem (/root/reference/src/
+  * datafusion-extra/spatial/src/join, ~7.5k LoC of out-of-core
+  * R-tree machinery). Here the optimizer-integrated path is a planner
+  * Strategy that recognizes `JOIN ON ST_xxx(l.geom, r.geom)` conditions
+  * (the reference's optimizer.rs:33-115 rule) and emits a broadcast
+  * R-tree index join (exec.rs / stream.rs); the partitioned scale path
+  * lives in [[graft.operators.SpatialJoin]] as a grid-partitioned
+  * DataFrame composition that Spark's shuffle executes natively.
+  */
+object SpatialJoinPlans {
+
+  /** Join-condition predicate forms (spatial_predicate.rs:10-66). */
+  sealed trait SpatialPredicate extends Serializable {
+    /** exact refinement on (probe, build) geometries */
+    def refine(probe: JtsGeometry, build: JtsGeometry): Boolean
+    /** envelope expansion around the probe for index lookup */
+    def expand: Double
+  }
+  final case class Relation(name: String) extends SpatialPredicate {
+    def refine(p: JtsGeometry, b: JtsGeometry): Boolean = name match {
+      case "st_intersects"      => p.intersects(b)
+      case "st_contains"        => p.contains(b)
+      case "st_within"          => p.within(b)
+      case "st_covers"          => p.covers(b)
+      case "st_coveredby"       => p.coveredBy(b)
+      case "st_touches"         => p.touches(b)
+      case "st_crosses"         => p.crosses(b)
+      case "st_overlaps"        => p.overlaps(b)
+      case "st_equals"          => p.equalsTopo(b)
+      case "st_bbox_intersects" => p.getEnvelopeInternal.intersects(b.getEnvelopeInternal)
+    }
+    def expand: Double = 0.0
+    /** predicate with sides swapped (spatial_predicate.rs:139-152) */
+    def inverted: Relation = Relation(name match {
+      case "st_contains"  => "st_within"
+      case "st_within"    => "st_contains"
+      case "st_covers"    => "st_coveredby"
+      case "st_coveredby" => "st_covers"
+      case other          => other // symmetric
+    })
+  }
+  final case class Distance(d: Double, strict: Boolean) extends SpatialPredicate {
+    def refine(p: JtsGeometry, b: JtsGeometry): Boolean =
+      if (strict) p.distance(b) < d else p.isWithinDistance(b, d)
+    def expand: Double = d
+  }
+
+  private val relationNames = Set(
+    "st_intersects", "st_contains", "st_within", "st_covers", "st_coveredby",
+    "st_touches", "st_crosses", "st_overlaps", "st_equals", "st_bbox_intersects")
+
+  /** Extracted spatial condition: probe-side expr, build-side expr,
+    * predicate (already oriented as probe-vs-build = left-vs-right). */
+  final case class Extracted(leftGeom: Expression, rightGeom: Expression,
+      pred: SpatialPredicate)
+
+  /** Recognize the three condition shapes the reference parses
+    * (utils.rs:7-30): ST_Relation(l, r); ST_DWithin(l, r, d);
+    * ST_Distance(l, r) < d / d > ST_Distance(l, r) (both comparison
+    * directions, bound on either side). */
+  def extract(cond: Expression, left: Seq[Attribute], right: Seq[Attribute]): Option[Extracted] = {
+    def sideOf(e: Expression): Option[Boolean] = { // true = left
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(AttributeSet(left))) Some(true)
+      else if (refs.subsetOf(AttributeSet(right))) Some(false)
+      else None
+    }
+    def orient(a: Expression, b: Expression, rel: Relation): Option[Extracted] =
+      (sideOf(a), sideOf(b)) match {
+        case (Some(true), Some(false)) => Some(Extracted(a, b, rel))
+        case (Some(false), Some(true)) => Some(Extracted(b, a, rel.inverted))
+        case _                         => None
+      }
+    def orientD(a: Expression, b: Expression, d: Double, strict: Boolean): Option[Extracted] =
+      (sideOf(a), sideOf(b)) match {
+        case (Some(true), Some(false)) => Some(Extracted(a, b, Distance(d, strict)))
+        case (Some(false), Some(true)) => Some(Extracted(b, a, Distance(d, strict)))
+        case _                         => None
+      }
+    def litD(e: Expression): Option[Double] = e match {
+      case Literal(v, _) if v != null => Some(v.toString.toDouble)
+      case _                          => None
+    }
+    cond match {
+      case u: ScalaUDF if u.udfName.exists(n => relationNames(n.toLowerCase)) =>
+        orient(u.children(0), u.children(1), Relation(u.udfName.get.toLowerCase))
+      case u: ScalaUDF if u.udfName.exists(_.equalsIgnoreCase("st_dwithin")) =>
+        litD(u.children(2)).flatMap(d =>
+          orientD(u.children(0), u.children(1), d, strict = false))
+      case LessThan(u: ScalaUDF, lim) if isDistance(u) =>
+        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = true))
+      case LessThanOrEqual(u: ScalaUDF, lim) if isDistance(u) =>
+        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = false))
+      case GreaterThan(lim, u: ScalaUDF) if isDistance(u) =>
+        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = true))
+      case GreaterThanOrEqual(lim, u: ScalaUDF) if isDistance(u) =>
+        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = false))
+      case _ => None
+    }
+  }
+
+  private def isDistance(u: ScalaUDF): Boolean =
+    u.udfName.exists(_.equalsIgnoreCase("st_distance"))
+}
+
+/** Planner strategy (the reference's ExtensionPlanner,
+  * physical_planner.rs:62-286): joins whose only condition is a spatial
+  * predicate become a broadcast R-tree join, building on the smaller
+  * side (physical_planner.rs:128-136 swaps inputs by stats). Falls
+  * through (Nil) when the shape doesn't match, letting Spark's own
+  * strategies (incl. BroadcastNestedLoopJoin) take over — the
+  * reference's fallback at physical_planner.rs:104-126.
+  */
+object SpatialJoinStrategy extends SparkStrategy {
+  import SpatialJoinPlans._
+
+  /** Max bytes we are willing to collect+index on the build side; above
+    * this, fall through to Spark (or use the grid-partitioned API). */
+  private def buildLimit: Long = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (thr > 0) thr * 8 else 256L << 20
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, joinType @ (Inner | LeftSemi | LeftAnti | LeftOuter),
+        Some(cond), _) =>
+      extract(cond, left.output, right.output) match {
+        case Some(ex) =>
+          val lSize = left.stats.sizeInBytes
+          val rSize = right.stats.sizeInBytes
+          val limit = BigInt(buildLimit)
+          joinType match {
+            // inner joins may build on either side: pick the smaller
+            // (the reference's swap-by-stats, physical_planner.rs:128-136)
+            case Inner if lSize < rSize && lSize <= limit =>
+              val swappedPred = ex.pred match {
+                case r: Relation => r.inverted
+                case d           => d
+              }
+              val exec = BroadcastSpatialJoinExec(
+                planLater(right), planLater(left),
+                ex.rightGeom, ex.leftGeom, swappedPred, Inner)
+              org.apache.spark.sql.execution.ProjectExec(
+                left.output ++ right.output, exec) :: Nil
+            case _ if rSize <= limit =>
+              BroadcastSpatialJoinExec(
+                planLater(left), planLater(right),
+                ex.leftGeom, ex.rightGeom, ex.pred, joinType) :: Nil
+            case _ => Nil // too big to index-broadcast: Spark fallback
+          }
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Broadcast R-tree spatial join: the build (right) side is collected
+  * and broadcast, each task builds an STRtree once (lazily, shared per
+  * partition), probes stream through with envelope lookup + exact
+  * refinement — the Spark shape of the reference's single-partition
+  * mode (index/spatial_index.rs:25-130 + stream.rs probe loop).
+  *
+  * Supports Inner, LeftSemi, LeftAnti, LeftOuter (unmatched-probe
+  * emission; the reference tracks unmatched via bitmaps,
+  * stream.rs:84-90 — here probe-side outer needs only per-row state).
+  */
+final case class BroadcastSpatialJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftGeom: Expression, rightGeom: Expression,
+    pred: SpatialJoinPlans.SpatialPredicate,
+    joinType: JoinType) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi | LeftAnti => left.output
+    case LeftOuter           => left.output ++ right.output.map(_.withNullability(true))
+    case _                   => left.output ++ right.output
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val buildRows: Array[InternalRow] = right.executeCollect().map(_.copy())
+    val bc: Broadcast[Array[InternalRow]] = sparkContext.broadcast(buildRows)
+    val rGeomBound = BindReferences.bindReference(rightGeom, right.output)
+    val lGeomBound = BindReferences.bindReference(leftGeom, left.output)
+    val predicate = pred
+    val jt = joinType
+    val outputAttrs = output
+    val rightWidth = right.output.size
+
+    left.execute().mapPartitions { iter =>
+      // per-task index build from the broadcast rows
+      val entries = bc.value.flatMap { row =>
+        val wkb = rGeomBound.eval(row).asInstanceOf[Array[Byte]]
+        val geom = Geo.fromWkb(wkb)
+        if (geom == null) None else Some((geom, row))
+      }
+      val index = new STRtree()
+      entries.foreach { case (geometry, row) =>
+        index.insert(geometry.getEnvelopeInternal, (geometry, row))
+      }
+      index.build()
+
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val joined = new JoinedRow()
+      val nullRight = new GenericInternalRow(rightWidth)
+
+      iter.flatMap { probeRow =>
+        val wkb = lGeomBound.eval(probeRow).asInstanceOf[Array[Byte]]
+        val probeGeom = if (wkb == null) null else Geo.fromWkb(wkb)
+        if (probeGeom == null) {
+          jt match {
+            case LeftAnti  => Iterator.single(toUnsafe(probeRow))
+            case LeftOuter => Iterator.single(toUnsafe(joined(probeRow, nullRight)))
+            case _         => Iterator.empty
+          }
+        } else {
+          val env = new Envelope(probeGeom.getEnvelopeInternal)
+          if (predicate.expand > 0) env.expandBy(predicate.expand)
+          val candidates = index.query(env).iterator()
+          var matches = List.empty[InternalRow]
+          var any = false
+          while (candidates.hasNext && !(any && (jt == LeftSemi || jt == LeftAnti))) {
+            val (g, row) = candidates.next().asInstanceOf[(JtsGeometry, InternalRow)]
+            if (predicate.refine(probeGeom, g)) {
+              any = true
+              if (jt != LeftSemi && jt != LeftAnti) matches ::= row
+            }
+          }
+          jt match {
+            case LeftSemi            => if (any) Iterator.single(toUnsafe(probeRow)) else Iterator.empty
+            case LeftAnti            => if (any) Iterator.empty else Iterator.single(toUnsafe(probeRow))
+            case LeftOuter if !any   => Iterator.single(toUnsafe(joined(probeRow, nullRight)))
+            case _ => matches.reverseIterator.map(b => toUnsafe(joined(probeRow, b)))
+          }
+        }
+      }
+    }
+  }
+}

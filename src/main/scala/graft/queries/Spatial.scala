@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.operators.SpatialJoin
+import graft.spatial.SpatialFunctions
+
+/** Spatial-join queries over geometry synthesized deterministically from
+  * the relational fixtures (FIXTURES.md §5: no geometry fixture exists,
+  * so point/box coordinates are integer-arithmetic functions of keys).
+  * Because the geometry is synthetic-arithmetic, the DuckDB oracle can
+  * verify the JOIN SEMANTICS with pure arithmetic (interval overlap /
+  * euclidean distance) — no spatial extension needed on the oracle side.
+  */
+object Spatial {
+
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03)
+
+  /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
+  private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
+  private def ptY(key: String) = s"(($key * 69621) % 10007) % 100 + 0.5"
+
+  private def customerPoints(s: SparkSession, d: String): DataFrame = {
+    SpatialFunctions.registerAll(s)
+    Tables.customer(s, d).select(col("c_custkey"),
+      expr(s"st_makepoint(${ptX("c_custkey")}, ${ptY("c_custkey")})").as("c_pt"))
+  }
+
+  /** Point-in-polygon via the optimizer-integrated broadcast R-tree
+    * join: 10×10 grid cells (100 rows, built+indexed once) CONTAINS
+    * customer points; per-cell counts. The oracle verifies the same
+    * assignment with floor arithmetic. */
+  private val sp01 = QDef(
+    "sp01_point_in_cell",
+    s"""SELECT CAST(FLOOR((${ptX("c_custkey")}) / 10) * 10 + FLOOR((${ptY("c_custkey")}) / 10) AS BIGINT) AS cell_id,
+       |  COUNT(*) AS n_points
+       |FROM customer
+       |GROUP BY 1 ORDER BY cell_id""".stripMargin) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    val cells = s.range(0, 100).select(col("id").as("cell_id"),
+      expr("st_makeenvelope(cast(id div 10 as double) * 10, cast(id % 10 as double) * 10, " +
+        "cast(id div 10 as double) * 10 + 10, cast(id % 10 as double) * 10 + 10)").as("cell"))
+    val pts = customerPoints(s, d)
+    SpatialJoin.broadcastJoin(pts, cells, "c_pt", "cell", "st_within")
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** Distance join via the grid-partitioned scale path: customer points
+    * within d=15 of supplier points; oracle = euclidean arithmetic. */
+  private val sp02 = QDef(
+    "sp02_dwithin_pairs",
+    s"""SELECT c_custkey, s_suppkey,
+       |  sqrt(((${ptX("c_custkey")}) - (${ptX("s_suppkey")})) * ((${ptX("c_custkey")}) - (${ptX("s_suppkey")}))
+       |     + ((${ptY("c_custkey")}) - (${ptY("s_suppkey")})) * ((${ptY("c_custkey")}) - (${ptY("s_suppkey")}))) AS dist
+       |FROM customer, supplier
+       |WHERE sqrt(((${ptX("c_custkey")}) - (${ptX("s_suppkey")})) * ((${ptX("c_custkey")}) - (${ptX("s_suppkey")}))
+       |         + ((${ptY("c_custkey")}) - (${ptY("s_suppkey")})) * ((${ptY("c_custkey")}) - (${ptY("s_suppkey")}))) <= 15.0
+       |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+    val pts = customerPoints(s, d)
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
+    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 15.0, cells = 16)
+      .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
+      .select(col("c_custkey"), col("s_suppkey"), col("dist"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** Box-overlap self-join through the grid path: small rectangles from
+    * part keys, intersecting pairs; oracle = interval-overlap
+    * arithmetic (JTS intersects includes touching, hence <=). */
+  private val sp03 = QDef(
+    "sp03_box_overlap_pairs", {
+      def bx(k: String) = s"(($k * 40503) % 9973) % 990"
+      def by(k: String) = s"(($k * 65599) % 9973) % 990"
+      def bw(k: String) = s"(($k * 48271) % 97) % 10 + 1"
+      def bh(k: String) = s"(($k * 69621) % 97) % 10 + 1"
+      s"""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key
+         |FROM part a, part b
+         |WHERE a.p_partkey < b.p_partkey
+         |  AND ${bx("a.p_partkey")} <= ${bx("b.p_partkey")} + ${bw("b.p_partkey")}
+         |  AND ${bx("b.p_partkey")} <= ${bx("a.p_partkey")} + ${bw("a.p_partkey")}
+         |  AND ${by("a.p_partkey")} <= ${by("b.p_partkey")} + ${bh("b.p_partkey")}
+         |  AND ${by("b.p_partkey")} <= ${by("a.p_partkey")} + ${bh("a.p_partkey")}
+         |ORDER BY a_key, b_key""".stripMargin
+    }) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    def box(alias: String, key: String) = Tables.part(s, d).select(
+      col("p_partkey").as(key),
+      expr(("st_makeenvelope(cast((KK * 40503) % 9973 % 990 as double), " +
+        "cast((KK * 65599) % 9973 % 990 as double), " +
+        "cast((KK * 40503) % 9973 % 990 + (KK * 48271) % 97 % 10 + 1 as double), " +
+        "cast((KK * 65599) % 9973 % 990 + (KK * 69621) % 97 % 10 + 1 as double))")
+        .replace("KK", "p_partkey")).as(alias))
+    val a = box("a_box", "a_key")
+    val b = box("b_box", "b_key")
+    SpatialJoin.grid(a, b, "a_box", "b_box", "st_intersects", cells = 64)
+      .where(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+}
