@@ -1,0 +1,174 @@
+package graft.pg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF}
+import org.apache.spark.sql.types._
+
+/** PostgreSQL compatibility layer (reference A33/A34): the pg_catalog
+  * emulation tables and PG-compat scalar functions BI tools probe on
+  * connect.
+  *
+  * Facts mirror the reference exactly:
+  * - pg_type: 28 rows (/root/reference/src/common/utils/src/pg_type.rs:
+  *   58-618), projected to the 8 columns of the catalog table
+  *   (catalog/src/postgres/pg_type.rs:16-60), typtypmod = -1.
+  * - pg_namespace: pg_catalog=11, public=2200, information_schema=13676
+  *   (pg_namespace.rs:44-57).
+  * - pg_class / pg_description: present but empty (pg_class.rs:58-70).
+  * - pg_database: one row, datname='postgres' (postgres/mod.rs:20).
+  * - version() -> 'PostgreSQL 14.10 on dataclod' (udf/version.rs:9);
+  *   current_schema() -> 'public'; current_schemas(bool) adds
+  *   pg_catalog when true; format_type(oid, typemod) per
+  *   format_type.rs:15-190 with '???' fallback; array_upper(arr, 1) =
+  *   length (array_upper.rs); pg_get_expr -> ''; pg_get_partkeydef ->
+  *   NULL.
+  */
+object PgCompat extends Serializable {
+
+  /** (oid, typname, typcategory, typelem) — typnamespace=11,
+    * typrelid=0, typbasetype=0, typtypmod=-1 for all rows. */
+  private[graft] val pgTypes: Seq[(Int, String, String, Int)] = Seq(
+    (16, "bool", "B", 0), (17, "bytea", "U", 0), (18, "char", "Z", 0),
+    (20, "int8", "N", 0), (21, "int2", "N", 0), (23, "int4", "N", 0),
+    (700, "float4", "N", 0), (701, "float8", "N", 0),
+    (1000, "_bool", "A", 16), (1001, "_bytea", "A", 17),
+    (1002, "_char", "A", 18), (1005, "_int2", "A", 21),
+    (1007, "_int4", "A", 23), (1015, "_varchar", "A", 1043),
+    (1016, "_int8", "A", 20), (1021, "_float4", "A", 700),
+    (1022, "_float8", "A", 701), (1043, "varchar", "S", 0),
+    (1082, "date", "D", 0), (1083, "time", "D", 0),
+    (1114, "timestamp", "D", 0), (1115, "_timestamp", "A", 1114),
+    (1182, "_date", "A", 1082), (1183, "_time", "A", 1083),
+    (1184, "timestamptz", "D", 0), (1185, "_timestamptz", "A", 1184),
+    (1186, "interval", "T", 0), (1187, "_interval", "A", 1186))
+
+  private val baseNames: Map[Int, String] = Map(
+    16 -> "boolean", 17 -> "bytea", 18 -> "character", 20 -> "bigint",
+    21 -> "smallint", 23 -> "integer", 700 -> "real",
+    701 -> "double precision", 1043 -> "character varying",
+    1082 -> "date", 1083 -> "time without time zone",
+    1114 -> "timestamp without time zone",
+    1184 -> "timestamp with time zone", 1186 -> "interval")
+
+  private val arrayElem: Map[Int, Int] =
+    pgTypes.filter(_._3 == "A").map(t => t._1 -> t._4).toMap
+
+  def formatType(oid: Long, typemod: java.lang.Long): String = {
+    val isArray = arrayElem.contains(oid.toInt)
+    val base = if (isArray) arrayElem(oid.toInt) else oid.toInt
+    baseNames.get(base) match {
+      case None => "???"
+      case Some(name) =>
+        val tm = Option(typemod).map(_.toLong)
+        val modStr = base match {
+          case 1043 | 18 => tm.filter(_ >= 5).map(m => s"(${m - 4})").getOrElse("")
+          case _         => tm.filter(_ >= 0).map(m => s"($m)").getOrElse("")
+        }
+        val rendered = base match {
+          case 1186 => if (tm.exists(_ >= 0)) "-" else "interval"
+          case 1083 => s"time$modStr without time zone"
+          case 1114 => s"timestamp$modStr without time zone"
+          case 1184 => s"timestamp$modStr with time zone"
+          case 17   => s"bytea$modStr"
+          case 18   => s"character$modStr"
+          case 1043 => s"character varying$modStr"
+          case 1082 => s"date$modStr"
+          case b    => baseNames(b)
+        }
+        if (isArray) {
+          if (base == 1186 && tm.exists(_ >= 0)) "-" else s"$rendered[]"
+        } else rendered
+    }
+  }
+
+  /** Register catalog views + compat functions on the session. */
+  def registerAll(spark: SparkSession): Unit = {
+    registerViews(spark)
+    registerFunctions(spark)
+  }
+
+  def registerViews(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+
+    val typeSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("typname", StringType, nullable = false),
+      StructField("typnamespace", IntegerType, nullable = false),
+      StructField("typcategory", StringType, nullable = false),
+      StructField("typrelid", IntegerType, nullable = false),
+      StructField("typelem", IntegerType, nullable = false),
+      StructField("typbasetype", IntegerType, nullable = false),
+      StructField("typtypmod", LongType, nullable = false)))
+    val typeRows = pgTypes.map { case (oid, name, cat, elem) =>
+      Row(oid, name, 11, cat, 0, elem, 0, -1L)
+    }
+    spark.createDataFrame(typeRows.asJava, typeSchema)
+      .createOrReplaceTempView("pg_type")
+
+    val nsSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("nspname", StringType, nullable = false)))
+    spark.createDataFrame(Seq(
+      Row(11, "pg_catalog"), Row(2200, "public"), Row(13676, "information_schema")
+    ).asJava, nsSchema).createOrReplaceTempView("pg_namespace")
+
+    val classSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("relname", StringType, nullable = false),
+      StructField("relnamespace", IntegerType, nullable = false),
+      StructField("relkind", StringType, nullable = false)))
+    spark.createDataFrame(Seq.empty[Row].asJava, classSchema)
+      .createOrReplaceTempView("pg_class")
+
+    val descSchema = StructType(Seq(
+      StructField("objoid", IntegerType, nullable = false),
+      StructField("classoid", IntegerType, nullable = false),
+      StructField("objsubid", IntegerType, nullable = false),
+      StructField("description", StringType, nullable = false)))
+    spark.createDataFrame(Seq.empty[Row].asJava, descSchema)
+      .createOrReplaceTempView("pg_description")
+
+    val dbSchema = StructType(Seq(
+      StructField("datname", StringType, nullable = false)))
+    spark.createDataFrame(Seq(Row("postgres")).asJava, dbSchema)
+      .createOrReplaceTempView("pg_database")
+  }
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, dt: DataType, arity: Int, fn: AnyRef): Unit =
+      reg.createOrReplaceTempFunction(name, (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name expects $arity argument(s)")
+        ScalaUDF(fn, dt, children, children.map(_ => None),
+          udfName = Some(name), nullable = true, udfDeterministic = true)
+      }, "scala_udf")
+
+    add("version", StringType, 0, () => "PostgreSQL 14.10 on dataclod")
+    add("current_schema", StringType, 0, () => "public")
+    add("current_database", StringType, 0, () => "postgres")
+    add("current_schemas", ArrayType(StringType), 1, (b: Any) => b match {
+      case null                 => null
+      case true                 => Seq("pg_catalog", "public")
+      case false                => Seq("public")
+      case _                    => null
+    })
+    add("format_type", StringType, 2, (oid: Any, tm: Any) => oid match {
+      case null => null
+      case o => formatType(o.toString.toLong,
+        if (tm == null) null else java.lang.Long.valueOf(tm.toString.toLong))
+    })
+    add("array_upper", LongType, 2, (arr: Any, dim: Any) => (arr, dim) match {
+      case (null, _) => null
+      case (a: scala.collection.Seq[_], d) =>
+        val dl = d.toString.toLong
+        if (dl < 1) null
+        else if (dl == 1) a.size.toLong
+        else throw new UnsupportedOperationException(
+          s"array_upper: dimension > 1 not supported, actual: $dl")
+      case _ => null
+    })
+    add("pg_get_expr", StringType, 2, (_: Any, _: Any) => "")
+    add("pg_get_partkeydef", StringType, 1, (_: Any) => null)
+  }
+}

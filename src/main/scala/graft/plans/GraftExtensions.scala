@@ -32,8 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
+    // Transaction keywords acknowledged as no-ops, never executed
+    // (reference handler.rs:43-67 / :108-127).
+    if (TxnKeywords(trimmed)) emptyResult
+    else rewrite(delegate.parsePlan(eraseUnsupportedCasts(sqlText)))
+  }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case t: UnresolvedInlineTable if t.rows.exists(_.exists(hasFunction)) =>
@@ -43,10 +50,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }, OneRowRelation())
       }
       if (projects.size == 1) projects.head else Union(projects)
+    // pg_catalog.* / public.* qualifiers resolve to the session temp
+    // views registered by PgCompat (the reference registers its catalog
+    // tables under both schemas, catalog/src/postgres/mod.rs:25-52).
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if r.multipartIdentifier.size == 2 &&
+          Set("pg_catalog", "public")(r.multipartIdentifier.head.toLowerCase) &&
+          r.multipartIdentifier(1).toLowerCase.startsWith("pg_") =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+        Seq(r.multipartIdentifier(1)), r.options, r.isStreaming)
   }
 
   private def hasFunction(e: Expression): Boolean =
     e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedFunction])
+
+  private def emptyResult: LogicalPlan =
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil, Nil)
 
   // pure delegation below
   override def parseExpression(sqlText: String): Expression =
@@ -65,4 +84,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     rewrite(delegate.parseQuery(sqlText))
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  /** Transaction control statements acknowledged but never executed. */
+  private val TxnKeywords: Set[String] = Set(
+    "begin", "begin transaction", "begin work", "start transaction",
+    "commit", "commit transaction", "commit work", "end", "end transaction",
+    "rollback", "rollback transaction", "rollback work", "abort")
+
+  private val RegTypes = "(?:regclass|regproc|regprocedure|regtype|regnamespace|oid)"
+  private val DoubleColonCast = s"(?i)::\\s*$RegTypes\\b".r
+  private val ExplicitCast = s"(?i)\\bCAST\\s*\\(\\s*('[^']*')\\s+AS\\s+$RegTypes\\s*\\)".r
+
+  /** PG catalog-introspection casts Spark has no types for: erase
+    * `'x'::regclass` and `CAST('x' AS regclass)` down to the inner
+    * value (reference postgres_stmt.rs:105-176). Text-level, applied
+    * before parsing (Spark rejects the type names at parse time). */
+  def eraseUnsupportedCasts(sql: String): String = {
+    val noCastCalls = ExplicitCast.replaceAllIn(sql, m => m.group(1))
+    DoubleColonCast.replaceAllIn(noCastCalls, "")
+  }
 }

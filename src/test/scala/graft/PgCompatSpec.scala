@@ -1,0 +1,59 @@
+package graft
+
+import graft.pg.PgCompat
+import graft.plans.GraftSqlParser
+
+class PgCompatSpec extends GraftSuite {
+
+  test("transaction keywords are acknowledged no-ops") {
+    for (sql <- Seq("BEGIN", "begin transaction;", "COMMIT", "ROLLBACK", "abort", "END"))
+      assert(spark.sql(sql).collect().isEmpty, s"$sql should be a no-op")
+  }
+
+  test("SET of foreign variables is tolerated") {
+    spark.sql("SET extra_float_digits = 3").collect()
+    spark.sql("SET application_name = psql").collect()
+  }
+
+  test("regclass/oid casts are erased") {
+    PgCompat.registerAll(spark)
+    assert(GraftSqlParser.eraseUnsupportedCasts("SELECT 'pg_type'::regclass") ==
+      "SELECT 'pg_type'")
+    assert(GraftSqlParser.eraseUnsupportedCasts("SELECT CAST('x' AS regproc)") ==
+      "SELECT 'x'")
+    val r = spark.sql("SELECT 'pg_type'::regclass AS c").head()
+    assert(r.getString(0) == "pg_type")
+  }
+
+  test("pg_catalog and public qualifiers resolve to catalog views") {
+    PgCompat.registerAll(spark)
+    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 28)
+    assert(spark.sql("SELECT count(*) FROM public.pg_database").head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_class").head().getLong(0) == 0)
+  }
+
+  test("compat functions answer like the reference") {
+    PgCompat.registerAll(spark)
+    val r = spark.sql(
+      "SELECT version(), current_schema(), current_schemas(true), current_schemas(false)").head()
+    assert(r.getString(0) == "PostgreSQL 14.10 on dataclod")
+    assert(r.getString(1) == "public")
+    assert(r.getSeq[String](2) == Seq("pg_catalog", "public"))
+    assert(r.getSeq[String](3) == Seq("public"))
+  }
+
+  test("format_type covers scalar, parameterized, array and unknown") {
+    PgCompat.registerAll(spark)
+    val r = spark.sql(
+      """SELECT format_type(16, NULL), format_type(1043, 29), format_type(18, 5),
+        |  format_type(1186, NULL), format_type(1186, 0), format_type(1015, 10),
+        |  format_type(12345, NULL)""".stripMargin).head()
+    assert(r.getString(0) == "boolean")
+    assert(r.getString(1) == "character varying(25)")
+    assert(r.getString(2) == "character(1)")
+    assert(r.getString(3) == "interval")
+    assert(r.getString(4) == "-")
+    assert(r.getString(5) == "character varying(6)[]")
+    assert(r.getString(6) == "???")
+  }
+}
