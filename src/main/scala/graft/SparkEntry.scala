@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered query definitions, in module order. */
   def allDefs: Seq[QDef] =
     Relational.defs ++ Events.defs ++ TextOps.defs ++
-      DedupOps.defs ++ VectorOps.defs ++ Spatial.defs ++ PgCatalog.defs
+      DedupOps.defs ++ VectorOps.defs ++ Spatial.defs ++ PgCatalog.defs ++
+      Multimedia.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectPlannerStrategy(_ => SpatialJoinStrategy)
+    graft.sources.Federation.tableFunctions.foreach(e.injectTableFunction)
   }
 }
 
@@ -40,6 +41,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // (reference handler.rs:43-67 / :108-127).
     if (TxnKeywords(trimmed)) emptyResult
     else rewrite(delegate.parsePlan(eraseUnsupportedCasts(sqlText)))
+  }
+
+  // the default implementation drops the parameter context, which
+  // breaks spark.sql(text, args) — must forward to the real parser
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
+    val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
+    if (TxnKeywords(trimmed)) emptyResult
+    else rewrite(delegate.parsePlanWithParameters(eraseUnsupportedCasts(sqlText), ctx))
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
