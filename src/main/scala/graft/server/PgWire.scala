@@ -1,0 +1,145 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** PostgreSQL wire-protocol framing + value encoding (reference A41/
+  * A43: src/server/src/postgres/handler.rs, types.rs — pgwire message
+  * layer re-expressed over plain java.io streams).
+  *
+  * Only the protocol-3.0 subset the reference speaks: startup/auth,
+  * simple + extended query, text result format.
+  */
+object PgWire {
+
+  // ---- message writing ----
+
+  final class Out(out: DataOutputStream) {
+    def msg(tag: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(buf)
+      body(d)
+      out.writeByte(tag)
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+    }
+    def flush(): Unit = out.flush()
+
+    def authenticationOk(): Unit = msg('R')(_.writeInt(0))
+    def authenticationMd5(salt: Array[Byte]): Unit = msg('R') { d =>
+      d.writeInt(5); d.write(salt)
+    }
+    def parameterStatus(k: String, v: String): Unit = msg('S') { d =>
+      cstr(d, k); cstr(d, v)
+    }
+    def backendKeyData(pid: Int, secret: Int): Unit = msg('K') { d =>
+      d.writeInt(pid); d.writeInt(secret)
+    }
+    def readyForQuery(status: Char = 'I'): Unit = msg('Z')(_.writeByte(status))
+    def rowDescription(cols: Seq[(String, Int)]): Unit = msg('T') { d =>
+      d.writeShort(cols.size)
+      cols.foreach { case (name, oid) =>
+        cstr(d, name)
+        d.writeInt(0); d.writeShort(0) // table oid, attnum
+        d.writeInt(oid)
+        d.writeShort(-1); d.writeInt(-1) // typlen, typmod
+        d.writeShort(0) // text format
+      }
+    }
+    def dataRow(values: Seq[Option[String]]): Unit = msg('D') { d =>
+      d.writeShort(values.size)
+      values.foreach {
+        case None => d.writeInt(-1)
+        case Some(s) =>
+          val b = s.getBytes(UTF_8)
+          d.writeInt(b.length); d.write(b)
+      }
+    }
+    def commandComplete(tag: String): Unit = msg('C')(cstr(_, tag))
+    def emptyQueryResponse(): Unit = msg('I')(_ => ())
+    def parseComplete(): Unit = msg('1')(_ => ())
+    def bindComplete(): Unit = msg('2')(_ => ())
+    def noData(): Unit = msg('n')(_ => ())
+    def parameterDescription(oids: Seq[Int]): Unit = msg('t') { d =>
+      d.writeShort(oids.size); oids.foreach(d.writeInt)
+    }
+    def errorResponse(code: String, message: String): Unit = msg('E') { d =>
+      d.writeByte('S'); cstr(d, "ERROR")
+      d.writeByte('C'); cstr(d, code)
+      d.writeByte('M'); cstr(d, message)
+      d.writeByte(0)
+    }
+    private def cstr(d: DataOutputStream, s: String): Unit = {
+      d.write(s.getBytes(UTF_8)); d.writeByte(0)
+    }
+  }
+
+  // ---- message reading ----
+
+  final case class Message(tag: Char, body: Array[Byte])
+
+  def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    val code = java.nio.ByteBuffer.wrap(body, 0, 4).getInt
+    if (code == 196608) { // protocol 3.0: key/value params
+      val params = new String(body, 4, body.length - 4, UTF_8)
+        .split("\u0000").filter(_.nonEmpty).grouped(2)
+        .collect { case Array(k, v) => k -> v }.toMap
+      (code, params)
+    } else (code, Map.empty)
+  }
+
+  def readMessage(in: DataInputStream): Message = {
+    val tag = in.readByte().toChar
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Message(tag, body)
+  }
+
+  def cstrings(body: Array[Byte]): Seq[String] =
+    new String(body, UTF_8).split("\u0000").toSeq
+
+  // ---- Spark type -> PG oid + text encoding (types.rs:128-340) ----
+
+  import org.apache.spark.sql.types._
+
+  def pgOid(dt: DataType): Int = dt match {
+    case BooleanType                       => 16
+    case ByteType                          => 18
+    case ShortType                         => 21
+    case IntegerType                       => 23
+    case LongType                          => 20
+    case FloatType                         => 700
+    case DoubleType                        => 701
+    case StringType                        => 1043
+    case BinaryType                        => 17
+    case DateType                          => 1082
+    case _: TimestampType                  => 1114
+    case _: TimestampNTZType               => 1114
+    case _: DecimalType                    => 1700
+    case ArrayType(StringType, _)          => 1015
+    case ArrayType(IntegerType, _)         => 1007
+    case ArrayType(LongType, _)            => 1016
+    case ArrayType(DoubleType, _)          => 1022
+    case _                                 => 1043 // rendered as text
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def encodeValue(v: Any): Option[String] = v match {
+    case null                    => None
+    case b: Boolean              => Some(if (b) "t" else "f")
+    case b: Array[Byte]          => Some("\\x" + b.map("%02x".format(_)).mkString)
+    case t: java.sql.Timestamp   => Some(t.toLocalDateTime.format(tsFmt))
+    case t: java.time.Instant    => Some(java.time.LocalDateTime
+      .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
+    case d: java.sql.Date        => Some(d.toString)
+    case s: scala.collection.Seq[_] =>
+      Some(s.map(e => encodeValue(e).getOrElse("NULL")).mkString("{", ",", "}"))
+    case other                   => Some(other.toString)
+  }
+}
