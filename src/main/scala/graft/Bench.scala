@@ -12,6 +12,10 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup (codegen, scan init) so the first measured
+    // query isn't charged ~4s of one-time cost
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    spark.sql("SELECT count(*) FROM range(1000000)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

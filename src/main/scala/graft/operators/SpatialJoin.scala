@@ -54,30 +54,39 @@ object SpatialJoin {
     def cellY(e: String): String =
       s"greatest(0, least(${n - 1}, cast(floor((($e) - $y0) / $h) as int)))"
 
-    /** all cell ids overlapped by the geometry's envelope (± expand) */
-    def cellsOf(geom: String, expand: Double): Column = expr(
+    /** all cell ids overlapped by an envelope struct (± expand) */
+    def cellsOf(box: String, expand: Double): Column = expr(
       s"""flatten(transform(
-         |  sequence(${cellX(s"st_xmin($geom) - $expand")}, ${cellX(s"st_xmax($geom) + $expand")}),
+         |  sequence(${cellX(s"$box.xmin - $expand")}, ${cellX(s"$box.xmax + $expand")}),
          |  ix -> transform(
-         |    sequence(${cellY(s"st_ymin($geom) - $expand")}, ${cellY(s"st_ymax($geom) + $expand")}),
+         |    sequence(${cellY(s"$box.ymin - $expand")}, ${cellY(s"$box.ymax + $expand")}),
          |    iy -> ix * $n + iy)))""".stripMargin)
 
-    val l = left.withColumn("__cell", explode(cellsOf(leftGeom, distance)))
-    val r = right.withColumn("__cell", explode(cellsOf(rightGeom, 0.0)))
+    // envelopes computed ONCE per input row (one WKB parse), before the
+    // cell explode; every later check is arithmetic on the struct
+    val l = left.withColumn("__lbox", expr(s"st_box2d($leftGeom)"))
+      .withColumn("__cell", explode(cellsOf("__lbox", distance)))
+    val r = right.withColumn("__rbox", expr(s"st_box2d($rightGeom)"))
+      .withColumn("__cell", explode(cellsOf("__rbox", 0.0)))
 
     val refine: Column = predicate.toLowerCase match {
       case "st_dwithin" => expr(s"st_dwithin($leftGeom, $rightGeom, $distance)")
       case p            => expr(s"$p($leftGeom, $rightGeom)")
     }
+    // cheap arithmetic envelope prefilter ahead of the exact (WKB-
+    // parsing) predicate
+    val bboxOverlap = expr(
+      s"""__lbox.xmin - $distance <= __rbox.xmax AND __rbox.xmin <= __lbox.xmax + $distance
+         |AND __lbox.ymin - $distance <= __rbox.ymax AND __rbox.ymin <= __lbox.ymax + $distance""".stripMargin)
     // reference point: top-left corner of the envelope intersection
     // (with the probe envelope expanded by the distance bound)
     val refCell = expr(
-      s"${cellX(s"greatest(st_xmin($leftGeom) - $distance, st_xmin($rightGeom))")} * $n + " +
-        s"${cellY(s"greatest(st_ymin($leftGeom) - $distance, st_ymin($rightGeom))")}")
+      s"${cellX(s"greatest(__lbox.xmin - $distance, __rbox.xmin)")} * $n + " +
+        s"${cellY(s"greatest(__lbox.ymin - $distance, __rbox.ymin)")}")
 
     l.join(r, Seq("__cell"))
-      .where(col("__cell") === refCell && refine)
-      .drop("__cell")
+      .where(col("__cell") === refCell && bboxOverlap && refine)
+      .drop("__cell", "__lbox", "__rbox")
   }
 
   /** Broadcast-index spatial join, via the planner strategy: writing the

@@ -28,6 +28,14 @@ object DedupOps {
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
 
+  /** Let-binding via a single-element transform: evaluates `bound` once
+    * and exposes it to `body` as lambda variable `v`. Without this,
+    * CollapseProject inlines a subexpression into every lambda that
+    * references it — for the 64-perm × 16-band minhash pipeline that
+    * multiplied shingle evaluation ~1000× (448 s at sf0.1 → ~2 s). */
+  private def bind(bound: String, v: String)(body: String => String): String =
+    s"element_at(transform(array($bound), $v -> ${body(v)}), 1)"
+
   /** Distinct word 3-gram shingles; whole text fallback for short docs. */
   private val shinglesE =
     s"""CASE WHEN size($toksE) >= 3
@@ -38,13 +46,16 @@ object DedupOps {
   /** MinHash (64 perms as seeded xxhash64 minima) + LSH banding (8×8):
     * candidate pairs whose signature agreement estimates Jaccard ≥ 0.5. */
   private val d01 = QDef.noOracle("d01_minhash_lsh_pairs") { (s, d) =>
+    // hash each shingle string ONCE, then derive the 64 permutation
+    // hashes by long-long mixing — 64x fewer string hashes per doc
+    val sigE = bind(s"transform($shinglesE, g0 -> xxhash64(g0))", "sh")(sh =>
+      s"transform(sequence(0, 63), i -> array_min(transform($sh, g -> xxhash64(i, g))))")
     val sig = Tables.documents(s, d)
-      .select(col("doc_id"), expr(shinglesE).as("sh"))
-      .select(col("doc_id"),
-        expr("transform(sequence(0, 63), i -> array_min(transform(sh, g -> xxhash64(i, g))))").as("sig"))
+      .select(col("doc_id"), expr(sigE).as("sig"))
+    val bandsE = bind("sig", "sg")(sg =>
+      s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")
     val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-        .as(Seq("band", "bhash")))
+      posexplode(expr(bandsE)).as(Seq("band", "bhash")))
     val l = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bhash"),
@@ -63,15 +74,15 @@ object DedupOps {
   /** SimHash (Charikar 2002): 64-bit token-majority fingerprint, then
     * hamming-≤3 candidate pairs via 4×16-bit chunk pigeonhole. */
   private val d02 = QDef.noOracle("d02_simhash_pairs") { (s, d) =>
-    val hashed = Tables.documents(s, d).select(col("doc_id"),
-      expr(s"transform($toksE, t -> xxhash64(t))").as("hs"))
-    val sim = hashed.select(col("doc_id"),
-      expr("""CASE WHEN size(hs) = 0 THEN CAST(0 AS BIGINT)
-              |ELSE aggregate(
-              |  transform(sequence(0, 63), i ->
-              |    IF(size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) * 2 >= size(hs),
-              |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-              |  CAST(0 AS BIGINT), (acc, x) -> acc | x) END""".stripMargin).as("simhash"))
+    val simE = bind(s"transform($toksE, t -> xxhash64(t))", "hs")(hs =>
+      s"""CASE WHEN size($hs) = 0 THEN CAST(0 AS BIGINT)
+         |ELSE aggregate(
+         |  transform(sequence(0, 63), i ->
+         |    IF(size(filter($hs, h -> (shiftright(h, i) & 1) = 1)) * 2 >= size($hs),
+         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc | x) END""".stripMargin)
+    val sim = Tables.documents(s, d)
+      .select(col("doc_id"), expr(simE).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), i -> (shiftright(simhash, i * 16) & 65535))"))
         .as(Seq("chunk_idx", "chunk")))
@@ -113,9 +124,13 @@ object DedupOps {
       |SELECT a, b, CAST(inter AS DOUBLE) / (total - inter) AS jaccard
       |FROM p WHERE total - inter > 0 AND CAST(inter AS DOUBLE) / (total - inter) >= 0.3
       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    // intersect 64-bit shingle hashes, not strings: set sizes (and so
+    // the jaccard) are identical modulo 64-bit collisions, and integer
+    // set ops are ~5x cheaper than UTF8 ones over 400k candidate pairs
     val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       (col("n_chars") / 64).cast("long").as("len_bucket"),
-      expr(shinglesE).as("sh"))
+      expr(bind(shinglesE, "shs")(shs =>
+        s"array_distinct(transform($shs, x -> xxhash64(x)))")).as("sh"))
     val l = t.select(col("lang"), col("len_bucket"), col("doc_id").as("a"), col("sh").as("sh_a"))
     val r = t.select(col("lang"), col("len_bucket"), col("doc_id").as("b"), col("sh").as("sh_b"))
     l.join(r, Seq("lang", "len_bucket"))
@@ -178,17 +193,18 @@ object DedupOps {
   /** Winnowing fingerprints (Schleimer et al. 2003): rolling 4-gram
     * hashes, window-5 minima, distinct sorted fingerprint set. */
   private val d05 = QDef.noOracle("d05_winnow_fingerprints") { (s, d) =>
+    val gramsE = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) >= 4
+         |  THEN transform(sequence(0, size($tk) - 4),
+         |         i -> xxhash64(array_join(slice($tk, i + 1, 4), ' ')))
+         |  ELSE array(xxhash64(text)) END""".stripMargin)
+    val fpsE = bind(gramsE, "gr")(gr =>
+      s"""CASE WHEN size($gr) >= 5
+         |  THEN array_sort(array_distinct(transform(sequence(0, size($gr) - 5),
+         |         j -> array_min(slice($gr, j + 1, 5)))))
+         |  ELSE array(array_min($gr)) END""".stripMargin)
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr(s"""CASE WHEN size($toksE) >= 4
-                |  THEN transform(sequence(0, size($toksE) - 4),
-                |         i -> xxhash64(array_join(slice($toksE, i + 1, 4), ' ')))
-                |  ELSE array(xxhash64(text)) END""".stripMargin).as("grams"))
-      .select(col("doc_id"),
-        expr("""CASE WHEN size(grams) >= 5
-                |  THEN array_sort(array_distinct(transform(sequence(0, size(grams) - 5),
-                |         j -> array_min(slice(grams, j + 1, 5)))))
-                |  ELSE array(array_min(grams)) END""".stripMargin).as("fingerprints"))
+      .select(col("doc_id"), expr(fpsE).as("fingerprints"))
       .withColumn("n_fp", size(col("fingerprints")))
       .select(col("doc_id"), col("n_fp"), col("fingerprints"))
       .orderBy(col("doc_id"))
