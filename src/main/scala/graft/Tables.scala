@@ -22,6 +22,11 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
+  /** Register every fixture table as a session temp view (for queries
+    * expressed as SQL text over the session). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw long nanos (legacy conf) and convert
     * with integer division — a double-rounded division would lose

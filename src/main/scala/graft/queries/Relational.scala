@@ -20,7 +20,7 @@ import graft.util.Det._
 object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -370,6 +370,58 @@ object Relational {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("month"))
+  }
+
+  /** Correlated EXISTS with a non-equi correlation term — exercises
+    * Catalyst subquery decorrelation; same SQL runs on both engines. */
+  private val q23 = QDef(
+    "q23_correlated_exists",
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+      |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Full CUBE grouping sets with GROUPING discriminators. */
+  private val q24 = QDef(
+    "q24_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g1, g2, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` = DuckDB
+    * `quantile_cont`: same sorted-interpolation definition). */
+  private val q25 = QDef(
+    "q25_percentiles",
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT o_orderpriority,
+      |  percentile(o_totalprice, 0.5) AS p50,
+      |  percentile(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
   /** String functions: LIKE, upper, substring, length, concat. */

@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -67,6 +67,30 @@ object Spatial {
       .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
       .select(col("c_custkey"), col("s_suppkey"), col("dist"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** GeoStatistics aggregation (reference A20): per-segment bbox +
+    * counts over customer points; the oracle recomputes the same stats
+    * arithmetically from the key formulas. */
+  private val sp04 = QDef(
+    "sp04_geo_stats",
+    s"""SELECT c_mktsegment,
+       |  min(${ptX("c_custkey")}) AS xmin, min(${ptY("c_custkey")}) AS ymin,
+       |  max(${ptX("c_custkey")}) AS xmax, max(${ptY("c_custkey")}) AS ymax,
+       |  COUNT(*) AS n_geoms, COUNT(*) AS n_points
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    graft.spatial.GeoStatsAgg.register(s)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        expr(s"st_makepoint(${ptX("c_custkey")}, ${ptY("c_custkey")})").as("pt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("geo_stats(pt)").as("st"))
+      .select(col("c_mktsegment"),
+        col("st.xmin").as("xmin"), col("st.ymin").as("ymin"),
+        col("st.xmax").as("xmax"), col("st.ymax").as("ymax"),
+        col("st.n_geoms").as("n_geoms"), col("st.n_points").as("n_points"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Box-overlap self-join through the grid path: small rectangles from

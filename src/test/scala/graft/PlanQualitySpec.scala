@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries viable
+  * at 100 TB — filter/column pushdown reaching the parquet scan,
+  * broadcast of dimension tables, whole-stage codegen, no pathological
+  * shuffles. (A plan that passes correctness but scans all columns or
+  * shuffles a broadcastable dim is wrong at scale even if green at
+  * sf0.01.)
+  */
+class PlanQualitySpec extends GraftSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // only the 7 needed columns of 11 are read
+    assert(p.contains("l_returnflag") && !p.contains("l_orderkey"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("q02: pure-scan query is whole-stage codegen'd, no join") {
+    val p = planOf("q02_revenue_forecast")
+    assert(p.contains("PushedFilters"))
+    assert(!p.contains("SortMergeJoin"), "scan-only query must not join")
+    val df = SparkEntry.queries("q02_revenue_forecast")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val simple = df.queryExecution.executedPlan.toString
+    assert(simple.contains("*("), s"no codegen stage marker:\n$simple")
+  }
+
+  test("q05: fixed-size dims broadcast; no shuffle of nation/region") {
+    val p = planOf("q05_region_volume")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dims not broadcast:\n$p")
+  }
+
+  test("q16: 25-row nation side is broadcast for the outer join") {
+    val p = planOf("q16_nation_customers")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("sp01: spatial strategy plans the broadcast R-tree exec") {
+    val p = planOf("sp01_point_in_cell")
+    assert(p.contains("BroadcastSpatialJoin"), s"spatial exec missing:\n$p")
+  }
+
+  test("dedup/text pipelines never collect to the driver") {
+    // every registered query must keep its work distributed: the plan
+    // must not contain a CollectLimit over the full input or cartesian
+    // product without a predicate
+    for (name <- Seq("d01_minhash_lsh_pairs", "d02_simhash_pairs",
+        "t04_exact_dedup_keepers", "v01_knn_brute")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name degenerated to cartesian:\n$p")
+    }
+  }
+
+  test("grid spatial join shuffles only on the cell key") {
+    val df = SparkEntry.queries("sp03_box_overlap_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join fell back to quadratic join:\n$p")
+  }
+}
