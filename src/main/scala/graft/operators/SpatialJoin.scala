@@ -3,45 +3,118 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.spatial.SpatialFunctions
+import graft.spatial.{KdbTree, SpatialFunctions}
 
 /** Grid-partitioned spatial join — the 100 TB scale path, expressed as
   * a DataFrame composition Spark executes natively (explode to cells →
   * shuffle equi-join on cell → exact refine), the Spark analogue of the
   * reference's KDB-partitioned multi-pass mode (partitioning/kdb.rs +
-  * stream_repartitioner.rs). No driver materialization: the only
-  * driver-side data is the 4-double global envelope (the reference
-  * samples bboxes the same way, utils/bbox_sampler.rs:61-193).
+  * stream_repartitioner.rs). No driver materialization beyond bounded
+  * statistics: a ≤10k envelope sample (adaptive) or the 4-double global
+  * envelope (uniform) — the reference samples bboxes the same way
+  * (utils/bbox_sampler.rs:61-193).
   *
   * Duplicate suppression uses the reference-point technique (the
   * counterpart of the reference's Regular/None/Multi partition scheme,
-  * partitioning/mod.rs:11-78): a candidate pair is emitted only in the
-  * grid cell containing the top-left corner of the envelope
-  * intersection, so no post-join distinct is needed.
+  * partitioning/mod.rs:11-78): both schemes tile the whole plane, so a
+  * candidate pair is emitted only in the single cell containing the
+  * top-left corner of the envelope intersection — no post-join
+  * distinct.
   */
 object SpatialJoin {
 
+  /** Cell-assignment scheme: which cells an envelope overlaps, and the
+    * unique cell owning a pair's reference point. `box` arguments are
+    * names of Box2D struct columns. */
+  private trait Scheme {
+    def cellsFor(box: String, expand: Double): Column
+    def refCellFor(lbox: String, rbox: String, expand: Double): Column
+  }
+
   /** Inner spatial join of `left` × `right` on `predicate` (an ST_
     * relation name, or st_dwithin with `distance`). Column names of the
-    * two sides must be disjoint. `cells` is the target grid cell count
-    * (tune ≈ shuffle parallelism² at scale).
+    * two sides must be disjoint. `cells` is the target partition count;
+    * `adaptive=true` fits cell regions to a data sample (KDB tree) so
+    * skewed distributions stay balanced, `false` uses a uniform grid.
     */
   def grid(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String,
       predicate: String, distance: Double = 0.0,
-      cells: Int = 64): DataFrame = {
+      cells: Int = 64, adaptive: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     SpatialFunctions.registerAll(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
 
-    // global envelope of both sides (one cheap stats pass per side)
+    val scheme =
+      (if (adaptive) kdbScheme(left, right, leftGeom, rightGeom, cells)
+       else uniformScheme(left, right, leftGeom, rightGeom, cells)) match {
+        case Some(s) => s
+        case None    => return left.limit(0).crossJoin(right.limit(0))
+      }
+
+    // envelopes computed ONCE per input row (one WKB parse), before the
+    // cell explode; every later check is arithmetic on the struct
+    val l = left.withColumn("__lbox", expr(s"st_box2d($leftGeom)"))
+      .withColumn("__cell", explode(scheme.cellsFor("__lbox", distance)))
+    val r = right.withColumn("__rbox", expr(s"st_box2d($rightGeom)"))
+      .withColumn("__cell", explode(scheme.cellsFor("__rbox", 0.0)))
+
+    val refine: Column = predicate.toLowerCase match {
+      case "st_dwithin" => expr(s"st_dwithin($leftGeom, $rightGeom, $distance)")
+      case p            => expr(s"$p($leftGeom, $rightGeom)")
+    }
+    // cheap arithmetic envelope prefilter ahead of the exact (WKB-
+    // parsing) predicate
+    val bboxOverlap = expr(
+      s"""__lbox.xmin - $distance <= __rbox.xmax AND __rbox.xmin <= __lbox.xmax + $distance
+         |AND __lbox.ymin - $distance <= __rbox.ymax AND __rbox.ymin <= __lbox.ymax + $distance""".stripMargin)
+
+    l.join(r, Seq("__cell"))
+      .where(col("__cell") === scheme.refCellFor("__lbox", "__rbox", distance) &&
+        bboxOverlap && refine)
+      .drop("__cell", "__lbox", "__rbox")
+  }
+
+  /** Skew-adaptive scheme: KDB tree built from ≤10k sampled envelope
+    * centers (reference sampler caps: 1k-10k rows, option.rs:62-70). */
+  private def kdbScheme(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String, cells: Int): Option[Scheme] = {
+    def centers(df: DataFrame, geom: String): Array[(Double, Double)] = {
+      val boxed = df.select(expr(s"st_box2d($geom)").as("b"))
+      val s = boxed.sample(0.1, seed = 42L).limit(10000).collect()
+      val rows = if (s.length >= 1000) s else boxed.limit(1000).collect()
+      rows.iterator.filterNot(_.isNullAt(0)).map { row =>
+        val b = row.getStruct(0)
+        ((b.getDouble(0) + b.getDouble(2)) / 2, (b.getDouble(1) + b.getDouble(3)) / 2)
+      }.toArray
+    }
+    val sample = centers(left, leftGeom) ++ centers(right, rightGeom)
+    if (sample.isEmpty) return None
+    val tree = KdbTree.build(sample, cells)
+    val assignU = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
+      tree.assign(x0, y0, x1, y1))
+    val locateU = udf((x: Double, y: Double) => tree.locate(x, y))
+    Some(new Scheme {
+      def cellsFor(box: String, expand: Double): Column = assignU(
+        col(s"$box.xmin") - expand, col(s"$box.ymin") - expand,
+        col(s"$box.xmax") + expand, col(s"$box.ymax") + expand)
+      def refCellFor(lbox: String, rbox: String, expand: Double): Column = locateU(
+        greatest(col(s"$lbox.xmin") - expand, col(s"$rbox.xmin")),
+        greatest(col(s"$lbox.ymin") - expand, col(s"$rbox.ymin")))
+    })
+  }
+
+  /** Uniform n×n grid over the global envelope (pure Catalyst
+    * arithmetic, no sampling pass). */
+  private def uniformScheme(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String, cells: Int): Option[Scheme] = {
     def env(df: DataFrame, geom: String) = df.select(
       min(expr(s"st_xmin($geom)")).as("x0"), min(expr(s"st_ymin($geom)")).as("y0"),
       max(expr(s"st_xmax($geom)")).as("x1"), max(expr(s"st_ymax($geom)")).as("y1"))
     val bounds = env(left, leftGeom).unionByName(env(right, rightGeom))
       .agg(min("x0"), min("y0"), max("x1"), max("y1")).head()
-    if (bounds.isNullAt(0)) return left.limit(0).crossJoin(right.limit(0))
+    if (bounds.isNullAt(0)) return None
 
     val (x0, y0, x1, y1) = (bounds.getDouble(0), bounds.getDouble(1),
       bounds.getDouble(2), bounds.getDouble(3))
@@ -54,39 +127,17 @@ object SpatialJoin {
     def cellY(e: String): String =
       s"greatest(0, least(${n - 1}, cast(floor((($e) - $y0) / $h) as int)))"
 
-    /** all cell ids overlapped by an envelope struct (± expand) */
-    def cellsOf(box: String, expand: Double): Column = expr(
-      s"""flatten(transform(
-         |  sequence(${cellX(s"$box.xmin - $expand")}, ${cellX(s"$box.xmax + $expand")}),
-         |  ix -> transform(
-         |    sequence(${cellY(s"$box.ymin - $expand")}, ${cellY(s"$box.ymax + $expand")}),
-         |    iy -> ix * $n + iy)))""".stripMargin)
-
-    // envelopes computed ONCE per input row (one WKB parse), before the
-    // cell explode; every later check is arithmetic on the struct
-    val l = left.withColumn("__lbox", expr(s"st_box2d($leftGeom)"))
-      .withColumn("__cell", explode(cellsOf("__lbox", distance)))
-    val r = right.withColumn("__rbox", expr(s"st_box2d($rightGeom)"))
-      .withColumn("__cell", explode(cellsOf("__rbox", 0.0)))
-
-    val refine: Column = predicate.toLowerCase match {
-      case "st_dwithin" => expr(s"st_dwithin($leftGeom, $rightGeom, $distance)")
-      case p            => expr(s"$p($leftGeom, $rightGeom)")
-    }
-    // cheap arithmetic envelope prefilter ahead of the exact (WKB-
-    // parsing) predicate
-    val bboxOverlap = expr(
-      s"""__lbox.xmin - $distance <= __rbox.xmax AND __rbox.xmin <= __lbox.xmax + $distance
-         |AND __lbox.ymin - $distance <= __rbox.ymax AND __rbox.ymin <= __lbox.ymax + $distance""".stripMargin)
-    // reference point: top-left corner of the envelope intersection
-    // (with the probe envelope expanded by the distance bound)
-    val refCell = expr(
-      s"${cellX(s"greatest(__lbox.xmin - $distance, __rbox.xmin)")} * $n + " +
-        s"${cellY(s"greatest(__lbox.ymin - $distance, __rbox.ymin)")}")
-
-    l.join(r, Seq("__cell"))
-      .where(col("__cell") === refCell && bboxOverlap && refine)
-      .drop("__cell", "__lbox", "__rbox")
+    Some(new Scheme {
+      def cellsFor(box: String, expand: Double): Column = expr(
+        s"""flatten(transform(
+           |  sequence(${cellX(s"$box.xmin - $expand")}, ${cellX(s"$box.xmax + $expand")}),
+           |  ix -> transform(
+           |    sequence(${cellY(s"$box.ymin - $expand")}, ${cellY(s"$box.ymax + $expand")}),
+           |    iy -> ix * $n + iy)))""".stripMargin)
+      def refCellFor(lbox: String, rbox: String, expand: Double): Column = expr(
+        s"${cellX(s"greatest($lbox.xmin - $expand, $rbox.xmin)")} * $n + " +
+          s"${cellY(s"greatest($lbox.ymin - $expand, $rbox.ymin)")}")
+    })
   }
 
   /** Broadcast-index spatial join, via the planner strategy: writing the

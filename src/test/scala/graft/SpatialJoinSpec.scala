@@ -89,6 +89,41 @@ class SpatialJoinSpec extends GraftSuite {
     assert(got.toSet == brute)
   }
 
+  test("kdb scheme: correct and balanced under heavy skew") {
+    // 90% of points clustered in a tiny corner, 10% spread out
+    val skewed = spark.range(0, 1000).select(
+      col("id").as("p_id"),
+      expr("""CASE WHEN id % 10 < 9
+              |  THEN st_makepoint(cast(id % 37 as double) / 40.0, cast(id % 41 as double) / 45.0)
+              |  ELSE st_makepoint(cast(id % 97 as double), cast(id % 89 as double)) END""".stripMargin)
+        .as("p_geom"))
+    val brute = skewed.crossJoin(boxes).where(expr("st_within(p_geom, b_geom)"))
+      .select("p_id", "b_id").as[(Long, Long)].collect().toSet
+    val got = SpatialJoin.grid(skewed, boxes, "p_geom", "b_geom", "st_within",
+      cells = 16, adaptive = true).select("p_id", "b_id").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicates under kdb scheme")
+    assert(got.toSet == brute)
+
+    // leaf balance: with 90% of mass in ~2% of the area, a uniform grid
+    // puts ~900 points in one cell; the kdb tree must spread them
+    val tree = graft.spatial.KdbTree.build(
+      skewed.select(expr("st_box2d(p_geom)").as("b")).collect()
+        .map(r => { val b = r.getStruct(0); (b.getDouble(0), b.getDouble(1)) }),
+      16)
+    val counts = skewed.select(expr("st_box2d(p_geom)").as("b")).collect()
+      .map(r => { val b = r.getStruct(0); tree.locate(b.getDouble(0), b.getDouble(1)) })
+      .groupBy(identity).map(_._2.length)
+    assert(tree.numLeaves >= 8, s"tree degenerated: ${tree.numLeaves} leaves")
+    assert(counts.max <= 400, s"kdb leaves unbalanced: ${counts.toSeq.sorted.reverse}")
+  }
+
+  test("uniform scheme still correct (adaptive=false)") {
+    val got = SpatialJoin.grid(pts, boxes, "p_geom", "b_geom", "st_within",
+      cells = 25, adaptive = false).select("p_id", "b_id").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == bruteInner)
+  }
+
   test("distance-comparison condition shapes plan the spatial exec") {
     for (cond <- Seq("st_distance(p_geom, b_geom) < 5.0", "5.0 > st_distance(p_geom, b_geom)")) {
       val j = pts.join(boxes, expr(cond))
