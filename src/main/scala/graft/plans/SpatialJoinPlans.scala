@@ -99,6 +99,8 @@ object SpatialJoinPlans {
       case _                          => None
     }
     cond match {
+      case graft.spatial.StPredicateExpr(name, l, r) if relationNames(name) =>
+        orient(l, r, Relation(name))
       case u: ScalaUDF if u.udfName.exists(n => relationNames(n.toLowerCase)) =>
         orient(u.children(0), u.children(1), Relation(u.udfName.get.toLowerCase))
       case u: ScalaUDF if u.udfName.exists(_.equalsIgnoreCase("st_dwithin")) =>

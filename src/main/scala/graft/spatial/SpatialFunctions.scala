@@ -123,20 +123,18 @@ object SpatialFunctions extends Serializable {
     add("st_reverse")(geom1(_.reverse))
 
     // ---- binary predicates (udfs.rs:168-246) ----
-    add("st_contains")(f2(BooleanType)(_.contains(_)))
-    add("st_intersects")(f2(BooleanType)(_.intersects(_)))
-    add("st_within")(f2(BooleanType)(_.within(_)))
-    add("st_equals")(f2(BooleanType)(_.equalsTopo(_)))
-    add("st_covers")(f2(BooleanType)(_.covers(_)))
-    add("st_coveredby")(f2(BooleanType)(_.coveredBy(_)))
-    add("st_touches")(f2(BooleanType)(_.touches(_)))
-    add("st_overlaps")(f2(BooleanType)(_.overlaps(_)))
-    add("st_crosses")(f2(BooleanType)(_.crosses(_)))
-    add("st_bbox_intersects")(f2(BooleanType)(
-      (a, b) => a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)))
-    // reference registers the bare names too (udfs.rs: BBox_Intersects, Box2D)
-    add("bbox_intersects")(f2(BooleanType)(
-      (a, b) => a.getEnvelopeInternal.intersects(b.getEnvelopeInternal)))
+    // registered as native Catalyst expressions (whole-stage codegen,
+    // envelope short-circuit) rather than ScalaUDFs — see StPredicateExpr
+    def addPred(regName: String, predName: String): Unit =
+      reg.createOrReplaceTempFunction(regName, (children: Seq[Expression]) => {
+        require(children.size == 2, s"$regName expects 2 arguments")
+        StPredicateExpr(predName, children.head, children(1))
+      }, "built-in")
+    Seq("st_contains", "st_intersects", "st_within", "st_equals", "st_covers",
+      "st_coveredby", "st_touches", "st_overlaps", "st_crosses",
+      "st_bbox_intersects").foreach(n => addPred(n, n))
+    // reference registers the bare name too (udfs.rs: BBox_Intersects)
+    addPred("bbox_intersects", "st_bbox_intersects")
     add("box2d")(f1(box2dType) { x =>
       if (x.isEmpty) null
       else {
