@@ -191,7 +191,10 @@ object DedupOps {
   }
 
   /** Winnowing fingerprints (Schleimer et al. 2003): rolling 4-gram
-    * hashes, window-5 minima, distinct sorted fingerprint set. */
+    * hashes, window-5 minima, distinct sorted fingerprint set. The
+    * driver comparator can't sort array columns, so the set is reported
+    * through order-independent scalar digests (count / min / max / xor);
+    * the full set is asserted in DedupVectorSpec. */
   private val d05 = QDef.noOracle("d05_winnow_fingerprints") { (s, d) =>
     val gramsE = bind(toksE, "tk")(tk =>
       s"""CASE WHEN size($tk) >= 4
@@ -205,8 +208,11 @@ object DedupOps {
          |  ELSE array(array_min($gr)) END""".stripMargin)
     Tables.documents(s, d)
       .select(col("doc_id"), expr(fpsE).as("fingerprints"))
-      .withColumn("n_fp", size(col("fingerprints")))
-      .select(col("doc_id"), col("n_fp"), col("fingerprints"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).as("n_fp"),
+        expr("array_min(fingerprints)").as("fp_min"),
+        expr("array_max(fingerprints)").as("fp_max"),
+        expr("aggregate(fingerprints, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"))
       .orderBy(col("doc_id"))
   }
 }

@@ -5,22 +5,65 @@ import org.apache.spark.sql.functions._
 import graft.{QDef, Tables}
 import graft.operators.Multimodal
 
-/** Multimodal pipeline queries (rows-only driver check: the decode stub
-  * is not SQL-expressible; semantics are covered by MultimodalSpec). */
+/** Multimodal pipeline queries. The decode stub is deterministic
+  * arithmetic over payload byte lengths, so the scalar metadata columns
+  * are fully oracle-able in DuckDB; the per-frame feature vectors (not
+  * SQL-expressible as arrays for the driver comparator) are covered by
+  * MultimodalSpec instead. */
 object Multimedia {
 
   def defs: Seq[QDef] = Seq(mm01, mm02)
 
-  /** Decode + feature extraction over binary media columns. */
-  private val mm01 = QDef.noOracle("mm01_media_features") { (s, d) =>
+  private val kindSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  /** Decode + feature extraction over binary media columns (scalar
+    * projection of the Dataset[MediaFeatures] pipeline). */
+  private val mm01 = QDef(
+    "mm01_media_features",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind,
+       |    CAST(length(text) AS BIGINT) AS n_bytes,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents)
+       |SELECT media_id, kind, n_bytes,
+       |  CAST(CASE kind WHEN 'image' THEN 256 + n % 256
+       |                 WHEN 'audio' THEN 1 ELSE 320 END AS INTEGER) AS width,
+       |  CAST(CASE kind WHEN 'image' THEN 256 + (n // 7) % 256
+       |                 WHEN 'audio' THEN 1 ELSE 240 END AS INTEGER) AS height,
+       |  CAST(CASE kind WHEN 'image' THEN 1
+       |                 WHEN 'audio' THEN greatest(1, n // 64)
+       |                 ELSE greatest(1, n // 256) END AS INTEGER) AS n_frames,
+       |  CAST(least(CASE kind WHEN 'image' THEN 1
+       |                       WHEN 'audio' THEN greatest(1, n // 64)
+       |                       ELSE greatest(1, n // 256) END, 4) AS INTEGER) AS n_feats
+       |FROM m ORDER BY media_id""".stripMargin) { (s, d) =>
     Multimodal.decodeFeatures(Multimodal.attachPayload(Tables.documents(s, d)))
       .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"),
+        size(col("features")).as("n_feats"))
       .orderBy(col("media_id"))
   }
 
-  /** Frame sampling: one row per sampled frame per media item. */
-  private val mm02 = QDef.noOracle("mm02_frame_sample") { (s, d) =>
+  /** Frame sampling: one row per sampled frame per media item. DuckDB
+    * can't slice BLOBs directly, so the frame content is oracle-checked
+    * through its hex encoding (2 hex chars per byte → a char substring
+    * of hex(payload) equals hex of the byte slice). */
+  private val mm02 = QDef(
+    "mm02_frame_sample",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind,
+       |    hex(encode(text)) AS payload_hex,
+       |    greatest(1, octet_length(encode(text)) // 256) AS n_frames
+       |  FROM documents)
+       |SELECT media_id, kind, CAST(f.i AS INTEGER) AS frame_idx,
+       |  substring(payload_hex, CAST(f.i AS INTEGER) * 512 + 1, 512) AS frame_hex
+       |FROM m, unnest(range(0, n_frames, 10)) AS f(i)
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
     Multimodal.sampleFrames(Multimodal.attachPayload(Tables.documents(s, d)))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        hex(col("frame_bytes")).as("frame_hex"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
 }

@@ -78,12 +78,14 @@ class DedupVectorSpec extends GraftSuite {
     assert(rows(4L) != null) // empty doc still gets the tie-break arm
   }
 
-  test("winnow fingerprints: identical docs share fingerprints") {
+  test("winnow fingerprints: identical docs share fingerprint digests") {
     val rows = q("d05_winnow_fingerprints")
-      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+      .select("doc_id", "n_fp", "fp_min", "fp_max", "fp_xor")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(rows(0L) == rows(1L))
     assert(rows(0L) != rows(3L))
-    assert(rows(4L).nonEmpty) // empty text → single whole-text hash
+    assert(rows(4L)._1 == 1) // empty text → single whole-text hash
   }
 
   test("brute knn: v1 is v0's top neighbor, antipode ranks last") {
