@@ -36,31 +36,41 @@ object DedupOps {
   private def bind(bound: String, v: String)(body: String => String): String =
     s"element_at(transform(array($bound), $v -> ${body(v)}), 1)"
 
-  /** Distinct word 3-gram shingles; whole text fallback for short docs. */
-  private val shinglesE =
-    s"""CASE WHEN size($toksE) >= 3
-       |  THEN array_distinct(transform(sequence(0, size($toksE) - 3),
-       |         i -> array_join(slice($toksE, i + 1, 3), ' ')))
-       |  ELSE array(text) END""".stripMargin
+  /** Distinct word 3-gram shingles; whole text fallback for short docs.
+    * The token array is let-bound FIRST: referencing `toksE` directly
+    * inside the per-shingle lambda would re-split the full text once
+    * per shingle index — O(tokens²) per document. */
+  private val shinglesE = bind(toksE, "tk")(tk =>
+    s"""CASE WHEN size($tk) >= 3
+       |  THEN array_distinct(transform(sequence(0, size($tk) - 3),
+       |         i -> array_join(slice($tk, i + 1, 3), ' ')))
+       |  ELSE array(text) END""".stripMargin)
 
-  /** MinHash (64 perms as seeded xxhash64 minima) + LSH banding (8×8):
-    * candidate pairs whose signature agreement estimates Jaccard ≥ 0.5. */
+  /** MinHash (64 perms as splitmix-mixed minima of one xxhash64 per
+    * shingle) + LSH banding (16×4): candidate pairs whose signature
+    * agreement estimates Jaccard ≥ 0.5. The signature pass is a native
+    * codegen kernel (`MinHashSig`) — one tight loop per document. */
   private val d01 = QDef.noOracle("d01_minhash_lsh_pairs") { (s, d) =>
-    // hash each shingle string ONCE, then derive the 64 permutation
-    // hashes by long-long mixing — 64x fewer string hashes per doc
+    graft.functions.SketchFunctions.registerAll(s)
+    // hash each shingle string ONCE; the kernel derives the 64
+    // permutation hashes by long mixing — 64x fewer string hashes
     val sigE = bind(s"transform($shinglesE, g0 -> xxhash64(g0))", "sh")(sh =>
-      s"transform(sequence(0, 63), i -> array_min(transform($sh, g -> xxhash64(i, g))))")
+      s"minhash_sig($sh)")
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), expr(sigE).as("sig"))
     val bandsE = bind("sig", "sg")(sg =>
       s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")
+    // Shuffle the sketched rows on the bucket key ONCE, then derive both
+    // join sides from the same exchange subtree: ReuseExchange computes
+    // the 64-perm signatures a single time instead of once per side.
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(expr(bandsE)).as(Seq("band", "bhash")))
+      .repartition(col("band"), col("bhash"))
     val l = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bhash"),
       col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bhash"))
+    l.hint("shuffle_hash").join(r, Seq("band", "bhash"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("a", "b")
@@ -74,23 +84,19 @@ object DedupOps {
   /** SimHash (Charikar 2002): 64-bit token-majority fingerprint, then
     * hamming-≤3 candidate pairs via 4×16-bit chunk pigeonhole. */
   private val d02 = QDef.noOracle("d02_simhash_pairs") { (s, d) =>
-    val simE = bind(s"transform($toksE, t -> xxhash64(t))", "hs")(hs =>
-      s"""CASE WHEN size($hs) = 0 THEN CAST(0 AS BIGINT)
-         |ELSE aggregate(
-         |  transform(sequence(0, 63), i ->
-         |    IF(size(filter($hs, h -> (shiftright(h, i) & 1) = 1)) * 2 >= size($hs),
-         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (acc, x) -> acc | x) END""".stripMargin)
+    graft.functions.SketchFunctions.registerAll(s)
+    val simE = s"simhash64(transform($toksE, t -> xxhash64(t)))"
     val sim = Tables.documents(s, d)
       .select(col("doc_id"), expr(simE).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), i -> (shiftright(simhash, i * 16) & 65535))"))
         .as(Seq("chunk_idx", "chunk")))
+      .repartition(col("chunk_idx"), col("chunk")) // shared exchange (see d01)
     val l = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk_idx", "chunk"))
+    l.hint("shuffle_hash").join(r, Seq("chunk_idx", "chunk"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("a", "b")
@@ -126,16 +132,20 @@ object DedupOps {
       |ORDER BY a, b""".stripMargin) { (s, d) =>
     // intersect 64-bit shingle hashes, not strings: set sizes (and so
     // the jaccard) are identical modulo 64-bit collisions, and integer
-    // set ops are ~5x cheaper than UTF8 ones over 400k candidate pairs
+    // set ops are ~5x cheaper than UTF8 ones over 400k candidate pairs.
+    // Arrays are kept sorted so the pair verify is a linear merge
+    // (`sorted_intersect_size` kernel), not a hash set per pair.
+    graft.functions.SketchFunctions.registerAll(s)
     val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       (col("n_chars") / 64).cast("long").as("len_bucket"),
       expr(bind(shinglesE, "shs")(shs =>
-        s"array_distinct(transform($shs, x -> xxhash64(x)))")).as("sh"))
+        s"array_sort(array_distinct(transform($shs, x -> xxhash64(x))))")).as("sh"))
+      .repartition(col("lang"), col("len_bucket")) // shared exchange (see d01)
     val l = t.select(col("lang"), col("len_bucket"), col("doc_id").as("a"), col("sh").as("sh_a"))
     val r = t.select(col("lang"), col("len_bucket"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("lang", "len_bucket"))
+    l.hint("shuffle_hash").join(r, Seq("lang", "len_bucket"))
       .where(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
       .filter(col("total") - col("inter") > 0)
       .withColumn("jaccard", col("inter").cast("double") / (col("total") - col("inter")))
