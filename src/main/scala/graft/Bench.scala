@@ -12,10 +12,21 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/session warmup (codegen, scan init) so the first measured
-    // query isn't charged ~4s of one-time cost
+    // JVM/session warmup (codegen, scan init, JTS + kernel classloading)
+    // so the first measured query of each stack isn't charged seconds of
+    // one-time cost
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     spark.sql("SELECT count(*) FROM range(1000000)").collect()
+    graft.spatial.SpatialFunctions.registerAll(spark)
+    graft.functions.SketchFunctions.registerAll(spark)
+    val warm = spark.range(0, 64).selectExpr("id",
+      "st_makepoint(cast(id % 8 as double), cast(id div 8 as double)) AS pt")
+    graft.operators.SpatialJoin.broadcastJoin(
+      warm, warm.selectExpr("id AS id2", "st_makeenvelope(0d, 0d, 4d, 4d) AS box"),
+      "pt", "box", "st_within").count()
+    spark.range(0, 64).selectExpr(
+      "minhash_sig(array(id, id + 1))", "simhash64(array(id))",
+      "sorted_intersect_size(array(id), array(id))").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -121,7 +121,11 @@ object Spatial {
         .replace("KK", "p_partkey")).as(alias))
     val a = box("a_box", "a_key")
     val b = box("b_box", "b_key")
-    SpatialJoin.grid(a, b, "a_box", "b_box", "st_intersects", cells = 64)
+    // cells ≈ rows/128: a 64-cell grid leaves ~300 boxes per cell and a
+    // ~3M-pair in-cell cross product; 256 cells cuts that 4× (pair work
+    // shrinks quadratically with cell occupancy while the explode
+    // duplication stays ~1 for boxes far smaller than a cell)
+    SpatialJoin.grid(a, b, "a_box", "b_box", "st_intersects", cells = 256)
       .where(col("a_key") < col("b_key"))
       .select(col("a_key"), col("b_key"))
       .orderBy(col("a_key"), col("b_key"))
