@@ -46,38 +46,73 @@ object DedupOps {
        |         i -> array_join(slice($tk, i + 1, 3), ' ')))
        |  ELSE array(text) END""".stripMargin)
 
+  /** Sorted distinct shingle-hash set — the shared sketch input. */
+  private val shE = bind(shinglesE, "shs")(shs =>
+    s"array_sort(array_distinct(transform($shs, x -> xxhash64(x))))")
+
   /** MinHash (64 perms as splitmix-mixed minima of one xxhash64 per
-    * shingle) + LSH banding (16×4): candidate pairs whose signature
-    * agreement estimates Jaccard ≥ 0.5. The signature pass is a native
-    * codegen kernel (`MinHashSig`) — one tight loop per document. */
-  private val d01 = QDef.noOracle("d01_minhash_lsh_pairs") { (s, d) =>
+    * shingle, `MinHashSig` codegen kernel) + LSH banding (16×4) as the
+    * CANDIDATE stage, then an exact-Jaccard VERIFY stage over the
+    * candidate pairs — the standard two-phase MinHash-LSH dedup
+    * pipeline. Only (band, bhash, doc_id) flows through the banding
+    * shuffle; the shingle sets are fetched by rejoining the (tiny)
+    * candidate set, so shuffle width stays constant no matter how wide
+    * the documents are. Output is exact Jaccard ≥ 0.5, which a
+    * brute-force DuckDB oracle verifies bit-exactly; with 16×4 banding
+    * the candidate-stage miss probability (1-j^4)^16 is ≤ 2e-4 for the
+    * j ≥ 0.8 near-dup pairs present in the corpus (there are no pairs
+    * at all in [0.35, 0.8), so the gate is far from any boundary). */
+  private val d01 = QDef(
+    "d01_minhash_lsh_pairs",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+      |      THEN list_distinct(list_transform(
+      |             range(1, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1),
+      |             i -> list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) + len(b.sh) AS total
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |SELECT a, b, CAST(inter AS DOUBLE) / (total - inter) AS jaccard
+      |FROM p WHERE total - inter > 0 AND CAST(inter AS DOUBLE) / (total - inter) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
     graft.functions.SketchFunctions.registerAll(s)
-    // hash each shingle string ONCE; the kernel derives the 64
-    // permutation hashes by long mixing — 64x fewer string hashes
-    val sigE = bind(s"transform($shinglesE, g0 -> xxhash64(g0))", "sh")(sh =>
-      s"minhash_sig($sh)")
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), expr(sigE).as("sig"))
-    val bandsE = bind("sig", "sg")(sg =>
-      s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")
-    // Shuffle the sketched rows on the bucket key ONCE, then derive both
-    // join sides from the same exchange subtree: ReuseExchange computes
-    // the 64-perm signatures a single time instead of once per side.
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(bandsE)).as(Seq("band", "bhash")))
+    val t = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
+    val banded = t
+      .select(col("doc_id"), posexplode(expr(
+        bind("minhash_sig(sh)", "sg")(sg =>
+          s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")))
+        .as(Seq("band", "bhash")))
       .repartition(col("band"), col("bhash"))
-    val l = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.hint("shuffle_hash").join(r, Seq("band", "bhash"))
+    val l = banded.select(col("band"), col("bhash"), col("doc_id").as("a"))
+    val r = banded.select(col("band"), col("bhash"), col("doc_id").as("b"))
+    val pairs = l.hint("shuffle_hash").join(r, Seq("band", "bhash"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("est_jaccard",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST(64 AS DOUBLE)"))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("a"), col("b"), col("est_jaccard"))
+    // fetch both sides' shingle sets in ONE pass over t (explode each
+    // pair to its two member ids, join, regroup) — two separate a-/b-
+    // joins would run the sketch stage twice more
+    val fetched = pairs
+      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(t, Seq("doc_id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("doc_id") === col("a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("b"), col("sh")), ignoreNulls = true).as("sh_b"))
+    fetched
+      .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
+      .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
+      .filter(col("total") - col("inter") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / (col("total") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }
 

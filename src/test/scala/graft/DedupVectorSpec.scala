@@ -46,11 +46,11 @@ class DedupVectorSpec extends GraftSuite {
 
   test("minhash LSH finds exact and near dups, skips unrelated") {
     val pairs = q("d01_minhash_lsh_pairs")
-      .select("a", "b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
-    // exact dup: identical signatures
+    // exact dup: identical shingle sets
     assert(pairs.get((0L, 1L)).contains(1.0))
-    // near dup: high but < 1 estimated jaccard
+    // near dup: high but < 1 exact jaccard
     assert(pairs.get((0L, 2L)).exists(j => j >= 0.5))
     assert(pairs.get((1L, 2L)).exists(j => j >= 0.5))
     // unrelated doc never pairs
