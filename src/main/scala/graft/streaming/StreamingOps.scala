@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event analytics
+  * (graft.queries.Events q19/q20) plus streaming exact dedup — the
+  * incremental shapes a training-data ingest pipeline runs.
+  *
+  * The reference has no streaming surface (SURVEY §2.B "Streaming:
+  * None"); these go beyond it deliberately: every op is expressed so
+  * Spark's incremental planner owns state, watermarks bound it, and the
+  * same code runs on a 1000-executor cluster (state is per-key in the
+  * state store, never on the driver).
+  *
+  * Parity contract (asserted by StreamingSpec): once the watermark
+  * passes end-of-input, the emitted rows equal the batch computation on
+  * the same data — streaming is an incremental evaluation strategy, not
+  * different semantics.
+  */
+object StreamingOps {
+
+  /** One event on the wire (mirrors the `events` fixture columns). */
+  final case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** A completed user session (q20's output shape). */
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, total_value: Double)
+
+  /** Open-session accumulator kept in the state store between batches. */
+  final case class SessionState(
+      nextSessionId: Long, n: Long, startUs: Long, endUs: Long, sum: Double)
+
+  /** Tumbling 1-hour counts per event type (q19's streaming shape):
+    * watermarked event-time window, append mode — a window emits once,
+    * when the watermark passes its end. */
+  def hourlyEventCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user sessionization with an inactivity gap (q20's streaming
+    * shape) via flatMapGroupsWithState + event-time timeout: a session
+    * closes either when a later event for the key arrives past the gap,
+    * or when the watermark passes the session's end + gap (timeout).
+    * Session ids are per-user ordinals, identical to the batch
+    * gaps-and-islands numbering because sessions close in event-time
+    * order per key. */
+  def sessionize(events: Dataset[EventIn], gapMinutes: Long = 30,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nextSessionId, s.n, s.startUs, s.endUs, s.sum))
+          } else {
+            // events within a micro-batch arrive unordered per key
+            val sorted = it.toArray.sortBy(e => usOf(e.ts))
+            val closed = Vector.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = usOf(e.ts)
+              cur match {
+                case Some(s) if us - s.endUs > gapUs =>
+                  closed += SessionOut(userId, s.nextSessionId, s.n, s.startUs, s.endUs, s.sum)
+                  cur = Some(SessionState(s.nextSessionId + 1, 1L, us, us, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(n = s.n + 1, endUs = math.max(s.endUs, us),
+                    sum = s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(1L, 1L, us, us, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once no on-time event can extend the session
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup: first occurrence of each key wins; the
+    * watermark bounds how long seen-keys state is retained (late
+    * duplicates beyond the delay are dropped by the watermark, not
+    * re-emitted). The streaming face of t04_exact_dedup_keepers. */
+  def dedupByKey(rows: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    rows
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq(keyCol))
+
+  /** Convenience: file-source stream over an events-shaped parquet
+    * directory (schema required up front — streaming scans can't infer),
+    * for deployments reading a landing zone. */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

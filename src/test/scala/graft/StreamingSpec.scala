@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.EventIn
+
+/** Batch/stream parity: feeding the same events through the streaming
+  * ops (with a sentinel event advancing the watermark past end-of-input)
+  * must reproduce the batch computation exactly. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  /** u1: two sessions (gap > 30 min); u2: one session; u3 single event.
+    * The sentinel (user 99, +1 day) only advances the watermark. */
+  private def fixture: Seq[EventIn] = Seq(
+    EventIn(1L, ts(0), 1.0), EventIn(1L, ts(10), 2.0), EventIn(1L, ts(20), 3.0),
+    EventIn(1L, ts(80), 4.0), EventIn(1L, ts(95), 5.0),
+    EventIn(2L, ts(5), 10.0), EventIn(2L, ts(25), 20.0),
+    EventIn(3L, ts(50), 7.0))
+
+  private val sentinel = EventIn(99L, ts(60 * 24), 0.0)
+
+  test("sessionize: stream equals batch gaps-and-islands after flush") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val out = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // two in-order batches then the sentinel: watermark then passes
+      // every real session's end + gap, so timeouts flush them all
+      mem.addData(fixture.filter(_.ts.getTime <= ts(25).getTime): _*)
+      query.processAllAvailable()
+      mem.addData(fixture.filter(_.ts.getTime > ts(25).getTime): _*)
+      query.processAllAvailable()
+      mem.addData(sentinel)
+      query.processAllAvailable()
+      mem.addData(EventIn(99L, ts(60 * 48), 0.0)) // advance once more
+      query.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us", "total_value")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+
+      val expected = Set(
+        (1L, 1L, 3L, us(0), us(20), 6.0),
+        (1L, 2L, 2L, us(80), us(95), 9.0),
+        (2L, 1L, 2L, us(5), us(25), 30.0),
+        (3L, 1L, 1L, us(50), us(50), 7.0))
+      assert(got == expected)
+    } finally query.stop()
+  }
+
+  private def us(minutes: Long): Long = ts(minutes).getTime * 1000L
+
+  test("hourly counts: finalized windows equal batch aggregation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val withType = StreamingOps.hourlyEventCounts(
+      mem.toDS().toDF().withColumn("event_type",
+        when(col("user_id") % 2 === 0, "click").otherwise("view")),
+      watermarkDelay = "1 hour")
+    val query = withType.writeStream.format("memory")
+      .queryName("hourly_out").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      mem.addData(sentinel)
+      query.processAllAvailable()
+      mem.addData(EventIn(99L, ts(60 * 48), 0.0))
+      query.processAllAvailable()
+
+      val got = spark.table("hourly_out")
+        .select("hour_start", "event_type", "n", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .filter(_._1.getTime < ts(60 * 12).getTime).toSet // drop sentinel windows
+
+      val batch = fixture.toDS().toDF()
+        .withColumn("event_type",
+          when(col("user_id") % 2 === 0, "click").otherwise("view"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == batch)
+    } finally query.stop()
+  }
+
+  test("dedupByKey keeps first occurrence per key") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val out = StreamingOps.dedupByKey(mem.toDS().toDF(), "user_id", "ts")
+    val query = out.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("user_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+}
