@@ -87,9 +87,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       out.readyForQuery()
       out.flush()
 
-      // extended-protocol session state: prepared statements + portals
+      // extended-protocol session state: prepared statements, bound
+      // portals, and mid-execution portals awaiting further Execute
+      // messages (portal suspension)
       val statements = mutable.Map[String, String]()
-      val portals = mutable.Map[String, (String, Seq[Any])]()
+      val portals = mutable.Map[String, Portal]()
+      val openPortals = mutable.Map[String, OpenPortal]()
 
       var open = true
       while (open) {
@@ -98,35 +101,40 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           case 'Q' =>
             val sql = PgWire.cstrings(m.body).headOption.getOrElse("").trim
             if (sql.isEmpty) out.emptyQueryResponse()
-            else runQuery(out, sql, Nil, describeOnly = false)
+            else sql match {
+              case CopyRe(source, opts) => copyOut(out, source, opts)
+              case _ => runQuery(out, sql, Nil, describeOnly = false)
+            }
             out.readyForQuery(); out.flush()
           case 'P' => // Parse: name, query, param type oids
             val parts = PgWire.cstrings(m.body)
             statements(parts.head) = parts(1)
             out.parseComplete()
-          case 'B' => // Bind: portal, stmt, formats+params (text assumed)
-            val (portal, stmt, args) = parseBind(m.body)
-            portals(portal) = (statements.getOrElse(stmt, ""), args)
+          case 'B' => // Bind: portal, stmt, param formats+values, result formats
+            val (portal, stmt, args, resultFormats) = parseBind(m.body)
+            portals(portal) = Portal(statements.getOrElse(stmt, ""), args, resultFormats)
+            openPortals.remove(portal)
             out.bindComplete()
           case 'D' => // Describe portal/statement
             val kind = m.body(0).toChar
             val name = new String(m.body, 1, m.body.length - 2, UTF_8)
-            val sql = if (kind == 'S') statements.getOrElse(name, "")
-              else portals.get(name).map(_._1).getOrElse("")
+            val (sql, fmts) =
+              if (kind == 'S') (statements.getOrElse(name, ""), Nil)
+              else portals.get(name)
+                .map(p => (p.sql, p.resultFormats)).getOrElse(("", Nil))
             if (sql.isEmpty) out.noData()
-            else describe(out, sql, kind == 'S')
-          case 'E' => // Execute portal
-            val name = PgWire.cstrings(m.body).head
-            portals.get(name) match {
-              case Some((sql, args)) if sql.nonEmpty =>
-                runQuery(out, sql, args, describeOnly = false, withDescription = false)
-              case _ => out.emptyQueryResponse()
-            }
+            else describe(out, sql, kind == 'S', fmts)
+          case 'E' => // Execute portal (with row-limit suspension)
+            val buf = java.nio.ByteBuffer.wrap(m.body)
+            val name = readCstr(buf)
+            val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
+            executePortal(out, name, maxRows, portals, openPortals)
           case 'S' => out.readyForQuery(); out.flush()
           case 'C' => // Close
             val kind = m.body(0).toChar
             val name = new String(m.body, 1, m.body.length - 2, UTF_8)
-            if (kind == 'S') statements.remove(name) else portals.remove(name)
+            if (kind == 'S') statements.remove(name)
+            else { portals.remove(name); openPortals.remove(name) }
             out.msg('3')(_ => ()) // CloseComplete
           case 'X' => open = false
           case _   => // Flush('H') and others: just flush
@@ -172,16 +180,29 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     "md5" + hex(md.digest())
   }
 
-  private def parseBind(body: Array[Byte]): (String, String, Seq[Any]) = {
+  /** A bound portal (sql + args + requested result formats). */
+  private final case class Portal(sql: String, args: Seq[Any], resultFormats: Seq[Int])
+
+  /** A portal mid-execution: the row iterator survives across Execute
+    * messages until exhausted (PortalSuspended in between). */
+  private final class OpenPortal(
+      val schema: org.apache.spark.sql.types.StructType,
+      val it: java.util.Iterator[org.apache.spark.sql.Row],
+      val formats: Seq[Int]) {
+    var emitted: Long = 0L
+  }
+
+  private def readCstr(buf: java.nio.ByteBuffer): String = {
+    val sb = new StringBuilder
+    var b = buf.get()
+    while (b != 0) { sb += b.toChar; b = buf.get() }
+    sb.toString
+  }
+
+  private def parseBind(body: Array[Byte]): (String, String, Seq[Any], Seq[Int]) = {
     val buf = java.nio.ByteBuffer.wrap(body)
-    def cstr(): String = {
-      val sb = new StringBuilder
-      var b = buf.get()
-      while (b != 0) { sb += b.toChar; b = buf.get() }
-      sb.toString
-    }
-    val portal = cstr()
-    val stmt = cstr()
+    val portal = readCstr(buf)
+    val stmt = readCstr(buf)
     val nFormats = buf.getShort
     val formats = Seq.fill(nFormats.toInt)(buf.getShort)
     val nParams = buf.getShort
@@ -195,10 +216,122 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         if (fmt == 0) new String(b, UTF_8) else b
       }
     }
-    (portal, stmt, args)
+    val resultFormats =
+      if (buf.remaining() >= 2) {
+        val n = buf.getShort
+        Seq.fill(n.toInt)(buf.getShort.toInt)
+      } else Nil
+    (portal, stmt, args, resultFormats)
   }
 
-  private def describe(out: PgWire.Out, sql: String, isStatement: Boolean): Unit =
+  private def encodeRow(row: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType,
+      formats: Seq[Int]): Seq[Option[Array[Byte]]] =
+    (0 until row.length).map { i =>
+      val fmt = if (formats.isEmpty) 0 else formats(i % formats.size)
+      if (fmt == 1) PgWire.encodeBinary(row.get(i), schema(i).dataType)
+      else PgWire.encodeValue(row.get(i)).map(_.getBytes(UTF_8))
+    }
+
+  /** Execute with PG row-limit semantics: emit up to `maxRows` (0 = all)
+    * from the portal's iterator; PortalSuspended if rows remain, else
+    * CommandComplete. The iterator is a streaming toLocalIterator — no
+    * driver materialization of the full result. */
+  private def executePortal(out: PgWire.Out, name: String, maxRows: Int,
+      portals: mutable.Map[String, Portal],
+      openPortals: mutable.Map[String, OpenPortal]): Unit =
+    try {
+      val op = openPortals.get(name) match {
+        case Some(existing) => Some(existing)
+        case None => portals.get(name).flatMap {
+          case Portal(sql, args, fmts) if sql.nonEmpty =>
+            val df = if (args.isEmpty) spark.sql(sql) else Prepared.execute(spark, sql, args)
+            if (df.schema.isEmpty) {
+              df.collect()
+              out.commandComplete(commandTag(sql, 0))
+              None
+            } else {
+              val o = new OpenPortal(df.schema, df.toLocalIterator(), fmts)
+              openPortals(name) = o
+              Some(o)
+            }
+          case _ => out.emptyQueryResponse(); None
+        }
+      }
+      op.foreach { o =>
+        val limit = if (maxRows <= 0) Long.MaxValue else maxRows.toLong
+        var n = 0L
+        while (o.it.hasNext && n < limit) {
+          out.dataRowRaw(encodeRow(o.it.next(), o.schema, o.formats))
+          n += 1
+        }
+        o.emitted += n
+        if (o.it.hasNext) out.portalSuspended()
+        else {
+          openPortals.remove(name)
+          out.commandComplete(s"SELECT ${o.emitted}")
+        }
+      }
+    } catch {
+      case NonFatal(e) =>
+        out.errorResponse("42601", String.valueOf(e.getMessage).take(800))
+    }
+
+  // `COPY (query) TO STDOUT [options]` / `COPY table TO STDOUT [options]`
+  private val CopyRe =
+    "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+TO\\s+STDOUT\\s*(.*)$".r
+
+  /** COPY OUT: stream the result as PG text-format (or CSV) CopyData
+    * messages — the bulk-export path (no 1024-row cap). */
+  private def copyOut(out: PgWire.Out, source: String, opts: String): Unit =
+    try {
+      val sql =
+        if (source.startsWith("(")) source.substring(1, source.length - 1)
+        else s"SELECT * FROM $source"
+      val csv = opts.toLowerCase.contains("csv")
+      val header = csv && opts.toLowerCase.contains("header")
+      val df = spark.sql(sql)
+      val schema = df.schema
+      out.copyOutResponse(schema.size)
+      var n = 0L
+      if (header)
+        out.copyData((schema.fieldNames.map(csvField).mkString(",") + "\n").getBytes(UTF_8))
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val fields = (0 until row.length).map(i => PgWire.encodeValue(row.get(i)))
+        val line =
+          if (csv) fields.map {
+            case None    => ""
+            case Some(s) => csvField(s)
+          }.mkString(",")
+          else fields.map {
+            case None    => "\\N"
+            case Some(s) => s.flatMap {
+              case '\\' => "\\\\"
+              case '\n' => "\\n"
+              case '\r' => "\\r"
+              case '\t' => "\\t"
+              case c    => c.toString
+            }
+          }.mkString("\t")
+        out.copyData((line + "\n").getBytes(UTF_8))
+        n += 1
+      }
+      out.copyDone()
+      out.commandComplete(s"COPY $n")
+    } catch {
+      case NonFatal(e) =>
+        out.errorResponse("42601", String.valueOf(e.getMessage).take(800))
+    }
+
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def describe(out: PgWire.Out, sql: String, isStatement: Boolean,
+      resultFormats: Seq[Int] = Nil): Unit =
     try {
       if (isStatement) {
         val n = "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt).maxOption.getOrElse(0)
@@ -206,7 +339,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       val schema = spark.sql(Prepared.rewrite(sql).replaceAll(":p\\d+", "NULL")).schema
       if (schema.isEmpty) out.noData()
-      else out.rowDescription(schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))))
+      else out.rowDescription(
+        schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))), resultFormats)
     } catch { case NonFatal(_) => out.noData() }
 
   private def runQuery(out: PgWire.Out, sql: String, args: Seq[Any],

@@ -36,25 +36,35 @@ object PgWire {
       d.writeInt(pid); d.writeInt(secret)
     }
     def readyForQuery(status: Char = 'I'): Unit = msg('Z')(_.writeByte(status))
-    def rowDescription(cols: Seq[(String, Int)]): Unit = msg('T') { d =>
-      d.writeShort(cols.size)
-      cols.foreach { case (name, oid) =>
-        cstr(d, name)
-        d.writeInt(0); d.writeShort(0) // table oid, attnum
-        d.writeInt(oid)
-        d.writeShort(-1); d.writeInt(-1) // typlen, typmod
-        d.writeShort(0) // text format
+    def rowDescription(cols: Seq[(String, Int)], formats: Seq[Int] = Nil): Unit =
+      msg('T') { d =>
+        d.writeShort(cols.size)
+        cols.zipWithIndex.foreach { case ((name, oid), i) =>
+          cstr(d, name)
+          d.writeInt(0); d.writeShort(0) // table oid, attnum
+          d.writeInt(oid)
+          d.writeShort(-1); d.writeInt(-1) // typlen, typmod
+          d.writeShort(if (formats.isEmpty) 0 else formats(i % formats.size))
+        }
       }
-    }
-    def dataRow(values: Seq[Option[String]]): Unit = msg('D') { d =>
+    def dataRow(values: Seq[Option[String]]): Unit =
+      dataRowRaw(values.map(_.map(_.getBytes(UTF_8))))
+    def dataRowRaw(values: Seq[Option[Array[Byte]]]): Unit = msg('D') { d =>
       d.writeShort(values.size)
       values.foreach {
         case None => d.writeInt(-1)
-        case Some(s) =>
-          val b = s.getBytes(UTF_8)
+        case Some(b) =>
           d.writeInt(b.length); d.write(b)
       }
     }
+    def portalSuspended(): Unit = msg('s')(_ => ())
+    def copyOutResponse(nCols: Int): Unit = msg('H') { d =>
+      d.writeByte(0) // overall text format
+      d.writeShort(nCols)
+      (0 until nCols).foreach(_ => d.writeShort(0))
+    }
+    def copyData(bytes: Array[Byte]): Unit = msg('d')(_.write(bytes))
+    def copyDone(): Unit = msg('c')(_ => ())
     def commandComplete(tag: String): Unit = msg('C')(cstr(_, tag))
     def emptyQueryResponse(): Unit = msg('I')(_ => ())
     def parseComplete(): Unit = msg('1')(_ => ())
@@ -129,6 +139,71 @@ object PgWire {
 
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  // PG epochs: 2000-01-01 is day 10957 / microsecond 946684800000000
+  // after the unix epoch.
+  private val PgEpochDay = 10957L
+  private val PgEpochMicros = 946684800000000L
+
+  /** Binary (format code 1) result encodings for the scalar oids the
+    * text path maps (types.rs:128-340's binary half). Types without a
+    * defined binary form here fall back to their text bytes, matching
+    * the catch-all text oid in [[pgOid]]. */
+  def encodeBinary(v: Any, dt: DataType): Option[Array[Byte]] = {
+    def be(n: Int, put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); put(b); b.array()
+    }
+    v match {
+      case null                  => None
+      case b: Boolean            => Some(Array[Byte](if (b) 1 else 0))
+      case b: Byte               => Some(Array[Byte](b))
+      case s: Short              => Some(be(2, _.putShort(s)))
+      case i: Int                => Some(be(4, _.putInt(i)))
+      case l: Long               => Some(be(8, _.putLong(l)))
+      case f: Float              => Some(be(4, _.putFloat(f)))
+      case d: Double             => Some(be(8, _.putDouble(d)))
+      case s: String             => Some(s.getBytes(UTF_8))
+      case b: Array[Byte]        => Some(b)
+      case d: java.sql.Date      =>
+        Some(be(4, _.putInt((d.toLocalDate.toEpochDay - PgEpochDay).toInt)))
+      case d: java.time.LocalDate =>
+        Some(be(4, _.putInt((d.toEpochDay - PgEpochDay).toInt)))
+      case t: java.sql.Timestamp =>
+        val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        Some(be(8, _.putLong(us - PgEpochMicros)))
+      case t: java.time.Instant  =>
+        val us = t.getEpochSecond * 1000000L + t.getNano / 1000
+        Some(be(8, _.putLong(us - PgEpochMicros)))
+      case d: java.math.BigDecimal => Some(numericBinary(d))
+      case d: BigDecimal           => Some(numericBinary(d.bigDecimal))
+      case other                 => encodeValue(other).map(_.getBytes(UTF_8))
+    }
+  }
+
+  /** PG `numeric` binary: base-10000 digit groups with weight/sign/
+    * dscale header. */
+  private def numericBinary(bd0: java.math.BigDecimal): Array[Byte] = {
+    val bd = if (bd0.scale < 0) bd0.setScale(0) else bd0
+    val neg = bd.signum() < 0
+    val plain = bd.abs.toPlainString
+    val dot = plain.indexOf('.')
+    val (ipRaw, fpRaw) = if (dot < 0) (plain, "") else (plain.take(dot), plain.drop(dot + 1))
+    val dscale = fpRaw.length
+    val ip = "0" * ((4 - ipRaw.length % 4) % 4) + ipRaw
+    val fp = fpRaw + "0" * ((4 - fpRaw.length % 4) % 4)
+    var digits = (ip + fp).grouped(4).map(_.toInt).toVector
+    var weight = ip.length / 4 - 1
+    while (digits.nonEmpty && digits.head == 0) { digits = digits.tail; weight -= 1 }
+    while (digits.nonEmpty && digits.last == 0) digits = digits.init
+    if (digits.isEmpty) weight = 0
+    val buf = java.nio.ByteBuffer.allocate(8 + 2 * digits.size)
+    buf.putShort(digits.size.toShort)
+    buf.putShort(weight.toShort)
+    buf.putShort(if (digits.isEmpty) 0 else if (neg) 0x4000.toShort else 0.toShort)
+    buf.putShort(dscale.toShort)
+    digits.foreach(d => buf.putShort(d.toShort))
+    buf.array()
+  }
 
   def encodeValue(v: Any): Option[String] = v match {
     case null                    => None
