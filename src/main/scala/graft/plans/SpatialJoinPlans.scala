@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 import org.locationtech.jts.geom.{Envelope, Geometry => JtsGeometry}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
 
 import graft.spatial.Geo
@@ -29,6 +30,12 @@ object SpatialJoinPlans {
   sealed trait SpatialPredicate extends Serializable {
     /** exact refinement on (probe, build) geometries */
     def refine(probe: JtsGeometry, build: JtsGeometry): Boolean
+    /** refinement against a PREPARED build geometry (cached interior/
+      * edge structures, JTS prep package) — None when the predicate has
+      * no prepared form (then the plain path is always used). The
+      * reference's refinement backends expose the same split
+      * (spatial_join.spatial_library + speculative mode, option.rs:40-49). */
+    def refinePrepared(prep: PreparedGeometry, probe: JtsGeometry): Option[Boolean]
     /** envelope expansion around the probe for index lookup */
     def expand: Double
   }
@@ -45,6 +52,19 @@ object SpatialJoinPlans {
       case "st_equals"          => p.equalsTopo(b)
       case "st_bbox_intersects" => p.getEnvelopeInternal.intersects(b.getEnvelopeInternal)
     }
+    // prepared geometry is the BUILD side: each probe-vs-build relation
+    // maps to its converse evaluated on the prepared build
+    def refinePrepared(prep: PreparedGeometry, p: JtsGeometry): Option[Boolean] = name match {
+      case "st_intersects" => Some(prep.intersects(p))
+      case "st_contains"   => Some(prep.within(p))      // probe contains build
+      case "st_within"     => Some(prep.contains(p))    // probe within build
+      case "st_covers"     => Some(prep.coveredBy(p))
+      case "st_coveredby"  => Some(prep.covers(p))
+      case "st_touches"    => Some(prep.touches(p))     // symmetric
+      case "st_crosses"    => Some(prep.crosses(p))     // symmetric
+      case "st_overlaps"   => Some(prep.overlaps(p))    // symmetric
+      case _               => None // st_equals / bbox: no prepared form
+    }
     def expand: Double = 0.0
     /** predicate with sides swapped (spatial_predicate.rs:139-152) */
     def inverted: Relation = Relation(name match {
@@ -58,6 +78,8 @@ object SpatialJoinPlans {
   final case class Distance(d: Double, strict: Boolean) extends SpatialPredicate {
     def refine(p: JtsGeometry, b: JtsGeometry): Boolean =
       if (strict) p.distance(b) < d else p.isWithinDistance(b, d)
+    def refinePrepared(prep: PreparedGeometry, p: JtsGeometry): Option[Boolean] =
+      None // JTS prepared geometries have no distance form
     def expand: Double = d
   }
 
@@ -213,17 +235,18 @@ final case class BroadcastSpatialJoinExec(
       val entries = bc.value.flatMap { row =>
         val wkb = rGeomBound.eval(row).asInstanceOf[Array[Byte]]
         val geom = Geo.fromWkb(wkb)
-        if (geom == null) None else Some((geom, row))
+        if (geom == null) None else Some(new BuildEntry(geom, row))
       }
       val index = new STRtree()
-      entries.foreach { case (geometry, row) =>
-        index.insert(geometry.getEnvelopeInternal, (geometry, row))
+      entries.foreach { e =>
+        index.insert(e.geom.getEnvelopeInternal, e)
       }
       index.build()
 
       val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow()
       val nullRight = new GenericInternalRow(rightWidth)
+      val refiner = new SpeculativeRefiner(predicate)
 
       iter.flatMap { probeRow =>
         val wkb = lGeomBound.eval(probeRow).asInstanceOf[Array[Byte]]
@@ -241,10 +264,10 @@ final case class BroadcastSpatialJoinExec(
           var matches = List.empty[InternalRow]
           var any = false
           while (candidates.hasNext && !(any && (jt == LeftSemi || jt == LeftAnti))) {
-            val (g, row) = candidates.next().asInstanceOf[(JtsGeometry, InternalRow)]
-            if (predicate.refine(probeGeom, g)) {
+            val e = candidates.next().asInstanceOf[BuildEntry]
+            if (refiner.refine(probeGeom, e)) {
               any = true
-              if (jt != LeftSemi && jt != LeftAnti) matches ::= row
+              if (jt != LeftSemi && jt != LeftAnti) matches ::= e.row
             }
           }
           jt match {
@@ -256,5 +279,53 @@ final case class BroadcastSpatialJoinExec(
         }
       }
     }
+  }
+}
+
+/** One build-side row: geometry + lazily prepared form (computed only
+  * if the speculative refiner decides prepared wins). */
+final class BuildEntry(val geom: JtsGeometry, val row: InternalRow) {
+  lazy val prepared: PreparedGeometry = PreparedGeometryFactory.prepare(geom)
+}
+
+/** A17, the reference's speculative execution-mode selection
+  * (option.rs:49 "Speculative, sample 100 probes"): time the first
+  * `SampleSize` refinements through BOTH the plain and the prepared
+  * backend, then commit to the cheaper one for the rest of the task.
+  * Predicates without a prepared form always use the plain path. One
+  * instance per task — no cross-task coordination, identical results
+  * either way (only the evaluation strategy differs).
+  */
+final class SpeculativeRefiner(pred: SpatialJoinPlans.SpatialPredicate) {
+  private val SampleSize = 100
+  private var sampled = 0
+  private var plainNanos = 0L
+  private var prepNanos = 0L
+  // -1 undecided (sampling), 0 plain, 1 prepared
+  private var mode: Int = pred match {
+    case r: SpatialJoinPlans.Relation
+        if r.name != "st_equals" && r.name != "st_bbox_intersects" => -1
+    case _ => 0 // distance / equals / bbox: no prepared form
+  }
+
+  def refine(probe: JtsGeometry, e: BuildEntry): Boolean = mode match {
+    case 0 => pred.refine(probe, e.geom)
+    case 1 => pred.refinePrepared(e.prepared, probe).get
+    case _ =>
+      val t0 = System.nanoTime()
+      val viaPrepared = pred.refinePrepared(e.prepared, probe)
+      val t1 = System.nanoTime()
+      val plain = pred.refine(probe, e.geom)
+      val t2 = System.nanoTime()
+      viaPrepared match {
+        case None => mode = 0 // no prepared form: stop sampling
+        case Some(_) =>
+          prepNanos += t1 - t0
+          plainNanos += t2 - t1
+          sampled += 1
+          if (sampled >= SampleSize)
+            mode = if (prepNanos < plainNanos) 1 else 0
+      }
+      plain
   }
 }

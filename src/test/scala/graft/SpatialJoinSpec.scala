@@ -134,4 +134,23 @@ class SpatialJoinSpec extends GraftSuite {
       assert(j.select("p_id", "b_id").as[(Long, Long)].collect().toSet == brute)
     }
   }
+  test("speculative prepared refinement: >100 probes per task, polygons") {
+    // enough probes that every task passes the 100-refinement sample
+    // window and commits to a mode; rotated polygons (not envelopes)
+    // make prepared interior structures actually meaningful
+    val manyPts = spark.range(0, 5000).coalesce(2).select(
+      col("id").as("p_id"),
+      expr("st_makepoint(cast(id % 100 as double) + 0.5, " +
+        "cast((id * 7) % 100 as double) + 0.5)").as("p_geom"))
+    val polys = spark.range(0, 40).select(
+      col("id").as("b_id"),
+      expr("st_buffer(st_makepoint(cast(id * 13 % 100 as double), " +
+        "cast(id * 29 % 100 as double)), cast(id % 9 + 3 as double))").as("b_geom"))
+    val viaExec = SpatialJoin.broadcastJoin(manyPts, polys,
+      "p_geom", "b_geom", "st_within")
+      .select("p_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = manyPts.crossJoin(polys).where(expr("st_within(p_geom, b_geom)"))
+      .select("p_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaExec == brute && brute.nonEmpty)
+  }
 }
