@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05)
 
   /** Left-fold double dot product of two array<double> columns. */
   private def dot(a: String, b: String): Column =
@@ -102,6 +102,74 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"), col("sim"), col("rank"), col("bucket"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN — the cluster-then-probe scale path the
+    * brute-force scan graduates to: a coarse quantizer assigns every
+    * vector to its nearest centroid's list (one broadcast + one scan),
+    * queries probe only their nprobe=2 nearest lists (shuffle on the
+    * list key, not a full scan), exact cosine re-rank inside the probed
+    * lists. Centroids are the embeddings of 8 fixed vec_ids (100-107) —
+    * data-derived and deterministic, so the DuckDB oracle replicates the
+    * whole index bit-exactly. At 100 TB: assignment is embarrassingly
+    * parallel, list sizes are the skew knob (re-pick centroids or split
+    * hot lists), and probes touch ~nprobe/K of the corpus. */
+  private val v05 = QDef(
+    "v05_knn_ivf",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |      WHERE vec_id BETWEEN 100 AND 107),
+       |asgr AS (
+       |  SELECT e.vec_id, c.c_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.c_emb")} /
+       |        (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+       |      c.c_id) AS cr
+       |  FROM e JOIN c ON true),
+       |assign AS (SELECT vec_id, c_id AS list_id, embedding FROM asgr WHERE cr = 1),
+       |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+       |probel AS (
+       |  SELECT pr.q_id, c.c_id, pr.q_emb,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+       |      ${sqlDot("pr.q_emb", "c.c_emb")} /
+       |        (sqrt(${sqlDot("pr.q_emb", "pr.q_emb")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+       |      c.c_id) AS cr
+       |  FROM pr JOIN c ON true),
+       |pl AS (SELECT q_id, c_id AS list_id, q_emb FROM probel WHERE cr <= 2),
+       |cand AS (
+       |  SELECT pl.q_id, a.vec_id, a.list_id,
+       |    ${sqlDot("a.embedding", "pl.q_emb")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("pl.q_emb", "pl.q_emb")})) AS sim
+       |  FROM pl JOIN assign a ON a.list_id = pl.list_id
+       |  WHERE a.vec_id <> pl.q_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM cand)
+       |SELECT q_id, vec_id, list_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .withColumn("qsim", dot("q_emb", "c_emb") / (norm("q_emb") * norm("c_emb")))
+      .withColumn("cr", row_number().over(wProbe))
+      .filter(col("cr") <= 2)
+      .select(col("q_id"), col("c_id").as("list_id"), col("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    assign.join(broadcast(probeLists), Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("list_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 

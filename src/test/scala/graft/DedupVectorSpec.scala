@@ -113,4 +113,20 @@ class DedupVectorSpec extends GraftSuite {
     for ((qid, vid, sim) <- lsh; bs <- brute.get((qid, vid)))
       assert(math.abs(bs - sim) < 1e-12)
   }
+  test("ivf knn: well-formed ranks, candidates from probed lists only") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = VectorOps.defs.find(_.name == "v05_knn_ivf").get.fn(spark, sf)
+      .select("q_id", "vec_id", "list_id", "sim", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.forall(_._2.length <= 5))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq) // sims desc
+      assert(sorted.map(_._3).toSet.size <= 2) // nprobe = 2 lists
+    }
+    // centroid ids are real vectors: every list id is one of the 8 seeds
+    assert(rows.map(_._3).toSet.subsetOf((100L to 107L).toSet))
+  }
 }
