@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** §2.B sources/sinks surface (the reference's DataFusion-inherited
+  * Parquet/CSV/JSON scans, CREATE EXTERNAL TABLE, COPY TO, VALUES,
+  * in-memory tables): every format round-trips through `spark.read`/
+  * `df.write`, external tables mount via CREATE TABLE USING, and the
+  * scans keep their scale properties (filter pushdown, column pruning,
+  * partition pruning) — asserted on the physical plans, not assumed.
+  * (No spark-avro module ships in this container; Avro is the one
+  * reference format not covered.)
+  */
+class SourcesSpec extends GraftSuite {
+  import SparkTestBase.spark.implicits._
+
+  private lazy val dir = Files.createTempDirectory("graft-sources").toString
+
+  private lazy val sample = spark.range(0, 1000).select(
+    col("id"),
+    (col("id") % 7).as("grp"),
+    concat(lit("name_"), col("id")).as("name"),
+    (col("id") * 2.5).as("score"))
+
+  test("csv: header round-trip with explicit schema, column pruning") {
+    val p = s"$dir/csv"
+    sample.write.mode("overwrite").option("header", "true").csv(p)
+    val back = spark.read.option("header", "true")
+      .schema("id LONG, grp LONG, name STRING, score DOUBLE").csv(p)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head().getLong(0) == sample.agg(sum("id")).head().getLong(0))
+    val plan = back.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
+  test("json: nested struct/array round-trip") {
+    val p = s"$dir/json"
+    sample.select(col("id"),
+      struct(col("grp"), col("name")).as("meta"),
+      array(col("score"), col("score") * 2).as("scores"))
+      .write.mode("overwrite").json(p)
+    val back = spark.read.json(p)
+    assert(back.count() == 1000)
+    val row = back.filter(col("id") === 7).select("meta.name", "scores").head()
+    assert(row.getString(0) == "name_7")
+    assert(row.getSeq[Double](1) == Seq(17.5, 35.0))
+  }
+
+  test("orc: round-trip with filter pushdown in the scan") {
+    val p = s"$dir/orc"
+    sample.write.mode("overwrite").orc(p)
+    val back = spark.read.orc(p).filter(col("id") > 990)
+    assert(back.count() == 9)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,990)"), plan)
+  }
+
+  test("parquet: partitionBy write, partition pruning on read") {
+    val p = s"$dir/part_parquet"
+    sample.write.mode("overwrite").partitionBy("grp").parquet(p)
+    val back = spark.read.parquet(p).filter(col("grp") === 3)
+    assert(back.count() == sample.filter(col("grp") === 3).count())
+    val plan = back.queryExecution.executedPlan.toString
+    // pruned scan reads one partition directory, not all seven
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+  }
+
+  test("CREATE TABLE USING mounts an external path; VALUES inline table") {
+    val p = s"$dir/ext_parquet"
+    sample.write.mode("overwrite").parquet(p)
+    spark.sql("DROP TABLE IF EXISTS ext_sample")
+    spark.sql(s"CREATE TABLE ext_sample USING parquet OPTIONS (path '$p')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM ext_sample").head().getLong(0) == 1000)
+      val v = spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(n, s) ORDER BY n")
+        .as[(Int, String)].collect().toSeq
+      assert(v == Seq((1, "a"), (2, "b")))
+    } finally spark.sql("DROP TABLE IF EXISTS ext_sample")
+  }
+
+  test("in-memory dataset registered as a view joins against files") {
+    val mem = Seq((0L, "zero"), (3L, "three")).toDF("grp", "label")
+    mem.createOrReplaceTempView("grp_labels")
+    val p = s"$dir/join_parquet"
+    sample.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("sample_ext")
+    val joined = spark.sql(
+      """SELECT l.label, count(*) AS n FROM sample_ext s
+        |JOIN grp_labels l ON s.grp = l.grp GROUP BY l.label ORDER BY l.label""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(joined == Seq(("three", 143L), ("zero", 143L)))
+  }
+}
