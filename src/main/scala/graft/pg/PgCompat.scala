@@ -81,16 +81,11 @@ object PgCompat extends Serializable {
     }
   }
 
-  /** Register catalog views + compat functions on the session. */
-  def registerAll(spark: SparkSession): Unit = {
-    registerViews(spark)
-    registerFunctions(spark)
-  }
-
-  def registerViews(spark: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
+  /** (name, schema, rows) for every emulated catalog table — the single
+    * source both the bare temp views and the `pg_catalog` V2 catalog
+    * (PgCatalogPlugin) serve from. */
+  private[pg] def tableDefs: Seq[(String, StructType, Seq[org.apache.spark.sql.Row])] = {
     import org.apache.spark.sql.Row
-
     val typeSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
       StructField("typname", StringType, nullable = false),
@@ -103,36 +98,48 @@ object PgCompat extends Serializable {
     val typeRows = pgTypes.map { case (oid, name, cat, elem) =>
       Row(oid, name, 11, cat, 0, elem, 0, -1L)
     }
-    spark.createDataFrame(typeRows.asJava, typeSchema)
-      .createOrReplaceTempView("pg_type")
-
     val nsSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
       StructField("nspname", StringType, nullable = false)))
-    spark.createDataFrame(Seq(
-      Row(11, "pg_catalog"), Row(2200, "public"), Row(13676, "information_schema")
-    ).asJava, nsSchema).createOrReplaceTempView("pg_namespace")
-
+    val nsRows = Seq(
+      Row(11, "pg_catalog"), Row(2200, "public"), Row(13676, "information_schema"))
     val classSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
       StructField("relname", StringType, nullable = false),
       StructField("relnamespace", IntegerType, nullable = false),
       StructField("relkind", StringType, nullable = false)))
-    spark.createDataFrame(Seq.empty[Row].asJava, classSchema)
-      .createOrReplaceTempView("pg_class")
-
     val descSchema = StructType(Seq(
       StructField("objoid", IntegerType, nullable = false),
       StructField("classoid", IntegerType, nullable = false),
       StructField("objsubid", IntegerType, nullable = false),
       StructField("description", StringType, nullable = false)))
-    spark.createDataFrame(Seq.empty[Row].asJava, descSchema)
-      .createOrReplaceTempView("pg_description")
-
     val dbSchema = StructType(Seq(
       StructField("datname", StringType, nullable = false)))
-    spark.createDataFrame(Seq(Row("postgres")).asJava, dbSchema)
-      .createOrReplaceTempView("pg_database")
+    Seq(
+      ("pg_type", typeSchema, typeRows),
+      ("pg_namespace", nsSchema, nsRows),
+      ("pg_class", classSchema, Nil),
+      ("pg_description", descSchema, Nil),
+      ("pg_database", dbSchema, Seq(Row("postgres"))))
+  }
+
+  /** Register catalog views + compat functions + the `pg_catalog` V2
+    * catalog on the session. */
+  def registerAll(spark: SparkSession): Unit = {
+    registerViews(spark)
+    registerFunctions(spark)
+    // lazily instantiated by the CatalogManager on first pg_catalog.*
+    // reference (the reference registers its provider the same way,
+    // catalog/src/postgres/mod.rs:25-52)
+    spark.conf.set("spark.sql.catalog.pg_catalog",
+      classOf[PgCatalogPlugin].getName)
+  }
+
+  def registerViews(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    tableDefs.foreach { case (name, schema, rows) =>
+      spark.createDataFrame(rows.asJava, schema).createOrReplaceTempView(name)
+    }
   }
 
   def registerFunctions(spark: SparkSession): Unit = {

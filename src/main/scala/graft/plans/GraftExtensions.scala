@@ -60,12 +60,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         }, OneRowRelation())
       }
       if (projects.size == 1) projects.head else Union(projects)
-    // pg_catalog.* / public.* qualifiers resolve to the session temp
-    // views registered by PgCompat (the reference registers its catalog
-    // tables under both schemas, catalog/src/postgres/mod.rs:25-52).
+    // public.* qualifiers resolve to the session temp views registered
+    // by PgCompat (the reference registers its catalog tables under both
+    // schemas, catalog/src/postgres/mod.rs:25-52). pg_catalog.* needs no
+    // rewrite: it resolves through the PgCatalogPlugin V2 catalog.
     case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if r.multipartIdentifier.size == 2 &&
-          Set("pg_catalog", "public")(r.multipartIdentifier.head.toLowerCase) &&
+          r.multipartIdentifier.head.toLowerCase == "public" &&
           r.multipartIdentifier(1).toLowerCase.startsWith("pg_") =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
         Seq(r.multipartIdentifier(1)), r.options, r.isStreaming)

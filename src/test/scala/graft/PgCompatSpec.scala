@@ -56,4 +56,22 @@ class PgCompatSpec extends GraftSuite {
     assert(r.getString(5) == "character varying(6)[]")
     assert(r.getString(6) == "???")
   }
+  test("pg_catalog.* resolves through the V2 catalog, not a rewrite") {
+    graft.pg.PgCompat.registerAll(spark)
+    val df = spark.sql(
+      "SELECT typname FROM pg_catalog.pg_type WHERE oid = 1043")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("varchar"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan) // DSv2 scan, no temp view
+    // joins across the catalog boundary work
+    val n = spark.sql(
+      """SELECT count(*) FROM pg_catalog.pg_type t
+        |JOIN pg_catalog.pg_namespace n ON t.typnamespace = n.oid""".stripMargin)
+      .head().getLong(0)
+    assert(n == 28)
+    // read-only: writes are rejected
+    intercept[Exception] {
+      spark.sql("INSERT INTO pg_catalog.pg_type VALUES (1,'x',11,'S',0,0,0,-1)")
+    }
+  }
 }
