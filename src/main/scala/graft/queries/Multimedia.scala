@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -43,6 +43,40 @@ object Multimedia {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"),
         size(col("features")).as("n_feats"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Resize planning over the decoded corpus: 224×224-fit output dims
+    * + RGB byte budget, all dimension arithmetic (oracle-exact). */
+  private val mm03 = QDef(
+    "mm03_resize_plan",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |d AS (
+       |  SELECT media_id, kind,
+       |    CAST(CASE kind WHEN 'image' THEN 256 + n % 256
+       |                   WHEN 'audio' THEN 1 ELSE 320 END AS INTEGER) AS width,
+       |    CAST(CASE kind WHEN 'image' THEN 256 + (n // 7) % 256
+       |                   WHEN 'audio' THEN 1 ELSE 240 END AS INTEGER) AS height,
+       |    CAST(CASE kind WHEN 'image' THEN 1
+       |                   WHEN 'audio' THEN greatest(1, n // 64)
+       |                   ELSE greatest(1, n // 256) END AS INTEGER) AS n_frames
+       |  FROM m),
+       |r AS (
+       |  SELECT *, least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height) AS scale
+       |  FROM d)
+       |SELECT media_id, kind, width, height,
+       |  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_w,
+       |  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_h,
+       |  CAST(CAST(greatest(1, floor(width * scale)) AS BIGINT) *
+       |       CAST(greatest(1, floor(height * scale)) AS BIGINT) * 3 * n_frames AS BIGINT) AS out_bytes
+       |FROM r ORDER BY media_id""".stripMargin) { (s, d) =>
+    Multimodal.resizePlan(
+      Multimodal.decodeFeatures(Multimodal.attachPayload(Tables.documents(s, d))).toDF())
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("out_bytes"))
       .orderBy(col("media_id"))
   }
 

@@ -16,7 +16,7 @@ import graft.{QDef, Tables}
   */
 object TextOps {
 
-  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05)
+  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -122,5 +122,39 @@ object TextOps {
       .agg(count(lit(1)).as("total_docs"),
         countDistinct(md5(col("text"))).as("distinct_docs"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+  }
+  /** BPE-ish subword pre-tokenization (the GPT-2 pre-tokenizer regex
+    * family: contraction suffixes, space-prefixed letter/digit runs,
+    * punctuation runs, whitespace) - the token-count estimate a
+    * training pipeline budgets with before real BPE. Both engines run
+    * the same pattern (Java regex and RE2 agree on this subset), so the
+    * counts are oracle-exact. Fertility = subwords per whitespace word.
+    */
+  private val t06 = {
+    val pat = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    val sqlPat = pat.replace("'", "''")
+    QDef(
+      "t06_subword_tokens",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '$sqlPat')) AS n_subword,
+         |    len(list_distinct(regexp_extract_all(text, '$sqlPat'))) AS n_distinct,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, n_subword, n_distinct,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |       ELSE CAST(n_subword AS DOUBLE) / n_words END AS fertility
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(pat), lit(0)).as("sub"),
+          size(tokens(col("text"))).as("n_words"))
+        .select(col("doc_id"),
+          size(col("sub")).as("n_subword"),
+          size(array_distinct(col("sub"))).as("n_distinct"),
+          when(col("n_words") === 0, lit(null).cast("double"))
+            .otherwise(size(col("sub")).cast("double") / col("n_words")).as("fertility"))
+        .orderBy(col("doc_id"))
+    }
   }
 }
