@@ -21,7 +21,7 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26)
 
   /** Tumbling 1-hour window per event type (string bucket key). */
   private val q19 = QDef(
@@ -71,6 +71,37 @@ object Events {
         max(col("us")).as("end_us"),
         dsum(col("value")).as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Sessionization via Spark's NATIVE session_window operator (the
+    * same 30-min-gap semantics as q20's gaps-and-islands, but executed
+    * by the built-in merging-session aggregation — one shuffle on
+    * (user_id, session), no window functions). window.end is
+    * end-of-activity + gap by definition; the oracle reproduces both
+    * bounds from the islands. */
+  private val q26 = QDef(
+    "q26_session_window",
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+       |f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+       |                       OR us - LAG(us) OVER w > 1800000000
+       |                     THEN 1 ELSE 0 END AS new_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      FROM f)
+       |SELECT user_id, MIN(us) AS start_us,
+       |  MAX(us) + 1800000000 AS end_us,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM g GROUP BY user_id, session_id
+       |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_us"))
   }
 
   /** JSON extraction from `props` ({"k": int}) + modular bucketing.

@@ -130,6 +130,9 @@ object PgWire {
     case _: TimestampType                  => 1114
     case _: TimestampNTZType               => 1114
     case _: DecimalType                    => 1700
+    case _: DayTimeIntervalType            => 1186
+    case _: YearMonthIntervalType          => 1186
+    case CalendarIntervalType              => 1186
     case ArrayType(StringType, _)          => 1015
     case ArrayType(IntegerType, _)         => 1007
     case ArrayType(LongType, _)            => 1016

@@ -74,4 +74,12 @@ class PgCompatSpec extends GraftSuite {
       spark.sql("INSERT INTO pg_catalog.pg_type VALUES (1,'x',11,'S',0,0,0,-1)")
     }
   }
+  test("A35 evidence: wildcard + colliding alias needs no rewrite") {
+    // the reference renames colliding projections to __alias_<name>
+    // (postgres_stmt.rs:13-103); Spark's analyzer tolerates duplicate
+    // output names and resolves by position, so no rewrite is ported
+    val rows = spark.sql(
+      "SELECT t.*, upper(lang) AS lang FROM (SELECT 'en' AS lang) t").collect()
+    assert(rows.head.getString(0) == "en" && rows.head.getString(1) == "EN")
+  }
 }
