@@ -68,4 +68,29 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"grid join fell back to quadratic join:\n$p")
   }
+  test("v05 ivf: centroid table broadcast, no cartesian in probe join") {
+    val p = planOf("v05_knn_ivf")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ivf degenerated:\n$p")
+  }
+
+  test("q26: native session_window plans one session aggregation") {
+    val p = planOf("q26_session_window")
+    assert(p.toLowerCase.contains("sessionwindow") || p.contains("session_window"),
+      s"native session window operator missing:\n$p")
+    assert(!p.contains("Window "), s"should not fall back to window functions:\n$p")
+  }
+
+  test("d01 verify stage fetches shingles without recomputing per side") {
+    // the banding shuffle carries only (band, bhash, doc_id): no array
+    // column may appear in the banding exchange's schema
+    val df = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    val bandExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(band")).toSeq
+    assert(bandExchanges.nonEmpty, s"banding shuffle missing:\n$p")
+    assert(!bandExchanges.exists(_.matches(".*(?<![a-zA-Z])sh#.*")),
+      s"banding shuffle carries shingle arrays:\n${bandExchanges.mkString}")
+  }
 }
