@@ -57,6 +57,10 @@ object SpatialFunctions extends Serializable {
   /** All function registrations: name -> (arity -> (returnType, fn)). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: repeated registration only spams "function replaced"
+    // warnings into server/bench logs
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("st_bbox_intersects"))) return
 
     def add(name: String)(cases: (Int, (DataType, AnyRef))*): Unit = {
       val byArity = cases.toMap
