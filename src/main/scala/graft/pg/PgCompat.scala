@@ -130,9 +130,12 @@ object PgCompat extends Serializable {
     registerFunctions(spark)
     // lazily instantiated by the CatalogManager on first pg_catalog.*
     // reference (the reference registers its provider the same way,
-    // catalog/src/postgres/mod.rs:25-52)
+    // catalog/src/postgres/mod.rs:25-52); information_schema mirrors
+    // DataFusion's information_schema=true (context.rs:33-55)
     spark.conf.set("spark.sql.catalog.pg_catalog",
       classOf[PgCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.information_schema",
+      classOf[InfoSchemaPlugin].getName)
   }
 
   def registerViews(spark: SparkSession): Unit = {

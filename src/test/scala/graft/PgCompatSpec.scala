@@ -82,4 +82,28 @@ class PgCompatSpec extends GraftSuite {
       "SELECT t.*, upper(lang) AS lang FROM (SELECT 'en' AS lang) t").collect()
     assert(rows.head.getString(0) == "en" && rows.head.getString(1) == "EN")
   }
+  test("information_schema snapshots live session tables and columns") {
+    graft.pg.PgCompat.registerAll(spark)
+    spark.range(3).selectExpr("id", "concat('v', id) AS v")
+      .createOrReplaceTempView("info_probe")
+    val tables = spark.sql(
+      "SELECT table_schema, table_type FROM information_schema.tables " +
+      "WHERE table_name = 'info_probe'").collect()
+    assert(tables.length == 1 &&
+      tables.head.getString(0) == "session" &&
+      tables.head.getString(1) == "LOCAL TEMPORARY")
+    val cols = spark.sql(
+      "SELECT column_name, ordinal_position, data_type " +
+      "FROM information_schema.columns WHERE table_name = 'info_probe' " +
+      "ORDER BY ordinal_position").collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("id", "v"))
+    assert(cols.map(_.getString(2)).toSeq == Seq("bigint", "string"))
+    val schemata = spark.sql(
+      "SELECT schema_name FROM information_schema.schemata").collect()
+    assert(schemata.map(_.getString(0)).contains("default"))
+    // the snapshot is live: dropping the view changes the next scan
+    spark.catalog.dropTempView("info_probe")
+    assert(spark.sql("SELECT * FROM information_schema.tables " +
+      "WHERE table_name = 'info_probe'").isEmpty)
+  }
 }
