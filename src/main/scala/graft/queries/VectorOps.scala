@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06)
 
   /** Left-fold double dot product of two array<double> columns. */
   private def dot(a: String, b: String): Column =
@@ -171,6 +171,40 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"), col("list_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup CANDIDATES (the decision ranking, not
+    * the v04 profile): blocked by label (the cheap prefilter any
+    * embedding dedup runs — at scale the block key is an LSH/IVF
+    * bucket), exact cosine within blocks, top-3 most-similar pairs per
+    * block. A threshold gate is the production form; the fixture's max
+    * within-label cosine is ~0.47, so the oracle checks the ranking
+    * machinery on the pairs that WOULD be deduped first. */
+  private val v06 = QDef(
+    "v06_embedding_neardup_topk",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+       |    ${sqlDot("a.embedding", "b.embedding")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, a, b) AS rnk
+       |      FROM p)
+       |SELECT a, b, label, sim, rnk FROM r WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val l = e.select(col("label"), col("vec_id").as("a"), col("emb").as("emb_a"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("emb").as("emb_b"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+    l.join(r, Seq("label"))
+      .where(col("a") < col("b"))
+      .withColumn("sim",
+        dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("a"), col("b"), col("label"), col("sim"), col("rnk"))
+      .orderBy(col("label"), col("rnk"))
   }
 
   /** Embedding near-dup profile: per label-block, pair count and max /
