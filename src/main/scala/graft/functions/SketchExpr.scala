@@ -77,6 +77,22 @@ object SketchKernels {
     out
   }
 
+  /** Strict left-fold dot product over two double arrays — the same
+    * float-addition ORDER as `aggregate(zip_with(a, b, (x,y) -> x*y),
+    * 0d, (acc,v) -> acc+v)` and DuckDB's sequential `list_sum`, so
+    * results stay bit-identical to both while skipping the interpreted
+    * lambda machinery and the zipped intermediate array. */
+  def dotFold(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** |a ∩ b| for two ASCENDING-sorted long arrays via linear merge —
     * no per-call hash-set allocation (unlike `array_intersect`). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
@@ -130,6 +146,26 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `dot_fold(array<double>, array<double>)` → `double` strict
+  * left-fold dot product (see [[SketchKernels.dotFold]]). */
+final case class DotFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "dot_fold"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SketchKernels.dotFold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.SketchKernels.dotFold($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `sorted_intersect_size(array<long>, array<long>)` → `int`.
   * Both inputs MUST be sorted ascending (e.g. via `array_sort`). */
 final case class SortedIntersectSize(left: Expression, right: Expression)
@@ -171,6 +207,11 @@ object SketchFunctions {
       case Seq(l, r) => SortedIntersectSize(l, r)
       case other => throw new IllegalArgumentException(
         s"sorted_intersect_size(a, b), got ${other.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("dot_fold", {
+      case Seq(l, r) => DotFold(l, r)
+      case other => throw new IllegalArgumentException(
+        s"dot_fold(a, b), got ${other.size} args")
     }, "built-in")
   }
 }

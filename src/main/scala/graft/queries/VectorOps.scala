@@ -22,9 +22,11 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06)
 
-  /** Left-fold double dot product of two array<double> columns. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Left-fold double dot product of two array<double> columns — the
+    * `dot_fold` codegen kernel, bit-identical to the
+    * aggregate(zip_with(...)) formulation and to DuckDB's sequential
+    * list_sum, but one fused loop with no intermediate array. */
+  private def dot(a: String, b: String): Column = expr(s"dot_fold($a, $b)")
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
@@ -32,9 +34,11 @@ object VectorOps {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def embeddings(s: SparkSession, d: String): DataFrame =
+  private def embeddings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SketchFunctions.registerAll(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
+  }
 
   /** Brute-force exact cosine top-5 for 10 probe vectors: broadcast the
     * probes, stream the corpus once. */
