@@ -37,6 +37,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private val RowLimit = 1024 // reference DEFAULT_ROW_LIMIT
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
+  /** pid → (secret, jobGroup) for CancelRequest routing. */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+  private val secretRng = new java.security.SecureRandom()
 
   def start(): Int = {
     PgCompat.registerAll(spark)
@@ -68,22 +72,39 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val in = new DataInputStream(sock.getInputStream)
     val rawOut = new DataOutputStream(sock.getOutputStream)
     val out = new PgWire.Out(rawOut)
+    val pid = sock.getPort
     try {
-      var (code, params) = PgWire.readStartup(in)
-      if (code == 80877103) { // SSLRequest -> decline, client retries plain
+      var st = PgWire.readStartup(in)
+      if (st.code == 80877103) { // SSLRequest -> decline, client retries plain
         rawOut.writeByte('N'); rawOut.flush()
-        val again = PgWire.readStartup(in)
-        code = again._1; params = again._2
+        st = PgWire.readStartup(in)
       }
-      if (code == 80877102) return // CancelRequest: ignore
-      val user = params.getOrElse("user", "")
+      if (st.code == 80877102) { // CancelRequest: pid + secret follow
+        val buf = java.nio.ByteBuffer.wrap(st.body, 4, 8)
+        val (reqPid, reqSecret) = (buf.getInt, buf.getInt)
+        Option(cancelKeys.get(reqPid)) match {
+          case Some((secret, group)) if secret == reqSecret =>
+            spark.sparkContext.cancelJobGroup(group)
+          case _ => // unknown pid or wrong secret: silently ignore (PG does)
+        }
+        return
+      }
+      val user = st.params.getOrElse("user", "")
       if (!authenticate(in, out, user)) return
+
+      // every job from this connection's thread belongs to one job
+      // group so a CancelRequest can target the running query
+      val secret = secretRng.nextInt()
+      val group = s"pg-conn-$pid"
+      cancelKeys.put(pid, (secret, group))
+      spark.sparkContext.setJobGroup(group,
+        s"pg connection $pid", interruptOnCancel = true)
 
       out.parameterStatus("server_version", "10.0")
       out.parameterStatus("client_encoding", "UTF8")
       out.parameterStatus("DateStyle", "ISO, YMD")
       out.parameterStatus("integer_datetimes", "on")
-      out.backendKeyData(pid = sock.getPort, secret = 0)
+      out.backendKeyData(pid = pid, secret = secret)
       out.readyForQuery()
       out.flush()
 
@@ -147,7 +168,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.errorResponse("XX000", String.valueOf(e.getMessage))
           out.readyForQuery(); out.flush()
         } catch { case _: Throwable => }
-    } finally sock.close()
+    } finally { cancelKeys.remove(pid); sock.close() }
   }
 
   private def authenticate(in: DataInputStream, out: PgWire.Out, user: String): Boolean =
@@ -274,7 +295,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
     } catch {
       case NonFatal(e) =>
-        out.errorResponse("42601", String.valueOf(e.getMessage).take(800))
+        out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
     }
 
   // `COPY (query) TO STDOUT [options]` / `COPY table TO STDOUT [options]`
@@ -322,7 +343,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       out.commandComplete(s"COPY $n")
     } catch {
       case NonFatal(e) =>
-        out.errorResponse("42601", String.valueOf(e.getMessage).take(800))
+        out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
     }
 
   private def csvField(s: String): String =
@@ -365,8 +386,14 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
     } catch {
       case NonFatal(e) =>
-        out.errorResponse("42601", String.valueOf(e.getMessage).take(800))
+        out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
     }
+
+  /** Cancelled Spark jobs surface as PG 57014 (query_canceled). */
+  private def sqlStateOf(e: Throwable): String = {
+    val m = String.valueOf(e.getMessage).toLowerCase
+    if (m.contains("cancelled") || m.contains("canceled")) "57014" else "42601"
+  }
 
   private def commandTag(sql: String, rows: Int): String = {
     val head = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase

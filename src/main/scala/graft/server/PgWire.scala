@@ -88,7 +88,9 @@ object PgWire {
 
   final case class Message(tag: Char, body: Array[Byte])
 
-  def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
+  final case class Startup(code: Int, params: Map[String, String], body: Array[Byte])
+
+  def readStartup(in: DataInputStream): Startup = {
     val len = in.readInt()
     val body = new Array[Byte](len - 4)
     in.readFully(body)
@@ -97,8 +99,8 @@ object PgWire {
       val params = new String(body, 4, body.length - 4, UTF_8)
         .split("\u0000").filter(_.nonEmpty).grouped(2)
         .collect { case Array(k, v) => k -> v }.toMap
-      (code, params)
-    } else (code, Map.empty)
+      Startup(code, params, body)
+    } else Startup(code, Map.empty, body)
   }
 
   def readMessage(in: DataInputStream): Message = {

@@ -94,4 +94,17 @@ class SourcesSpec extends GraftSuite {
       .as[(String, Long)].collect().toSeq
     assert(joined == Seq(("three", 143L), ("zero", 143L)))
   }
+  test("CREATE TABLE AS SELECT / AS VALUES (the reference's CTAS surface)") {
+    spark.sql("DROP TABLE IF EXISTS ctas_vals")
+    spark.sql("DROP TABLE IF EXISTS ctas_sel")
+    try {
+      spark.sql("CREATE TABLE ctas_vals AS VALUES (1, 'a'), (2, 'b') AS t(n, s)")
+      assert(spark.table("ctas_vals").count() == 2)
+      spark.sql("CREATE TABLE ctas_sel AS SELECT n * 10 AS n10 FROM ctas_vals")
+      assert(spark.sql("SELECT sum(n10) FROM ctas_sel").head().getLong(0) == 30)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ctas_vals")
+      spark.sql("DROP TABLE IF EXISTS ctas_sel")
+    }
+  }
 }
