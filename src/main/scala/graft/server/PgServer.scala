@@ -123,7 +123,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val sql = PgWire.cstrings(m.body).headOption.getOrElse("").trim
             if (sql.isEmpty) out.emptyQueryResponse()
             else sql match {
-              case CopyRe(source, opts) => copyOut(out, source, opts)
+              case CopyInRe(table, _, cols, opts) => copyIn(out, in, table, cols, opts)
+              case CopyRe(source, opts)           => copyOut(out, source, opts)
               case _ => runQuery(out, sql, Nil, describeOnly = false)
             }
             out.readyForQuery(); out.flush()
@@ -301,6 +302,109 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   // `COPY (query) TO STDOUT [options]` / `COPY table TO STDOUT [options]`
   private val CopyRe =
     "(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+TO\\s+STDOUT\\s*(.*)$".r
+  // `COPY table [(col, ...)] FROM STDIN [options]`
+  private val CopyInRe =
+    "(?is)^\\s*COPY\\s+([\\w.\"]+)\\s*(\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$".r
+
+  /** COPY IN: stream CopyData lines into an existing table (text or
+    * CSV format; unlisted columns go NULL). The ingest half of the
+    * bulk path — rows are parsed, cast to the table schema, and
+    * appended through the normal write path. */
+  private def copyIn(out: PgWire.Out, in: DataInputStream,
+      table: String, colList: String, opts: String): Unit = {
+    val csv = opts != null && opts.toLowerCase.contains("csv")
+    try {
+      val schema = spark.table(table).schema
+      out.copyInResponse(schema.size); out.flush()
+      val buf = new StringBuilder
+      var done = false
+      var failed = false
+      while (!done) {
+        val m = PgWire.readMessage(in)
+        m.tag match {
+          case 'd' => buf.append(new String(m.body, UTF_8))
+          case 'c' => done = true
+          case 'f' => done = true; failed = true
+          case _   => // Flush/Sync interleaved: ignore
+        }
+      }
+      if (failed) {
+        out.errorResponse("57014", "COPY from stdin failed (client abort)")
+        return
+      }
+      val targetCols =
+        if (colList == null || colList.trim.isEmpty) schema.fieldNames.toSeq
+        else colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      val lines = buf.toString.split("\n").iterator
+        .map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+      val parsed = lines.map(l => if (csv) parseCsvLine(l) else parseTextLine(l))
+      // strings -> Rows in target-column order, NULL for unlisted cols
+      val rows = parsed.map { fields =>
+        org.apache.spark.sql.Row.fromSeq(schema.fieldNames.toSeq.map { fn =>
+          val i = targetCols.indexOf(fn)
+          if (i < 0 || i >= fields.length) null else fields(i).orNull
+        })
+      }
+      val strSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, strSchema)
+        .select(schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      df.write.mode("append").insertInto(table)
+      out.commandComplete(s"COPY ${rows.size}")
+    } catch {
+      case NonFatal(e) =>
+        out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
+    }
+  }
+
+  /** PG text format: tab-separated, \\N = null, backslash escapes. */
+  private def parseTextLine(line: String): Seq[Option[String]] =
+    line.split("\t", -1).toSeq.map { f =>
+      if (f == "\\N") None
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < f.length) {
+          if (f(i) == '\\' && i + 1 < f.length) {
+            f(i + 1) match {
+              case 'n'  => sb += '\n'
+              case 'r'  => sb += '\r'
+              case 't'  => sb += '\t'
+              case '\\' => sb += '\\'
+              case c    => sb += c
+            }
+            i += 2
+          } else { sb += f(i); i += 1 }
+        }
+        Some(sb.toString)
+      }
+    }
+
+  /** Minimal CSV: quoted fields with doubled quotes; empty = null. */
+  private def parseCsvLine(line: String): Seq[Option[String]] = {
+    val fields = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line(i + 1) == '"') { sb += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else sb += c
+      } else {
+        if (c == '"') inQ = true
+        else if (c == ',') { fields += sb.toString; sb.clear() }
+        else sb += c
+      }
+      i += 1
+    }
+    fields += sb.toString
+    fields.toSeq.map(f => if (f.isEmpty) None else Some(f))
+  }
 
   /** COPY OUT: stream the result as PG text-format (or CSV) CopyData
     * messages — the bulk-export path (no 1024-row cap). */

@@ -63,6 +63,11 @@ object PgWire {
       d.writeShort(nCols)
       (0 until nCols).foreach(_ => d.writeShort(0))
     }
+    def copyInResponse(nCols: Int): Unit = msg('G') { d =>
+      d.writeByte(0) // overall text format
+      d.writeShort(nCols)
+      (0 until nCols).foreach(_ => d.writeShort(0))
+    }
     def copyData(bytes: Array[Byte]): Unit = msg('d')(_.write(bytes))
     def copyDone(): Unit = msg('c')(_ => ())
     def commandComplete(tag: String): Unit = msg('C')(cstr(_, tag))
