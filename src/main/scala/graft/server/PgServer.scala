@@ -41,6 +41,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private val cancelKeys =
     new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
   private val secretRng = new java.security.SecureRandom()
+  // backend pids must be unique per connection; a client's remote port
+  // is not (two hosts can share a source port), so use a counter
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1000)
 
   def start(): Int = {
     PgCompat.registerAll(spark)
@@ -72,7 +75,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val in = new DataInputStream(sock.getInputStream)
     val rawOut = new DataOutputStream(sock.getOutputStream)
     val out = new PgWire.Out(rawOut)
-    val pid = sock.getPort
+    val pid = pidCounter.incrementAndGet()
     try {
       var st = PgWire.readStartup(in)
       if (st.code == 80877103) { // SSLRequest -> decline, client retries plain
@@ -251,7 +254,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       formats: Seq[Int]): Seq[Option[Array[Byte]]] =
     (0 until row.length).map { i =>
       val fmt = if (formats.isEmpty) 0 else formats(i % formats.size)
-      if (fmt == 1) PgWire.encodeBinary(row.get(i), schema(i).dataType)
+      // binary only for types with a real binary wire form — must stay
+      // consistent with the format codes describe() advertises
+      if (fmt == 1 && PgWire.binaryCapable(schema(i).dataType))
+        PgWire.encodeBinary(row.get(i), schema(i).dataType)
       else PgWire.encodeValue(row.get(i)).map(_.getBytes(UTF_8))
     }
 
@@ -265,8 +271,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     try {
       val op = openPortals.get(name) match {
         case Some(existing) => Some(existing)
-        case None => portals.get(name).flatMap {
-          case Portal(sql, args, fmts) if sql.nonEmpty =>
+        case None => portals.get(name) match {
+          case Some(Portal(sql, args, fmts)) if sql.nonEmpty =>
             val df = if (args.isEmpty) spark.sql(sql) else Prepared.execute(spark, sql, args)
             if (df.schema.isEmpty) {
               df.collect()
@@ -277,7 +283,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
               openPortals(name) = o
               Some(o)
             }
-          case _ => out.emptyQueryResponse(); None
+          case Some(_) => out.emptyQueryResponse(); None
+          case None => // PG replies 34000 rather than staying silent
+            out.errorResponse("34000", s"""portal "$name" does not exist""")
+            None
         }
       }
       op.foreach { o =>
@@ -316,13 +325,16 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     try {
       val schema = spark.table(table).schema
       out.copyInResponse(schema.size); out.flush()
-      val buf = new StringBuilder
+      // accumulate BYTES and decode once: clients chunk CopyData at
+      // arbitrary byte boundaries, so per-message decoding would tear
+      // multi-byte UTF-8 characters into replacement chars
+      val buf = new java.io.ByteArrayOutputStream()
       var done = false
       var failed = false
       while (!done) {
         val m = PgWire.readMessage(in)
         m.tag match {
-          case 'd' => buf.append(new String(m.body, UTF_8))
+          case 'd' => buf.write(m.body)
           case 'c' => done = true
           case 'f' => done = true; failed = true
           case _   => // Flush/Sync interleaved: ignore
@@ -335,8 +347,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val targetCols =
         if (colList == null || colList.trim.isEmpty) schema.fieldNames.toSeq
         else colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-      val lines = buf.toString.split("\n").iterator
-        .map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+      val text = new String(buf.toByteArray, UTF_8)
+      val lines = splitRecords(text, csv)
       val parsed = lines.map(l => if (csv) parseCsvLine(l) else parseTextLine(l))
       // strings -> Rows in target-column order, NULL for unlisted cols
       val rows = parsed.map { fields =>
@@ -358,6 +370,27 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       case NonFatal(e) =>
         out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
     }
+  }
+
+  /** Split the COPY payload into records: newlines terminate records,
+    * but in CSV mode a newline INSIDE a quoted field is data, and an
+    * empty line is a legitimate record (one empty/null field) — only
+    * the final terminator is dropped. */
+  private def splitRecords(text: String, csv: Boolean): Seq[String] = {
+    if (text.isEmpty) return Nil
+    val recs = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (csv && c == '"') { inQ = !inQ; sb += c }
+      else if (c == '\n' && !inQ) { recs += sb.toString.stripSuffix("\r"); sb.clear() }
+      else sb += c
+      i += 1
+    }
+    if (sb.nonEmpty) recs += sb.toString.stripSuffix("\r") // no trailing newline
+    recs.toSeq
   }
 
   /** PG text format: tab-separated, \\N = null, backslash escapes. */
@@ -464,8 +497,17 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       val schema = spark.sql(Prepared.rewrite(sql).replaceAll(":p\\d+", "NULL")).schema
       if (schema.isEmpty) out.noData()
-      else out.rowDescription(
-        schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))), resultFormats)
+      else {
+        // degrade requested-binary columns without a binary form to text
+        // so the advertised format matches what encodeRow emits
+        val effective = schema.fields.indices.map { i =>
+          val req = if (resultFormats.isEmpty) 0
+            else resultFormats(i % resultFormats.size)
+          if (req == 1 && PgWire.binaryCapable(schema(i).dataType)) 1 else 0
+        }
+        out.rowDescription(
+          schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))), effective)
+      }
     } catch { case NonFatal(_) => out.noData() }
 
   private def runQuery(out: PgWire.Out, sql: String, args: Seq[Any],

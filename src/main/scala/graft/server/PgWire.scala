@@ -155,6 +155,18 @@ object PgWire {
   private val PgEpochDay = 10957L
   private val PgEpochMicros = 946684800000000L
 
+  /** Types with a real PG binary wire form in [[encodeBinary]]; for
+    * anything else a requested binary format silently degrades to text
+    * (and the RowDescription must say so, or binary-mode clients will
+    * mis-parse the bytes). */
+  def binaryCapable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType => true
+    case _: TimestampType    => true
+    case _: DecimalType      => true
+    case _                   => false
+  }
+
   /** Binary (format code 1) result encodings for the scalar oids the
     * text path maps (types.rs:128-340's binary half). Types without a
     * defined binary form here fall back to their text bytes, matching

@@ -90,8 +90,14 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // fire once no on-time event can extend the session
-              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+              // fire once no on-time event can extend the session; a
+              // late-but-undropped event can put end+gap BEHIND the
+              // watermark, and Spark rejects timeouts in the past —
+              // clamp to just above the current watermark so the
+              // session still flushes on the next batch
+              val wanted = s.endUs / 1000L + gapMinutes * 60L * 1000L
+              state.setTimeoutTimestamp(
+                math.max(wanted, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

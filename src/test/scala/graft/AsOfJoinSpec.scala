@@ -72,4 +72,29 @@ class AsOfJoinSpec extends GraftSuite {
       l.contains("Exchange hashpartitioning(k"))
     assert(shuffles <= 2, s"too many key shuffles ($shuffles):\n$p")
   }
+  test("NULL in the matched right row is preserved, not papered over") {
+    import java.lang.{Long => JLong}
+    val q = Seq[(Long, Long, JLong)]((1L, 1L, JLong.valueOf(10L)), (1L, 2L, null))
+      .toDF("k", "ts", "px")
+    val t = Seq((1L, 3L, 100L)).toDF("k", "ts", "trade_id")
+    val row = AsOfJoin.leftAsOf(t, q, "k", "ts")
+      .select("px", "matched_ts").head()
+    // the as-of match is the ts=2 quote whose px IS null
+    assert(row.isNullAt(0), s"expected null px, got ${row}")
+    assert(row.getLong(1) == 2L)
+  }
+
+  test("timestamp ts columns: tolerance is microseconds") {
+    val base = 1700000000000L
+    val q = Seq((1L, new java.sql.Timestamp(base), 10L))
+      .toDF("k", "ts", "px")
+    val t = Seq((1L, new java.sql.Timestamp(base + 3000L), 100L)) // +3s
+      .toDF("k", "ts", "trade_id")
+    // 5-second tolerance (micros): the 3s-old quote is fresh
+    val fresh = AsOfJoin.leftAsOf(t, q, "k", "ts", tolerance = 5000000L).head()
+    assert(!fresh.isNullAt(fresh.fieldIndex("px")))
+    // 1-second tolerance: stale
+    val stale = AsOfJoin.leftAsOf(t, q, "k", "ts", tolerance = 1000000L).head()
+    assert(stale.isNullAt(stale.fieldIndex("px")))
+  }
 }
