@@ -16,7 +16,7 @@ import graft.{QDef, Tables}
   */
 object TextOps {
 
-  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06)
+  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -154,6 +154,72 @@ object TextOps {
           size(array_distinct(col("sub"))).as("n_distinct"),
           when(col("n_words") === 0, lit(null).cast("double"))
             .otherwise(size(col("sub")).cast("double") / col("n_words")).as("fertility"))
+        .orderBy(col("doc_id"))
+    }
+  }
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1
+    * family, thresholds scaled to this corpus): per-document boolean
+    * rule columns + the overall keep decision — the filtering pass a
+    * pretraining pipeline runs before dedup. Every rule is counting
+    * arithmetic over tokens/characters, so the oracle is exact.
+    *
+    * Rules: token count in [30, 50k] (Gopher's 50-word floor scaled to this corpus's 10-99 token range so the rule actually fires); mean token length in [2, 12];
+    * symbol-to-token ratio < 0.5 (#, %, $, @); ellipsis-started line
+    * ratio <= 0.3; alpha-token ratio >= 0.6 (tokens containing a
+    * letter).
+    */
+  private val t07 = {
+    QDef(
+      "t07_gopher_rules",
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         |    length(replace(text, ' ', '')) AS n_nonspace,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        x -> regexp_matches(x, '[#%$$@]'))) AS n_symbol,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        x -> regexp_matches(x, '\\p{L}'))) AS n_alpha,
+         |    len(list_filter(regexp_split_to_array(text, '\n'), l -> l LIKE '...%')) AS n_ellipsis,
+         |    len(regexp_split_to_array(text, '\n')) AS n_lines
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  (n_tokens >= 30 AND n_tokens <= 50000) AS ok_n_tokens,
+         |  (n_tokens > 0 AND CAST(n_nonspace AS DOUBLE) / n_tokens >= 2.0
+         |               AND CAST(n_nonspace AS DOUBLE) / n_tokens <= 12.0) AS ok_token_len,
+         |  (n_tokens > 0 AND CAST(n_symbol AS DOUBLE) / n_tokens < 0.5) AS ok_symbols,
+         |  (n_lines = 0 OR CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3) AS ok_ellipsis,
+         |  (n_tokens > 0 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.6) AS ok_alpha,
+         |  ((n_tokens >= 30 AND n_tokens <= 50000)
+         |    AND (n_tokens > 0 AND CAST(n_nonspace AS DOUBLE) / n_tokens >= 2.0
+         |                      AND CAST(n_nonspace AS DOUBLE) / n_tokens <= 12.0)
+         |    AND (n_tokens > 0 AND CAST(n_symbol AS DOUBLE) / n_tokens < 0.5)
+         |    AND (n_lines = 0 OR CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3)
+         |    AND (n_tokens > 0 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.6)) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val df = Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+        .withColumn("n_symbol",
+          size(filter(toks, t => t.rlike("[#%$@]"))))
+        .withColumn("n_alpha",
+          size(filter(toks, t => t.rlike("\\p{L}"))))
+        .withColumn("n_ellipsis",
+          size(filter(split(col("text"), "\n"), l => l.startsWith("..."))))
+        .withColumn("n_lines", size(split(col("text"), "\n")))
+      val meanLen = col("n_nonspace").cast("double") / col("n_tokens")
+      val okTokens = col("n_tokens") >= 30 && col("n_tokens") <= 50000
+      val okLen = col("n_tokens") > 0 && meanLen >= 2.0 && meanLen <= 12.0
+      val okSym = col("n_tokens") > 0 &&
+        col("n_symbol").cast("double") / col("n_tokens") < 0.5
+      val okEll = col("n_lines") === 0 ||
+        col("n_ellipsis").cast("double") / col("n_lines") <= 0.3
+      val okAlpha = col("n_tokens") > 0 &&
+        col("n_alpha").cast("double") / col("n_tokens") >= 0.6
+      df.select(col("doc_id"), col("n_tokens"),
+          okTokens.as("ok_n_tokens"), okLen.as("ok_token_len"),
+          okSym.as("ok_symbols"), okEll.as("ok_ellipsis"),
+          okAlpha.as("ok_alpha"),
+          (okTokens && okLen && okSym && okEll && okAlpha).as("keep"))
         .orderBy(col("doc_id"))
     }
   }
