@@ -21,14 +21,16 @@ object Scratch {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val d = "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions._
-    val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
-    val df = Tables.documents(spark, d)
-      .select(col("doc_id"), size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
-      .orderBy(col("doc_id"))
-    df.limit(5).collect().foreach(r => println(s"[scratch] ${r.getLong(0)} ${r.getInt(1)}"))
-    println(s"[scratch] total ${df.agg(sum(col("n"))).head().getLong(0)}")
+    graft.functions.SketchFunctions.registerAll(spark)
+    // current d01 (two sketch passes)
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scratch] $label%-28s ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
+    }
+    timed("d01 current")(SparkEntry.queries("d01_minhash_lsh_pairs")(spark, d).count())
+    timed("d01 current again")(SparkEntry.queries("d01_minhash_lsh_pairs")(spark, d).count())
     spark.stop()
   }
 }

@@ -118,4 +118,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(1L, 2L, 3L))
     } finally query.stop()
   }
+  test("eventsFileStream: file-source stream aggregates a landing zone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    fixture.take(4).toDS().toDF().write.mode("overwrite").parquet(dir)
+    val stream = StreamingOps.eventsFileStream(spark, dir)
+      .groupBy().count() // complete-mode global count
+    val query = stream.writeStream.format("memory")
+      .queryName("file_stream_out").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("file_stream_out").head().getLong(0) == 4L)
+      // a new file landing in the zone is picked up incrementally
+      fixture.drop(4).toDS().toDF().write.mode("append").parquet(dir)
+      query.processAllAvailable()
+      assert(spark.table("file_stream_out").head().getLong(0) == fixture.length.toLong)
+    } finally query.stop()
+  }
 }
