@@ -123,12 +123,16 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         val m = try PgWire.readMessage(in) catch { case _: EOFException => return }
         m.tag match {
           case 'Q' =>
-            val sql = PgWire.cstrings(m.body).headOption.getOrElse("").trim
-            if (sql.isEmpty) out.emptyQueryResponse()
-            else sql match {
+            // the simple protocol allows multiple ;-separated statements
+            // per message (psql sends its whole buffer); each gets its
+            // own result cycle, then ONE ReadyForQuery
+            val raw = PgWire.cstrings(m.body).headOption.getOrElse("").trim
+            val stmts = splitStatements(raw)
+            if (stmts.isEmpty) out.emptyQueryResponse()
+            else stmts.foreach {
               case CopyInRe(table, _, cols, opts) => copyIn(out, in, table, cols, opts)
               case CopyRe(source, opts)           => copyOut(out, source, opts)
-              case _ => runQuery(out, sql, Nil, describeOnly = false)
+              case one => runQuery(out, one, Nil, describeOnly = false)
             }
             out.readyForQuery(); out.flush()
           case 'P' => // Parse: name, query, param type oids
@@ -534,6 +538,31 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       case NonFatal(e) =>
         out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
     }
+
+  /** Split a simple-query buffer into statements on semicolons that
+    * are outside single/double quotes and dollar-quoted strings are not
+    * supported by Spark SQL anyway; empty fragments are dropped. */
+  private def splitStatements(raw: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    var inS = false // '...'
+    var inD = false // "..."
+    var i = 0
+    while (i < raw.length) {
+      val c = raw(i)
+      c match {
+        case '\'' if !inD => inS = !inS; sb += c
+        case '"' if !inS  => inD = !inD; sb += c
+        case ';' if !inS && !inD =>
+          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+          sb.clear()
+        case _ => sb += c
+      }
+      i += 1
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq
+  }
 
   /** Cancelled Spark jobs surface as PG 57014 (query_canceled). */
   private def sqlStateOf(e: Throwable): String = {
