@@ -20,7 +20,7 @@ import graft.util.Det._
 object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -438,5 +438,58 @@ object Relational {
       .groupBy(col("p_brand"), upper(substring(col("p_name"), 1, 5)).as("prefix"))
       .agg(count(lit(1)).as("n"), min(length(col("p_name"))).as("min_len"))
       .orderBy(col("p_brand"), col("prefix"))
+  }
+  /** Window-function breadth: ntile, percent_rank, cume_dist, lead, and
+    * nth_value with an explicit full frame (the default frames differ
+    * between engines for nth_value, so the frame is pinned in both).
+    * One shuffle on the partition key, as any per-key ordering. */
+  private val q27 = QDef(
+    "q27_window_suite",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(ntile(3) OVER w AS BIGINT) AS tile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  nth_value(l_quantity, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_qty
+      |FROM lineitem WHERE l_orderkey < 800
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 800)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ntile(3).over(w).cast("long").as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        nth_value(col("l_quantity"), 2).over(wf).as("second_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** LATERAL correlated subquery: per order, its top-2 lineitems by
+    * price — the decorrelated per-group top-k shape (one shuffle on the
+    * correlation key after decorrelation, not a per-row re-scan). */
+  private val q28 = QDef(
+    "q28_lateral_topk",
+    """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+      |         WHERE l_orderkey = o.o_orderkey
+      |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+      |WHERE o.o_orderkey < 400
+      |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_q28")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q28")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders_q28 o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem_q28
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_orderkey < 400
+        |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
   }
 }
