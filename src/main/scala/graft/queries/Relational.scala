@@ -20,7 +20,7 @@ import graft.util.Det._
 object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -491,5 +491,30 @@ object Relational {
         |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
         |WHERE o.o_orderkey < 400
         |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
+  }
+  /** Explicit GROUPING SETS (beyond q24's CUBE/q09's ROLLUP) with a
+    * paginated ORDER BY ... LIMIT/OFFSET on top — the external-sort +
+    * top-k + offset shape. Fully deterministic ordering before the
+    * offset, so both engines page identically. */
+  private val q29 = QDef(
+    "q29_grouping_sets_offset",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+       |LIMIT 5 OFFSET 2""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q29")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem_q29
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+         |LIMIT 5 OFFSET 2""".stripMargin)
   }
 }
