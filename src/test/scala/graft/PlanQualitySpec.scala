@@ -93,4 +93,8 @@ class PlanQualitySpec extends GraftSuite {
     assert(!bandExchanges.exists(_.matches(".*(?<![a-zA-Z])sh#.*")),
       s"banding shuffle carries shingle arrays:\n${bandExchanges.mkString}")
   }
+  test("q28 lateral top-k decorrelates, no per-row re-scan") {
+    val p = planOf("q28_lateral_topk")
+    assert(!p.contains("CartesianProduct"), s"lateral degenerated:\n$p")
+  }
 }
