@@ -16,7 +16,7 @@ import graft.{QDef, Tables}
   */
 object TextOps {
 
-  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -222,5 +222,27 @@ object TextOps {
           (okTokens && okLen && okSym && okEll && okAlpha).as("keep"))
         .orderBy(col("doc_id"))
     }
+  }
+  /** Deterministic train/eval split by content hash — the held-out-set
+    * assignment a pretraining pipeline needs to be REPRODUCIBLE and
+    * content-stable (same doc → same split on any cluster, any
+    * partitioning, any day; exact duplicates land in the same split so
+    * eval never leaks a training dup). First hex digit of md5(text)
+    * in {0,1,2} → eval ≈ 3/16 of the corpus. */
+  private val t08 = QDef(
+    "t08_train_eval_split",
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN substring(md5(text), 1, 1) IN ('0','1','2')
+      |         THEN 'eval' ELSE 'train' END AS split
+      |  FROM documents)
+      |SELECT lang, split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("text")), 1, 1).isin("0", "1", "2"), "eval")
+          .otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("split"))
   }
 }
