@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered query definitions, in module order. */
   def allDefs: Seq[QDef] =
-    Relational.defs ++ Events.defs ++ TextOps.defs ++
+    Relational.defs ++ Events.defs ++ TextOps.defs ++ JoinOps.defs ++
       DedupOps.defs ++ VectorOps.defs ++ Spatial.defs ++ PgCatalog.defs ++
       Multimedia.defs
 
