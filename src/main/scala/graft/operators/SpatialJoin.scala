@@ -40,15 +40,19 @@ object SpatialJoin {
   def grid(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String,
       predicate: String, distance: Double = 0.0,
-      cells: Int = 64, adaptive: Boolean = true): DataFrame = {
+      cells: Int = -1, adaptive: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     SpatialFunctions.registerAll(spark)
+    // conf-driven defaults (spark.graft.spatial_join.*), the analogue
+    // of the reference's dataclod.spatial_join.* namespace
+    val nCells = graft.spatial.GraftConf.spatialCells(spark, cells)
+    val useAdaptive = adaptive && graft.spatial.GraftConf.spatialAdaptive(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
 
     val scheme =
-      (if (adaptive) kdbScheme(left, right, leftGeom, rightGeom, cells)
-       else uniformScheme(left, right, leftGeom, rightGeom, cells)) match {
+      (if (useAdaptive) kdbScheme(left, right, leftGeom, rightGeom, nCells)
+       else uniformScheme(left, right, leftGeom, rightGeom, nCells)) match {
         case Some(s) => s
         case None    => return left.limit(0).crossJoin(right.limit(0))
       }

@@ -156,11 +156,11 @@ object SpatialJoinStrategy extends SparkStrategy {
   import SpatialJoinPlans._
 
   /** Max bytes we are willing to collect+index on the build side; above
-    * this, fall through to Spark (or use the grid-partitioned API). */
-  private def buildLimit: Long = {
-    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    if (thr > 0) thr * 8 else 256L << 20
-  }
+    * this, fall through to Spark (or use the grid-partitioned API).
+    * Overridable via spark.graft.spatial_join.build_limit_bytes. */
+  private def buildLimit: Long =
+    graft.spatial.GraftConf.buildLimitBytes(
+      org.apache.spark.sql.SparkSession.active)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left, right, joinType @ (Inner | LeftSemi | LeftAnti | LeftOuter),
@@ -221,6 +221,8 @@ final case class BroadcastSpatialJoinExec(
     copy(left = l, right = r)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val sampleSize = graft.spatial.GraftConf.speculativeSample(
+      org.apache.spark.sql.SparkSession.active)
     val buildRows: Array[InternalRow] = right.executeCollect().map(_.copy())
     val bc: Broadcast[Array[InternalRow]] = sparkContext.broadcast(buildRows)
     val rGeomBound = BindReferences.bindReference(rightGeom, right.output)
@@ -246,7 +248,7 @@ final case class BroadcastSpatialJoinExec(
       val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow()
       val nullRight = new GenericInternalRow(rightWidth)
-      val refiner = new SpeculativeRefiner(predicate)
+      val refiner = new SpeculativeRefiner(predicate, sampleSize)
 
       iter.flatMap { probeRow =>
         val wkb = lGeomBound.eval(probeRow).asInstanceOf[Array[Byte]]
@@ -296,8 +298,9 @@ final class BuildEntry(val geom: JtsGeometry, val row: InternalRow) {
   * instance per task — no cross-task coordination, identical results
   * either way (only the evaluation strategy differs).
   */
-final class SpeculativeRefiner(pred: SpatialJoinPlans.SpatialPredicate) {
-  private val SampleSize = 100
+final class SpeculativeRefiner(pred: SpatialJoinPlans.SpatialPredicate,
+    sampleSize: Int = 100) {
+  private val SampleSize = sampleSize
   private var sampled = 0
   private var plainNanos = 0L
   private var prepNanos = 0L

@@ -153,4 +153,32 @@ class SpatialJoinSpec extends GraftSuite {
       .select("p_id", "b_id").as[(Long, Long)].collect().toSet
     assert(viaExec == brute && brute.nonEmpty)
   }
+  test("spark.graft.spatial_join.* conf knobs are honored") {
+    // build_limit_bytes = 1 forces the strategy to fall through to
+    // Spark's own join (BNLJ) instead of the broadcast R-tree exec
+    spark.conf.set("spark.graft.spatial_join.build_limit_bytes", "1")
+    try {
+      val joined = pts.join(boxes, expr("st_within(p_geom, b_geom)"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastSpatialJoin"),
+        s"build limit conf ignored:\n$plan")
+      // results still correct through the fallback path
+      assert(joined.select("p_id", "b_id").as[(Long, Long)].collect().toSet == bruteInner)
+    } finally spark.conf.unset("spark.graft.spatial_join.build_limit_bytes")
+    // after unset the exec is planned again
+    val again = pts.join(boxes, expr("st_within(p_geom, b_geom)"))
+    assert(again.queryExecution.executedPlan.toString.contains("BroadcastSpatialJoin"))
+
+    // adaptive=false via conf: grid() must still be correct (uniform)
+    spark.conf.set("spark.graft.spatial_join.adaptive", "false")
+    spark.conf.set("spark.graft.spatial_join.cells", "16")
+    try {
+      val grid = SpatialJoin.grid(pts, boxes, "p_geom", "b_geom", "st_within")
+        .select("p_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(grid == bruteInner)
+    } finally {
+      spark.conf.unset("spark.graft.spatial_join.adaptive")
+      spark.conf.unset("spark.graft.spatial_join.cells")
+    }
+  }
 }
