@@ -14,6 +14,18 @@ run / fork := true
 // forked run output goes straight to stdout (no "[info] " logger
 // prefix) so Bench's single JSON line is machine-parseable
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress the trailing "[success] Total time: ..." banner so the
+// JSON line is the LAST stdout line (driver parses the tail).
+ThisBuild / showSuccess := false
+// Real-engine federation e2e: the duckdb JDBC driver sits in the pre-warmed
+// coursier cache; reference it as an unmanaged test jar (no resolution
+// needed, so the offline rule holds). FederationSpec skips gracefully if
+// the jar or its native lib is unavailable.
+Test / unmanagedJars ++= {
+  val j = file(sys.props("user.home")) /
+    ".cache/coursier/v1/mirror/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
+  if (j.exists) Seq(Attributed.blank(j)) else Seq.empty
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,6 +28,20 @@ object DedupOps {
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
 
+  /** Cross-engine 64-bit hash: the top 60 bits of md5 as a non-negative
+    * BIGINT. Spark and DuckDB agree bit-for-bit (md5 hex is identical in
+    * both — t04/t08 prove it — and 15 hex digits fit a signed long), so
+    * sketches built on it can be hash-compared against the DuckDB
+    * oracle. xxhash64 stays the production hash where the output doesn't
+    * expose hash values (d01's verify-stage Jaccard); h64 is used where
+    * it does (d02 hamming, d05 fingerprints). */
+  private def h64E(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB mirror of [[h64E]]. */
+  private def sqlH64(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
   /** Let-binding via a single-element transform: evaluates `bound` once
     * and exposes it to `body` as lambda variable `v`. Without this,
     * CollapseProject inlines a subexpression into every lambda that
@@ -117,10 +131,34 @@ object DedupOps {
   }
 
   /** SimHash (Charikar 2002): 64-bit token-majority fingerprint, then
-    * hamming-≤3 candidate pairs via 4×16-bit chunk pigeonhole. */
-  private val d02 = QDef.noOracle("d02_simhash_pairs") { (s, d) =>
+    * hamming-≤3 candidate pairs via 4×16-bit chunk pigeonhole. The
+    * pigeonhole is recall-COMPLETE for the ≤3 gate (4 chunks, ≤3
+    * differing bits → some chunk is untouched), so the output equals
+    * the brute-force all-pairs answer and a DuckDB oracle can verify it
+    * exactly; token hashes are md5-derived ([[h64E]]) for the same
+    * reason. Bits 60-63 of the fingerprint are structurally 0 (60-bit
+    * hashes → majority of zero ones), identically in both engines. */
+  private val d02 = QDef(
+    "d02_simhash_pairs",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> ${sqlH64("t")}) AS hs
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE
+       |    CAST(list_sum(list_transform(range(0, 60), b ->
+       |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) >= len(hs)
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+       |    END AS sh
+       |  FROM tk)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     graft.functions.SketchFunctions.registerAll(s)
-    val simE = s"simhash64(transform($toksE, t -> xxhash64(t)))"
+    val simE = s"simhash64(transform($toksE, t -> ${h64E("t")}))"
     val sim = Tables.documents(s, d)
       .select(col("doc_id"), expr(simE).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
@@ -239,13 +277,37 @@ object DedupOps {
     * hashes, window-5 minima, distinct sorted fingerprint set. The
     * driver comparator can't sort array columns, so the set is reported
     * through order-independent scalar digests (count / min / max / xor);
-    * the full set is asserted in DedupVectorSpec. */
-  private val d05 = QDef.noOracle("d05_winnow_fingerprints") { (s, d) =>
+    * the full set is asserted in DedupVectorSpec. Gram hashes are
+    * md5-derived ([[h64E]]) so the DuckDB oracle reproduces the exact
+    * fingerprint values. */
+  private val d05 = QDef(
+    "d05_winnow_fingerprints",
+    s"""WITH tk AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 4
+       |    THEN list_transform(range(1, len(tk) - 2),
+       |           i -> ${sqlH64("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]")})
+       |    ELSE [${sqlH64("text")}] END AS gr
+       |  FROM tk),
+       |f AS (
+       |  SELECT doc_id, CASE WHEN len(gr) >= 5
+       |    THEN list_sort(list_distinct(list_transform(range(1, len(gr) - 3),
+       |           j -> list_aggregate(gr[j:j+4], 'min'))))
+       |    ELSE [list_aggregate(gr, 'min')] END AS fp
+       |  FROM g)
+       |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+       |  list_aggregate(fp, 'min') AS fp_min,
+       |  list_aggregate(fp, 'max') AS fp_max,
+       |  list_reduce(fp, (a, b) -> xor(a, b)) AS fp_xor
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
     val gramsE = bind(toksE, "tk")(tk =>
       s"""CASE WHEN size($tk) >= 4
          |  THEN transform(sequence(0, size($tk) - 4),
-         |         i -> xxhash64(array_join(slice($tk, i + 1, 4), ' ')))
-         |  ELSE array(xxhash64(text)) END""".stripMargin)
+         |         i -> ${h64E(s"array_join(slice($tk, i + 1, 4), ' ')")})
+         |  ELSE array(${h64E("text")}) END""".stripMargin)
     val fpsE = bind(gramsE, "gr")(gr =>
       s"""CASE WHEN size($gr) >= 5
          |  THEN array_sort(array_distinct(transform(sequence(0, size($gr) - 5),

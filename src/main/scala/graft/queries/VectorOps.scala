@@ -82,21 +82,52 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Hyperplane matrix for v03: 8 hyperplanes × 64 components, each
+    * ~ U(-1, 1) on a 1/1000 grid, derived from the splitmix64 finalizer
+    * of the flat index — a fixed index parameter (like v05's centroid
+    * ids), injected as LITERALS on the Spark side (zero per-row cost;
+    * Catalyst folds them into codegen constants) and as the raw integer
+    * grid in the oracle SQL, where DuckDB rebuilds the identical
+    * doubles via the same exact-integer-by-1000.0 IEEE division. */
+  private val hpGrid: Array[Array[Long]] = Array.tabulate(8, 64) { (p, i) =>
+    Math.floorMod(graft.functions.SketchKernels.mix(p * 64L + i + 1L), 2001L)
+  }
+  private val hp: Array[Array[Double]] =
+    hpGrid.map(_.map(k => (k - 1000L).toDouble / 1000.0))
+
   /** Random-hyperplane LSH (Charikar 2002) ANN: 8-bit signs of dots
-    * with hash-seeded pseudo-random hyperplanes → bucket equi-join →
-    * exact cosine re-rank within bucket. The scale path: replaces the
-    * full scan with a shuffle on the bucket key. */
-  private val v03 = QDef.noOracle("v03_knn_lsh") { (s, d) =>
-    // hyperplane p, component i ~ U(-1, 1), derived deterministically
-    // from xxhash64(p, i) — no RNG state to distribute.
-    val bucketE =
-      """aggregate(transform(sequence(0, 7), p ->
-        |  IF(aggregate(zip_with(emb,
-        |       transform(sequence(0, 63), i -> (CAST(pmod(xxhash64(p, i), 2001) AS DOUBLE) - 1000.0) / 1000.0),
-        |       (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0,
-        |     shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
-        |  CAST(0 AS BIGINT), (acc, v) -> acc | v)""".stripMargin
-    val e = embeddings(s, d).withColumn("bucket", expr(bucketE))
+    * with fixed pseudo-random hyperplanes → bucket equi-join → exact
+    * cosine re-rank within bucket. The scale path: replaces the full
+    * scan with a shuffle on the bucket key. */
+  private val v03 = QDef(
+    "v03_knn_lsh", {
+      val hpLit = hpGrid.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
+      def hdot(emb: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * h.v[i]))"
+      s"""WITH hpm AS (
+         |  SELECT p, list_transform(($hpLit)[p + 1],
+         |           k -> CAST(k - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS v
+         |  FROM range(0, 8) t(p)),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |b AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${hdot("e.embedding")} > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, hpm h GROUP BY e.vec_id),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id)),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket,
+         |    ${sqlDot("q.embedding", "c.embedding")} /
+         |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM p)
+         |SELECT q_id, vec_id, sim, rank, bucket FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, d) =>
+    val bucket = (0 until 8).map { p =>
+      when(dot("emb", s"array(${hp(p).map(v => s"${v}D").mkString(",")})") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = embeddings(s, d).withColumn("bucket", bucket)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -108,6 +139,36 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("sim"), col("rank"), col("bucket"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Shared IVF coarse quantizer (v04/v05/v06): centroids are the
+    * embeddings of 8 fixed vec_ids (100-107) — data-derived and
+    * deterministic, so the DuckDB oracle replicates the assignment
+    * bit-exactly. Returns (vec_id, list_id, emb). */
+  private def ivfAssign(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+  }
+
+  /** DuckDB mirror of [[ivfAssign]] — CTE prefix shared by v04/v05/v06
+    * oracle SQL (`assign` = vec_id, list_id, embedding). */
+  private val sqlIvfCtes =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |      WHERE vec_id BETWEEN 100 AND 107),
+       |asgr AS (
+       |  SELECT e.vec_id, c.c_id, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlDot("e.embedding", "c.c_emb")} /
+       |        (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+       |      c.c_id) AS cr
+       |  FROM e JOIN c ON true),
+       |assign AS (SELECT vec_id, c_id AS list_id, embedding FROM asgr WHERE cr = 1)""".stripMargin
 
   /** IVF (inverted-file) ANN — the cluster-then-probe scale path the
     * brute-force scan graduates to: a coarse quantizer assigns every
@@ -121,17 +182,7 @@ object VectorOps {
     * hot lists), and probes touch ~nprobe/K of the corpus. */
   private val v05 = QDef(
     "v05_knn_ivf",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-       |      WHERE vec_id BETWEEN 100 AND 107),
-       |asgr AS (
-       |  SELECT e.vec_id, c.c_id, e.embedding,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |      ${sqlDot("e.embedding", "c.c_emb")} /
-       |        (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
-       |      c.c_id) AS cr
-       |  FROM e JOIN c ON true),
-       |assign AS (SELECT vec_id, c_id AS list_id, embedding FROM asgr WHERE cr = 1),
+    s"""$sqlIvfCtes,
        |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
        |probel AS (
        |  SELECT pr.q_id, c.c_id, pr.q_emb,
@@ -153,12 +204,7 @@ object VectorOps {
     val e = embeddings(s, d)
     val cents = e.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+    val assign = ivfAssign(e)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id"))
@@ -177,66 +223,73 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup CANDIDATES (the decision ranking, not
-    * the v04 profile): blocked by label (the cheap prefilter any
-    * embedding dedup runs — at scale the block key is an LSH/IVF
-    * bucket), exact cosine within blocks, top-3 most-similar pairs per
-    * block. A threshold gate is the production form; the fixture's max
-    * within-label cosine is ~0.47, so the oracle checks the ranking
-    * machinery on the pairs that WOULD be deduped first. */
-  private val v06 = QDef(
-    "v06_embedding_neardup_topk",
-    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-       |p AS (
-       |  SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
-       |    ${sqlDot("a.embedding", "b.embedding")} /
-       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, a, b) AS rnk
-       |      FROM p)
-       |SELECT a, b, label, sim, rnk FROM r WHERE rnk <= 3
-       |ORDER BY label, rnk""".stripMargin) { (s, d) =>
-    val e = embeddings(s, d)
-    val l = e.select(col("label"), col("vec_id").as("a"), col("emb").as("emb_a"))
-    val r = e.select(col("label"), col("vec_id").as("b"), col("emb").as("emb_b"))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("sim").desc, col("a"), col("b"))
-    l.join(r, Seq("label"))
+  /** All-pairs cosine within an IVF list — the shared blocked self-join
+    * behind v04/v06. Blocking on the quantizer list (NOT a metadata
+    * column like `label`) is the 100 TB shape: list sizes are bounded
+    * by the centroid count (the skew knob — split hot lists / re-pick
+    * centroids), so per-block pair work is O(listSize²) with listSize
+    * under the pipeline's control, never O(corpus²/blocks). Assignment
+    * is computed ONCE: both join sides come from one
+    * repartition(list_id) subtree and the shuffle_hash hint keeps AQE
+    * from re-planning the small side as a broadcast (which would
+    * re-run the quantizer). */
+  private def listPairs(s: SparkSession, d: String): DataFrame = {
+    val t = ivfAssign(embeddings(s, d)).repartition(col("list_id"))
+    val l = t.select(col("list_id"), col("vec_id").as("a"), col("emb").as("emb_a"))
+    val r = t.select(col("list_id"), col("vec_id").as("b"), col("emb").as("emb_b"))
+    l.hint("shuffle_hash").join(r, Seq("list_id"))
       .where(col("a") < col("b"))
       .withColumn("sim",
         dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("a"), col("b"), col("label"), col("sim"), col("rnk"))
-      .orderBy(col("label"), col("rnk"))
   }
 
-  /** Embedding near-dup profile: per label-block, pair count and max /
+  /** DuckDB mirror of [[listPairs]] (appends to [[sqlIvfCtes]]). */
+  private val sqlListPairs =
+    s"""p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, a.list_id AS list_id,
+       |    ${sqlDot("a.embedding", "b.embedding")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
+       |  FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Embedding-cosine near-dup CANDIDATES (the decision ranking, not
+    * the v04 profile): blocked by the IVF list ([[listPairs]]), exact
+    * cosine within blocks, top-3 most-similar pairs per block. A
+    * threshold gate is the production form; the fixture's max
+    * within-list cosine is well below dup range, so the oracle checks
+    * the ranking machinery on the pairs that WOULD be deduped first. */
+  private val v06 = QDef(
+    "v06_embedding_neardup_topk",
+    s"""$sqlIvfCtes,
+       |$sqlListPairs,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY sim DESC, a, b) AS rnk
+       |      FROM p)
+       |SELECT a, b, list_id, sim, rnk FROM r WHERE rnk <= 3
+       |ORDER BY list_id, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("list_id"))
+      .orderBy(col("sim").desc, col("a"), col("b"))
+    listPairs(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("a"), col("b"), col("list_id"), col("sim"), col("rnk"))
+      .orderBy(col("list_id"), col("rnk"))
+  }
+
+  /** Embedding near-dup profile: per IVF list, pair count and max /
     * high-similarity counts — the aggregation form of cosine dedup
     * (blocked self-join, no driver materialization). */
   private val v04 = QDef(
     "v04_near_dup_profile",
-    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-       |p AS (
-       |  SELECT a.label AS label,
-       |    ${sqlDot("a.embedding", "b.embedding")} /
-       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT label, COUNT(*) AS n_pairs,
+    s"""$sqlIvfCtes,
+       |$sqlListPairs
+       |SELECT list_id, COUNT(*) AS n_pairs,
        |  CAST(COUNT(*) FILTER (WHERE sim > 0.3) AS BIGINT) AS n_similar,
        |  MAX(sim) AS max_sim
-       |FROM p GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-    val e = embeddings(s, d)
-    val l = e.select(col("label"), col("vec_id").as("a"), col("emb").as("emb_a"))
-    val r = e.select(col("label"), col("vec_id").as("b"), col("emb").as("emb_b"))
-    l.join(r, Seq("label"))
-      .where(col("a") < col("b"))
-      .withColumn("sim",
-        dot("emb_a", "emb_b") / (norm("emb_a") * norm("emb_b")))
-      .groupBy(col("label"))
+       |FROM p GROUP BY list_id ORDER BY list_id""".stripMargin) { (s, d) =>
+    listPairs(s, d)
+      .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("sim") > 0.3, 1L).otherwise(0L)).as("n_similar"),
         max(col("sim")).as("max_sim"))
-      .orderBy(col("label"))
+      .orderBy(col("list_id"))
   }
 }
