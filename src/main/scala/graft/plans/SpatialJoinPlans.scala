@@ -163,30 +163,48 @@ object SpatialJoinStrategy extends SparkStrategy {
       org.apache.spark.sql.SparkSession.active)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, joinType @ (Inner | LeftSemi | LeftAnti | LeftOuter),
-        Some(cond), _) =>
+    case Join(left, right, joinType @ (Inner | LeftSemi | LeftAnti | LeftOuter |
+        RightOuter | FullOuter), Some(cond), _) =>
       extract(cond, left.output, right.output) match {
         case Some(ex) =>
           val lSize = left.stats.sizeInBytes
           val rSize = right.stats.sizeInBytes
           val limit = BigInt(buildLimit)
+          def swappedPred = ex.pred match {
+            case r: Relation => r.inverted
+            case d           => d
+          }
+          // build on LEFT, probe with RIGHT (side-swap by stats; the
+          // reference's physical_planner.rs:128-136)
+          def swapped(jt: JoinType) = BroadcastSpatialJoinExec(
+            planLater(right), planLater(left),
+            ex.rightGeom, ex.leftGeom, swappedPred, jt)
+          def direct(jt: JoinType) = BroadcastSpatialJoinExec(
+            planLater(left), planLater(right),
+            ex.leftGeom, ex.rightGeom, ex.pred, jt)
+          def project(out: Seq[Attribute], child: SparkPlan) =
+            org.apache.spark.sql.execution.ProjectExec(out, child) :: Nil
+          val nullableL = left.output.map(_.withNullability(true))
+          val nullableR = right.output.map(_.withNullability(true))
           joinType match {
             // inner joins may build on either side: pick the smaller
-            // (the reference's swap-by-stats, physical_planner.rs:128-136)
             case Inner if lSize < rSize && lSize <= limit =>
-              val swappedPred = ex.pred match {
-                case r: Relation => r.inverted
-                case d           => d
-              }
-              val exec = BroadcastSpatialJoinExec(
-                planLater(right), planLater(left),
-                ex.rightGeom, ex.leftGeom, swappedPred, Inner)
-              org.apache.spark.sql.execution.ProjectExec(
-                left.output ++ right.output, exec) :: Nil
-            case _ if rSize <= limit =>
-              BroadcastSpatialJoinExec(
-                planLater(left), planLater(right),
-                ex.leftGeom, ex.rightGeom, ex.pred, joinType) :: Nil
+              project(left.output ++ right.output, swapped(Inner))
+            // RIGHT outer = LEFT outer with sides swapped (unmatched
+            // emission stays on the probe side — no bitmap needed)
+            case RightOuter if lSize <= limit =>
+              project(nullableL ++ right.output, swapped(LeftOuter))
+            // FULL outer tracks matched build rows (the Spark shape of
+            // the reference's unmatched bitmaps, stream.rs:1350-1445);
+            // symmetric, so build on whichever side fits
+            case FullOuter if rSize <= limit && rSize <= lSize =>
+              direct(FullOuter) :: Nil
+            case FullOuter if lSize <= limit =>
+              project(nullableL ++ nullableR, swapped(FullOuter))
+            case FullOuter if rSize <= limit =>
+              direct(FullOuter) :: Nil
+            case Inner | LeftSemi | LeftAnti | LeftOuter if rSize <= limit =>
+              direct(joinType) :: Nil
             case _ => Nil // too big to index-broadcast: Spark fallback
           }
         case None => Nil
@@ -202,8 +220,13 @@ object SpatialJoinStrategy extends SparkStrategy {
   * mode (index/spatial_index.rs:25-130 + stream.rs probe loop).
   *
   * Supports Inner, LeftSemi, LeftAnti, LeftOuter (unmatched-probe
-  * emission; the reference tracks unmatched via bitmaps,
-  * stream.rs:84-90 — here probe-side outer needs only per-row state).
+  * emission needs only per-row state) and FullOuter (build-side
+  * unmatched emission via a matched-index bitset OR-ed across probe
+  * partitions, then a union with the never-matched build rows — the
+  * Spark shape of the reference's unmatched bitmaps,
+  * stream.rs:84-90,1350-1445, and of Spark's own
+  * BroadcastNestedLoopJoinExec.defaultJoin bitset pass). RightOuter is
+  * planned as a side-swapped LeftOuter by [[SpatialJoinStrategy]].
   */
 final case class BroadcastSpatialJoinExec(
     left: SparkPlan, right: SparkPlan,
@@ -214,11 +237,30 @@ final case class BroadcastSpatialJoinExec(
   override def output: Seq[Attribute] = joinType match {
     case LeftSemi | LeftAnti => left.output
     case LeftOuter           => left.output ++ right.output.map(_.withNullability(true))
+    case FullOuter           => left.output.map(_.withNullability(true)) ++
+                                right.output.map(_.withNullability(true))
     case _                   => left.output ++ right.output
   }
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
     copy(left = l, right = r)
+
+  /** Build the per-task probe index from the broadcast rows (entries
+    * keep their index into the full build array so FullOuter can track
+    * matches; null/unparseable build geometries are unmatched by
+    * definition and only surface through the FullOuter union). */
+  private def buildIndex(rows: Array[InternalRow], bound: Expression): STRtree = {
+    val index = new STRtree()
+    var i = 0
+    while (i < rows.length) {
+      val wkb = bound.eval(rows(i)).asInstanceOf[Array[Byte]]
+      val geom = if (wkb == null) null else Geo.fromWkb(wkb)
+      if (geom != null) index.insert(geom.getEnvelopeInternal, new BuildEntry(geom, rows(i), i))
+      i += 1
+    }
+    index.build()
+    index
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val sampleSize = graft.spatial.GraftConf.speculativeSample(
@@ -230,21 +272,11 @@ final case class BroadcastSpatialJoinExec(
     val predicate = pred
     val jt = joinType
     val outputAttrs = output
+    val leftWidth = left.output.size
     val rightWidth = right.output.size
 
-    left.execute().mapPartitions { iter =>
-      // per-task index build from the broadcast rows
-      val entries = bc.value.flatMap { row =>
-        val wkb = rGeomBound.eval(row).asInstanceOf[Array[Byte]]
-        val geom = Geo.fromWkb(wkb)
-        if (geom == null) None else Some(new BuildEntry(geom, row))
-      }
-      val index = new STRtree()
-      entries.foreach { e =>
-        index.insert(e.geom.getEnvelopeInternal, e)
-      }
-      index.build()
-
+    val streamed: RDD[InternalRow] = left.execute().mapPartitions[InternalRow] { iter =>
+      val index = buildIndex(bc.value, rGeomBound)
       val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow()
       val nullRight = new GenericInternalRow(rightWidth)
@@ -255,9 +287,9 @@ final case class BroadcastSpatialJoinExec(
         val probeGeom = if (wkb == null) null else Geo.fromWkb(wkb)
         if (probeGeom == null) {
           jt match {
-            case LeftAnti  => Iterator.single(toUnsafe(probeRow))
-            case LeftOuter => Iterator.single(toUnsafe(joined(probeRow, nullRight)))
-            case _         => Iterator.empty
+            case LeftAnti              => Iterator.single(toUnsafe(probeRow))
+            case LeftOuter | FullOuter => Iterator.single(toUnsafe(joined(probeRow, nullRight)))
+            case _                     => Iterator.empty
           }
         } else {
           val env = new Envelope(probeGeom.getEnvelopeInternal)
@@ -273,20 +305,60 @@ final case class BroadcastSpatialJoinExec(
             }
           }
           jt match {
-            case LeftSemi            => if (any) Iterator.single(toUnsafe(probeRow)) else Iterator.empty
-            case LeftAnti            => if (any) Iterator.empty else Iterator.single(toUnsafe(probeRow))
-            case LeftOuter if !any   => Iterator.single(toUnsafe(joined(probeRow, nullRight)))
+            case LeftSemi          => if (any) Iterator.single(toUnsafe(probeRow)) else Iterator.empty
+            case LeftAnti          => if (any) Iterator.empty else Iterator.single(toUnsafe(probeRow))
+            case (LeftOuter | FullOuter) if !any =>
+              Iterator.single(toUnsafe(joined(probeRow, nullRight)))
             case _ => matches.reverseIterator.map(b => toUnsafe(joined(probeRow, b)))
           }
         }
       }
     }
+
+    if (jt != FullOuter) streamed
+    else {
+      // Second pass: OR together each probe partition's matched-build
+      // bitset (tiny: one bit per build row, build side is broadcast-
+      // bounded), then emit the never-matched build rows null-extended.
+      val matched = left.execute().mapPartitions { iter =>
+        val index = buildIndex(bc.value, rGeomBound)
+        val bits = new java.util.BitSet(bc.value.length)
+        val refiner = new SpeculativeRefiner(predicate, sampleSize)
+        iter.foreach { probeRow =>
+          val wkb = lGeomBound.eval(probeRow).asInstanceOf[Array[Byte]]
+          val probeGeom = if (wkb == null) null else Geo.fromWkb(wkb)
+          if (probeGeom != null) {
+            val env = new Envelope(probeGeom.getEnvelopeInternal)
+            if (predicate.expand > 0) env.expandBy(predicate.expand)
+            val candidates = index.query(env).iterator()
+            while (candidates.hasNext) {
+              val e = candidates.next().asInstanceOf[BuildEntry]
+              if (!bits.get(e.idx) && refiner.refine(probeGeom, e)) bits.set(e.idx)
+            }
+          }
+        }
+        Iterator.single(bits)
+      }.fold(new java.util.BitSet(buildRows.length)) { (a, b) => a.or(b); a }
+
+      val unmatchedIdx = buildRows.indices.filterNot(matched.get)
+      val unmatched = sparkContext
+        .parallelize(unmatchedIdx, 1)
+        .mapPartitions[InternalRow] { idxIter =>
+          val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
+          val joined = new JoinedRow()
+          val nullLeft = new GenericInternalRow(leftWidth)
+          val rows = bc.value
+          idxIter.map(i => toUnsafe(joined(nullLeft, rows(i))))
+        }
+      streamed.union(unmatched)
+    }
   }
 }
 
-/** One build-side row: geometry + lazily prepared form (computed only
-  * if the speculative refiner decides prepared wins). */
-final class BuildEntry(val geom: JtsGeometry, val row: InternalRow) {
+/** One build-side row (+ its index in the broadcast array, for
+  * FullOuter matched tracking): geometry + lazily prepared form
+  * (computed only if the speculative refiner decides prepared wins). */
+final class BuildEntry(val geom: JtsGeometry, val row: InternalRow, val idx: Int) {
   lazy val prepared: PreparedGeometry = PreparedGeometryFactory.prepare(geom)
 }
 

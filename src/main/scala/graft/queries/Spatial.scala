@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -91,6 +91,35 @@ object Spatial {
         col("st.xmax").as("xmax"), col("st.ymax").as("ymax"),
         col("st.n_geoms").as("n_geoms"), col("st.n_points").as("n_points"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** FULL OUTER distance join through the broadcast R-tree exec
+    * (A19 completion: build-side matched-bitmap + unmatched emission):
+    * customers within d=2 of suppliers, with BOTH sides' unmatched rows
+    * null-extended (keys coalesced to -1 so the driver comparator has a
+    * total sort order). d=2 leaves most customers and some suppliers
+    * unmatched, exercising all three emission paths. */
+  private val sp05 = QDef(
+    "sp05_full_outer_dwithin", {
+      def dist(ck: String, sk: String) =
+        s"""sqrt(((${ptX(ck)}) - (${ptX(sk)})) * ((${ptX(ck)}) - (${ptX(sk)}))
+           |   + ((${ptY(ck)}) - (${ptY(sk)})) * ((${ptY(ck)}) - (${ptY(sk)})))""".stripMargin
+      s"""SELECT CAST(COALESCE(c.c_custkey, -1) AS BIGINT) AS c_key,
+         |  CAST(COALESCE(s.s_suppkey, -1) AS BIGINT) AS s_key,
+         |  COALESCE(${dist("c.c_custkey", "s.s_suppkey")}, CAST(-1 AS DOUBLE)) AS dist
+         |FROM customer c FULL JOIN supplier s
+         |  ON ${dist("c.c_custkey", "s.s_suppkey")} <= 2.0
+         |ORDER BY c_key, s_key""".stripMargin
+    }) { (s, d) =>
+    val pts = customerPoints(s, d)
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
+    pts.join(sup, expr("st_dwithin(c_pt, s_pt, 2.0)"), "full")
+      .select(
+        coalesce(col("c_custkey"), lit(-1)).cast("bigint").as("c_key"),
+        coalesce(col("s_suppkey"), lit(-1)).cast("bigint").as("s_key"),
+        coalesce(expr("st_distance(c_pt, s_pt)"), lit(-1.0)).as("dist"))
+      .orderBy(col("c_key"), col("s_key"))
   }
 
   /** Box-overlap self-join through the grid path: small rectangles from

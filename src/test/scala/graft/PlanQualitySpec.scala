@@ -97,4 +97,41 @@ class PlanQualitySpec extends GraftSuite {
     val p = planOf("q28_lateral_topk")
     assert(!p.contains("CartesianProduct"), s"lateral degenerated:\n$p")
   }
+
+  test("sp05: FULL OUTER spatial join plans the broadcast R-tree exec") {
+    val p = planOf("sp05_full_outer_dwithin")
+    assert(p.contains("BroadcastSpatialJoin"),
+      s"full outer fell back to BNLJ (quadratic):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$p")
+  }
+
+  test("v04/v06: pair work is blocked on the IVF list, never on label") {
+    // the scale contract: the self-join key must be the quantizer list
+    // (bounded block sizes under the pipeline's control), not a metadata
+    // column like `label` (unbounded O(n²/blocks) at 100 TB)
+    for (name <- Seq("v04_near_dup_profile", "v06_embedding_neardup_topk")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      val joinLines = p.linesIterator.filter(l =>
+        l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")).toSeq
+      assert(joinLines.exists(_.contains("list_id")),
+        s"$name: blocked self-join must key on list_id:\n$p")
+      assert(!joinLines.exists(_.matches(".*\\[label#.*")),
+        s"$name: label-wide self-join is a scale-killer:\n${joinLines.mkString("\n")}")
+    }
+  }
+
+  test("d03 is the verify stage, not a standalone dedup pass") {
+    // d03's (lang, len_bucket) blocking is quadratic WITHIN a block:
+    // acceptable as the exact-verify stage downstream of a sketch
+    // prefilter (d01's LSH banding is the production candidate source),
+    // NOT as a standalone 100 TB dedup. This assert pins the contract:
+    // the registered form must keep its block keys (bounded blocks at
+    // fixture scale) and never degrade to an unblocked cross product.
+    val df = SparkEntry.queries("d03_ngram_jaccard_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d03 lost its blocking keys:\n$p")
+    assert(p.contains("lang"), s"d03 block key missing from plan:\n$p")
+  }
 }

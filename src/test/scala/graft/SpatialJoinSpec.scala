@@ -124,6 +124,59 @@ class SpatialJoinSpec extends GraftSuite {
     assert(got.toSet == bruteInner)
   }
 
+  test("right outer: swapped LeftOuter plan, matches brute force") {
+    val j = pts.join(boxes, expr("st_within(p_geom, b_geom)"), "right")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastSpatialJoin"), s"no spatial exec:\n$plan")
+    val rows = j.select(col("p_id"), col("b_id")).collect()
+    val gotPairs = rows.filter(!_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotNulls = rows.filter(_.isNullAt(0)).map(_.getLong(1)).toSet
+    val matchedBoxes = bruteInner.map(_._2)
+    assert(gotPairs == bruteInner)
+    assert(gotNulls == boxes.select("b_id").as[Long].collect().toSet -- matchedBoxes)
+  }
+
+  test("full outer: both-side unmatched emission, matches brute force") {
+    val j = pts.join(boxes, expr("st_within(p_geom, b_geom)"), "full")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastSpatialJoin"), s"no spatial exec:\n$plan")
+    val rows = j.select(col("p_id"), col("b_id")).collect()
+    val gotPairs = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotNullRight = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(0)).toSet
+    val gotNullLeft = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(1)).toSet
+    assert(gotPairs == bruteInner)
+    assert(gotNullRight == pts.select("p_id").as[Long].collect().toSet -- bruteInner.map(_._1))
+    assert(gotNullLeft == boxes.select("b_id").as[Long].collect().toSet -- bruteInner.map(_._2))
+    // row-count identity: matched + unmatched-left + unmatched-right
+    assert(rows.length == gotPairs.size + gotNullRight.size + gotNullLeft.size)
+  }
+
+  test("full outer dwithin with duplicate matches keeps multiplicity") {
+    // multiple build matches per probe AND unmatched rows on both sides
+    val sup = spark.range(0, 12).select(col("id").as("s_id"),
+      expr("st_makepoint(cast(id * 37 % 100 as double), cast(id * 53 % 100 as double))").as("s_geom"))
+    val far = spark.range(200, 203).select(col("id").as("s_id"),
+      expr("st_makepoint(cast(id as double) * 1000.0, 99999.0)").as("s_geom"))
+    val sup2 = sup.union(far)
+    val j = pts.join(sup2, expr("st_dwithin(p_geom, s_geom, 8.0)"), "full")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastSpatialJoin"))
+    val got = j.select(col("p_id"), col("s_id")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    // oracle through Spark's own BNLJ full-outer (strategy disabled)
+    spark.conf.set("spark.graft.spatial_join.build_limit_bytes", "1")
+    val bruteRows =
+      try {
+        val brute = pts.join(sup2, expr("st_distance(p_geom, s_geom) <= 8.0"), "full")
+        assert(!brute.queryExecution.executedPlan.toString.contains("BroadcastSpatialJoin"))
+        brute.select(col("p_id"), col("s_id")).collect()
+          .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                     if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      } finally spark.conf.unset("spark.graft.spatial_join.build_limit_bytes")
+    assert(got == bruteRows && got.exists(_._2 == -1L) && got.exists(_._1 == -1L))
+  }
+
   test("distance-comparison condition shapes plan the spatial exec") {
     for (cond <- Seq("st_distance(p_geom, b_geom) < 5.0", "5.0 > st_distance(p_geom, b_geom)")) {
       val j = pts.join(boxes, expr(cond))
