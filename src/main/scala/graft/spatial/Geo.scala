@@ -194,30 +194,32 @@ object Geo extends Serializable {
     env
   }
 
-  // ---- Minimal CRS transform: lon/lat (4326) <-> web mercator (3857) ----
+  // ---- CRS transform over the EPSG parameter registry ----
 
-  private val EarthRadius = 6378137.0
-
-  /** Reproject between the supported CRS pairs; identity if same SRID.
-    * (The reference uses proj4rs over the full EPSG registry —
-    * st_transform.rs:18-120; this engine ships the web pair, the only
-    * one exercisable without a native proj database.) */
+  /** Reproject between any two registry SRIDs via a shared geographic
+    * intermediate (from.inverse -> lon/lat -> to.forward); identity if
+    * same SRID; SRID is preserved on the output. The reference uses
+    * proj4rs over the full EPSG registry (st_transform.rs:18-120); this
+    * engine ships the Snyder projection families + parameter table in
+    * [[Projections]] (TM/UTM, LCC 2SP, Albers, web mercator,
+    * geographic aliases — WGS84/GRS80-family frames, no datum shift). */
   def transform(g: Geometry, toSrid: Int): Geometry = {
     val from = if (g.getSRID == 0) 4326 else g.getSRID
     val out =
       if (from == toSrid) g.copy()
-      else (from, toSrid) match {
-        case (4326, 3857) => mapCoords(g, (x, y) => (
-          x * math.Pi / 180.0 * EarthRadius,
-          math.log(math.tan(math.Pi / 4 + y * math.Pi / 360.0)) * EarthRadius))
-        case (3857, 4326) => mapCoords(g, (x, y) => (
-          x / EarthRadius * 180.0 / math.Pi,
-          (2 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2) * 180.0 / math.Pi))
-        case (4326, 3587) => mapCoords(g, Lcc.Epsg3587.forward)
-        case (3587, 4326) => mapCoords(g, Lcc.Epsg3587.inverse)
-        case _ => throw new IllegalArgumentException(
-          s"ST_Transform: unsupported SRID pair $from -> $toSrid " +
-            "(supported: 4326 <-> 3857, 4326 <-> 3587, identity)")
+      else (Projections.forSrid(from), Projections.forSrid(toSrid)) match {
+        case (Some(fp), Some(tp)) =>
+          mapCoords(g, (x, y) => {
+            val (lon, lat) = fp.inverse(x, y)
+            tp.forward(lon, lat)
+          })
+        case (fp, tp) =>
+          val unknown = Seq(from -> fp, toSrid -> tp)
+            .collect { case (s, None) => s }.mkString(", ")
+          throw new IllegalArgumentException(
+            s"ST_Transform: SRID(s) not in the EPSG registry: $unknown " +
+              "(supported: 4326/4269/4258, 3857, UTM 326xx/327xx/269xx/258xx, " +
+              "2154, 3587, 5070)")
       }
     out.setSRID(toSrid)
     out

@@ -1,0 +1,93 @@
+package graft
+
+import graft.spatial.Projections._
+import graft.spatial.{Geo, Projections}
+
+/** CRS math validation: the published EPSG worked example for
+  * Transverse Mercator, exact anchor points (UTM central meridian,
+  * Albers projection origin), and forward∘inverse round-trips across
+  * the whole registry.
+  */
+class ProjectionsSpec extends GraftSuite {
+
+  test("TM matches the EPSG Guidance Note 7-2 worked example (Airy 1830)") {
+    // OSGB36 / British National Grid projection parameters; test point
+    // 50°30'00"N 00°30'00"E -> E 577274.99 N 69740.50 (published)
+    val bng = TransverseMercator(Airy1830,
+      lat0Deg = 49.0, lon0Deg = -2.0, k0 = 0.9996012717,
+      falseEasting = 400000.0, falseNorthing = -100000.0)
+    val (e, n) = bng.forward(0.5, 50.5)
+    assert(math.abs(e - 577274.99) < 0.05, s"easting $e")
+    assert(math.abs(n - 69740.50) < 0.05, s"northing $n")
+    // inverse of the published grid coords recovers the point
+    val (lon, lat) = bng.inverse(577274.99, 69740.50)
+    assert(math.abs(lon - 0.5) < 1e-7 && math.abs(lat - 50.5) < 1e-7)
+  }
+
+  test("UTM anchors: central meridian is exact, south zone false northing") {
+    val z33 = utm(Wgs84, 33, south = false)
+    val (x0, y0) = z33.forward(15.0, 0.0)
+    assert(x0 == 500000.0 && y0 == 0.0)
+    // on the central meridian, easting is exactly FE at any latitude
+    assert(z33.forward(15.0, 52.0)._1 == 500000.0)
+    val (xs, ys) = utm(Wgs84, 33, south = true).forward(15.0, 0.0)
+    assert(xs == 500000.0 && ys == 10000000.0)
+    // one degree north of the equator is ~110.6 km of meridian arc * k0
+    val yOneDeg = z33.forward(15.0, 1.0)._2
+    assert(math.abs(yOneDeg - 110574.0 * 0.9996) < 200.0, s"arc $yOneDeg")
+  }
+
+  test("Albers 5070: projection origin maps to (0,0)") {
+    val alb = Projections.forSrid(5070).get
+    val (x, y) = alb.forward(-96.0, 23.0)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6, s"origin ($x,$y)")
+  }
+
+  test("forward-inverse round-trips across the registry") {
+    // (srid, in-domain lon/lat sample grid)
+    val cases: Seq[(Int, Seq[(Double, Double)])] = Seq(
+      32633 -> Seq((15.0, 0.0), (13.4, 52.5), (16.9, -0.5), (12.1, 71.0)),
+      32733 -> Seq((15.0, -33.9), (17.5, -12.0)),
+      26910 -> Seq((-123.1, 49.3), (-121.5, 37.8)),
+      25832 -> Seq((9.0, 48.8), (11.6, 55.7)),
+      2154  -> Seq((2.35, 48.86), (5.37, 43.30), (-1.55, 47.22)),
+      3587  -> Seq((-84.5, 44.0), (-85.6, 44.8)),
+      5070  -> Seq((-96.0, 23.0), (-122.3, 47.6), (-71.1, 42.4)),
+      3857  -> Seq((0.0, 0.0), (139.7, 35.7), (-58.4, -34.6)),
+      4269  -> Seq((-100.0, 40.0)))
+    for ((srid, pts) <- cases; (lon, lat) <- pts) {
+      val p = Projections.forSrid(srid).get
+      val (x, y) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"srid $srid round-trip ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("Lambert-93 places Paris in the published neighborhood") {
+    val (x, y) = Projections.forSrid(2154).get.forward(2.3522, 48.8566)
+    assert(x > 600000 && x < 700000, s"easting $x")
+    assert(y > 6820000 && y < 6900000, s"northing $y")
+  }
+
+  test("ST_Transform composes arbitrary registry pairs and keeps SRID") {
+    import org.apache.spark.sql.functions.expr
+    graft.spatial.SpatialFunctions.registerAll(spark)
+    // projected -> projected goes through the geographic intermediate
+    val row = spark.sql(
+      """SELECT st_srid(t) AS srid, st_x(t) AS x, st_y(t) AS y FROM (
+        |  SELECT st_transform(
+        |    st_transform(st_setsrid(st_makepoint(13.4, 52.5), 4326), 3857),
+        |    32633) AS t)""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 32633)
+    val direct = utm(Wgs84, 33, south = false).forward(13.4, 52.5)
+    // 3857 is spherical so the composed trip must still land within the
+    // web-mercator round-trip error (exact: inverse is its exact inverse)
+    assert(math.abs(row.getDouble(1) - direct._1) < 1e-6)
+    assert(math.abs(row.getDouble(2) - direct._2) < 1e-6)
+    // unknown SRID names the offender
+    val e = intercept[Exception](spark.sql(
+      "SELECT st_transform(st_setsrid(st_makepoint(0,0), 27700), 4326)").collect())
+    assert(e.getMessage.contains("27700") || e.getCause.getMessage.contains("27700"))
+  }
+}
