@@ -96,14 +96,14 @@ object SpatialJoin {
     val sample = centers(left, leftGeom) ++ centers(right, rightGeom)
     if (sample.isEmpty) return None
     val tree = KdbTree.build(sample, cells)
-    val assignU = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
-      tree.assign(x0, y0, x1, y1))
-    val locateU = udf((x: Double, y: Double) => tree.locate(x, y))
+    // codegen'd tree walk (graft.spatial.KdbExpr): a ScalaUDF here
+    // would break whole-stage codegen exactly at the explode fan-out
+    val (assignFn, locateFn) = graft.spatial.KdbExpr.register(left.sparkSession, tree)
     Some(new Scheme {
-      def cellsFor(box: String, expand: Double): Column = assignU(
+      def cellsFor(box: String, expand: Double): Column = call_function(assignFn,
         col(s"$box.xmin") - expand, col(s"$box.ymin") - expand,
         col(s"$box.xmax") + expand, col(s"$box.ymax") + expand)
-      def refCellFor(lbox: String, rbox: String, expand: Double): Column = locateU(
+      def refCellFor(lbox: String, rbox: String, expand: Double): Column = call_function(locateFn,
         greatest(col(s"$lbox.xmin") - expand, col(s"$rbox.xmin")),
         greatest(col(s"$lbox.ymin") - expand, col(s"$rbox.ymin")))
     })

@@ -121,6 +121,16 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("grid spatial join: no ScalaUDF in the explode stage (codegen'd kdb)") {
+    // the kdb cell assignment is a native expression (KdbAssignExpr);
+    // a ScalaUDF here would break whole-stage codegen at the fan-out
+    for (name <- Seq("sp02_dwithin_pairs", "sp03_box_overlap_pairs")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"$name explode stage left codegen:\n$p")
+    }
+  }
+
   test("d03 is the verify stage, not a standalone dedup pass") {
     // d03's (lang, len_bucket) blocking is quadratic WITHIN a block:
     // acceptable as the exact-verify stage downstream of a sketch
