@@ -28,27 +28,13 @@ object DedupOps {
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
 
-  /** Cross-engine 64-bit hash: the top 60 bits of md5 as a non-negative
-    * BIGINT. Spark and DuckDB agree bit-for-bit (md5 hex is identical in
-    * both — t04/t08 prove it — and 15 hex digits fit a signed long), so
-    * sketches built on it can be hash-compared against the DuckDB
-    * oracle. xxhash64 stays the production hash where the output doesn't
-    * expose hash values (d01's verify-stage Jaccard); h64 is used where
-    * it does (d02 hamming, d05 fingerprints). */
-  private def h64E(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
-
-  /** DuckDB mirror of [[h64E]]. */
-  private def sqlH64(x: String): String =
-    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
-
-  /** Let-binding via a single-element transform: evaluates `bound` once
-    * and exposes it to `body` as lambda variable `v`. Without this,
-    * CollapseProject inlines a subexpression into every lambda that
-    * references it — for the 64-perm × 16-band minhash pipeline that
-    * multiplied shingle evaluation ~1000× (448 s at sf0.1 → ~2 s). */
-  private def bind(bound: String, v: String)(body: String => String): String =
-    s"element_at(transform(array($bound), $v -> ${body(v)}), 1)"
+  /** Cross-engine md5-derived hashing + let-binding live in
+    * [[CrossHash]]: h64 is used where the OUTPUT exposes hash values
+    * (d02 hamming, d05 fingerprints) so the DuckDB oracle can reproduce
+    * them; xxhash64 stays the production hash where it doesn't (d01's
+    * verify-stage Jaccard). bind() prevents the CollapseProject lambda
+    * blow-up (round 1: 448 s → ~2 s at sf0.1). */
+  import CrossHash.{bind, h64E, sqlH64}
 
   /** Distinct word 3-gram shingles; whole text fallback for short docs.
     * The token array is let-bound FIRST: referencing `toksE` directly

@@ -16,7 +16,7 @@ import graft.{QDef, Tables}
   */
 object TextOps {
 
-  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -244,5 +244,144 @@ object TextOps {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"), col("split"))
+  }
+
+  import CrossHash.{bind, h64E, sqlH64}
+
+  /** Tokens as a SQL-expression fragment (for [[CrossHash.bind]]). */
+  private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  /** Eval-set contamination scan: per TRAIN document, how many of its
+    * distinct 8-token shingles appear anywhere in the EVAL set
+    * (doc_id < 25 here; in production, the benchmark suite). The scale
+    * shape is an inverted-index join on the shingle hash — shuffle
+    * carries (hash, doc_id), never document pairs — with the (small)
+    * eval shingle set broadcast. The standard pre-training
+    * decontamination pass (e.g. GPT-3 appendix C uses 8-13-gram
+    * overlap). Shingle hashes are md5-derived ([[CrossHash.h64E]]) so
+    * the DuckDB oracle joins on identical keys. */
+  private val t09 = QDef(
+    "t09_eval_contamination", {
+      val gram = (1 to 8).map(j => s"tk[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 6), i -> ${sqlH64(gram)}))
+         |    ELSE [${sqlH64("text")}] END AS sh
+         |  FROM tk),
+         |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id < 25),
+         |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id >= 25),
+         |tot AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles FROM sh WHERE doc_id >= 25),
+         |s AS (SELECT tr.doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
+         |SELECT tot.doc_id, CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared, tot.n_shingles,
+         |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / tot.n_shingles AS contamination,
+         |  (COALESCE(s.n_shared, 0) > 0) AS contaminated
+         |FROM tot LEFT JOIN s ON tot.doc_id = s.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+    }) { (s, d) =>
+    val shE = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) >= 8
+         |  THEN array_distinct(transform(sequence(0, size($tk) - 8),
+         |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
+         |  ELSE array(${h64E("text")}) END""".stripMargin)
+    val sh = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
+    val ev = sh.filter(col("doc_id") < 25)
+      .select(explode(col("sh")).as("h")).distinct()
+    val tot = sh.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+    val shared = sh.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(ev), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    tot.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contamination"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style REPETITION filters (Rae et al. 2021 §A1.1, the
+    * within-document half the t07 composite rules don't cover):
+    * most-common-token fraction, duplicate 2-gram / 3-gram fractions,
+    * and the keep decision. Pure per-row lambda work over the let-bound
+    * token array (no shuffle; the distinct×n scan is O(tokens²) worst
+    * case per DOCUMENT, bounded by document length — the right
+    * distributed shape, vs an explode+groupBy which would shuffle every
+    * token). */
+  private val t10 = QDef(
+    "t10_repetition_rules",
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) = 0 THEN NULL ELSE
+      |      CAST(list_max(list_transform(list_distinct(tk),
+      |        t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / len(tk) END AS top_word_frac,
+      |    CASE WHEN len(tk) < 2 THEN NULL ELSE
+      |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+      |        i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) END AS dup_2gram_frac,
+      |    CASE WHEN len(tk) < 3 THEN NULL ELSE
+      |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) / (len(tk) - 2) END AS dup_3gram_frac
+      |  FROM tk)
+      |SELECT doc_id, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+      |  (top_word_frac <= 0.10 AND dup_2gram_frac <= 0.03 AND dup_3gram_frac <= 0.02) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val metricsE = bind(toksE, "tk") { tk =>
+      val top = s"""CASE WHEN size($tk) = 0 THEN NULL ELSE
+        |  CAST(array_max(transform(array_distinct($tk),
+        |    t -> size(filter($tk, x -> x = t)))) AS DOUBLE) / size($tk) END""".stripMargin
+      val d2 = s"""CASE WHEN size($tk) < 2 THEN NULL ELSE
+        |  CAST(1 AS DOUBLE) - CAST(size(array_distinct(transform(sequence(0, size($tk) - 2),
+        |    i -> concat(element_at($tk, i + 1), ' ', element_at($tk, i + 2))))) AS DOUBLE)
+        |    / (size($tk) - 1) END""".stripMargin
+      val d3 = s"""CASE WHEN size($tk) < 3 THEN NULL ELSE
+        |  CAST(1 AS DOUBLE) - CAST(size(array_distinct(transform(sequence(0, size($tk) - 3),
+        |    i -> concat(element_at($tk, i + 1), ' ', element_at($tk, i + 2), ' ', element_at($tk, i + 3))))) AS DOUBLE)
+        |    / (size($tk) - 2) END""".stripMargin
+      s"struct(($top) AS twf, ($d2) AS d2f, ($d3) AS d3f)"
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(metricsE).as("m"))
+      .select(col("doc_id"),
+        col("m.twf").as("top_word_frac"),
+        col("m.d2f").as("dup_2gram_frac"),
+        col("m.d3f").as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= 0.10 && col("dup_2gram_frac") <= 0.03 &&
+          col("dup_3gram_frac") <= 0.02)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic bottom-k (KMV) sample per language via the
+    * `bottom_k` typed Aggregator ([[graft.functions.BottomKAgg]]):
+    * the k docs with smallest md5(text) per group — reproducible on any
+    * cluster/partitioning, O(k) state with map-side partial
+    * aggregation (the window-function oracle formulation sorts every
+    * row; the Aggregator is the scale shape). */
+  private val t11 = QDef(
+    "t11_bottomk_sample",
+    """WITH r AS (
+      |  SELECT lang, md5(text) AS h, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rank
+      |  FROM documents)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, h, doc_id
+      |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    val fn = graft.functions.BottomKAgg.register(s, 8)
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(call_function(fn, md5(col("text")), col("doc_id")).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "item")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("item._1").as("h"), col("item._2").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
   }
 }
