@@ -107,4 +107,38 @@ class SourcesSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS ctas_sel")
     }
   }
+
+  test("binaryFile: raw media ingestion with path filter and length metadata") {
+    // the ingestion front door of the multimodal pipeline: opaque bytes
+    // + (path, modificationTime, length) metadata columns
+    val p = Files.createTempDirectory("graft-bin")
+    for (i <- 0 until 4) {
+      val payload = Array.tabulate[Byte](16 + i)(j => (i * 31 + j).toByte)
+      Files.write(p.resolve(s"clip_$i.bin"), payload)
+    }
+    Files.write(p.resolve("notes.txt"), "skip me".getBytes)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(p.toString)
+    assert(df.count() == 4, "glob filter must exclude notes.txt")
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val byLen = df.select(col("length"), col("content")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
+    assert(byLen.map(_._1).toSeq == Seq(16L, 17L, 18L, 19L))
+    assert(byLen.forall { case (len, bytes) => bytes.length == len })
+    // length predicate prunes files at scan planning (no content read)
+    assert(df.filter(col("length") > 17).count() == 2)
+  }
+
+  test("text: line-oriented corpus ingestion (wholetext + per-line)") {
+    val p = Files.createTempDirectory("graft-txt")
+    Files.write(p.resolve("a.txt"), "line one\nline two\n".getBytes)
+    Files.write(p.resolve("b.txt"), "solo\n".getBytes)
+    val lines = spark.read.text(p.toString)
+    assert(lines.count() == 3)
+    val whole = spark.read.option("wholetext", "true").text(p.toString)
+    assert(whole.count() == 2)
+    assert(whole.as[String].collect().toSet ==
+      Set("line one\nline two\n", "solo\n"))
+  }
 }
