@@ -4,7 +4,7 @@ package graft.queries
   * by the dedup/text pipelines (see [[DedupOps]] for the original
   * derivation and pitfalls).
   */
-private[queries] object CrossHash {
+private[graft] object CrossHash {
 
   /** Cross-engine 64-bit hash: the top 60 bits of md5 as a non-negative
     * BIGINT. Spark and DuckDB compute md5 hex identically and 15 hex

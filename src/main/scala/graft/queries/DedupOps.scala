@@ -47,7 +47,7 @@ object DedupOps {
        |  ELSE array(text) END""".stripMargin)
 
   /** Sorted distinct shingle-hash set — the shared sketch input. */
-  private val shE = bind(shinglesE, "shs")(shs =>
+  private[graft] val shE = bind(shinglesE, "shs")(shs =>
     s"array_sort(array_distinct(transform($shs, x -> xxhash64(x))))")
 
   /** MinHash (64 perms as splitmix-mixed minima of one xxhash64 per

@@ -121,4 +121,82 @@ object StreamingOps {
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  /** A document on the ingest wire. */
+  final case class DocIn(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** One LSH bucket hit for a document. */
+  final case class BandRow(band: Int, bhash: Long, doc_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** An emitted near-dup candidate pair (a < b). */
+  final case class CandPair(a: Long, b: Long, band: Int, bhash: Long)
+
+  /** STREAMING near-dup candidate detection — the incremental face of
+    * the batch d01 MinHash-LSH pipeline: per arriving document, compute
+    * the 64-perm MinHash signature and its 16×4 band hashes
+    * (stateless, the same codegen kernels as batch), then key state by
+    * (band, bhash) and emit a candidate pair against every document
+    * already seen in that bucket. State per key is the doc-id list of
+    * one LSH bucket (small by construction — that's the point of
+    * banding) and is dropped when the event-time timeout fires
+    * `bucketTtl` past the last arrival, so state is bounded by the TTL
+    * horizon, not the stream's lifetime.
+    *
+    * Pairs can surface in multiple bands (same as the batch candidate
+    * stage before its dropDuplicates); run the exact-Jaccard verify —
+    * or a `dropDuplicatesWithinWatermark(a, b)` — downstream.
+    * StreamingSpec asserts set parity with the batch banding on the
+    * same corpus.
+    */
+  def nearDupCandidates(docs: Dataset[DocIn],
+      watermarkDelay: String = "2 hours",
+      bucketTtlMinutes: Long = 240): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.SketchFunctions.registerAll(spark)
+    import graft.queries.CrossHash.bind
+
+    val bandsE = bind(s"minhash_sig(${graft.queries.DedupOps.shE})", "sg")(sg =>
+      s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr(bandsE)).as(Seq("band", "bhash")))
+      .select(col("band").cast("int").as("band"), col("bhash"),
+        col("doc_id"), col("ts"))
+      .as[BandRow]
+
+    banded
+      .groupByKey(r => (r.band, r.bhash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // bucket idle past the TTL: free the state
+            Iterator.empty
+          } else {
+            // deterministic intra-batch order (micro-batches are unordered)
+            val arrivals = it.toArray.sortBy(r => (usOf(r.ts), r.doc_id))
+            val out = Vector.newBuilder[CandPair]
+            var seen = state.getOption.getOrElse(Vector.empty)
+            arrivals.foreach { r =>
+              if (!seen.contains(r.doc_id)) {
+                seen.foreach { prior =>
+                  val (a, b) = if (prior < r.doc_id) (prior, r.doc_id) else (r.doc_id, prior)
+                  out += CandPair(a, b, key._1, key._2)
+                }
+                seen = seen :+ r.doc_id
+              }
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(math.max(
+              arrivals.last.ts.getTime + bucketTtlMinutes * 60000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

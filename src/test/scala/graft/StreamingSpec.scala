@@ -135,4 +135,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("file_stream_out").head().getLong(0) == fixture.length.toLong)
     } finally query.stop()
   }
+
+  test("nearDupCandidates: streaming LSH equals the batch candidate stage") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    graft.functions.SketchFunctions.registerAll(spark)
+
+    // real corpus slice (contains planted near-dup pairs), arrival
+    // order by doc_id across three micro-batches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.DocIn(r.getLong(0), r.getString(1), ts(r.getLong(0))))
+      .sortBy(_.doc_id)
+
+    val mem = MemoryStream[StreamingOps.DocIn]
+    val out = StreamingOps.nearDupCandidates(mem.toDS())
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+
+      val got = spark.table("neardup_out")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+
+      // batch candidate stage on the same data (d01's banding, pre-verify)
+      val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(expr(
+            "element_at(transform(array(minhash_sig(" + graft.queries.DedupOps.shE +
+              ")), sg -> transform(sequence(0, 15), b -> xxhash64(slice(sg, b * 4 + 1, 4)))), 1)"))
+            .as(Seq("band", "bhash")))
+      val l = batch.select(col("band"), col("bhash"), col("doc_id").as("a"))
+      val r = batch.select(col("band"), col("bhash"), col("doc_id").as("b"))
+      val expected = l.join(r, Seq("band", "bhash")).where(col("a") < col("b"))
+        .select("a", "b").as[(Long, Long)].collect().toSet
+
+      assert(got == expected && expected.nonEmpty,
+        s"stream ${got.size} pairs vs batch ${expected.size}")
+    } finally query.stop()
+  }
 }
