@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -120,6 +120,40 @@ object Spatial {
         coalesce(col("s_suppkey"), lit(-1)).cast("bigint").as("s_key"),
         coalesce(expr("st_distance(c_pt, s_pt)"), lit(-1.0)).as("dist"))
       .orderBy(col("c_key"), col("s_key"))
+  }
+
+  /** Bounded-radius spatial KNN join: the 3 nearest suppliers within
+    * d=25 of each customer (distance join through the grid path, then a
+    * per-customer rank window). Bounding the radius is what makes KNN
+    * scale — the candidate set shrinks to the dwithin join's output and
+    * the window ranks within small per-key groups; unbounded exact KNN
+    * would need expanding-radius search or a full cross product. Ties
+    * break on supplier key; oracle = euclidean arithmetic + ROW_NUMBER. */
+  private val sp06 = QDef(
+    "sp06_knn_suppliers", {
+      def dist(ck: String, sk: String) =
+        s"""sqrt(((${ptX(ck)}) - (${ptX(sk)})) * ((${ptX(ck)}) - (${ptX(sk)}))
+           |   + ((${ptY(ck)}) - (${ptY(sk)})) * ((${ptY(ck)}) - (${ptY(sk)})))""".stripMargin
+      s"""WITH p AS (
+         |  SELECT c.c_custkey, s.s_suppkey, ${dist("c.c_custkey", "s.s_suppkey")} AS dist
+         |  FROM customer c, supplier s
+         |  WHERE ${dist("c.c_custkey", "s.s_suppkey")} <= 25.0),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rnk
+         |      FROM p)
+         |SELECT c_custkey, s_suppkey, dist, CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY c_custkey, rnk""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = customerPoints(s, d)
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist"), col("s_suppkey"))
+    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 25.0, cells = 16)
+      .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist"), col("rnk"))
+      .orderBy(col("c_custkey"), col("rnk"))
   }
 
   /** Box-overlap self-join through the grid path: small rectangles from
