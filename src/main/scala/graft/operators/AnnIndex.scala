@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchFunctions
+
+/** IVF approximate-nearest-neighbor with TRAINED coarse centroids —
+  * the production form of the fixed-centroid index behind the v05
+  * oracle query (which pins centroids to fixture rows so DuckDB can
+  * replicate it; a real pipeline trains them). KMeans runs over
+  * L2-NORMALIZED vectors so euclidean clustering agrees with the
+  * cosine metric used for search (on the unit sphere, euclidean and
+  * cosine give the same ordering).
+  *
+  * Scale shape (same as v05): training samples/iterates distributed
+  * (MLlib), assignment is one broadcast + one scan, probes touch
+  * ~nprobe/k of the corpus through a list-key join, re-rank is exact
+  * cosine within the probed lists. List sizes are the skew knob (raise
+  * k / re-train to split hot lists).
+  */
+object AnnIndex {
+
+  /** Per-vector list assignment via a KMeans model trained on the data.
+    * Input needs (id, emb: array<double>); returns
+    * (id, list_id, emb_n <unit-normalized>). Deterministic for a fixed
+    * seed and input. */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    SketchFunctions.registerAll(spark)
+    val normalized = emb.select(col(idCol).as("id"),
+      expr(s"transform($embCol, x -> x / sqrt(dot_fold($embCol, $embCol)))").as("emb_n"))
+    val feats = normalized.withColumn("features", array_to_vector(col("emb_n")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(feats)
+    model.transform(feats)
+      .select(col("id"), col("list_id"), col("emb_n"))
+  }
+
+  /** Top-`topK` cosine neighbors for each probe id, scanning only the
+    * `nprobe` nearest lists per probe. `assign` is [[ivfAssign]]'s
+    * output; probes are selected out of it by id. */
+  def ivfSearch(assign: DataFrame, probeIds: Seq[Long],
+      nprobe: Int, topK: Int): DataFrame = {
+    // centroids recovered as per-list mean of normalized members — the
+    // same minimizer KMeans converged to (up to normalization)
+    val dims = 64
+    val cents = assign
+      .select(col("list_id"), col("emb_n"))
+      .groupBy(col("list_id"))
+      .agg(array((0 until dims).map(i => avg(element_at(col("emb_n"), i + 1))): _*)
+        .as("c_emb"))
+    val probes = assign.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("q_id"), col("emb_n").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("list_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("dot_fold(q_emb, c_emb)"))
+      .withColumn("cr", row_number().over(wProbe))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("list_id"), col("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    assign.join(broadcast(probeLists), Seq("list_id"))
+      .where(col("id") =!= col("q_id"))
+      .withColumn("sim", expr("dot_fold(emb_n, q_emb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("vec_id"), col("list_id"), col("sim"), col("rank"))
+  }
+}

@@ -129,8 +129,11 @@ object StreamingOps {
   final case class BandRow(band: Int, bhash: Long, doc_id: Long,
       ts: java.sql.Timestamp)
 
-  /** An emitted near-dup candidate pair (a < b). */
-  final case class CandPair(a: Long, b: Long, band: Int, bhash: Long)
+  /** An emitted near-dup candidate pair (a < b); `ts` is the arrival
+    * time of the later member (the pair's event time, usable for a
+    * downstream `dropDuplicatesWithinWatermark`). */
+  final case class CandPair(a: Long, b: Long, band: Int, bhash: Long,
+      ts: java.sql.Timestamp)
 
   /** STREAMING near-dup candidate detection — the incremental face of
     * the batch d01 MinHash-LSH pipeline: per arriving document, compute
@@ -183,7 +186,7 @@ object StreamingOps {
               if (!seen.contains(r.doc_id)) {
                 seen.foreach { prior =>
                   val (a, b) = if (prior < r.doc_id) (prior, r.doc_id) else (r.doc_id, prior)
-                  out += CandPair(a, b, key._1, key._2)
+                  out += CandPair(a, b, key._1, key._2, r.ts)
                 }
                 seen = seen :+ r.doc_id
               }
@@ -195,6 +198,30 @@ object StreamingOps {
             out.result().iterator
           }
       }
+  }
+
+  /** Exact-VERIFIED streaming near-dups: the candidate stream
+    * ([[nearDupCandidates]]) stream-static joined against a reference
+    * corpus's shingle sets (two lookups against the static side — the
+    * static side is planned once and re-read per micro-batch, no
+    * streaming state), then the exact-Jaccard gate of the batch d01
+    * verify stage. Pairs may still surface once per matching band;
+    * follow with `dropDuplicatesWithinWatermark(Seq("a","b"))` on the
+    * carried event time for exactly-once pairs. */
+  def nearDupVerified(docs: Dataset[DocIn], corpus: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.SketchFunctions.registerAll(spark)
+    val sh = corpus.select(col("doc_id"), expr(graft.queries.DedupOps.shE).as("sh"))
+    nearDupCandidates(docs)
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
+      .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
+      .filter(col("total") - col("inter") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / (col("total") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"), col("ts"))
   }
 
   private def usOf(t: java.sql.Timestamp): Long =

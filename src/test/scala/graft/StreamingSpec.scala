@@ -176,4 +176,31 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} pairs vs batch ${expected.size}")
     } finally query.stop()
   }
+
+  test("nearDupVerified: stream-static verify equals batch d01 output") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.DocIn(r.getLong(0), r.getString(1), ts(r.getLong(0))))
+      .sortBy(_.doc_id)
+
+    val mem = MemoryStream[StreamingOps.DocIn]
+    val out = StreamingOps.nearDupVerified(mem.toDS(), corpus)
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_verified").outputMode("append").start()
+    try {
+      mem.addData(docs.toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("neardup_verified")
+        .select("a", "b", "jaccard").distinct()
+        .as[(Long, Long, Double)].collect().toSet
+      // batch oracle: d01's registered pipeline on the same sf
+      val expected = SparkEntry.queries("d01_minhash_lsh_pairs")(
+        spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected && expected.nonEmpty,
+        s"stream ${got.size} verified pairs vs batch ${expected.size}")
+    } finally query.stop()
+  }
 }
