@@ -219,7 +219,7 @@ object Geo extends Serializable {
           throw new IllegalArgumentException(
             s"ST_Transform: SRID(s) not in the EPSG registry: $unknown " +
               "(supported: 4326/4269/4258, 3857, UTM 326xx/327xx/269xx/258xx, " +
-              "2154, 3587, 5070)")
+              "2154, 3587, 5070, 3413/3995/3031, 3035)")
       }
     out.setSRID(toSrid)
     out

@@ -188,6 +188,105 @@ object Projections {
     def inverse(x: Double, y: Double): (Double, Double) = lcc.inverse(x, y)
   }
 
+  /** Polar Stereographic variant B (EPSG method 9829; Snyder
+    * eq. 21-33..21-41 with the conformal-latitude iteration), standard
+    * parallel `latTsDeg`, `south` flips the aspect — EPSG 3413/3995
+    * (Arctic) and 3031 (Antarctic). */
+  final case class PolarStereographic(ell: Ellipsoid,
+      latTsDeg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double, south: Boolean)
+      extends Projection {
+    import ell.{a, e, e2}
+    private val lon0 = math.toRadians(lon0Deg)
+
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    private val latTs = math.toRadians(math.abs(latTsDeg))
+    private val mc = math.cos(latTs) / math.sqrt(1 - e2 * math.sin(latTs) * math.sin(latTs))
+    private val tc = tOf(latTs)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // south aspect: mirror through the equator and negate outputs
+      val phi = math.toRadians(if (south) -latDeg else latDeg)
+      val dLon = math.toRadians(lonDeg) - (if (south) -lon0 else lon0)
+      val sgn = if (south) -1.0 else 1.0
+      val rho = a * mc * tOf(phi) / tc
+      (falseEasting + sgn * rho * math.sin(sgn * dLon),
+        falseNorthing - sgn * rho * math.cos(sgn * dLon))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (south) -1.0 else 1.0
+      val dx = sgn * (x - falseEasting)
+      val dy = sgn * (y - falseNorthing)
+      val rho = math.sqrt(dx * dx + dy * dy)
+      val t = rho * tc / (a * mc)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val next = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        if (math.abs(next - phi) < 1e-12) i = 15 else i += 1
+        phi = next
+      }
+      val lon = (if (south) -lon0 else lon0) + math.atan2(dx, -dy)
+      (math.toDegrees(sgn * lon), math.toDegrees(sgn * phi))
+    }
+  }
+
+  /** Lambert Azimuthal Equal Area, ellipsoidal (EPSG method 9820;
+    * Snyder eq. 24-2..24-16 + the authalic-latitude series 3-18) —
+    * EPSG 3035 ETRS89-LAEA Europe. */
+  final case class LambertAzimuthalEqualArea(ell: Ellipsoid,
+      lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double) extends Projection {
+    import ell.{a, e, e2}
+    private val lon0 = math.toRadians(lon0Deg)
+    private val lat0 = math.toRadians(lat0Deg)
+
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = q(math.Pi / 2)
+    private val beta0 = math.asin(q(lat0) / qp)
+    private val rq = a * math.sqrt(qp / 2)
+    private val m0 = math.cos(lat0) / math.sqrt(1 - e2 * math.sin(lat0) * math.sin(lat0))
+    private val bigD = a * m0 / (rq * math.cos(beta0))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLon = math.toRadians(lonDeg) - lon0
+      val beta = math.asin(q(phi) / qp)
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(dLon)))
+      (falseEasting + b * bigD * math.cos(beta) * math.sin(dLon),
+        falseNorthing + (b / bigD) * (math.cos(beta0) * math.sin(beta) -
+          math.sin(beta0) * math.cos(beta) * math.cos(dLon)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - falseEasting) / bigD
+      val dy = (y - falseNorthing) * bigD
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho < 1e-12) return (math.toDegrees(lon0), math.toDegrees(lat0))
+      val ce = 2 * math.asin(rho / (2 * rq))
+      val betaP = math.asin(math.cos(ce) * math.sin(beta0) +
+        dy * math.sin(ce) * math.cos(beta0) / rho)
+      val lon = lon0 + math.atan2(dx * math.sin(ce),
+        rho * math.cos(beta0) * math.cos(ce) - dy * math.sin(beta0) * math.sin(ce))
+      val e4 = e2 * e2
+      val e6 = e4 * e2
+      val phi = betaP +
+        (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+        (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
+        (761 * e6 / 45360) * math.sin(6 * betaP)
+      (math.toDegrees(lon), math.toDegrees(phi))
+    }
+  }
+
   /** EPSG parameter registry (public EPSG dataset values) for the
     * WGS84/GRS80-family codes this engine reprojects between. */
   def forSrid(srid: Int): Option[Projection] = srid match {
@@ -211,6 +310,14 @@ object Projections {
     case 5070 => Some(AlbersEqualArea(Grs80,
       lat0Deg = 23.0, lon0Deg = -96.0, lat1Deg = 29.5, lat2Deg = 45.5,
       falseEasting = 0.0, falseNorthing = 0.0))
+    // WGS84 polar stereographic: NSIDC sea-ice North, Antarctic, Arctic
+    case 3413 => Some(PolarStereographic(Wgs84, 70.0, -45.0, 0.0, 0.0, south = false))
+    case 3995 => Some(PolarStereographic(Wgs84, 71.0, 0.0, 0.0, 0.0, south = false))
+    case 3031 => Some(PolarStereographic(Wgs84, -71.0, 0.0, 0.0, 0.0, south = true))
+    // ETRS89-extended / LAEA Europe
+    case 3035 => Some(LambertAzimuthalEqualArea(Grs80,
+      lat0Deg = 52.0, lon0Deg = 10.0,
+      falseEasting = 4321000.0, falseNorthing = 3210000.0))
     case _ => None
   }
 }

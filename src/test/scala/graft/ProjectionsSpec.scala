@@ -64,6 +64,43 @@ class ProjectionsSpec extends GraftSuite {
     }
   }
 
+  test("polar stereographic: poles map to the projection origin") {
+    val north = Projections.forSrid(3413).get
+    val (nx, ny) = north.forward(123.0, 90.0)
+    assert(math.abs(nx) < 1e-6 && math.abs(ny) < 1e-6)
+    val south = Projections.forSrid(3031).get
+    val (sx, sy) = south.forward(-37.0, -90.0)
+    assert(math.abs(sx) < 1e-6 && math.abs(sy) < 1e-6)
+  }
+
+  test("LAEA 3035 matches the EPSG worked example and its origin") {
+    val laea = Projections.forSrid(3035).get
+    val (x0, y0) = laea.forward(10.0, 52.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    // EPSG Guidance Note 7-2 LAEA example: 50°N 5°E
+    val (x, y) = laea.forward(5.0, 50.0)
+    assert(math.abs(x - 3962799.45) < 0.1, s"easting $x")
+    assert(math.abs(y - 2999718.85) < 0.1, s"northing $y")
+  }
+
+  test("polar + LAEA round-trips") {
+    val cases: Seq[(Int, Seq[(Double, Double)])] = Seq(
+      3413 -> Seq((-45.0, 90.0), (-150.0, 72.5), (20.0, 61.0)),
+      3995 -> Seq((10.0, 85.0), (-170.0, 66.6)),
+      3031 -> Seq((0.0, -90.0), (166.7, -77.8), (-60.0, -65.0)),
+      3035 -> Seq((10.0, 52.0), (5.0, 50.0), (-9.1, 38.7), (31.0, 69.0)))
+    for ((srid, pts) <- cases; (lon, lat) <- pts) {
+      val p = Projections.forSrid(srid).get
+      val (x, y) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(x, y)
+      val lonErr =
+        if (math.abs(lat) == 90.0) 0.0 // longitude undefined at the pole
+        else math.abs(lon2 - lon)
+      assert(lonErr < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"srid $srid round-trip ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
   test("Lambert-93 places Paris in the published neighborhood") {
     val (x, y) = Projections.forSrid(2154).get.forward(2.3522, 48.8566)
     assert(x > 600000 && x < 700000, s"easting $x")
