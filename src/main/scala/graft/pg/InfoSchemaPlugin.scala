@@ -82,25 +82,35 @@ object InfoSchemaPlugin {
       .map(db => Row("spark_catalog", db.name))
 
   /** (schema, name, isTemp) of every table/view visible in the session
-    * (temp views surface under pseudo-schema "session"). */
+    * (local temp views surface under pseudo-schema "session"; global
+    * temp views under "global_temp", which listDatabases omits). */
   private def visibleTables(): Seq[(String, String, Boolean)] = {
     val cat = SparkSession.active.catalog
-    cat.listDatabases().collect().toSeq
+    val fromDbs = cat.listDatabases().collect().toSeq
       .flatMap(db => scala.util.Try(cat.listTables(db.name).collect().toSeq).getOrElse(Nil))
       .map(t => (Option(t.database).getOrElse("session"), t.name, t.isTemporary))
-      .distinct
+    val globals = scala.util.Try(cat.listTables("global_temp").collect().toSeq)
+      .getOrElse(Nil)
+      // the global_temp listing includes LOCAL temp views (database
+      // null) — those already surface via the regular listings
+      .filter(t => Option(t.database).contains("global_temp"))
+      .map(t => ("global_temp", t.name, t.isTemporary))
+    (fromDbs ++ globals).distinct
   }
 
   private def tablesRows(): Seq[Row] =
     visibleTables().map { case (db, tbl, temp) =>
       Row("spark_catalog", db, tbl,
-        if (temp) "LOCAL TEMPORARY" else "BASE TABLE")
+        if (db == "global_temp") "GLOBAL TEMPORARY"
+        else if (temp) "LOCAL TEMPORARY" else "BASE TABLE")
     }
 
   private def columnsRows(): Seq[Row] = {
     val cat = SparkSession.active.catalog
     visibleTables().flatMap { case (db, tbl, temp) =>
-      val qualified = if (temp) tbl else s"$db.$tbl"
+      val qualified =
+        if (db == "global_temp") s"global_temp.$tbl"
+        else if (temp) tbl else s"$db.$tbl"
       scala.util.Try(cat.listColumns(qualified).collect().toSeq).getOrElse(Nil)
         .zipWithIndex.map { case (c, i) =>
           Row("spark_catalog", db, tbl, c.name, i + 1, c.dataType,

@@ -106,4 +106,22 @@ class PgCompatSpec extends GraftSuite {
     assert(spark.sql("SELECT * FROM information_schema.tables " +
       "WHERE table_name = 'info_probe'").isEmpty)
   }
+
+  test("information_schema surfaces global temp views with their columns") {
+    graft.pg.PgCompat.registerAll(spark)
+    spark.range(2).selectExpr("id AS gid", "id * 2 AS dbl")
+      .createOrReplaceGlobalTempView("global_probe")
+    try {
+      val t = spark.sql(
+        "SELECT table_schema, table_type FROM information_schema.tables " +
+        "WHERE table_name = 'global_probe'").collect()
+      assert(t.length == 1 &&
+        t.head.getString(0) == "global_temp" &&
+        t.head.getString(1) == "GLOBAL TEMPORARY")
+      val cols = spark.sql(
+        "SELECT column_name FROM information_schema.columns " +
+        "WHERE table_name = 'global_probe' ORDER BY ordinal_position").collect()
+      assert(cols.map(_.getString(0)).toSeq == Seq("gid", "dbl"))
+    } finally spark.catalog.dropGlobalTempView("global_probe")
+  }
 }
