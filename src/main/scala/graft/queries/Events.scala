@@ -21,7 +21,75 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33)
+
+  /** Conversion funnel view → click → purchase: per user, the first
+    * view, the first click AFTER it, the first purchase after THAT, all
+    * within 24h of the first view — the ordered-sequence matching every
+    * product-analytics stack runs. Expressed as three min-aggregations
+    * chained by user_id joins (each stage shuffles on user_id only —
+    * no per-event self-join explosion); epoch-µs keys keep both
+    * engines integer-exact. */
+  private val q32 = QDef(
+    "q32_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND us > v_us AND us <= v_us + 86400000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e
+      |      JOIN v ON e.user_id = v.user_id JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND us > c_us AND us <= v_us + 86400000000
+      |      GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS click_to_purchase""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("us") > col("v_us") && col("us") <= col("v_us") + 86400000000L)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"), first(col("v_us")).as("v_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .where(col("us") > col("c_us") && col("us") <= col("v_us") + 86400000000L)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view")).as("view_to_click"),
+        (col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
+  }
+
+  /** Weekly cohort retention: cohort = the epoch-week of a user's
+    * first event; a cell counts distinct cohort users active `offset`
+    * weeks later. Integer epoch-week arithmetic (µs div week) is
+    * calendar-free and engine-exact; the whole matrix is two shuffles
+    * (user first-week, then cohort×offset aggregate). */
+  private val q33 = QDef(
+    "q33_cohort_retention",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+      |  CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY cohort_wk, wk - cohort_wk
+      |ORDER BY cohort_wk, week_offset""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("wk", expr("us div 604800000000")) // integer division
+      .drop("us")
+    val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(f, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
 
   /** Tumbling 1-hour window per event type (string bucket key). */
   private val q19 = QDef(
