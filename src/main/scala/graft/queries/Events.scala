@@ -21,7 +21,35 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34)
+
+  /** Event-time RANGE window frames: per user, the trailing-1-hour
+    * event count and value sum at every event (the "activity in the
+    * last hour" feature a fraud/abuse pipeline computes). RANGE frames
+    * over epoch-µs keys make peers (equal timestamps) share a frame in
+    * both engines; the windowed sum runs in DECIMAL so float order
+    * can't diverge. One shuffle on user_id. */
+  private val q34 = QDef(
+    "q34_trailing_window",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+      |SELECT event_id, user_id, us,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6))).over(w)
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
 
   /** Conversion funnel view → click → purchase: per user, the first
     * view, the first click AFTER it, the first purchase after THAT, all

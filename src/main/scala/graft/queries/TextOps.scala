@@ -16,7 +16,8 @@ import graft.{QDef, Tables}
   */
 object TextOps {
 
-  def defs: Seq[QDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  def defs: Seq[QDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -383,5 +384,31 @@ object TextOps {
       .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
         col("item._1").as("h"), col("item._2").as("doc_id"))
       .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Corpus vocabulary profile: top-10 tokens per language by frequency
+    * (tokenizer-coverage / Zipf sanity check). The one token-level
+    * SHUFFLE in the text suite: explode to (lang, token), hash-aggregate
+    * counts (map-side partial combine keeps the shuffle narrow), then a
+    * per-lang rank. Ties break lexicographically for determinism. */
+  private val t12 = QDef(
+    "t12_vocab_topk",
+    """WITH t AS (
+      |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk FROM c)
+      |SELECT lang, CAST(rnk AS INTEGER) AS rnk, tok, n
+      |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk").cast("int").as("rnk"), col("tok"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
   }
 }
