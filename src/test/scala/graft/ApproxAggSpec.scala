@@ -42,4 +42,30 @@ class ApproxAggSpec extends GraftSuite {
       assert(q.length == 3 && q(0) <= q(1) && q(1) <= q(2))
     }
   }
+
+  test("hll sketches: mergeable distinct counts (partial per group, union later)") {
+    // The 100 TB distinct-count shape: build a REUSABLE sketch per
+    // group/partition (hll_sketch_agg), persist/ship the bytes, union
+    // downstream (hll_union_agg) — re-aggregation without re-scanning,
+    // which approx_count_distinct alone can't do.
+    val li = Tables.lineitem(spark, sf)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"),
+        countDistinct(col("l_orderkey")).as("exact"))
+    val rows = perFlag.collect()
+    assert(rows.length >= 2)
+    // per-group estimate within 5%
+    val est = perFlag.select(col("l_returnflag"),
+      expr("hll_sketch_estimate(sk)").as("est"), col("exact")).collect()
+    est.foreach { r =>
+      val (e, x) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(e - x).toDouble / x < 0.05, s"group ${r.getString(0)}: $e vs $x")
+    }
+    // union of the per-group sketches ≈ global distinct
+    val union = perFlag.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est")).head().getLong(0)
+    val exactAll = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(union - exactAll).toDouble / exactAll < 0.05,
+      s"union $union vs $exactAll")
+  }
 }
