@@ -123,7 +123,7 @@ object Spatial {
   }
 
   /** Bounded-radius spatial KNN join: the 3 nearest suppliers within
-    * d=25 of each customer (distance join through the grid path, then a
+    * d=12 of each customer (distance join through the grid path, then a
     * per-customer rank window). Bounding the radius is what makes KNN
     * scale — the candidate set shrinks to the dwithin join's output and
     * the window ranks within small per-key groups; unbounded exact KNN
@@ -137,7 +137,7 @@ object Spatial {
       s"""WITH p AS (
          |  SELECT c.c_custkey, s.s_suppkey, ${dist("c.c_custkey", "s.s_suppkey")} AS dist
          |  FROM customer c, supplier s
-         |  WHERE ${dist("c.c_custkey", "s.s_suppkey")} <= 25.0),
+         |  WHERE ${dist("c.c_custkey", "s.s_suppkey")} <= 12.0),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rnk
          |      FROM p)
          |SELECT c_custkey, s_suppkey, dist, CAST(rnk AS INTEGER) AS rnk
@@ -148,7 +148,7 @@ object Spatial {
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist"), col("s_suppkey"))
-    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 25.0, cells = 16)
+    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 12.0, cells = 64)
       .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
