@@ -32,7 +32,27 @@ import graft.spatial.SpatialFunctions
   * - transaction keywords and SET handled by the parser shims.
   */
 final class PgServer(spark: SparkSession, port: Int = 5432,
-    password: Option[String] = sys.env.get("GRAFT_PG_PASSWORD")) {
+    password: Option[String] = sys.env.get("GRAFT_PG_PASSWORD"),
+    keystore: Option[(String, String)] =
+      for (p <- sys.env.get("GRAFT_PG_KEYSTORE");
+           pw <- sys.env.get("GRAFT_PG_KEYSTORE_PASSWORD")) yield (p, pw)) {
+
+  /** TLS context from the PKCS12 keystore, when one is configured —
+    * SSLRequest is then accepted ('S') and the connection upgrades
+    * in-place (libpq sslmode=require semantics); without a keystore the
+    * request is declined ('N') and clients retry plaintext. */
+  private val tlsContext: Option[javax.net.ssl.SSLContext] = keystore.map {
+    case (path, pw) =>
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val fis = new java.io.FileInputStream(path)
+      try ks.load(fis, pw.toCharArray) finally fis.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pw.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx
+  }
 
   private val RowLimit = 1024 // reference DEFAULT_ROW_LIMIT
   @volatile private var server: ServerSocket = _
@@ -72,14 +92,27 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
 
   private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
-    val rawOut = new DataOutputStream(sock.getOutputStream)
-    val out = new PgWire.Out(rawOut)
+    var in = new DataInputStream(sock.getInputStream)
+    var rawOut = new DataOutputStream(sock.getOutputStream)
+    var out = new PgWire.Out(rawOut)
     val pid = pidCounter.incrementAndGet()
     try {
       var st = PgWire.readStartup(in)
-      if (st.code == 80877103) { // SSLRequest -> decline, client retries plain
-        rawOut.writeByte('N'); rawOut.flush()
+      if (st.code == 80877103) { // SSLRequest
+        tlsContext match {
+          case Some(ctx) => // accept and upgrade the socket in place
+            rawOut.writeByte('S'); rawOut.flush()
+            val ssl = ctx.getSocketFactory
+              .createSocket(sock, null, sock.getPort, false)
+              .asInstanceOf[javax.net.ssl.SSLSocket]
+            ssl.setUseClientMode(false)
+            ssl.startHandshake()
+            in = new DataInputStream(ssl.getInputStream)
+            rawOut = new DataOutputStream(ssl.getOutputStream)
+            out = new PgWire.Out(rawOut)
+          case None => // decline, client retries plain
+            rawOut.writeByte('N'); rawOut.flush()
+        }
         st = PgWire.readStartup(in)
       }
       if (st.code == 80877102) { // CancelRequest: pid + secret follow
