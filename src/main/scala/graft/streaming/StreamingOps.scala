@@ -224,6 +224,31 @@ object StreamingOps {
       .select(col("a"), col("b"), col("jaccard"), col("ts"))
   }
 
+  /** STREAM-STREAM interval join: clicks attributed to the views they
+    * followed within `withinMinutes`, both sides watermarked so Spark
+    * can DROP buffered state once the watermark passes each row's join
+    * horizon — without the time-range condition the state store would
+    * grow forever. Inputs need (user_id, ts, event_id) columns. This is
+    * the incremental face of a batch interval join (q30/q31 family):
+    * same semantics, state bounded by watermark + window instead of a
+    * shuffle over history. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      withinMinutes: Long = 10, watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

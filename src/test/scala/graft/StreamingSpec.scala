@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.EventIn
 
+/** Row shape for the stream-stream join parity test (top-level so the
+  * case-class Encoder derives). */
+case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
+
 /** Batch/stream parity: feeding the same events through the streaming
   * ops (with a sentinel event advancing the watermark past end-of-input)
   * must reproduce the batch computation exactly. */
@@ -201,6 +205,44 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
       assert(got == expected && expected.nonEmpty,
         s"stream ${got.size} verified pairs vs batch ${expected.size}")
+    } finally query.stop()
+  }
+
+  test("viewClickJoin: stream-stream interval join equals batch join") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val all = events.as[(Long, Long, String, Timestamp)].collect()
+      .map(t => Ev(t._1, t._2, t._3, t._4)).sortBy(_.ts.getTime)
+
+    val vMem = MemoryStream[Ev]
+    val cMem = MemoryStream[Ev]
+    val out = StreamingOps.viewClickJoin(
+      vMem.toDF().filter(col("event_type") === "view"),
+      cMem.toDF().filter(col("event_type") === "click"))
+    val query = out.writeStream.format("memory")
+      .queryName("vc_join").outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      for (b <- Seq(b1, b2)) {
+        vMem.addData(b.toSeq: _*); cMem.addData(b.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("vc_join")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      val v = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      val c = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val expected = v.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == expected && expected.nonEmpty,
+        s"stream ${got.size} vs batch ${expected.size}")
     } finally query.stop()
   }
 }
