@@ -190,7 +190,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val buf = java.nio.ByteBuffer.wrap(m.body)
             val name = readCstr(buf)
             val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
-            executePortal(out, name, maxRows, portals, openPortals)
+            executePortal(out, in, name, maxRows, portals, openPortals)
           case 'S' => out.readyForQuery(); out.flush()
           case 'C' => // Close
             val kind = m.body(0).toChar
@@ -302,13 +302,20 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * from the portal's iterator; PortalSuspended if rows remain, else
     * CommandComplete. The iterator is a streaming toLocalIterator — no
     * driver materialization of the full result. */
-  private def executePortal(out: PgWire.Out, name: String, maxRows: Int,
+  private def executePortal(out: PgWire.Out, in: DataInputStream,
+      name: String, maxRows: Int,
       portals: mutable.Map[String, Portal],
       openPortals: mutable.Map[String, OpenPortal]): Unit =
     try {
       val op = openPortals.get(name) match {
         case Some(existing) => Some(existing)
         case None => portals.get(name) match {
+          // COPY is legal through the extended protocol too (PG spec:
+          // Execute on a COPY portal starts the copy sub-protocol)
+          case Some(Portal(CopyInRe(table, _, cols, opts), _, _)) =>
+            copyIn(out, in, table, cols, opts); None
+          case Some(Portal(CopyRe(source, opts), _, _)) =>
+            copyOut(out, source, opts); None
           case Some(Portal(sql, args, fmts)) if sql.nonEmpty =>
             val df = if (args.isEmpty) spark.sql(sql) else Prepared.execute(spark, sql, args)
             if (df.schema.isEmpty) {
