@@ -23,7 +23,7 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -50,21 +50,12 @@ object DedupOps {
   private[graft] val shE = bind(shinglesE, "shs")(shs =>
     s"array_sort(array_distinct(transform($shs, x -> xxhash64(x))))")
 
-  /** MinHash (64 perms as splitmix-mixed minima of one xxhash64 per
-    * shingle, `MinHashSig` codegen kernel) + LSH banding (16×4) as the
-    * CANDIDATE stage, then an exact-Jaccard VERIFY stage over the
-    * candidate pairs — the standard two-phase MinHash-LSH dedup
-    * pipeline. Only (band, bhash, doc_id) flows through the banding
-    * shuffle; the shingle sets are fetched by rejoining the (tiny)
-    * candidate set, so shuffle width stays constant no matter how wide
-    * the documents are. Output is exact Jaccard ≥ 0.5, which a
-    * brute-force DuckDB oracle verifies bit-exactly; with 16×4 banding
-    * the candidate-stage miss probability (1-j^4)^16 is ≤ 2e-4 for the
-    * j ≥ 0.8 near-dup pairs present in the corpus (there are no pairs
-    * at all in [0.35, 0.8), so the gate is far from any boundary). */
-  private val d01 = QDef(
-    "d01_minhash_lsh_pairs",
-    """WITH t AS (
+  /** DuckDB CTEs shared by d01 and d06: word-3-gram shingle sets,
+    * brute-force all-pairs intersection counts, and the exact-Jaccard
+    * ≥ 0.5 verified pairs. Plain (non-interpolated) literals so `\s+`
+    * stays a literal regex. */
+  private val oracleShingleCte =
+    """t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
       |      THEN list_distinct(list_transform(
@@ -78,10 +69,16 @@ object DedupOps {
       |  SELECT a.doc_id AS a, b.doc_id AS b,
       |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
       |    len(a.sh) + len(b.sh) AS total
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-      |SELECT a, b, CAST(inter AS DOUBLE) / (total - inter) AS jaccard
-      |FROM p WHERE total - inter > 0 AND CAST(inter AS DOUBLE) / (total - inter) >= 0.5
-      |ORDER BY a, b""".stripMargin) { (s, d) =>
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+      |vp AS (
+      |  SELECT a, b, CAST(inter AS DOUBLE) / (total - inter) AS jaccard
+      |  FROM p WHERE total - inter > 0 AND CAST(inter AS DOUBLE) / (total - inter) >= 0.5)""".stripMargin
+
+  /** The shared candidate+verify pair stage behind d01 and d06 (see
+    * d01's scaladoc for the LSH design notes). Returns the exact
+    * verified (a, b, jaccard) pairs, unordered. */
+  private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     graft.functions.SketchFunctions.registerAll(s)
     val t = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
     val banded = t
@@ -113,7 +110,25 @@ object DedupOps {
       .withColumn("jaccard", col("inter").cast("double") / (col("total") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a"), col("b"), col("jaccard"))
-      .orderBy(col("a"), col("b"))
+  }
+
+  /** MinHash (64 perms as splitmix-mixed minima of one xxhash64 per
+    * shingle, `MinHashSig` codegen kernel) + LSH banding (16×4) as the
+    * CANDIDATE stage, then an exact-Jaccard VERIFY stage over the
+    * candidate pairs — the standard two-phase MinHash-LSH dedup
+    * pipeline. Only (band, bhash, doc_id) flows through the banding
+    * shuffle; the shingle sets are fetched by rejoining the (tiny)
+    * candidate set, so shuffle width stays constant no matter how wide
+    * the documents are. Output is exact Jaccard ≥ 0.5, which a
+    * brute-force DuckDB oracle verifies bit-exactly; with 16×4 banding
+    * the candidate-stage miss probability (1-j^4)^16 is ≤ 2e-4 for the
+    * j ≥ 0.8 near-dup pairs present in the corpus (there are no pairs
+    * at all in [0.35, 0.8), so the gate is far from any boundary). */
+  private val d01 = QDef(
+    "d01_minhash_lsh_pairs",
+    "WITH " + oracleShingleCte + "\n" +
+      "SELECT a, b, jaccard FROM vp ORDER BY a, b") { (s, d) =>
+    lshVerifiedPairs(s, d).orderBy(col("a"), col("b"))
   }
 
   /** SimHash (Charikar 2002): 64-bit token-majority fingerprint, then
@@ -307,5 +322,68 @@ object DedupOps {
         expr("array_max(fingerprints)").as("fp_max"),
         expr("aggregate(fingerprints, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Connected components over the verified near-dup pair graph — the
+    * CLUSTERING stage every production dedup pipeline runs after pair
+    * finding (RefinedWeb / CCNet shape: near-dup pairs → components →
+    * keep one canonical doc per component). Component id = min doc_id
+    * reachable, canonical doc = the member equal to that min.
+    *
+    * Scale shape: iterative min-label propagation — each round is one
+    * hash-join shuffle keyed on the edge endpoint plus a map-side-
+    * combined min aggregate, and the loop runs O(graph diameter)
+    * rounds. Near-dup components are small and star-like (a cluster of
+    * mutual near-dups), so 2-4 rounds close at any corpus size; no
+    * all-pairs work and no driver-side graph ever materializes
+    * (`localCheckpoint` truncates the per-round lineage, the Pregel
+    * trick without GraphX's RDD API). The DuckDB oracle replays the
+    * same fixpoint as a recursive reachability CTE — tractable because
+    * the ORACLE graph (sf0.01) is tiny, while the Spark side never
+    * computes transitive closure. */
+  private val d06 = QDef(
+    "d06_dedup_components",
+    "WITH RECURSIVE " + oracleShingleCte + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS csize,
+        |  (doc_id = component) AS keep
+        |FROM comp
+        |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint(true)
+    var delta = 1L
+    var rounds = 0
+    while (delta > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      delta = next.except(labels).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(); pairs.unpersist()
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("v").as("doc_id"), col("comp").as("component"),
+        col("csize"), (col("v") === col("comp")).as("keep"))
+      .orderBy(col("component"), col("doc_id"))
   }
 }

@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -221,6 +221,87 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"), col("list_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** One DuckDB Lloyd assignment step: every vector to its argmax-
+    * cosine centroid in `cents`, deterministic c_id tie-break. */
+  private def sqlKmAssign(cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, c_id, embedding FROM (
+       |    SELECT e.vec_id, c.c_id, e.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${sqlDot("e.embedding", "c.c_emb")} /
+       |          (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+       |        c.c_id) AS cr
+       |    FROM e JOIN $cents c ON true)
+       |  WHERE cr = 1)""".stripMargin
+
+  /** One DuckDB Lloyd update step: per-list element-wise mean, summed
+    * exactly in decimal ([[graft.util.Det]]) so the doubles match
+    * Spark's partition-order-independent sum bit-for-bit. */
+  private def sqlKmUpdate(assign: String, out: String): String =
+    s"""$out AS (
+       |  SELECT c_id, list(m ORDER BY j) AS c_emb FROM (
+       |    SELECT a.c_id, r.j,
+       |      ${graft.util.Det.sqlDsum("CAST(a.embedding[r.j] AS DOUBLE)")} / COUNT(*) AS m
+       |    FROM $assign a, range(1, 65) r(j)
+       |    GROUP BY a.c_id, r.j)
+       |  GROUP BY c_id)""".stripMargin
+
+  /** k-means-TRAINED IVF coarse quantizer: 2 Lloyd rounds of
+    * (assign to nearest centroid by cosine, recompute centroids as
+    * element-wise means) from the same fixed seeds v05 uses, then the
+    * final assignment with list sizes and trained-centroid norms.
+    *
+    * The Spark side is the standard distributed Lloyd shape (what
+    * MLlib's KMeans does under the hood): each round is one broadcast
+    * of the K×D centroid table + one corpus scan for the argmax, and
+    * the update is a two-level aggregate ((c_id, dim) partial means,
+    * then array reassembly) — map-side combined, no driver
+    * materialization beyond the K×D centroid table itself. At 100 TB
+    * rounds are O(scan) each and K×D stays cache-resident; the only
+    * nondeterminism hazard is float sum order, which [[Det.dsum]]
+    * removes by summing exactly in decimal, which is why the DuckDB
+    * oracle can replay BOTH training rounds bit-exactly (the unrolled
+    * a1/c1/a2/c2 CTE chain). */
+  private val v07 = QDef(
+    "v07_kmeans_ivf_train",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |       WHERE vec_id BETWEEN 100 AND 107),
+       |${sqlKmAssign("c0", "a1")},
+       |${sqlKmUpdate("a1", "c1")},
+       |${sqlKmAssign("c1", "a2")},
+       |${sqlKmUpdate("a2", "c2")},
+       |sz AS (SELECT c_id, COUNT(*) AS csize FROM a2 GROUP BY c_id),
+       |cn AS (SELECT c_id, sqrt(${sqlDot("c_emb", "c_emb")}) AS c_norm FROM c2)
+       |SELECT a.vec_id, a.c_id AS list_id, sz.csize, cn.c_norm
+       |FROM a2 a JOIN sz USING (c_id) JOIN cn USING (c_id)
+       |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d).select(col("vec_id"), col("emb"))
+    var cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    var assign: DataFrame = null
+    for (_ <- 1 to 2) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+      assign = e.crossJoin(broadcast(cents))
+        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("c_id"), col("emb"))
+      cents = assign
+        .select(col("c_id"), posexplode(col("emb")).as(Seq("j", "x")))
+        .groupBy(col("c_id"), col("j"))
+        .agg((dsum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+          .as("c_emb"))
+    }
+    val sizes = assign.groupBy(col("c_id")).agg(count(lit(1)).as("csize"))
+    val cnorm = cents.select(col("c_id"), norm("c_emb").as("c_norm"))
+    assign.join(broadcast(sizes), Seq("c_id")).join(broadcast(cnorm), Seq("c_id"))
+      .select(col("vec_id"), col("c_id").as("list_id"), col("csize"), col("c_norm"))
+      .orderBy(col("vec_id"))
   }
 
   /** All-pairs cosine within an IVF list — the shared blocked self-join

@@ -57,6 +57,35 @@ class DedupVectorSpec extends GraftSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dedup components equal union-find over the verified pairs") {
+    val pairs = q("d01_minhash_lsh_pairs")
+      .select("a", "b").as[(Long, Long)].collect()
+    // reference union-find on the driver (test-only)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val expectedComp = expected.map { case (v, r) =>
+      v -> expected.collect { case (u, s) if s == r => u }.min }
+    val got = q("d06_dedup_components")
+      .select("doc_id", "component", "csize", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => r._1 -> r._2).toMap == expectedComp)
+    // exactly one canonical doc per component, equal to the min member
+    val byComp = got.groupBy(_._2)
+    for ((comp, members) <- byComp) {
+      assert(members.count(_._4) == 1)
+      assert(members.filter(_._4).head._1 == comp)
+      assert(members.map(_._1).min == comp)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("simhash pairs exact dup at hamming 0") {
     val rows = q("d02_simhash_pairs")
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
@@ -128,5 +157,28 @@ class DedupVectorSpec extends GraftSuite {
     }
     // centroid ids are real vectors: every list id is one of the 8 seeds
     assert(rows.map(_._3).toSet.subsetOf((100L to 107L).toSet))
+  }
+
+  test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
+    val sf = "/root/testdata/sf0.001"
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val rows = VectorOps.defs.find(_.name == "v07_kmeans_ivf_train").get.fn(spark, sf)
+      .select("vec_id", "list_id", "csize", "c_norm")
+      .as[(Long, Long, Long, Double)].collect()
+    // every vector is assigned exactly once and sizes add up
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    val byList = rows.groupBy(_._2)
+    assert(byList.forall { case (_, g) => g.forall(_._3 == g.length) })
+    assert(byList.values.map(_.length.toLong).sum == n)
+    assert(rows.forall(_._4 > 0))
+    // trained centroids are means, not the seed embeddings: norms differ
+    val seedNorms = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(100, 107))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"))
+      .select("vec_id", "nrm").as[(Long, Double)].collect().toMap
+    val trainedNorms = rows.groupBy(_._2).map { case (l, g) => l -> g.head._4 }
+    assert(trainedNorms.exists { case (l, nm) =>
+      seedNorms.get(l).exists(sn => math.abs(sn - nm) > 1e-9) })
   }
 }
