@@ -17,7 +17,7 @@ import graft.{QDef, Tables}
 object TextOps {
 
   def defs: Seq[QDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -410,5 +410,93 @@ object TextOps {
       .filter(col("rnk") <= 10)
       .select(col("lang"), col("rnk").cast("int").as("rnk"), col("tok"), col("n"))
       .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** PII patterns shared by the Spark and DuckDB sides of t13. Written
+    * in the common subset of Java regex and RE2 (character classes,
+    * bounded repeats, no lookaround) so both engines match identically;
+    * applied in this order (email before ip: an email's host can
+    * contain a dotted quad). The phone (3-3-4) and SSN (3-2-4) shapes
+    * cannot overlap, so their order is immaterial. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>")
+
+  /** PII redaction — the scrub stage every pretraining pipeline runs:
+    * count then mask emails / IPv4s / phone numbers / SSN-shaped ids.
+    * Pure per-row regex work (codegen'd `regexp_replace` chain, one
+    * scan, no shuffle) — embarrassingly parallel at 100 TB. */
+  private val t13 = QDef(
+    "t13_pii_redaction", {
+      val counts = piiPatterns.map { case (p, tag) =>
+        val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$name"
+      }.mkString(",\n  ")
+      val cleaned = piiPatterns.foldLeft("text") { case (acc, (p, tag)) =>
+        s"regexp_replace($acc, '$p', '$tag', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $counts,
+         |  $cleaned AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val withCounts = piiPatterns.foldLeft(base) { case (df, (p, tag)) =>
+      val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      df.withColumn(s"n_$name", regexp_count(col("text"), lit(p)))
+    }
+    val cleaned = piiPatterns.foldLeft(col("text")) { case (acc, (p, tag)) =>
+      regexp_replace(acc, p, tag)
+    }
+    withCounts
+      .withColumn("clean_text", cleaned)
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-3 terms per document. IDF is the ln-free rational form
+    * n_docs/df (same discounting direction, and — unlike `ln` — IEEE
+    * division is fully determined, so the score doubles are bit-equal
+    * across engines; transcendentals are only semi-monotonic in Java).
+    *
+    * Scale shape: explode to narrow (doc_id, term) rows → two
+    * map-side-combined hash aggregates (tf, then df) → shuffle join on
+    * the term key (vocabulary-sized, NOT corpus-sized — at 100 TB the
+    * df table is the small side and AQE broadcasts it) → per-doc
+    * window top-k. No all-pairs stage anywhere. */
+  private val t14 = QDef(
+    "t14_tfidf_topk",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc)
+      |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
   }
 }

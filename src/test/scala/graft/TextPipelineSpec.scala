@@ -32,6 +32,47 @@ class TextPipelineSpec extends GraftSuite {
     assert(keeps == Set(true, false), "thresholds should split the corpus")
   }
 
+  test("t13: pii redaction masks emails, ips, phones, ssns on a planted doc") {
+    import SparkTestBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (0L, "mail bob.smith+x@corp.example.com or 10.0.42.7 call 555-123-4567 ssn 123-45-6789", "en", "s", 80L),
+      (1L, "nothing sensitive here at all", "en", "s", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t13_pii_redaction")(spark, dir)
+      .orderBy("doc_id").collect()
+    val r0 = rows(0)
+    assert(r0.getAs[Int]("n_email") == 1 && r0.getAs[Int]("n_ip") == 1)
+    assert(r0.getAs[Int]("n_phone") == 1 && r0.getAs[Int]("n_ssn") == 1)
+    val clean = r0.getAs[String]("clean_text")
+    assert(clean == "mail <EMAIL> or <IP> call <PHONE> ssn <SSN>", clean)
+    val r1 = rows(1)
+    assert(Seq("n_email", "n_ip", "n_phone", "n_ssn").forall(c => r1.getAs[Int](c) == 0))
+    assert(r1.getAs[String]("clean_text") == "nothing sensitive here at all")
+  }
+
+  test("t14: tfidf ranks a document's rare term above corpus-wide terms") {
+    import SparkTestBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    Seq(
+      (0L, "shared shared shared zebra", "en", "s", 26L),
+      (1L, "shared shared shared words", "en", "s", 26L),
+      (2L, "shared shared shared words", "en", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val doc0 = SparkEntry.queries("t14_tfidf_topk")(spark, dir)
+      .filter(col("doc_id") === 0)
+      .select("term", "tf", "df", "score")
+      .as[(String, Long, Long, Double)].collect()
+    val byTerm = doc0.map(r => r._1 -> r).toMap
+    // zebra: tf=1 df=1 -> 1*3/1 = 3.0; shared: tf=3 df=3 -> 3*3/3 = 3.0
+    assert(byTerm("zebra") == ("zebra", 1L, 1L, 3.0))
+    assert(byTerm("shared") == ("shared", 3L, 3L, 3.0))
+    // doc 0 never contains "words"
+    assert(!byTerm.contains("words"))
+  }
+
   test("bottom_k aggregator: order/partition invariant, tie-broken on id") {
     val agg = new BottomKAgg(3)
     val items = Seq(("b", 2L), ("a", 9L), ("a", 1L), ("c", 5L), ("b", 2L))
