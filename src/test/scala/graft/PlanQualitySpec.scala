@@ -144,4 +144,40 @@ class PlanQualitySpec extends GraftSuite {
       s"d03 lost its blocking keys:\n$p")
     assert(p.contains("lang"), s"d03 block key missing from plan:\n$p")
   }
+
+  test("t14: df side joins on the term key, no cartesian beyond the 1-row n") {
+    // the tf↔df join must be keyed on `term` (vocabulary-sized build
+    // side); the only product allowed is the broadcast of the single
+    // aggregate row carrying n_docs
+    val df = SparkEntry.queries("t14_tfidf_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"t14 planned a cartesian:\n$p")
+    val joins = p.linesIterator.filter(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin") ||
+        (l.contains("BroadcastHashJoin") && !l.contains("n_docs"))).toSeq
+    assert(joins.exists(_.contains("term")),
+      s"t14 tf-df join must key on term:\n$p")
+  }
+
+  test("v07: each Lloyd round broadcasts the centroid table, never shuffles the corpus twice") {
+    // assignment must be scan + BroadcastNestedLoopJoin/BroadcastHashJoin
+    // against the 8-row centroid table; a shuffled join here would move
+    // the full corpus per training round
+    val df = SparkEntry.queries("v07_kmeans_ivf_train")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"v07 centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v07 planned a cartesian:\n$p")
+  }
+
+  test("d06: propagation rounds are key-joins on bounded-width rows, no driver collect") {
+    // the component loop must never materialize the graph on the driver:
+    // the only rows moved are (src, dst) and (v, comp) pairs. The final
+    // plan reads from the localCheckpoint'd label RDD (lineage truncated).
+    val df = SparkEntry.queries("d06_dedup_components")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d06 planned unbounded pair work:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"d06 final plan should read the checkpointed labels:\n$p")
+  }
 }
