@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation
+  * — the building block behind near-dup graph clustering (d06) and
+  * density clustering (sp07).
+  *
+  * Each round is one hash-join shuffle keyed on the edge endpoint plus
+  * a map-side-combined min aggregate; the loop runs O(graph diameter)
+  * rounds, and `localCheckpoint` truncates the per-round lineage (the
+  * Pregel trick without GraphX's RDD API). Both current users have
+  * small, star-like components (near-dup clusters, density blobs), so
+  * 2-5 rounds close at any corpus size; nothing driver-side ever holds
+  * more than the loop's change counter.
+  */
+object Components {
+
+  /** Min-label fixpoint over a symmetric edge set.
+    *
+    * @param edges    (src, dst) rows; must contain BOTH orientations of
+    *                 every undirected edge (propagation is directional)
+    * @param vertices (v) rows; vertices absent from `edges` keep their
+    *                 own id as the component (singleton components)
+    * @return (v, comp) with comp = min vertex id reachable from v
+    */
+  def minLabel(edges: DataFrame, vertices: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var labels = vertices.select(col("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint(true)
+    var delta = 1L
+    var rounds = 0
+    while (delta > 0 && rounds < maxRounds) {
+      val nbrMin = e
+        .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      delta = next.except(labels).count()
+      labels = next
+      rounds += 1
+    }
+    e.unpersist()
+    labels
+  }
+}

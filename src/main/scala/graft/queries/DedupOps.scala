@@ -330,14 +330,14 @@ object DedupOps {
     * keep one canonical doc per component). Component id = min doc_id
     * reachable, canonical doc = the member equal to that min.
     *
-    * Scale shape: iterative min-label propagation — each round is one
+    * Scale shape: iterative min-label propagation
+    * ([[graft.operators.Components.minLabel]]) — each round is one
     * hash-join shuffle keyed on the edge endpoint plus a map-side-
     * combined min aggregate, and the loop runs O(graph diameter)
     * rounds. Near-dup components are small and star-like (a cluster of
     * mutual near-dups), so 2-4 rounds close at any corpus size; no
-    * all-pairs work and no driver-side graph ever materializes
-    * (`localCheckpoint` truncates the per-round lineage, the Pregel
-    * trick without GraphX's RDD API). The DuckDB oracle replays the
+    * all-pairs work and no driver-side graph ever materializes.
+    * The DuckDB oracle replays the
     * same fixpoint as a recursive reachability CTE — tractable because
     * the ORACLE graph (sf0.01) is tiny, while the Spark side never
     * computes transitive closure. */
@@ -359,27 +359,10 @@ object DedupOps {
         |FROM comp
         |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
-    val edges = pairs.union(pairs.select(col("b"), col("a")))
-      .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v"))
-      .localCheckpoint(true)
-    var delta = 1L
-    var rounds = 0
-    while (delta > 0 && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      delta = next.except(labels).count()
-      labels = next
-      rounds += 1
-    }
-    edges.unpersist(); pairs.unpersist()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v")))
+    pairs.unpersist()
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
     labels.join(sizes, Seq("comp"))
       .select(col("v").as("doc_id"), col("comp").as("component"),

@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -154,6 +154,91 @@ object Spatial {
       .filter(col("rnk") <= 3)
       .select(col("c_custkey"), col("s_suppkey"), col("dist"), col("rnk"))
       .orderBy(col("c_custkey"), col("rnk"))
+  }
+
+  /** DBSCAN density clustering over customer points, fully distributed:
+    * eps-neighbor pairs via the grid dwithin self-join → core points
+    * (≥ minPts=5 in the closed ball, self included) → connected
+    * components over the core-core graph
+    * ([[graft.operators.Components.minLabel]]) → border points join the
+    * min cluster of their core neighbors (deterministic, unlike
+    * classic scan-order DBSCAN); everything else is noise (omitted).
+    *
+    * eps is sized to the data density — sqrt(9549/N) puts the expected
+    * closed-ball occupancy at ~4 anywhere in [0,100)², so neighbor
+    * pairs stay O(N) and core components stay small at every scale
+    * factor (sub-critical for continuum percolation: the giant-
+    * component regime, where min-label propagation would need
+    * O(plane-diameter) rounds and a star-contraction variant becomes
+    * the right tool, starts ~50% higher). Both engines compute eps
+    * from the same count with one division + sqrt, so the doubles are
+    * bit-equal and the oracle can verify the exact cluster assignment
+    * (reachability CTE over the same core graph). */
+  private val sp07 = QDef(
+    "sp07_dbscan_clusters", {
+      def dist(ak: String, bk: String) =
+        s"""sqrt(((${ptX(ak)}) - (${ptX(bk)})) * ((${ptX(ak)}) - (${ptX(bk)}))
+           |   + ((${ptY(ak)}) - (${ptY(bk)})) * ((${ptY(ak)}) - (${ptY(bk)})))""".stripMargin
+      s"""WITH RECURSIVE eps AS (SELECT sqrt(9549.0 / COUNT(*)) AS e FROM customer),
+         |nb AS (
+         |  SELECT a.c_custkey AS a, b.c_custkey AS b
+         |  FROM customer a, customer b, eps
+         |  WHERE a.c_custkey <> b.c_custkey
+         |    AND ${dist("a.c_custkey", "b.c_custkey")} <= eps.e),
+         |core AS (SELECT a AS id FROM nb GROUP BY a HAVING COUNT(*) + 1 >= 5),
+         |ce AS (
+         |  SELECT n.a AS src, n.b AS dst
+         |  FROM nb n JOIN core ca ON n.a = ca.id JOIN core cb ON n.b = cb.id),
+         |reach AS (
+         |  SELECT src, dst FROM ce
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN ce e2 ON r.dst = e2.src),
+         |cc AS (
+         |  SELECT c.id, least(c.id, coalesce(r.mn, c.id)) AS cluster
+         |  FROM core c LEFT JOIN
+         |    (SELECT src, MIN(dst) AS mn FROM reach GROUP BY src) r ON r.src = c.id),
+         |border AS (
+         |  SELECT n.a AS id, MIN(cc.cluster) AS cluster
+         |  FROM nb n JOIN cc ON n.b = cc.id
+         |  WHERE n.a NOT IN (SELECT id FROM core)
+         |  GROUP BY n.a)
+         |SELECT id AS c_custkey, cluster, TRUE AS is_core FROM cc
+         |UNION ALL
+         |SELECT id AS c_custkey, cluster, FALSE AS is_core FROM border
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    val n = Tables.customer(s, d).count()
+    val eps = math.sqrt(9549.0 / n)
+    def pts(key: String, pt: String) = Tables.customer(s, d)
+      .select(col("c_custkey").as(key),
+        expr(s"st_makepoint(${ptX(key)}, ${ptY(key)})").as(pt))
+    // pair set persisted: degree count, core-edge extraction, and
+    // border assignment all reread it (3 passes over one grid join)
+    val nb = SpatialJoin.grid(pts("a_key", "a_pt"), pts("b_key", "b_pt"),
+        "a_pt", "b_pt", "st_dwithin", distance = eps, cells = 64)
+      .where(col("a_key") =!= col("b_key"))
+      .select(col("a_key"), col("b_key"))
+      .persist()
+    val core = nb.groupBy(col("a_key")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1 >= 5)
+      .select(col("a_key").as("id"))
+    val ce = nb
+      .join(core.withColumnRenamed("id", "a_key"), Seq("a_key"))
+      .join(core.withColumnRenamed("id", "b_key"), Seq("b_key"))
+      .select(col("a_key").as("src"), col("b_key").as("dst"))
+    val cc = graft.operators.Components.minLabel(ce, core.select(col("id").as("v")))
+      .select(col("v").as("id"), col("comp").as("cluster"))
+    val border = nb
+      .join(cc.withColumnRenamed("id", "b_key").withColumnRenamed("cluster", "b_cluster"),
+        Seq("b_key"))
+      .join(core.withColumnRenamed("id", "a_key"), Seq("a_key"), "left_anti")
+      .groupBy(col("a_key")).agg(min(col("b_cluster")).as("cluster"))
+      .select(col("a_key").as("id"), col("cluster"))
+    cc.withColumn("is_core", lit(true))
+      .unionByName(border.withColumn("is_core", lit(false)))
+      .select(col("id").as("c_custkey"), col("cluster"), col("is_core"))
+      .orderBy(col("c_custkey"))
   }
 
   /** Box-overlap self-join through the grid path: small rectangles from

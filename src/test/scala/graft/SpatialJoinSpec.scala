@@ -234,4 +234,41 @@ class SpatialJoinSpec extends GraftSuite {
       spark.conf.unset("spark.graft.spatial_join.cells")
     }
   }
+
+  test("sp07 dbscan equals single-node reference dbscan") {
+    val got = SparkEntry.queries("sp07_dbscan_clusters")(spark, sf)
+      .select("c_custkey", "cluster", "is_core")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // reference DBSCAN on the driver (same eps/minPts/min-id labeling)
+    val keys = graft.Tables.customer(spark, sf)
+      .select("c_custkey").as[Long].collect()
+    def px(k: Long) = (k * 48271 % 10007) % 100 + 0.5
+    def py(k: Long) = (k * 69621 % 10007) % 100 + 0.5
+    val eps = math.sqrt(9549.0 / keys.length)
+    def near(a: Long, b: Long) =
+      math.sqrt(math.pow(px(a) - px(b), 2) + math.pow(py(a) - py(b), 2)) <= eps
+    val nbrs = keys.map(a => a -> keys.filter(b => b != a && near(a, b)).toSet).toMap
+    val core = keys.filter(k => nbrs(k).size + 1 >= 5).toSet
+    // component of each core point = min reachable core id
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    for (c <- core.toSeq.sorted if !comp.contains(c)) {
+      var frontier = Set(c); val seen = scala.collection.mutable.Set(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => nbrs(v).filter(core)).diff(seen)
+        seen ++= frontier
+      }
+      val label = seen.min
+      seen.foreach(v => comp(v) = label)
+    }
+    val expected = core.map(c => c -> (comp(c), true)).toMap ++
+      keys.filterNot(core).flatMap { k =>
+        val coreNbrs = nbrs(k).filter(core)
+        if (coreNbrs.isEmpty) None
+        else Some(k -> (coreNbrs.map(comp).min, false))
+      }
+    assert(got == expected, s"got ${got.size} rows vs expected ${expected.size}")
+    assert(core.nonEmpty && expected.exists(!_._2._2), "fixture should have core AND border points")
+  }
 }
