@@ -42,19 +42,65 @@ object AnnIndex {
       .select(col("id"), col("list_id"), col("emb_n"))
   }
 
+  /** Per-list centroids recovered as the mean of normalized members —
+    * the same minimizer KMeans converged to (up to normalization). */
+  def centroidsOf(assign: DataFrame, dims: Int = 64): DataFrame =
+    assign
+      .select(col("list_id"), col("emb_n"))
+      .groupBy(col("list_id"))
+      .agg(array((0 until dims).map(i => avg(element_at(col("emb_n"), i + 1))): _*)
+        .as("c_emb"))
+
+  /** Persist the index as an on-disk inverted file: the assignment is
+    * written PARTITIONED BY list_id (each IVF list is its own parquet
+    * directory) with the centroid table alongside. A search that
+    * probes nprobe of k lists then reads ONLY those nprobe
+    * directories — partition pruning is the disk analogue of the
+    * inverted-file scan bound, and it is what makes a persisted
+    * 100 TB index serve queries without touching the corpus. */
+  def save(assign: DataFrame, path: String): Unit = {
+    assign.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroidsOf(assign).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** [[ivfSearch]] against a [[save]]d index. The probed list ids are
+    * resolved from the (k-row) centroid table and applied as a static
+    * IN filter, so the lists scan is partition-pruned to the probed
+    * directories. Probe vectors are fetched by id from the index
+    * itself (one slim scan; a production deployment would keep a
+    * separate id→vector store for this). */
+  def ivfSearchOnDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      probeIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
+    SketchFunctions.registerAll(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = spark.read.parquet(s"$path/lists")
+    val probes = lists.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("q_id"), col("emb_n").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("list_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("dot_fold(q_emb, c_emb)"))
+      .withColumn("cr", row_number().over(wProbe))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("list_id"), col("q_emb"))
+    // bounded driver-side metadata: ≤ nprobe × |probes| ints
+    val probedLists = probeLists.select(col("list_id")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue)
+    val pruned = lists.filter(col("list_id").isin(probedLists: _*))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    pruned.join(broadcast(probeLists), Seq("list_id"))
+      .where(col("id") =!= col("q_id"))
+      .withColumn("sim", expr("dot_fold(emb_n, q_emb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("id").as("vec_id"), col("sim"), col("rank"))
+  }
+
   /** Top-`topK` cosine neighbors for each probe id, scanning only the
     * `nprobe` nearest lists per probe. `assign` is [[ivfAssign]]'s
     * output; probes are selected out of it by id. */
   def ivfSearch(assign: DataFrame, probeIds: Seq[Long],
       nprobe: Int, topK: Int): DataFrame = {
-    // centroids recovered as per-list mean of normalized members — the
-    // same minimizer KMeans converged to (up to normalization)
-    val dims = 64
-    val cents = assign
-      .select(col("list_id"), col("emb_n"))
-      .groupBy(col("list_id"))
-      .agg(array((0 until dims).map(i => avg(element_at(col("emb_n"), i + 1))): _*)
-        .as("c_emb"))
+    val cents = centroidsOf(assign)
     val probes = assign.filter(col("id").isin(probeIds: _*))
       .select(col("id").as("q_id"), col("emb_n").as("q_emb"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("list_id"))

@@ -21,7 +21,7 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -49,6 +49,63 @@ object Events {
           .cast("double"))
       .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("sum_1h"))
       .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  /** Hourly gap-fill + forward-fill — time-series regularization (the
+    * resample step every feature pipeline runs before windowed models):
+    * each user's event stream becomes a dense hourly grid between their
+    * first and last hour, zero counts on silent hours, and the hour's
+    * last event type carried forward across gaps (`last ... IGNORE
+    * NULLS` in both engines; the in-hour "last" is picked by (us,
+    * event_id) so it is deterministic).
+    *
+    * Scale shape: one hash aggregate for the per-user bounds, a
+    * sequence-explode whose fan-out is the GRID size (bounded by the
+    * time range, not the event count), left joins on (user_id, hr) and
+    * one per-user window — all shuffles on the user key. 20 users keep
+    * the dense output fixture-stable across SFs. */
+  private val q35 = QDef(
+    "q35_hourly_gap_fill",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    epoch_us(ts) // 3600000000 AS hr
+      |  FROM events WHERE user_id < 20),
+      |b AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY user_id),
+      |g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b),
+      |c AS (SELECT user_id, hr, COUNT(*) AS n FROM e GROUP BY user_id, hr),
+      |lv AS (
+      |  SELECT user_id, hr, event_type FROM (
+      |    SELECT user_id, hr, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, hr ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e) WHERE rn = 1),
+      |f AS (
+      |  SELECT g.user_id, g.hr, COALESCE(c.n, 0) AS n_events, lv.event_type AS hour_last
+      |  FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.hr = g.hr
+      |         LEFT JOIN lv ON lv.user_id = g.user_id AND lv.hr = g.hr)
+      |SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events,
+      |  last_value(hour_last IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type
+      |FROM f ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr("us div 3600000000"))
+    val b = e.groupBy(col("user_id")).agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val g = b.select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val c = e.groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("n"))
+    val wLast = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lv = e.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("event_type"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(c, Seq("user_id", "hr"), "left")
+      .join(lv, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("event_type"), ignoreNulls = true).over(wFill).as("carried_type"))
+      .orderBy(col("user_id"), col("hr"))
   }
 
   /** Conversion funnel view → click → purchase: per user, the first

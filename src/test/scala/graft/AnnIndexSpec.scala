@@ -56,4 +56,35 @@ class AnnIndexSpec extends GraftSuite {
     // must do substantially better for the probes' own neighborhoods
     assert(mean >= 0.5, s"mean recall@5 $mean (per-probe: $recalls)")
   }
+
+  test("persisted index: on-disk search matches in-memory, scan is partition-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    AnnIndex.save(assign, path)
+    val probeIds = (0L until 10L).toSeq
+
+    val onDisk = AnnIndex.ivfSearchOnDisk(spark, path, probeIds, nprobe = 2, topK = 5)
+    val got = onDisk.select("q_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val inMem = AnnIndex.ivfSearch(assign, probeIds, nprobe = 2, topK = 5)
+      .select("q_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == inMem && got.nonEmpty)
+
+    // the search plan must contain a partition-pruned lists scan (the
+    // on-disk inverted-file contract: nprobe/k of the index read)...
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id#") ||
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*list_id.*"),
+      s"no partition filter on the lists scan:\n$plan")
+    // ...and the partitioned layout itself prunes: an isin filter on
+    // list_id becomes a PartitionFilter (directory-level skip), and the
+    // pruned read returns exactly those lists' rows
+    val twoLists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(0, 1))
+    val scan = twoLists.queryExecution.executedPlan.toString
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*list_id[^\\]]*\\].*"),
+      s"isin(list_id) did not become a partition filter:\n$scan")
+    val expectRows = assign.filter(col("list_id").isin(0, 1)).count()
+    assert(twoLists.count() == expectRows && expectRows > 0)
+  }
 }
