@@ -40,7 +40,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // Transaction keywords acknowledged as no-ops, never executed
     // (reference handler.rs:43-67 / :108-127).
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlan(eraseUnsupportedCasts(sqlText)))
+    else rewrite(delegate.parsePlan(
+      rewriteCopyTo(sqlText).orElse(rewriteCreateExternal(sqlText))
+        .getOrElse(eraseUnsupportedCasts(sqlText))))
   }
 
   // the default implementation drops the parameter context, which
@@ -49,7 +51,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlanWithParameters(eraseUnsupportedCasts(sqlText), ctx))
+    else rewrite(delegate.parsePlanWithParameters(
+      rewriteCopyTo(sqlText).orElse(rewriteCreateExternal(sqlText))
+        .getOrElse(eraseUnsupportedCasts(sqlText)), ctx))
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -115,5 +119,50 @@ object GraftSqlParser {
   def eraseUnsupportedCasts(sql: String): String = {
     val noCastCalls = ExplicitCast.replaceAllIn(sql, m => m.group(1))
     DoubleColonCast.replaceAllIn(noCastCalls, "")
+  }
+
+  // `COPY (query)|table TO 'path' [(FORMAT fmt, ...)]` — DataFusion's
+  // file-export statement (wire-level `COPY ... TO STDOUT` is handled
+  // by PgServer and never reaches the parser)
+  private val CopyToFile =
+    ("(?is)^\\s*COPY\\s+(\\(.*\\)|[\\w.\"]+)\\s+TO\\s+'([^']+)'" +
+      "\\s*(?:\\(\\s*FORMAT\\s+(\\w+)[^)]*\\))?\\s*;?\\s*$").r
+
+  // `CREATE EXTERNAL TABLE t [(cols)] STORED AS fmt LOCATION 'path'` —
+  // DataFusion's mount syntax (reference sqllogictest cookbook)
+  private val CreateExternal =
+    ("(?is)^\\s*CREATE\\s+EXTERNAL\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w.\"]+)\\s*(\\([^)]*\\))?\\s*STORED\\s+AS\\s+(\\w+)\\s+" +
+      "LOCATION\\s+'([^']+)'\\s*;?\\s*$").r
+
+  /** DataFusion-style `CREATE EXTERNAL TABLE` → Spark's
+    * `CREATE TABLE ... USING <format> LOCATION` (same semantics: mount
+    * files in place, schema inferred or declared, no data copied). */
+  def rewriteCreateExternal(sql: String): Option[String] = sql match {
+    case CreateExternal(name, cols, fmt, path) =>
+      val colSpec = Option(cols).getOrElse("")
+      Some(s"CREATE TABLE $name $colSpec USING ${fmt.toLowerCase} LOCATION '$path'")
+    case _ => None
+  }
+
+  /** DataFusion-style `COPY ... TO 'file'` → Spark's
+    * `INSERT OVERWRITE DIRECTORY ... USING <format>`. Format comes from
+    * the FORMAT option or the path extension (parquet default, like
+    * the reference's DataFusion surface). Distributed write path —
+    * each task writes its partition, no driver funnel. */
+  def rewriteCopyTo(sql: String): Option[String] = sql match {
+    case CopyToFile(src, path, fmt) =>
+      val query =
+        if (src.startsWith("(")) src.substring(1, src.length - 1)
+        else s"SELECT * FROM $src"
+      val format = Option(fmt).map(_.toLowerCase).getOrElse(
+        path.split('.').last.toLowerCase match {
+          case "csv"            => "csv"
+          case "json" | "ndjson" => "json"
+          case _                => "parquet"
+        })
+      val opts = if (format == "csv") " OPTIONS ('header' 'true')" else ""
+      Some(s"INSERT OVERWRITE DIRECTORY '$path' USING $format$opts $query")
+    case _ => None
   }
 }

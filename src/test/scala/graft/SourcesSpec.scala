@@ -141,4 +141,32 @@ class SourcesSpec extends GraftSuite {
     assert(whole.as[String].collect().toSet ==
       Set("line one\nline two\n", "solo\n"))
   }
+
+  test("COPY (query) TO 'file': DataFusion-style export via the parser rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyto").toString
+    spark.sql(s"COPY (SELECT id, id * 2 AS dbl FROM range(5)) TO '$dir/out.parquet'")
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.count() == 5)
+    assert(back.filter(col("id") === 3).select("dbl").as[Long].head() == 6L)
+
+    spark.sql(s"COPY (SELECT id FROM range(3)) TO '$dir/out.csv' (FORMAT csv)")
+    val csv = spark.read.option("header", "true").csv(s"$dir/out.csv")
+    assert(csv.columns.toSeq == Seq("id") && csv.count() == 3)
+
+    // table form + format inferred from extension
+    spark.range(4).createOrReplaceTempView("copyto_src")
+    spark.sql(s"COPY copyto_src TO '$dir/t.json'")
+    assert(spark.read.json(s"$dir/t.json").count() == 4)
+  }
+
+  test("CREATE EXTERNAL TABLE ... STORED AS ... LOCATION (DataFusion mount syntax)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    spark.range(6).select(col("id"), (col("id") % 2).as("par"))
+      .write.parquet(s"$dir/data")
+    spark.sql("DROP TABLE IF EXISTS ext_mounted")
+    spark.sql(s"CREATE EXTERNAL TABLE ext_mounted STORED AS PARQUET LOCATION '$dir/data'")
+    assert(spark.table("ext_mounted").count() == 6)
+    assert(spark.sql("SELECT sum(par) FROM ext_mounted").as[Long].head() == 3L)
+    spark.sql("DROP TABLE IF EXISTS ext_mounted")
+  }
 }
