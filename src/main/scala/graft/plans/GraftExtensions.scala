@@ -41,7 +41,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // (reference handler.rs:43-67 / :108-127).
     if (TxnKeywords(trimmed)) emptyResult
     else rewrite(delegate.parsePlan(
-      rewriteCopyTo(sqlText).orElse(rewriteCreateExternal(sqlText))
+      rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
+        .orElse(rewriteCreateExternal(sqlText))
         .getOrElse(eraseUnsupportedCasts(sqlText))))
   }
 
@@ -52,7 +53,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
     if (TxnKeywords(trimmed)) emptyResult
     else rewrite(delegate.parsePlanWithParameters(
-      rewriteCopyTo(sqlText).orElse(rewriteCreateExternal(sqlText))
+      rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
+        .orElse(rewriteCreateExternal(sqlText))
         .getOrElse(eraseUnsupportedCasts(sqlText)), ctx))
   }
 
@@ -142,6 +144,28 @@ object GraftSqlParser {
     case CreateExternal(name, cols, fmt, path) =>
       val colSpec = Option(cols).getOrElse("")
       Some(s"CREATE TABLE $name $colSpec USING ${fmt.toLowerCase} LOCATION '$path'")
+    case _ => None
+  }
+
+  // `COPY table FROM 'path' [(FORMAT fmt)]` — file ingest, the server-
+  // side counterpart of wire-level COPY FROM STDIN
+  private val CopyFromFile =
+    ("(?is)^\\s*COPY\\s+([\\w.\"]+)\\s+FROM\\s+'([^']+)'" +
+      "\\s*(?:\\(\\s*FORMAT\\s+(\\w+)[^)]*\\))?\\s*;?\\s*$").r
+
+  /** `COPY t FROM 'file'` → `INSERT INTO t SELECT * FROM fmt.`file``
+    * (Spark's direct-file table syntax — a distributed read+append,
+    * no driver funnel). Format from option or extension. */
+  def rewriteCopyFrom(sql: String): Option[String] = sql match {
+    case CopyFromFile(table, path, fmt) =>
+      val format = Option(fmt).map(_.toLowerCase).getOrElse(
+        path.split('.').last.toLowerCase match {
+          case "json" | "ndjson" => "json"
+          case "orc"             => "orc"
+          case "csv"             => "csv"
+          case _                 => "parquet"
+        })
+      Some(s"INSERT INTO $table SELECT * FROM $format.`$path`")
     case _ => None
   }
 

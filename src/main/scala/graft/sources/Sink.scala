@@ -29,7 +29,8 @@ object Sink {
       partitionBy: Seq[String],
       maxRecordsPerFile: Long = 5000000L,
       clusterBy: Seq[String] = Nil,
-      numTasks: Int = 0): Unit = {
+      numTasks: Int = 0,
+      mode: String = "overwrite"): Unit = {
     val arranged =
       if (clusterBy.isEmpty) df
       else {
@@ -44,7 +45,7 @@ object Sink {
         ranged.sortWithinPartitions(keys: _*)
       }
     arranged.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionBy: _*)
       .parquet(path)

@@ -249,6 +249,28 @@ object StreamingOps {
         col("v_ts"), col("c_ts"))
   }
 
+  /** Stream → curated parquet layout: every micro-batch is appended
+    * through [[graft.sources.Sink.writePartitioned]], so the landed
+    * files carry the SAME layout guarantees as the batch sink —
+    * directory partition pruning, bounded file sizes, cluster-key
+    * sorting for row-group skipping. This is the ingestion half of a
+    * lakehouse table without a table format: checkpointed source
+    * offsets give at-least-once delivery; exact-once needs either
+    * idempotent downstream reads (dedupByKey on a natural key) or a
+    * transactional table format on top. */
+  def toPartitionedSink(df: DataFrame, path: String, checkpoint: String,
+      partitionBy: Seq[String], clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sink.writePartitioned(batch, path, partitionBy,
+          maxRecordsPerFile, clusterBy, mode = "append")
+      }
+      .start()
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

@@ -159,6 +159,16 @@ class SourcesSpec extends GraftSuite {
     assert(spark.read.json(s"$dir/t.json").count() == 4)
   }
 
+  test("COPY table FROM 'file': server-side ingest via the parser rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyfrom").toString
+    spark.range(3).select(col("id").as("n")).write.parquet(s"$dir/in.parquet")
+    spark.sql("DROP TABLE IF EXISTS copyfrom_sink")
+    spark.sql("CREATE TABLE copyfrom_sink (n BIGINT) USING parquet")
+    spark.sql(s"COPY copyfrom_sink FROM '$dir/in.parquet'")
+    assert(spark.table("copyfrom_sink").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    spark.sql("DROP TABLE IF EXISTS copyfrom_sink")
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ... LOCATION (DataFusion mount syntax)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
     spark.range(6).select(col("id"), (col("id") % 2).as("par"))

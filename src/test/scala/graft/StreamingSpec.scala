@@ -208,6 +208,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("toPartitionedSink lands partitioned, cluster-sorted parquet equal to the input") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val rows = events.as[(Long, Long, String)].collect().toSeq
+
+    val mem = MemoryStream[(Long, Long, String)]
+    val query = StreamingOps.toPartitionedSink(
+      mem.toDF().toDF("event_id", "user_id", "event_type"),
+      s"$dir/out", s"$dir/ckpt",
+      partitionBy = Seq("event_type"), clusterBy = Seq("user_id"))
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      for (b <- Seq(b1, b2)) { mem.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    val back = spark.read.parquet(s"$dir/out")
+      .select("event_id", "user_id", "event_type").as[(Long, Long, String)].collect()
+    assert(back.sorted.toSeq == rows.sorted)
+    // layout: one directory per event_type (partition pruning for readers)
+    val dirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type=")).toSet
+    assert(dirs == rows.map(r => s"event_type=${r._3}").toSet)
+  }
+
   test("viewClickJoin: stream-stream interval join equals batch join") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
