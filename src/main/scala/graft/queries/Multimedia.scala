@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -99,5 +99,42 @@ object Multimedia {
       .select(col("media_id"), col("kind"), col("frame_idx"),
         hex(col("frame_bytes")).as("frame_hex"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Cross-video frame dedup: every sampled frame keeps only its first
+    * occurrence corpus-wide (first = min (media_id, frame_idx)), per
+    * media summarized as sampled vs canonically-owned frames — the
+    * binary-payload face of the exact-dedup pass (shared intros /
+    * watermark frames dedup once across the corpus). One shuffle keyed
+    * on the frame bytes; at 100 TB the key would be a frame digest
+    * (same plan shape, narrower shuffle). */
+  private val mm04 = QDef(
+    "mm04_frame_dedup",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    hex(encode(text)) AS payload_hex,
+       |    greatest(1, octet_length(encode(text)) // 256) AS n_frames
+       |  FROM documents),
+       |fr AS (
+       |  SELECT media_id, CAST(f.i AS INTEGER) AS frame_idx,
+       |    substring(payload_hex, CAST(f.i AS INTEGER) * 512 + 1, 512) AS frame_hex
+       |  FROM m, unnest(range(0, n_frames, 10)) AS f(i)),
+       |r AS (
+       |  SELECT media_id,
+       |    ROW_NUMBER() OVER (PARTITION BY frame_hex ORDER BY media_id, frame_idx) AS rn
+       |  FROM fr)
+       |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+       |FROM r GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, d) =>
+    val frames = Multimodal
+      .sampleFrames(Multimodal.attachPayload(Tables.documents(s, d)))
+      .select(col("media_id"), col("frame_idx"), hex(col("frame_bytes")).as("frame_hex"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_hex")).orderBy(col("media_id"), col("frame_idx"))
+    frames.withColumn("rn", row_number().over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
+      .orderBy(col("media_id"))
   }
 }

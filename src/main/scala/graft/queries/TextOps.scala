@@ -17,7 +17,7 @@ import graft.{QDef, Tables}
 object TextOps {
 
   def defs: Seq[QDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -498,5 +498,67 @@ object TextOps {
       .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
         col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Corpus-global SPAN dedup (the C4/CCNet exact-substring pass, on
+    * fixed 10-token chunks since the fixture has no line structure):
+    * every 10-token chunk keeps only its FIRST occurrence corpus-wide
+    * (first = min (doc_id, chunk_idx) — deterministic), and each doc's
+    * text is rebuilt from its surviving chunks.
+    *
+    * Scale shape: explode to (chunk_hash, doc_id, idx) — narrow rows,
+    * never the chunk text through the dedup shuffle except as the one
+    * carried column for reassembly — one window shuffle on the chunk
+    * hash picks winners, one doc-key aggregate rebuilds the text.
+    * Chunk hashes are md5-derived ([[CrossHash.h64E]]) so the DuckDB
+    * oracle reproduces them. */
+  private val t15 = QDef(
+    "t15_chunk_dedup",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |ix AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(0, CASE WHEN len(tk) = 0 THEN 0 ELSE (len(tk) - 1) // 10 + 1 END)) AS idx
+       |  FROM tk),
+       |c AS (
+       |  SELECT doc_id, idx, array_to_string(tk[idx * 10 + 1 : idx * 10 + 10], ' ') AS chunk
+       |  FROM ix),
+       |r AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ROW_NUMBER() OVER (PARTITION BY ${sqlH64("chunk")} ORDER BY doc_id, idx) AS rn
+       |  FROM c),
+       |k AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+       |  FROM r WHERE rn = 1 GROUP BY doc_id),
+       |n AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN 0 ELSE (len(tk) - 1) // 10 + 1 END AS n_chunks FROM tk)
+       |SELECT n.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(k.clean_text, '') AS clean_text
+       |FROM n LEFT JOIN k ON k.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val chunksE = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) = 0 THEN array()
+         |  ELSE transform(sequence(0, (size($tk) - 1) div 10),
+         |         i -> array_join(slice($tk, i * 10 + 1, 10), ' ')) END""".stripMargin)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(chunksE).as("chunks"))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .withColumn("ch", expr(h64E("chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ch")).orderBy(col("doc_id"), col("idx"))
+    val kept = exploded.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), s -> s.chunk), ' ')")
+          .as("clean_text"))
+    docs.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 }

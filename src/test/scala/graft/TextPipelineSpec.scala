@@ -73,6 +73,26 @@ class TextPipelineSpec extends GraftSuite {
     assert(!byTerm.contains("words"))
   }
 
+  test("t15: duplicated 10-token chunk survives only its first occurrence") {
+    import SparkTestBase.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")   // one exact chunk
+    val uniqA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 10).map(i => s"b$i").mkString(" ")
+    Seq(
+      (0L, s"$span $uniqA", "en", "s", 1L),  // chunk 0 = span (first)
+      (1L, s"$span $uniqB", "en", "s", 1L))  // chunk 0 = span (dup)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t15_chunk_dedup")(spark, dir)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows(0) == ((0L, 2L, 2L, s"$span $uniqA")))
+    // doc 1 loses the duplicated leading chunk, keeps its unique tail
+    assert(rows(1) == ((1L, 2L, 1L, uniqB)))
+  }
+
   test("bottom_k aggregator: order/partition invariant, tie-broken on id") {
     val agg = new BottomKAgg(3)
     val items = Seq(("b", 2L), ("a", 9L), ("a", 1L), ("c", 5L), ("b", 2L))
