@@ -17,7 +17,7 @@ import graft.{QDef, Tables}
 object TextOps {
 
   def defs: Seq[QDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -498,6 +498,37 @@ object TextOps {
       .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
         col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Per-language heavy hitters through the Misra-Gries aggregator
+    * ([[graft.functions.HeavyHittersAgg]]): bounded O(k) state with
+    * map-side partial aggregation — the scale shape for "top terms
+    * over 100 TB" where exact GROUP BY would shuffle the full
+    * vocabulary. The emission gate est·(k+1) > N is the sketch's
+    * guarantee threshold; with k=40 ≥ the fixture vocabulary the
+    * sketch is in its exact regime, so plain GROUP BY counts are a
+    * valid DuckDB oracle for the whole aggregator path. */
+  private val t16 = QDef(
+    "t16_heavy_hitters",
+    """WITH t AS (
+      |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok),
+      |tot AS (SELECT lang, COUNT(*) AS total FROM t GROUP BY lang)
+      |SELECT c.lang, c.tok, c.n
+      |FROM c JOIN tot ON c.lang = tot.lang
+      |WHERE c.n * 41 > tot.total
+      |ORDER BY c.lang, c.n DESC, c.tok""".stripMargin) { (s, d) =>
+    val fn = graft.functions.HeavyHittersAgg.register(s, 40)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(expr(s"$fn(tok)").as("hh"), count(lit(1)).as("total"))
+      .select(col("lang"), col("total"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e._1").as("tok"), col("e._2").as("n"), col("total"))
+      .filter(col("n") * 41 > col("total"))
+      .select(col("lang"), col("tok"), col("n"))
+      .orderBy(col("lang"), col("n").desc, col("tok"))
   }
 
   /** Corpus-global SPAN dedup (the C4/CCNet exact-substring pass, on

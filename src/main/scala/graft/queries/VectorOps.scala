@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -301,6 +301,54 @@ object VectorOps {
     val cnorm = cents.select(col("c_id"), norm("c_emb").as("c_norm"))
     assign.join(broadcast(sizes), Seq("c_id")).join(broadcast(cnorm), Seq("c_id"))
       .select(col("vec_id"), col("c_id").as("list_id"), col("csize"), col("c_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Int8 scalar quantization audit — the storage path a 100 TB
+    * embedding corpus actually ships (4× smaller than float32, 8× than
+    * the double pipeline): per-vector symmetric quantization to
+    * [-127, 127] with scale = 127/max|x|, then the quality metrics a
+    * pipeline gates on (cosine of the vector with its dequantized self,
+    * mean squared error). Pure per-row arithmetic, zero shuffle; every
+    * step (multiply, round-half-away-from-zero, divide, sequential
+    * fold) is IEEE-determined identically in both engines, so the
+    * metrics are oracle-exact — no tolerance compare needed. */
+  private val v08 = QDef(
+    "v08_int8_quant_audit", {
+      def fold(e: String) = s"list_sum(list_transform(range(1, 65), i -> $e))"
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) AS amax
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, emb, amax,
+         |    CASE WHEN amax = 0 THEN NULL
+         |      ELSE list_transform(emb,
+         |        x -> round(x * (CAST(127 AS DOUBLE) / amax)) / (CAST(127 AS DOUBLE) / amax))
+         |    END AS deq
+         |  FROM s)
+         |SELECT vec_id, amax,
+         |  ${fold("emb[i] * deq[i]")} /
+         |    (sqrt(${fold("emb[i] * emb[i]")}) * sqrt(${fold("deq[i] * deq[i]")})) AS cos_keep,
+         |  ${fold("(emb[i] - deq[i]) * (emb[i] - deq[i])")} / 64 AS mse
+         |FROM q ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    embeddings(s, d)
+      .select(col("vec_id"), col("emb"))
+      .withColumn("amax", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("deq", expr(
+        """CASE WHEN amax = 0 THEN NULL
+          |  ELSE transform(emb,
+          |    x -> round(x * (CAST(127 AS DOUBLE) / amax)) / (CAST(127 AS DOUBLE) / amax))
+          |END""".stripMargin))
+      .withColumn("diff", expr("zip_with(emb, deq, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("amax"),
+        (dot("emb", "deq") / (norm("emb") * norm("deq"))).as("cos_keep"),
+        (dot("diff", "diff") / lit(64)).as("mse"))
       .orderBy(col("vec_id"))
   }
 

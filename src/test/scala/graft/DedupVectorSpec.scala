@@ -159,6 +159,19 @@ class DedupVectorSpec extends GraftSuite {
     assert(rows.map(_._3).toSet.subsetOf((100L to 107L).toSet))
   }
 
+  test("v08 int8 quantization keeps cosine ~1 with small error") {
+    val rows = VectorOps.defs.find(_.name == "v08_int8_quant_audit").get
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("amax", "cos_keep", "mse").as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // int8 symmetric quantization: cosine degradation is tiny, error
+    // bounded by (amax/254)² per component
+    assert(rows.forall { case (amax, cos, mse) =>
+      amax > 0 && cos > 0.999 && mse >= 0 &&
+        mse <= math.pow(amax / 254.0, 2) * 1.0001
+    }, rows.take(3).mkString(","))
+  }
+
   test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, sf).count()

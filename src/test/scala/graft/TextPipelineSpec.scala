@@ -93,6 +93,29 @@ class TextPipelineSpec extends GraftSuite {
     assert(rows(1) == ((1L, 2L, 1L, uniqB)))
   }
 
+  test("heavy_hitters: MG guarantees hold in the approximate regime, any merge order") {
+    val agg = new graft.functions.HeavyHittersAgg(3)
+    // zipf-ish stream: a×30, b×20, c×10, 15 singletons; N = 75
+    val items = scala.util.Random.shuffle(
+      (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c") ++
+        (1 to 15).map(i => s"x$i")).toVector)
+    val n = items.size
+    def runWith(parts: Seq[Seq[String]]): Map[String, Long] =
+      agg.finish(parts.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)).toMap
+    for (cut <- Seq(Seq(items), items.grouped(7).toSeq, items.grouped(25).toSeq)) {
+      val est = runWith(cut)
+      assert(est.size <= 3)
+      // every item with freq > N/(k+1) survives; estimates never
+      // overshoot and undershoot by at most N/(k+1)
+      val threshold = n / 4.0
+      for ((t, truth) <- Seq("a" -> 30L, "b" -> 20L) if truth > threshold) {
+        assert(est.contains(t), s"$t lost (cut ${cut.size} parts): $est")
+        assert(est(t) <= truth && truth - est(t) <= threshold, s"$t -> ${est(t)}")
+      }
+      assert(est.values.forall(_ > 0))
+    }
+  }
+
   test("bottom_k aggregator: order/partition invariant, tie-broken on id") {
     val agg = new BottomKAgg(3)
     val items = Seq(("b", 2L), ("a", 9L), ("a", 1L), ("c", 5L), ("b", 2L))
