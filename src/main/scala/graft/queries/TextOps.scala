@@ -17,7 +17,8 @@ import graft.{QDef, Tables}
 object TextOps {
 
   def defs: Seq[QDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+      t15, t16, t17)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -529,6 +530,68 @@ object TextOps {
       .filter(col("n") * 41 > col("total"))
       .select(col("lang"), col("tok"), col("n"))
       .orderBy(col("lang"), col("n").desc, col("tok"))
+  }
+
+  /** GPT-style sequence packing: concatenate the corpus in doc_id
+    * order and split into fixed 2048-token training blocks — each doc
+    * gets its global token offset and the block span it lands in (the
+    * bookkeeping a pretraining dataloader needs for
+    * concatenate-and-chunk batching).
+    *
+    * The global offset is a PREFIX SUM, and the scale trap is writing
+    * it as one unpartitioned window (a single task scanning the
+    * corpus). This runs the textbook two-level distributed scan
+    * instead: an intra-bucket running sum (window PARTITIONED by
+    * bucket), bucket totals (tiny — one row per 100 docs), an
+    * exclusive scan over just those totals (the only unpartitioned
+    * window, over #buckets rows), and a bucket-key join to add the
+    * bucket base back. At 100 TB you'd add a third level; the shape is
+    * the same. The DuckDB oracle uses the single-window formulation —
+    * same numbers, different execution shape. */
+  private val t17 = QDef(
+    "t17_sequence_packing",
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM tk)
+       |SELECT doc_id, n_tok, start_off,
+       |  start_off // 2048 AS first_block,
+       |  CASE WHEN n_tok = 0 THEN start_off // 2048
+       |       ELSE (start_off + n_tok - 1) // 2048 END AS last_block,
+       |  CASE WHEN n_tok = 0 THEN CAST(1 AS BIGINT)
+       |       ELSE (start_off + n_tok - 1) // 2048 - start_off // 2048 + 1 END AS n_blocks
+       |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val B = 2048L
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr(toksE)).cast("long").as("n_tok"),
+        (col("doc_id") / 100).cast("long").as("bucket"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wIntra = W.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val intra = tk.withColumn("intra",
+      coalesce(sum(col("n_tok")).over(wIntra), lit(0L)))
+    val wBuckets = W.orderBy(col("bucket")).rowsBetween(W.unboundedPreceding, -1)
+    val boff = tk.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btot"))
+      .withColumn("base", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
+      .select(col("bucket"), col("base"))
+    intra.join(broadcast(boff), Seq("bucket"))
+      .withColumn("start_off", col("base") + col("intra"))
+      .withColumn("first_block", expr(s"start_off div $B"))
+      .withColumn("last_block",
+        when(col("n_tok") === 0, col("first_block"))
+          .otherwise(expr(s"(start_off + n_tok - 1) div $B")))
+      .withColumn("n_blocks",
+        when(col("n_tok") === 0, lit(1L))
+          .otherwise(col("last_block") - col("first_block") + 1))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        col("first_block"), col("last_block"), col("n_blocks"))
+      .orderBy(col("doc_id"))
   }
 
   /** Corpus-global SPAN dedup (the C4/CCNet exact-substring pass, on

@@ -169,6 +169,26 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"v07 planned a cartesian:\n$p")
   }
 
+  test("t17: prefix sum is a two-level scan — no unpartitioned window over the corpus") {
+    val df = SparkEntry.queries("t17_sequence_packing")(spark, sf)
+    df.collect() // finalize AQE
+    val windows = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).map(_.trim.dropWhile(!_.isLetter))
+      .toSeq.distinct
+    assert(windows.size == 2, s"expected intra-bucket + bucket-offset windows:\n$windows")
+    // WindowExec prints "[exprs], [partitionSpec], [orderSpec]" when
+    // partitioned and "[exprs], [orderSpec]" when not: the corpus-level
+    // window (over n_tok) must carry the bucket partition spec; the
+    // only unpartitioned window reads btot — the AGGREGATED bucket
+    // totals (one row per 100 docs), never the corpus
+    val corpus = windows.filter(_.contains("sum(n_tok"))
+    val global = windows.filter(_.contains("sum(btot"))
+    assert(corpus.size == 1 && corpus.head.matches(".*\\], \\[[^\\]]*\\], \\[.*"),
+      s"corpus prefix sum lost its bucket partitioning:\n$corpus")
+    assert(global.size == 1 && !global.head.matches(".*\\], \\[[^\\]]*\\], \\[.*"),
+      s"bucket-offset scan should be the only unpartitioned window:\n$global")
+  }
+
   test("d06: propagation rounds are key-joins on bounded-width rows, no driver collect") {
     // the component loop must never materialize the graph on the driver:
     // the only rows moved are (src, dst) and (v, comp) pairs. The final
