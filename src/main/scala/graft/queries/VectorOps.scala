@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -350,6 +350,88 @@ object VectorOps {
         (dot("emb", "deq") / (norm("emb") * norm("deq"))).as("cos_keep"),
         (dot("diff", "diff") / lit(64)).as("mse"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Product quantization with ADC (asymmetric distance computation)
+    * search — Jégou et al. 2011, the compression behind every serious
+    * billion-vector index: 64 dims → 8 sub-vectors × 4-codeword
+    * codebooks = 8 small codes per vector (here 2 bits each; 16 bits
+    * total vs 512 bytes of doubles). Codebooks are sub-vectors of the
+    * fixed seed rows 100-103 (the v05/v07 determinism trick), encoding
+    * is argmin-L2² per subspace, and probes rank candidates by the ADC
+    * lookup-table sum without ever touching the original vectors.
+    *
+    * Scale shape: the codebook (32 tiny rows) broadcasts for encoding
+    * (one corpus scan); the probe LUT (10 probes × 32 entries)
+    * broadcasts for search, and the per-candidate sum is a map-side-
+    * combined aggregate keyed on (q_id, vec_id) — the corpus never
+    * shuffles, only codes do. The 8-term ADC sums run through
+    * [[graft.util.Det.dsum]] so group-merge order can't move a double;
+    * everything else is IEEE-fixed, so DuckDB replays codebooks,
+    * encoding, and ADC ranking bit-exactly. */
+  private val v09 = QDef(
+    "v09_pq_adc_knn", {
+      def l2(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, 9),
+           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+           |           (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cb AS (
+         |  SELECT cv.vec_id - 100 AS c, r.m AS m,
+         |    cv.embedding[r.m * 8 + 1 : r.m * 8 + 8] AS cvec
+         |  FROM e cv, range(0, 8) r(m) WHERE cv.vec_id BETWEEN 100 AND 103),
+         |sub AS (
+         |  SELECT vec_id, r.m AS m, embedding[r.m * 8 + 1 : r.m * 8 + 8] AS svec
+         |  FROM e, range(0, 8) r(m)),
+         |dist AS (
+         |  SELECT s.vec_id, s.m, cb.c,
+         |    ${l2("s.svec", "cb.cvec")} AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |code AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, m, c, d2 FROM dist WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT lut.q_id, code.vec_id,
+         |    CAST(SUM(CAST(lut.d2 AS DECIMAL(30,6))) AS DOUBLE) AS adc_d2
+         |  FROM code JOIN lut ON lut.m = code.m AND lut.c = code.c
+         |  WHERE code.vec_id <> lut.q_id
+         |  GROUP BY lut.q_id, code.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, adc_d2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
+         |  FROM adc)
+         |SELECT q_id, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    }) { (s, d) =>
+    val e = embeddings(s, d).select(col("vec_id"), col("emb"))
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val cb = e.filter(col("vec_id").between(100, 103))
+      .select((col("vec_id") - 100).as("c"), col("emb"))
+      .select(col("c"), ms, col("emb"))
+      .select(col("c"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("cvec"))
+    val sub = e.select(col("vec_id"), ms, col("emb"))
+      .select(col("vec_id"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("svec"))
+    val dist = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("m"), col("c"), col("d2"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
+    val code = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c"))
+    val lut = dist.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m"), col("c"), col("d2"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+    code.join(broadcast(lut), Seq("m", "c"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(dsum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("adc_d2"), col("rank").cast("int").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** All-pairs cosine within an IVF list — the shared blocked self-join

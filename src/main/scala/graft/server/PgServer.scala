@@ -98,6 +98,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val pid = pidCounter.incrementAndGet()
     try {
       var st = PgWire.readStartup(in)
+      if (st.code == 80877104) { // GSSENCRequest: decline, client falls back
+        rawOut.writeByte('N'); rawOut.flush()
+        st = PgWire.readStartup(in)
+      }
       if (st.code == 80877103) { // SSLRequest
         tlsContext match {
           case Some(ctx) => // accept and upgrade the socket in place

@@ -172,6 +172,31 @@ class DedupVectorSpec extends GraftSuite {
     }, rows.take(3).mkString(","))
   }
 
+  test("v09 pq-adc: well-formed ranking with positive recall vs brute force") {
+    val sf01 = "/root/testdata/sf0.001"
+    val adc = VectorOps.defs.find(_.name == "v09_pq_adc_knn").get.fn(spark, sf01)
+      .select("q_id", "vec_id", "adc_d2", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = adc.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq) // asc distance
+      assert(sorted.forall(_._3 >= 0))
+    }
+    // 2-bit-per-subspace codes are very lossy, but top-5 ADC should
+    // still overlap the exact top-5 for SOME probes (sanity, not a
+    // quality bar — quality tuning is k/M choice, out of scope here)
+    val brute = VectorOps.defs.find(_.name == "v01_knn_brute").get.fn(spark, sf01)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = byQ.map { case (q, g) =>
+      g.map(_._2).toSet.intersect(brute.getOrElse(q, Set.empty)).size
+    }.sum
+    assert(overlap > 0, "ADC ranking should recover at least some exact neighbors")
+  }
+
   test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, sf).count()
