@@ -21,7 +21,7 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -293,5 +293,32 @@ object Events {
     types.foldLeft(pivoted)((df, t) =>
         df.withColumn(t, coalesce(col(t), lit(0L))))
       .orderBy(col("user_id"))
+  }
+
+  /** UNPIVOT/melt — the inverse of q22: the wide per-user count matrix
+    * back to long (user_id, event_type, n) rows, zeros included (what
+    * distinguishes melt from a plain GROUP BY — silent users still get
+    * a row per type). Spark's native `unpivot` (melt) operator; the
+    * oracle expresses the same thing as a UNION ALL. */
+  private val q36 = QDef(
+    "q36_event_melt", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val arms = types.map(t =>
+        s"""SELECT user_id, '$t' AS event_type,
+           |  COUNT(*) FILTER (WHERE event_type = '$t') AS n
+           |FROM events GROUP BY user_id""".stripMargin).mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$arms
+         |) ORDER BY user_id, event_type""".stripMargin
+    }) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    val wide = types.foldLeft(pivoted)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
   }
 }
