@@ -20,7 +20,7 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -432,6 +432,116 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("vec_id"), col("adc_d2"), col("rank").cast("int").as("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diverse re-ranking: after ANN retrieval returns the top-8
+    * near-duplicate-prone candidates, pick 3 that balance query
+    * relevance against redundancy — score = λ·sim(q,d) −
+    * (1−λ)·max_{s∈S} sim(d,s), λ=0.5, greedy. The de-duplicating
+    * retrieval step a RAG / training-data sampler runs after KNN.
+    *
+    * Scale shape: the expensive part is the candidate stage (v01/v05's
+    * shapes); MMR itself touches only k·|probes| rows — candidate sets
+    * and their 8×8 pairwise sims broadcast, the 3 greedy rounds unroll
+    * into window argmaxes. Cosines are bit-exact across engines, so
+    * the greedy trace (and thus the oracle) is too. */
+  private val v10 = QDef(
+    "v10_mmr_rerank", {
+      def cos(a: String, b: String) =
+        s"""${sqlDot(a, b)} /
+           |      (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT pr.q_id, c.vec_id, c.embedding,
+         |    ${cos("pr.q_emb", "c.embedding")} AS rel
+         |  FROM pr JOIN e c ON c.vec_id <> pr.q_id),
+         |cand AS (
+         |  SELECT q_id, vec_id, embedding, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 8),
+         |cs AS (
+         |  SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+         |    ${cos("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT q_id, vec_id, rel, CAST(0.5 AS DOUBLE) * rel AS score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |m2 AS (
+         |  SELECT c.q_id, c.vec_id, c.rel,
+         |    CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * cs.sim AS score
+         |  FROM cand c
+         |  JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+         |  JOIN cs ON cs.q_id = c.q_id AND cs.a = c.vec_id AND cs.b = s1.vec_id),
+         |s2 AS (
+         |  SELECT q_id, vec_id, rel, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM m2) WHERE rn = 1),
+         |m3 AS (
+         |  SELECT c.q_id, c.vec_id, c.rel,
+         |    CAST(0.5 AS DOUBLE) * c.rel -
+         |      CAST(0.5 AS DOUBLE) * greatest(c1.sim, c2.sim) AS score
+         |  FROM cand c
+         |  JOIN s1 ON s1.q_id = c.q_id
+         |  JOIN s2 ON s2.q_id = c.q_id
+         |  JOIN cs c1 ON c1.q_id = c.q_id AND c1.a = c.vec_id AND c1.b = s1.vec_id
+         |  JOIN cs c2 ON c2.q_id = c.q_id AND c2.a = c.vec_id AND c2.b = s2.vec_id
+         |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id),
+         |s3 AS (
+         |  SELECT q_id, vec_id, rel, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM m3) WHERE rn = 1)
+         |SELECT q_id, vec_id, rel, score, mmr_rank FROM (
+         |  SELECT *, 1 AS mmr_rank FROM s1
+         |  UNION ALL SELECT *, 2 FROM s2
+         |  UNION ALL SELECT *, 3 FROM s3)
+         |ORDER BY q_id, mmr_rank""".stripMargin
+    }) { (s, d) =>
+    val half = lit(0.5).cast("double")
+    val e = embeddings(s, d).select(col("vec_id"), col("emb"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= 8)
+      .select(col("q_id"), col("vec_id"), col("emb"), col("rel"))
+      .persist()
+    val cs = cand.select(col("q_id"), col("vec_id").as("a"), col("emb").as("a_emb"))
+      .join(cand.select(col("q_id"), col("vec_id").as("b"), col("emb").as("b_emb")), Seq("q_id"))
+      .where(col("a") =!= col("b"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
+      .select(col("q_id"), col("a"), col("b"), col("sim"))
+      .persist()
+    def pickTop(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("score"))
+    }
+    val s1 = pickTop(cand.withColumn("score", half * col("rel")))
+    val m2 = cand
+      .join(s1.select(col("q_id"), col("vec_id").as("p1")), Seq("q_id"))
+      .where(col("vec_id") =!= col("p1"))
+      .join(cs.withColumnRenamed("a", "vec_id").withColumnRenamed("b", "p1")
+        .withColumnRenamed("sim", "ms"), Seq("q_id", "vec_id", "p1"))
+      .withColumn("score", half * col("rel") - half * col("ms"))
+    val s2 = pickTop(m2)
+    val m3 = cand
+      .join(s1.select(col("q_id"), col("vec_id").as("p1")), Seq("q_id"))
+      .join(s2.select(col("q_id"), col("vec_id").as("p2")), Seq("q_id"))
+      .where(col("vec_id") =!= col("p1") && col("vec_id") =!= col("p2"))
+      .join(cs.select(col("q_id"), col("a").as("vec_id"), col("b").as("p1"),
+        col("sim").as("ms1")), Seq("q_id", "vec_id", "p1"))
+      .join(cs.select(col("q_id"), col("a").as("vec_id"), col("b").as("p2"),
+        col("sim").as("ms2")), Seq("q_id", "vec_id", "p2"))
+      .withColumn("score", half * col("rel") - half * greatest(col("ms1"), col("ms2")))
+    val s3 = pickTop(m3)
+    s1.withColumn("mmr_rank", lit(1))
+      .unionByName(s2.withColumn("mmr_rank", lit(2)))
+      .unionByName(s3.withColumn("mmr_rank", lit(3)))
+      .orderBy(col("q_id"), col("mmr_rank"))
   }
 
   /** All-pairs cosine within an IVF list — the shared blocked self-join

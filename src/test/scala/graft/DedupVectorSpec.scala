@@ -197,6 +197,21 @@ class DedupVectorSpec extends GraftSuite {
     assert(overlap > 0, "ADC ranking should recover at least some exact neighbors")
   }
 
+  test("v10 mmr: three distinct picks per probe, first pick = exact top-1") {
+    val sf01 = "/root/testdata/sf0.001"
+    val mmr = VectorOps.defs.find(_.name == "v10_mmr_rerank").get.fn(spark, sf01)
+      .select("q_id", "vec_id", "mmr_rank").as[(Long, Long, Int)].collect()
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(g =>
+      g.length == 3 && g.map(_._2).distinct.length == 3))
+    val top1 = VectorOps.defs.find(_.name == "v01_knn_brute").get.fn(spark, sf01)
+      .filter(col("rank") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    for ((q, g) <- byQ)
+      assert(g.find(_._3 == 1).map(_._2) == top1.get(q),
+        s"probe $q: MMR rank 1 must be the relevance top-1")
+  }
+
   test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, sf).count()
