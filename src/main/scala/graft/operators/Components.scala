@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.spatial.GraftConf
+
 /** Distributed connected components by iterative min-label propagation
   * — the building block behind near-dup graph clustering (d06) and
   * density clustering (sp07).
@@ -26,24 +28,31 @@ object Components {
     * @return (v, comp) with comp = min vertex id reachable from v
     */
   def minLabel(edges: DataFrame, vertices: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = -1): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
+    val spark = edges.sparkSession
+    val cap = if (maxRounds > 0) maxRounds
+      else GraftConf.componentsMaxRounds(spark)
     var labels = vertices.select(col("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint(true)
     var delta = 1L
     var rounds = 0
-    while (delta > 0 && rounds < maxRounds) {
+    while (delta > 0 && rounds < cap) {
       val nbrMin = e
         .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
+      // convergence flag rides along in the checkpointed row, so the
+      // delta check is a column sum over materialized data instead of a
+      // second full-width anti-join (`except`) per round
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
         .select(col("v"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("changed"))
         .localCheckpoint(true)
-      delta = next.except(labels).count()
-      labels = next
+      delta = next.filter(col("changed")).count()
+      labels = next.select(col("v"), col("comp"))
       rounds += 1
     }
     e.unpersist()

@@ -216,12 +216,14 @@ object Spatial {
     // pair set persisted: degree count, core-edge extraction, and
     // border assignment all reread it (3 passes over one grid join)
     val nb = SpatialJoin.grid(pts("a_key", "a_pt"), pts("b_key", "b_pt"),
-        "a_pt", "b_pt", "st_dwithin", distance = eps, cells = 64)
+        "a_pt", "b_pt", "st_dwithin", distance = eps,
+        cells = graft.spatial.GraftConf.dbscanCells(s))
       .where(col("a_key") =!= col("b_key"))
       .select(col("a_key"), col("b_key"))
       .persist()
+    val minPts = graft.spatial.GraftConf.dbscanMinPts(s)
     val core = nb.groupBy(col("a_key")).agg(count(lit(1)).as("nn"))
-      .filter(col("nn") + 1 >= 5)
+      .filter(col("nn") + 1 >= minPts)
       .select(col("a_key").as("id"))
     val ce = nb
       .join(core.withColumnRenamed("id", "a_key"), Seq("a_key"))

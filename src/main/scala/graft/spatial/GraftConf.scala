@@ -39,6 +39,24 @@ object GraftConf {
   def speculativeSample(spark: SparkSession): Int =
     intConf(spark, "spark.graft.spatial_join.speculative_sample", 100)
 
+  /** min-label propagation round cap (Components.minLabel). The loop
+    * exits at fixpoint; this bounds pathological chain graphs — at
+    * O(diameter) rounds, 50 covers any plausible near-dup/density
+    * component shape */
+  def componentsMaxRounds(spark: SparkSession): Int =
+    intConf(spark, "spark.graft.components.max_rounds", 50)
+
+  /** DBSCAN density threshold: a point is core when its eps-ball holds
+    * at least this many points (itself included). Default matches the
+    * sp07 oracle */
+  def dbscanMinPts(spark: SparkSession): Int =
+    intConf(spark, "spark.graft.dbscan.min_pts", 5)
+
+  /** DBSCAN neighbor-join grid cell count (the skew/occupancy knob at
+    * scale — more cells = narrower dwithin self-join partitions) */
+  def dbscanCells(spark: SparkSession): Int =
+    intConf(spark, "spark.graft.dbscan.cells", 64)
+
   private def intConf(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.toInt).getOrElse(default)
   private def longConf(spark: SparkSession, key: String, default: => Long): Long =
