@@ -271,6 +271,103 @@ object StreamingOps {
       }
       .start()
 
+  /** A typed event for gap-fill (needs the event_type + event_id that
+    * EventIn omits). */
+  final case class TypedEventIn(user_id: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** One dense-grid output hour (q35's output shape). */
+  final case class GapFillOut(user_id: Long, hr: Long, n_events: Long,
+      carried_type: String)
+
+  /** Per-hour aggregate held until the watermark finalizes the hour. */
+  final case class HourAgg(n: Long, lastUs: Long, lastEventId: Long,
+      lastType: String)
+
+  /** Gap-fill state: the dense-emission cursor + unflushed hours. */
+  final case class GapFillState(lastEmittedHr: Long, carried: String,
+      hours: Map[Long, HourAgg])
+
+  private val HourUs = 3600000000L
+
+  /** Streaming hourly gap-fill + forward-fill — the incremental face of
+    * batch q35: each user's event stream becomes a dense hourly grid,
+    * silent hours emitted with n_events=0, and the hour's last event
+    * type (by (us, event_id), same tiebreak as the batch query) carried
+    * forward across gaps.
+    *
+    * An hour is emitted only once the watermark passes its end AND a
+    * later-or-equal hour has been seen (the grid ends at the last
+    * observed hour, exactly like the batch form's MAX(hr) bound — a
+    * trailing silence is not emitted until an event closes it). State
+    * per key is the emission cursor plus the unflushed hour aggregates,
+    * bounded by the watermark horizon; nothing global, so the op runs
+    * unchanged with per-key state sharded across a cluster's state
+    * stores. */
+  def gapFill(events: Dataset[TypedEventIn],
+      watermarkDelay: String = "2 hours"): Dataset[GapFillOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[TypedEventIn], state: GroupState[GapFillState]) =>
+          val prev = state.getOption.getOrElse(
+            GapFillState(Long.MinValue, null, Map.empty))
+          // fold this batch's events into the per-hour aggregates
+          var hours = prev.hours
+          it.foreach { e =>
+            val us = usOf(e.ts)
+            val hr = us / HourUs
+            if (hr > prev.lastEmittedHr) { // late event for an emitted hour: drop
+              val merged = hours.get(hr) match {
+                case Some(a) if a.lastUs > us ||
+                    (a.lastUs == us && a.lastEventId > e.event_id) =>
+                  a.copy(n = a.n + 1)
+                case Some(a) => HourAgg(a.n + 1, us, e.event_id, e.event_type)
+                case None => HourAgg(1L, us, e.event_id, e.event_type)
+              }
+              hours = hours.updated(hr, merged)
+            }
+          }
+          // hour h is final when its end (h+1)*1h is at or behind the
+          // watermark; the grid extends only to the max seen hour
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val finalUpTo = math.min(
+            if (hours.isEmpty) Long.MinValue else hours.keys.max,
+            wmUs / HourUs - 1)
+          val start = if (prev.lastEmittedHr == Long.MinValue)
+            (if (hours.isEmpty) Long.MinValue else hours.keys.min)
+          else prev.lastEmittedHr + 1
+          var carried = prev.carried
+          val out = Vector.newBuilder[GapFillOut]
+          var cursor = prev.lastEmittedHr
+          if (start != Long.MinValue && start <= finalUpTo) {
+            (start to finalUpTo).foreach { h =>
+              val agg = hours.get(h)
+              agg.foreach(a => carried = a.lastType)
+              out += GapFillOut(userId, h, agg.map(_.n).getOrElse(0L), carried)
+            }
+            hours = hours.filter { case (h, _) => h > finalUpTo }
+            cursor = finalUpTo
+          }
+          if (hours.isEmpty && cursor == Long.MinValue && prev.carried == null) {
+            state.remove() // nothing seen yet (timeout-only wakeup)
+          } else {
+            state.update(GapFillState(cursor, carried, hours))
+            if (hours.nonEmpty) {
+              // wake when the earliest unflushed hour can finalize
+              val wantedMs = (hours.keys.min + 1) * (HourUs / 1000L)
+              state.setTimeoutTimestamp(
+                math.max(wantedMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

@@ -107,6 +107,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("gapFill: stream equals batch dense hourly grid with carry-forward") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{TypedEventIn, GapFillOut}
+    // u1 spans 4 epoch-hours with 2 silent ones in the middle; u2 has
+    // two adjacent hours; u1's two hour-0 events exercise the in-hour
+    // (us, event_id) last-type tiebreak
+    val evts = Seq(
+      TypedEventIn(1L, 10L, "view", ts(0)), TypedEventIn(1L, 11L, "click", ts(10)),
+      TypedEventIn(1L, 12L, "buy", ts(200)),
+      TypedEventIn(2L, 20L, "view", ts(50)), TypedEventIn(2L, 21L, "click", ts(130)))
+    val mem = MemoryStream[TypedEventIn]
+    val out = StreamingOps.gapFill(mem.toDS(), watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("gapfill_out").outputMode("append").start()
+    try {
+      mem.addData(evts.filter(_.ts.getTime <= ts(60).getTime): _*)
+      query.processAllAvailable()
+      mem.addData(evts.filter(_.ts.getTime > ts(60).getTime): _*)
+      query.processAllAvailable()
+      mem.addData(TypedEventIn(99L, 0L, "x", ts(60 * 24)))
+      query.processAllAvailable()
+      mem.addData(TypedEventIn(99L, 1L, "x", ts(60 * 48)))
+      query.processAllAvailable()
+
+      val got = spark.table("gapfill_out")
+        .filter(col("user_id") =!= 99L)
+        .as[GapFillOut].collect().toSet
+
+      // batch oracle: q35's dense-grid semantics replayed in memory
+      val expected = evts.groupBy(_.user_id).flatMap { case (u, es) =>
+        def us(e: TypedEventIn) = e.ts.getTime * 1000L
+        val byHr = es.groupBy(e => us(e) / 3600000000L)
+        var carried: String = null
+        (byHr.keys.min to byHr.keys.max).map { h =>
+          byHr.get(h).foreach(g =>
+            carried = g.maxBy(e => (us(e), e.event_id)).event_type)
+          GapFillOut(u, h, byHr.get(h).map(_.size.toLong).getOrElse(0L), carried)
+        }
+      }.toSet
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("dedupByKey keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
