@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17)
+      t15, t16, t17, t18)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -654,5 +654,52 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Domain-mixture resampling with fractional epochs — the dataset
+    * mixing step before pretraining (the SlimPajama/Dolma "source
+    * weights" pass): each language gets a target epoch count in
+    * thousandths (en 0.7 = downsample the head domain, es 2.25 =
+    * upsample), every doc is replicated floor(w) times plus one more
+    * when its hash residue falls under the fractional part (so the
+    * realized rate converges to w per domain with zero RNG state), and
+    * the output is globally shuffled by a deterministic hash sort key.
+    *
+    * Scale shape: broadcast 5-row weight table, per-row integer
+    * arithmetic, explode fan-out bounded by max epochs, then ONE
+    * range-partitioned distributed sort on the shuffle key — exactly
+    * the "shuffle the corpus" pass a 100 TB pretraining run does.
+    * Hashes are md5-derived ([[CrossHash.h64E]]) so the oracle replays
+    * the selection and the shuffle order bit-exactly. */
+  private val t18 = QDef(
+    "t18_domain_mix",
+    s"""WITH w(lang, mills) AS (
+       |  VALUES ('en', 700), ('de', 1500), ('es', 2250), ('fr', 1000), ('zh', 500)),
+       |d AS (
+       |  SELECT doc_id, d.lang, mills,
+       |    ${sqlH64("d.lang || '#' || doc_id")} % 1000 AS r
+       |  FROM documents d JOIN w ON w.lang = d.lang),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |    mills // 1000 + CASE WHEN r < mills % 1000 THEN 1 ELSE 0 END AS n
+       |  FROM d),
+       |x AS (
+       |  SELECT lang, doc_id,
+       |    CAST(unnest(generate_series(1, CAST(n AS BIGINT))) AS INTEGER) AS copy
+       |  FROM c WHERE n >= 1)
+       |SELECT lang, doc_id, copy, ${sqlH64("doc_id || '#' || copy")} AS skey
+       |FROM x ORDER BY skey, doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val weights = Seq(("en", 700), ("de", 1500), ("es", 2250),
+      ("fr", 1000), ("zh", 500)).toDF("lang", "mills")
+    Tables.documents(s, d)
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("r", expr(s"${h64E("concat(lang, '#', doc_id)")} % 1000"))
+      .withColumn("n", expr("mills div 1000 + IF(r < mills % 1000, 1, 0)"))
+      .where(col("n") >= 1)
+      .select(col("lang"), col("doc_id"),
+        explode(sequence(lit(1), col("n").cast("int"))).as("copy"))
+      .withColumn("skey", expr(h64E("concat(doc_id, '#', copy)")))
+      .orderBy(col("skey"), col("doc_id"))
   }
 }

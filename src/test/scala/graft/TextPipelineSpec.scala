@@ -21,6 +21,26 @@ class TextPipelineSpec extends GraftSuite {
       "a near-dup of an eval doc should share most shingles")
   }
 
+  test("t18: realized mix rates converge to the domain weights") {
+    val out = SparkEntry.queries("t18_domain_mix")(spark, sf)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val src = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val weights = Map("en" -> 0.7, "de" -> 1.5, "es" -> 2.25, "fr" -> 1.0, "zh" -> 0.5)
+    for ((lang, w) <- weights) {
+      val realized = perLang.getOrElse(lang, 0L).toDouble / src(lang)
+      // hash-residue selection: rate within ~4/sqrt(n) of target
+      assert(math.abs(realized - w) < 0.35,
+        s"$lang realized $realized vs target $w")
+    }
+    // whole epochs are exact: every fr doc appears exactly once
+    assert(perLang("fr") == src("fr"))
+    // the shuffle key decorrelates doc order: copies of one doc are not adjacent
+    val keys = out.select("skey").collect().map(_.getLong(0))
+    assert(keys.sorted.sameElements(keys), "output must be sorted by skey")
+  }
+
   test("t10: repetition metrics bounded and keep splits the corpus") {
     val rows = SparkEntry.queries("t10_repetition_rules")(spark, sf).collect()
     assert(rows.nonEmpty)
