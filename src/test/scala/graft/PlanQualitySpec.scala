@@ -200,4 +200,31 @@ class PlanQualitySpec extends GraftSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"d06 final plan should read the checkpointed labels:\n$p")
   }
+
+  test("t18: weight table broadcast, one distributed sort, no cartesian") {
+    val p = planOf("t18_domain_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"5-row weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t18 planned unbounded pair work:\n$p")
+    // the global shuffle is ONE range-partitioned sort on the hash key
+    assert("rangepartitioning\\(skey".r.findAllIn(p).size == 1,
+      s"t18 must range-partition exactly once on the shuffle key:\n$p")
+  }
+
+  test("v10: candidate stage broadcasts probes; greedy rounds never rescan the corpus") {
+    val df = SparkEntry.queries("v10_mmr_rerank")(spark, sf)
+    df.collect() // finalize AQE so reused stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"v10 planned a cartesian:\n$p")
+    // the corpus is scanned only when the candidate/pair-sim caches
+    // materialize; every greedy round reads InMemoryTableScan (k×probes
+    // rows), never the embeddings table directly. Textually: each
+    // parquet scan line sits inside an InMemoryRelation reprint, and
+    // the rounds reference the cache many times.
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads >= 5,
+      s"greedy rounds must read the persisted candidate/pair sets, got $cacheReads cache reads:\n$p")
+  }
 }
