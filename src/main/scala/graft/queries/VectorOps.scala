@@ -20,7 +20,8 @@ import graft.util.Det._
   */
 object VectorOps {
 
-  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
+  def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
+    v11)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -612,5 +613,67 @@ object VectorOps {
         sum(when(col("sim") > 0.3, 1L).otherwise(0L)).as("n_similar"),
         max(col("sim")).as("max_sim"))
       .orderBy(col("list_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication as the
+    * KEEP/DROP decision over the clustered corpus: assign every vector
+    * to its quantizer list (v05's coarse k-means), order each list by
+    * ascending centroid cosine (the paper keeps the examples FARTHEST
+    * from the centroid), and drop a point when it is ≥τ-similar to ANY
+    * earlier point in its list's order — the paper's upper-triangular
+    * max-similarity rule, expressed as one within-list self-join
+    * instead of a per-cluster similarity matrix.
+    *
+    * τ=0.3 here: the fixture's within-list cosines never reach the
+    * production dup range (~0.95, see v06's note), so a realistic τ
+    * would be degenerate; 0.3 exercises multi-drop chains. At 100 TB
+    * the shape is v04/v06's: pair work bounded by list occupancy (the
+    * centroid-count knob), assignment one broadcast + one scan, and
+    * the drop set a distinct over pair survivors — no similarity
+    * matrix is ever materialized. */
+  private val v11 = QDef(
+    "v11_semdedup_keep", {
+      def cos(a: String, b: String) =
+        s"""${sqlDot(a, b)} /
+           |      (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))""".stripMargin
+      s"""$sqlIvfCtes,
+         |wc AS (
+         |  SELECT a.vec_id, a.list_id, a.embedding,
+         |    ${cos("a.embedding", "c.c_emb")} AS ccos
+         |  FROM assign a JOIN c ON c.c_id = a.list_id),
+         |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY ccos, vec_id) AS ord
+         |      FROM wc),
+         |dr AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM o x JOIN o y ON y.list_id = x.list_id AND y.ord < x.ord
+         |  WHERE ${cos("x.embedding", "y.embedding")} >= CAST(0.3 AS DOUBLE))
+         |SELECT o.vec_id, o.list_id, o.ccos, (dr.vec_id IS NULL) AS kept
+         |FROM o LEFT JOIN dr ON dr.vec_id = o.vec_id
+         |ORDER BY o.vec_id""".stripMargin
+    }) { (s, d) =>
+    val tau = lit(0.3).cast("double")
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wOrd = Window.partitionBy(col("list_id")).orderBy(col("ccos"), col("vec_id"))
+    // one quantizer pass feeds both self-join sides (listPairs' trick)
+    val ranked = ivfAssign(e)
+      .join(broadcast(cents), col("list_id") === col("c_id"))
+      .withColumn("ccos", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+      .withColumn("ord", row_number().over(wOrd))
+      .select(col("vec_id"), col("list_id"), col("emb"), col("ccos"), col("ord"))
+      .repartition(col("list_id"))
+    val x = ranked.select(col("list_id"), col("vec_id"), col("emb"), col("ord"))
+    val y = ranked.select(col("list_id"), col("vec_id").as("y_id"),
+      col("emb").as("y_emb"), col("ord").as("y_ord"))
+    val dropped = x.hint("shuffle_hash").join(y, Seq("list_id"))
+      .where(col("y_ord") < col("ord") &&
+        dot("emb", "y_emb") / (norm("emb") * norm("y_emb")) >= tau)
+      .select(col("vec_id")).distinct()
+    ranked
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("ccos"),
+        col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -212,6 +212,34 @@ class DedupVectorSpec extends GraftSuite {
         s"probe $q: MMR rank 1 must be the relevance top-1")
   }
 
+  test("v11 semdedup: keep decisions match a per-list greedy replay") {
+    val sfd = "/root/testdata/sf0.001"
+    val out = VectorOps.defs.find(_.name == "v11_semdedup_keep").get.fn(spark, sfd)
+      .select("vec_id", "list_id", "ccos", "kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val n = graft.Tables.embeddings(spark, sfd).count()
+    assert(out.length == n, "every vector gets a keep/drop decision")
+    assert(out.exists(!_._4), "tau=0.3 must drop something on this corpus")
+    assert(out.count(_._4) > out.length / 2, "most of the corpus survives")
+    // replay the paper's rule per list in memory: drop x iff some
+    // earlier point (asc ccos, vec_id) has cosine >= tau with x
+    val embs = graft.Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((_, members) <- out.groupBy(_._2)) {
+      val ordered = members.sortBy(m => (m._3, m._1))
+      for ((m, i) <- ordered.zipWithIndex) {
+        val expectDrop = ordered.take(i).exists(p => cos(embs(p._1), embs(m._1)) >= 0.3)
+        assert(m._4 == !expectDrop, s"vec ${m._1}: kept=${m._4}, greedy says ${!expectDrop}")
+      }
+    }
+  }
+
   test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, sf).count()
