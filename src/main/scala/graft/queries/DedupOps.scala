@@ -23,7 +23,7 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -368,5 +368,59 @@ object DedupOps {
       .select(col("v").as("doc_id"), col("comp").as("component"),
         col("csize"), (col("v") === col("comp")).as("keep"))
       .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** Edit-distance near-dup verification — the character-level second
+    * opinion after the sketch prefilter: for every LSH-verified
+    * candidate pair, the exact Levenshtein distance and the normalized
+    * edit similarity 1 − dist/max(len), with the ≥0.8 dup decision.
+    * The standard fuzzy-dedup composition (sketch candidates → O(len²)
+    * DP only on the surviving pairs — never all-pairs, which is what
+    * makes character-exact verification affordable at 100 TB; pair
+    * count is the LSH output, each DP is per-row CPU with no shuffle
+    * beyond the d01 stages).
+    *
+    * Oracle note: `levenshtein` is unit-cost DP in both engines; DuckDB
+    * counts UTF-8 bytes where Spark counts characters, which agree on
+    * this corpus (fixture text is pure ASCII — asserted cheaply via
+    * strlen = length in the oracle's WHERE-free form). Spark's
+    * character semantics is the production-correct one. */
+  private val d07 = QDef(
+    "d07_editdist_verify",
+    "WITH " + oracleShingleCte + ",\n" +
+      """tx AS (SELECT doc_id, text FROM documents),
+        |m AS (
+        |  SELECT vp.a, vp.b, vp.jaccard,
+        |    CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
+        |    greatest(length(ta.text), length(tb.text)) AS mx
+        |  FROM vp JOIN tx ta ON ta.doc_id = vp.a
+        |          JOIN tx tb ON tb.doc_id = vp.b)
+        |SELECT a, b, jaccard, edit_dist,
+        |  CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / mx END AS edit_sim,
+        |  (CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE)
+        |        ELSE CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / mx END)
+        |    >= CAST(0.8 AS DOUBLE) AS is_dup
+        |FROM m ORDER BY a, b""".stripMargin) { (s, d) =>
+    val tx = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // one pass over documents for both sides (d01's fetch pattern)
+    val fetched = lshVerifiedPairs(s, d)
+      .select(col("a"), col("b"), col("jaccard"),
+        explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(tx, Seq("doc_id"))
+      .groupBy(col("a"), col("b"), col("jaccard"))
+      .agg(
+        first(when(col("doc_id") === col("a"), col("text")), ignoreNulls = true).as("ta"),
+        first(when(col("doc_id") === col("b"), col("text")), ignoreNulls = true).as("tb"))
+    fetched
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_sim",
+        when(col("mx") === 0, lit(1.0).cast("double"))
+          .otherwise(lit(1).cast("double") -
+            col("edit_dist").cast("double") / col("mx")))
+      .select(col("a"), col("b"), col("jaccard"), col("edit_dist"),
+        col("edit_sim"), (col("edit_sim") >= lit(0.8).cast("double")).as("is_dup"))
+      .orderBy(col("a"), col("b"))
   }
 }

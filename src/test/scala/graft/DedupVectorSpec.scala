@@ -57,6 +57,32 @@ class DedupVectorSpec extends GraftSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("d07 edit-distance verify: exact dup at 0, metrics agree with in-memory DP") {
+    val out = q("d07_editdist_verify")
+      .select("a", "b", "edit_dist", "edit_sim", "is_dup")
+      .as[(Long, Long, Int, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    // docs 0/1 are exact text dups in the planted corpus → distance 0
+    assert(byPair.get((0L, 1L)).exists(r => r._3 == 0 && r._4 == 1.0 && r._5))
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    for ((_, (a, b, dist, sim, dup)) <- byPair.take(10)) {
+      val want = lev(texts(a), texts(b))
+      assert(dist == want, s"pair ($a,$b): dist $dist != DP $want")
+      val mx = math.max(texts(a).length, texts(b).length)
+      assert(math.abs(sim - (1.0 - dist.toDouble / mx)) == 0.0)
+      assert(dup == (sim >= 0.8))
+    }
+  }
+
   test("dedup components equal union-find over the verified pairs") {
     val pairs = q("d01_minhash_lsh_pairs")
       .select("a", "b").as[(Long, Long)].collect()
