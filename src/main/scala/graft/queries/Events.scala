@@ -21,7 +21,8 @@ import graft.util.Det._
   */
 object Events {
 
-  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36)
+  def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
+    q37)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -320,5 +321,43 @@ object Events {
       df.withColumn(t, coalesce(col(t), lit(0L))))
     wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Exponentially-decayed trailing value (EMA, decay ½, window 21
+    * events) — the recency-weighted activity feature a fraud/ranking
+    * pipeline maintains per user. The recursion is unrolled into an
+    * explicit lag-chain: ema = Σ_{k=0..20} lag(value,k)·2⁻ᵏ. Bit-exact
+    * across engines WITHOUT decimal tricks because every piece is
+    * IEEE-pinned: lag is positional (unique (us, event_id) order),
+    * 2⁻ᵏ is an exact double, and the explicit left-to-right `+` chain
+    * fixes the summation order in both engines (an aggregate SUM would
+    * not — window segment trees re-associate).
+    *
+    * Scale: one shuffle on user_id, one WindowExec pass evaluating all
+    * 21 lags over the same frame, no joins. */
+  private val q37 = QDef(
+    "q37_ema_decay", {
+      val terms = (0 to 20).map { k =>
+        val v = if (k == 0) "value"
+        else s"coalesce(lag(value, $k) OVER w, CAST(0 AS DOUBLE))"
+        s"$v * power(CAST(2 AS DOUBLE), -$k)"
+      }.mkString("\n      + ")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+         |SELECT event_id, user_id, us,
+         |  $terms AS ema
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |ORDER BY user_id, us, event_id""".stripMargin
+    }) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val terms = (0 to 20).map { k =>
+      val v = if (k == 0) col("value") else coalesce(lag(col("value"), k).over(w), lit(0.0))
+      v * pow(lit(2.0), lit(-k))
+    }
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("ema", terms.reduceLeft(_ + _))
+      .select(col("event_id"), col("user_id"), col("us"), col("ema"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 }

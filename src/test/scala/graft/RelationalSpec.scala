@@ -28,4 +28,26 @@ class RelationalSpec extends GraftSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("q37 ema: first event per user equals its value; replay matches") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q37_ema_decay")(spark, sf)
+      .select("user_id", "us", "event_id", "ema").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vals = graft.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")), col("value")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((_, g) <- out.groupBy(_._1)) {
+      val ordered = g.sortBy(e => (e._2, e._3))
+      assert(ordered.head._4 == vals(ordered.head._3)._2,
+        "no history: ema == value")
+      // replay the unrolled chain in the same left-to-right order
+      for ((e, i) <- ordered.zipWithIndex) {
+        var ema = 0.0
+        for (k <- 0 to math.min(i, 20))
+          ema += vals(ordered(i - k)._3)._2 * math.pow(2.0, -k)
+        assert(e._4 == ema, s"event ${e._3}: ema ${e._4} != replay $ema")
+      }
+    }
+  }
 }
