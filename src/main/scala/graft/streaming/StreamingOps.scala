@@ -368,6 +368,52 @@ object StreamingOps {
       }
   }
 
+  /** A language-tagged document on the ingest wire. */
+  final case class LangDocIn(lang: String, doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
+  /** One current heavy hitter; `gen` is the per-key update generation
+    * (consumers keep the max-gen snapshot per lang). */
+  final case class HeavyHitterOut(lang: String, token: String, est: Long,
+      rank: Int, gen: Long)
+
+  /** Streaming Misra-Gries heavy hitters — the incremental "trending
+    * tokens" face of batch t16: per-language O(k) sketch state folded
+    * over each micro-batch (same reduce as [[graft.functions
+    * .HeavyHittersAgg]], so the mergeable-summaries guarantees carry
+    * over), current top-k snapshot emitted per update. In the exact
+    * regime (k ≥ distinct tokens) the final snapshot equals the batch
+    * GROUP BY counts — asserted by StreamingSpec.
+    *
+    * State is k counters per language — constant per key regardless of
+    * stream length, the property that makes this runnable forever. The
+    * batch fold order is pinned by (doc_id, token position) so replays
+    * of the same micro-batches are deterministic even in the
+    * approximate regime. */
+  def trendingTokens(docs: Dataset[LangDocIn], k: Int): Dataset[HeavyHitterOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.HeavyHittersAgg(k)
+
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[LangDocIn], state: GroupState[(Map[String, Long], Long)]) =>
+          val (prev, gen) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          var sketch = prev
+          it.toArray.sortBy(_.doc_id).foreach { d =>
+            d.text.split("\\s+").iterator.filter(_.nonEmpty).foreach { t =>
+              sketch = mg.reduce(sketch, t)
+            }
+          }
+          state.update((sketch, gen + 1))
+          sketch.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+            .zipWithIndex
+            .map { case ((t, c), i) => HeavyHitterOut(lang, t, c, i + 1, gen + 1) }
+            .iterator
+      }
+  }
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

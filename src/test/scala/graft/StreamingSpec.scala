@@ -184,6 +184,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("trendingTokens: exact-regime snapshot equals batch GROUP BY counts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{LangDocIn, HeavyHitterOut}
+    // real corpus (31-token vocab per lang): k=40 ≥ vocab → exact regime
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang", "doc_id", "text").as[(String, Long, String)].collect()
+      .map { case (l, id, t) => LangDocIn(l, id, t, new Timestamp(1700000000000L + id)) }
+    val mem = MemoryStream[LangDocIn]
+    val out = StreamingOps.trendingTokens(mem.toDS(), k = 40)
+    val query = out.writeStream.format("memory")
+      .queryName("trending_out").outputMode("update").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+
+      val all = spark.table("trending_out").as[HeavyHitterOut].collect()
+      val lastGen = all.groupBy(_.lang).map { case (l, rs) => l -> rs.map(_.gen).max }
+      val got = all.filter(r => r.gen == lastGen(r.lang))
+        .map(r => (r.lang, r.token) -> r.est).toMap
+
+      val batch = docs.toSeq.map(d => (d.lang, d.doc_id, d.text))
+        .toDF("lang", "doc_id", "text")
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("lang", "tok").count()
+        .as[(String, String, Long)].collect()
+        .map { case (l, t, n) => (l, t) -> n }.toMap
+      assert(got == batch,
+        s"stream snapshot diverged: ${got.size} vs ${batch.size} entries")
+    } finally query.stop()
+  }
+
   test("nearDupCandidates: streaming LSH equals the batch candidate stage") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
