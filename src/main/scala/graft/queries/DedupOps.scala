@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
@@ -23,7 +24,7 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -422,5 +423,70 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"), col("edit_dist"),
         col("edit_sim"), (col("edit_sim") >= lit(0.8).cast("double")).as("is_dup"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** PageRank over the near-dup graph, two power-iteration rounds
+    * unrolled — importance scoring for canonical-doc selection (pick
+    * the most-connected member of a dup cluster instead of min-id).
+    * Each round is ONE key-join shuffle (edges ⋈ current scores) plus a
+    * map-side-combined aggregate on the destination key — the d06
+    * propagation shape with weights, so the 100 TB posture is
+    * identical: bounded-width rows, no driver-side graph, rounds
+    * O(iterations). Neighbor sums go through [[graft.util.Det.dsum]]
+    * (exact decimal, order-free) and the damping constants are written
+    * as the same IEEE expressions in both engines, so both rounds
+    * replay bit-exactly in the oracle. */
+  private val d08 = QDef(
+    "d08_pagerank_graph",
+    "WITH " + oracleShingleCte + ",\n" +
+      s"""e AS (SELECT a AS src, b AS dst FROM vp
+         |       UNION ALL SELECT b AS src, a AS dst FROM vp),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |p0 AS (SELECT d.src, d.deg, CAST(1 AS DOUBLE) / nn.n AS pr FROM deg d, nn),
+         |r1 AS (SELECT e.dst AS src, ${graft.util.Det.sqlDsum("p0.pr / p0.deg")} AS s
+         |       FROM e JOIN p0 ON p0.src = e.src GROUP BY e.dst),
+         |p1 AS (SELECT r1.src, d.deg,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |           + CAST(0.85 AS DOUBLE) * r1.s AS pr
+         |       FROM r1 JOIN deg d ON d.src = r1.src, nn),
+         |r2 AS (SELECT e.dst AS src, ${graft.util.Det.sqlDsum("p1.pr / p1.deg")} AS s
+         |       FROM e JOIN p1 ON p1.src = e.src GROUP BY e.dst),
+         |p2 AS (SELECT r2.src, d.deg,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |           + CAST(0.85 AS DOUBLE) * r2.s AS pr
+         |       FROM r2 JOIN deg d ON d.src = r2.src, nn)
+         |SELECT p1.src AS doc_id, CAST(p1.deg AS BIGINT) AS degree,
+         |  p1.pr AS pr1, p2.pr AS pr2
+         |FROM p1 JOIN p2 ON p2.src = p1.src
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.util.Det.dsum
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    val damp = lit(0.85).cast("double")
+    val base = lit(1.0).cast("double") - damp
+    val pr0 = deg.crossJoin(broadcast(n))
+      .withColumn("pr", lit(1.0).cast("double") / col("n"))
+      .select(col("src"), col("deg"), col("pr"))
+    def round(prev: DataFrame): DataFrame =
+      edges
+        .join(prev.withColumnRenamed("src", "u")
+          .withColumnRenamed("deg", "u_deg"), col("u") === col("src"))
+        .withColumn("c", col("pr") / col("u_deg"))
+        .groupBy(col("dst")).agg(dsum(col("c")).as("s"))
+        .withColumnRenamed("dst", "v")
+        .join(deg.withColumnRenamed("src", "v"), Seq("v"))
+        .crossJoin(broadcast(n))
+        .select(col("v").as("src"), col("deg"),
+          (base / col("n") + damp * col("s")).as("pr"))
+    val pr1 = round(pr0)
+    val pr2 = round(pr1)
+    pr1.select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
+        col("pr").as("pr1"))
+      .join(pr2.select(col("src").as("doc_id"), col("pr").as("pr2")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
   }
 }
