@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18)
+      t15, t16, t17, t18, t19)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -701,5 +701,59 @@ object TextOps {
         explode(sequence(lit(1), col("n").cast("int"))).as("copy"))
       .withColumn("skey", expr(h64E("concat(doc_id, '#', copy)")))
       .orderBy(col("skey"), col("doc_id"))
+  }
+
+  /** Curriculum interleaving: rank docs easy→hard per language, cut the
+    * per-lang rank into fixed-width stages, and give each doc a
+    * deterministic shuffle key within its stage — the "sorted stages,
+    * shuffled within stage" schedule of curriculum training (Bengio
+    * 2009), with every language progressing through difficulty in
+    * lockstep.
+    *
+    * The per-lang rank is computed WITHOUT a single-partition global
+    * sort: pass 1 aggregates (lang, difficulty) counts (tiny) and turns
+    * them into cumulative offsets; pass 2 takes a row_number only
+    * within each (lang, difficulty) tie group and adds the broadcast
+    * offset. At 100 TB the wide data never funnels through one
+    * partition — the only skew risk is a tie-dense difficulty value,
+    * bounded by the score's resolution. */
+  private val t19 = {
+    import CrossHash.{h64E, sqlH64}
+    QDef(
+      "t19_curriculum",
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    2 * len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         |      + len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS difficulty
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, difficulty,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY difficulty, doc_id) AS rk
+         |  FROM sc)
+         |SELECT lang, doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+         |  CAST(rk AS BIGINT) AS rk, CAST((rk - 1) // 50 AS BIGINT) AS stage,
+         |  ${sqlH64("doc_id || '#' || ((rk - 1) // 50)")} AS skey
+         |FROM r ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .withColumn("difficulty",
+          (size(tokens(col("text"))) * 2 +
+            size(array_distinct(tokens(col("text"))))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("difficulty"))
+      val off = scored.groupBy(col("lang"), col("difficulty"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off",
+          sum(col("c")).over(w.partitionBy(col("lang")).orderBy(col("difficulty"))) - col("c"))
+        .select(col("lang"), col("difficulty"), col("off"))
+      scored
+        .join(broadcast(off), Seq("lang", "difficulty"))
+        .withColumn("rk",
+          (col("off") + row_number().over(
+            w.partitionBy(col("lang"), col("difficulty")).orderBy(col("doc_id")))).cast("long"))
+        .withColumn("stage", expr("(rk - 1) div 50").cast("long"))
+        .select(col("lang"), col("doc_id"), col("difficulty"), col("rk"), col("stage"),
+          expr(h64E("concat(doc_id, '#', stage)")).as("skey"))
+        .orderBy(col("lang"), col("doc_id"))
+    }
   }
 }

@@ -212,6 +212,20 @@ class PlanQualitySpec extends GraftSuite {
       s"t18 must range-partition exactly once on the shuffle key:\n$p")
   }
 
+  test("t19: rank never funnels through a single partition") {
+    val p = planOf("t19_curriculum")
+    // the scale hazard in a global rank is Window over an empty
+    // partitionBy → SinglePartition exchange; the two-pass design keeps
+    // every window partitioned ((lang) on the tiny count side,
+    // (lang, difficulty) on the wide side)
+    assert(!p.contains("SinglePartition"),
+      s"t19 planned a single-partition stage:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the (lang, difficulty, off) table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t19 planned unbounded pair work:\n$p")
+  }
+
   test("v10: candidate stage broadcasts probes; greedy rounds never rescan the corpus") {
     val df = SparkEntry.queries("v10_mmr_rerank")(spark, sf)
     df.collect() // finalize AQE so reused stages are visible

@@ -41,6 +41,27 @@ class TextPipelineSpec extends GraftSuite {
     assert(keys.sorted.sameElements(keys), "output must be sorted by skey")
   }
 
+  test("t19: offset-rank equals a direct per-lang row_number; stages are width-50") {
+    val out = SparkEntry.queries("t19_curriculum")(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("difficulty"), r.getAs[Long]("rk"), r.getAs[Long]("stage")))
+    // the two-pass (count-offsets + tie-group row_number) rank must equal
+    // the naive dense enumeration by (difficulty, doc_id) within lang
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val expected = rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      rows.foreach { r =>
+        assert(r._4 == expected(r._2), s"$lang doc ${r._2}: rk ${r._4} != ${expected(r._2)}")
+        assert(r._5 == (r._4 - 1) / 50, s"stage must be (rk-1)/50, got $r")
+      }
+    }
+    // every language progresses through difficulty monotonically in rank order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_._4).map(_._3)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("t10: repetition metrics bounded and keep splits the corpus") {
     val rows = SparkEntry.queries("t10_repetition_rules")(spark, sf).collect()
     assert(rows.nonEmpty)
