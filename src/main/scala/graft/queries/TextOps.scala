@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19)
+      t15, t16, t17, t18, t19, t20)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -754,6 +754,86 @@ object TextOps {
         .select(col("lang"), col("doc_id"), col("difficulty"), col("rk"), col("stage"),
           expr(h64E("concat(doc_id, '#', stage)")).as("skey"))
         .orderBy(col("lang"), col("doc_id"))
+    }
+  }
+
+  /** BPE merge-pair learning (Sennrich 2016), two merge rounds
+    * unrolled — the tokenizer-training pass of an LLM data pipeline.
+    *
+    * The corpus is scanned ONCE (token-frequency hash aggregate,
+    * map-side combined); every later step runs on the distinct-token
+    * VOCAB, which is sublinear in corpus size — at 100 TB the pair
+    * counts, merge selection (TakeOrdered top-1: partial per partition,
+    * no global sort), and merge application (broadcast of one row)
+    * never touch the documents again. Merge application uses
+    * scan-replace on the space-joined symbol string, applied twice to
+    * catch occurrences that share a boundary space with a prior match —
+    * a deterministic rule both engines implement identically (plain
+    * left-to-right non-overlapping `replace`), which is what makes the
+    * round-2 counts oracle-exact. All-ASCII corpus ⇒ per-char regex
+    * splitting agrees across engines; no floats anywhere. */
+  private val t20 = {
+    def sqlPairs(v: String) =
+      s"""  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(string_split(seq, ' '))),
+         |        i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1])) AS pair
+         |    FROM $v)
+         |  GROUP BY pair""".stripMargin
+    def sqlApply(m: String) =
+      s"""trim(replace(replace(' ' || seq || ' ',
+         |      ' ' || $m.pair || ' ', ' ' || replace($m.pair, ' ', '') || ' '),
+         |      ' ' || $m.pair || ' ', ' ' || replace($m.pair, ' ', '') || ' '))""".stripMargin
+    QDef(
+      "t20_bpe_merges",
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |v0 AS (
+         |  SELECT tok, COUNT(*) AS freq,
+         |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq
+         |  FROM tk GROUP BY tok),
+         |p1 AS (
+         |${sqlPairs("v0")}),
+         |m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+         |v1 AS (
+         |  SELECT tok, freq, ${sqlApply("m1")} AS seq, m1.pair AS merge1
+         |  FROM v0, m1),
+         |p2 AS (
+         |${sqlPairs("v1")}),
+         |m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+         |v2 AS (
+         |  SELECT tok, freq, ${sqlApply("m2")} AS seq, merge1, m2.pair AS merge2
+         |  FROM v1, m2)
+         |SELECT tok, freq, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_syms,
+         |  merge1, merge2
+         |FROM v2 ORDER BY tok""".stripMargin) { (s, d) =>
+      def pairCount(v: DataFrame): DataFrame = v
+        .withColumn("syms", split(col("seq"), " "))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      def top1(pc: DataFrame, as: String): DataFrame =
+        pc.orderBy(col("cnt").desc, col("pair")).limit(1).select(col("pair").as(as))
+      def applyMerge(v: DataFrame, m: DataFrame, mc: String): DataFrame = v
+        .crossJoin(broadcast(m))
+        .withColumn("seq", expr(
+          s"""trim(replace(replace(concat(' ', seq, ' '),
+             |  concat(' ', $mc, ' '), concat(' ', replace($mc, ' ', ''), ' ')),
+             |  concat(' ', $mc, ' '), concat(' ', replace($mc, ' ', ''), ' ')))""".stripMargin))
+      val v0 = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .withColumn("seq", expr("trim(regexp_replace(tok, '(.)', '$1 '))"))
+        .persist()
+      val v1 = applyMerge(v0, top1(pairCount(v0), "merge1"), "merge1").persist()
+      val v2 = applyMerge(v1, top1(pairCount(v1), "merge2"), "merge2")
+      v2.select(col("tok"), col("freq"),
+          size(split(col("seq"), " ")).cast("long").as("n_syms"),
+          col("merge1"), col("merge2"))
+        .orderBy(col("tok"))
     }
   }
 }

@@ -41,6 +41,38 @@ class TextPipelineSpec extends GraftSuite {
     assert(keys.sorted.sameElements(keys), "output must be sorted by skey")
   }
 
+  test("t20: learned merges and re-encoded lengths equal a single-node BPE replay") {
+    val out = SparkEntry.queries("t20_bpe_merges")(spark, sf).collect()
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var seqs: Map[String, String] =
+      freq.keys.map(t => t -> t.toCharArray.mkString(" ")).toMap
+    def topPair: String = {
+      val pc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((t, s) <- seqs; syms = s.split(" "); i <- 0 until syms.length - 1)
+        pc(syms(i) + " " + syms(i + 1)) += freq(t)
+      pc.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+    }
+    def applyMerge(m: String): Unit = {
+      val merged = " " + m.replace(" ", "") + " "
+      seqs = seqs.view.mapValues(s =>
+        (" " + s + " ").replace(" " + m + " ", merged)
+          .replace(" " + m + " ", merged).trim).toMap
+    }
+    val em1 = topPair; applyMerge(em1)
+    val em2 = topPair; applyMerge(em2)
+    assert(out.head.getAs[String]("merge1") == em1)
+    assert(out.head.getAs[String]("merge2") == em2)
+    assert(out.length == freq.size)
+    out.foreach { r =>
+      val t = r.getAs[String]("tok")
+      assert(r.getAs[Long]("freq") == freq(t))
+      assert(r.getAs[Long]("n_syms") == seqs(t).split(" ").length,
+        s"token '$t': n_syms ${r.getAs[Long]("n_syms")} != replay '${seqs(t)}'")
+    }
+  }
+
   test("t19: offset-rank equals a direct per-lang row_number; stages are width-50") {
     val out = SparkEntry.queries("t19_curriculum")(spark, sf)
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
