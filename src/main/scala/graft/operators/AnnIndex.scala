@@ -72,10 +72,52 @@ object AnnIndex {
   def ivfSearchOnDisk(spark: org.apache.spark.sql.SparkSession, path: String,
       probeIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
     SketchFunctions.registerAll(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
     val lists = spark.read.parquet(s"$path/lists")
     val probes = lists.filter(col("id").isin(probeIds: _*))
       .select(col("id").as("q_id"), col("emb_n").as("q_emb"))
+    searchCore(spark, path, probes, nprobe, topK, excludeSelf = true)
+  }
+
+  /** Serve EXTERNAL probe vectors against a [[save]]d index — the
+    * query-time path where probes are not index members. `probes` needs
+    * (q_id, q_emb: array<double>), normalized here. Same scan bound as
+    * [[ivfSearchOnDisk]]: nprobe partition-pruned list directories per
+    * probe, nothing else read. */
+  def searchVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    SketchFunctions.registerAll(spark)
+    val normalized = probes.select(col("q_id"),
+      expr("transform(q_emb, x -> x / sqrt(dot_fold(q_emb, q_emb)))").as("q_emb"))
+    searchCore(spark, path, normalized, nprobe, topK, excludeSelf = false)
+  }
+
+  /** Assign NEW vectors to the STORED centroids (nearest-centroid
+    * argmax — no retrain) and append them to the inverted file's
+    * partition directories. This is how a live index absorbs a fresh
+    * ingest batch without a rebuild: assignment is one broadcast of the
+    * k-row centroid table + one scan of the batch, and the write only
+    * touches the partitions the batch lands in. Centroids drift as the
+    * data grows — production retrains periodically (a new [[save]]),
+    * which this layout makes a drop-in swap. */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: DataFrame, idCol: String, embCol: String): Unit = {
+    SketchFunctions.registerAll(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val normalized = emb.select(col(idCol).as("id"),
+      expr(s"transform($embCol, x -> x / sqrt(dot_fold($embCol, $embCol)))").as("emb_n"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("list_id"))
+    normalized.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("dot_fold(emb_n, c_emb)"))
+      .withColumn("cr", row_number().over(w))
+      .filter(col("cr") === 1)
+      .select(col("id"), col("emb_n"), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  private def searchCore(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, nprobe: Int, topK: Int, excludeSelf: Boolean): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val lists = spark.read.parquet(s"$path/lists")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("list_id"))
     val probeLists = probes.crossJoin(broadcast(cents))
       .withColumn("csim", expr("dot_fold(q_emb, c_emb)"))
@@ -87,8 +129,8 @@ object AnnIndex {
       .collect().map(_.get(0).asInstanceOf[Number].longValue)
     val pruned = lists.filter(col("list_id").isin(probedLists: _*))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
-    pruned.join(broadcast(probeLists), Seq("list_id"))
-      .where(col("id") =!= col("q_id"))
+    val joined = pruned.join(broadcast(probeLists), Seq("list_id"))
+    (if (excludeSelf) joined.where(col("id") =!= col("q_id")) else joined)
       .withColumn("sim", expr("dot_fold(emb_n, q_emb)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

@@ -464,7 +464,10 @@ object DedupOps {
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       .persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree table is joined in every round (and n derives from it):
+    // persist so the rounds rebuild neither the edge aggregate nor the
+    // upstream LSH pipeline
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.agg(count(lit(1)).as("n"))
     val damp = lit(0.85).cast("double")
     val base = lit(1.0).cast("double") - damp

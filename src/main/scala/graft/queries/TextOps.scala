@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20)
+      t15, t16, t17, t18, t19, t20, t21)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -755,6 +755,49 @@ object TextOps {
           expr(h64E("concat(doc_id, '#', stage)")).as("skey"))
         .orderBy(col("lang"), col("doc_id"))
     }
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per-document out-of-vocab
+    * token share against the corpus top-K vocabulary — the "will this
+    * vocab cover the data" gate run before committing to a tokenizer.
+    *
+    * Scale shape: one corpus scan for token frequencies (hash agg,
+    * map-side combined), top-K via TakeOrdered (partial per partition),
+    * the K-token vocab collapsed to ONE array row and broadcast — the
+    * wide per-document pass is then pure codegen'd expression work with
+    * zero shuffle. */
+  private val t21 = QDef(
+    "t21_oov_audit",
+    """WITH tk AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok),
+      |vtop AS (SELECT tok FROM tf ORDER BY freq DESC, tok LIMIT 20),
+      |va AS (SELECT list(tok ORDER BY tok) AS vl FROM vtop),
+      |dd AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, t -> NOT list_contains(vl, t))) AS BIGINT) AS n_oov,
+      |  CASE WHEN len(toks) = 0 THEN NULL
+      |       ELSE CAST(len(list_filter(toks, t -> NOT list_contains(vl, t))) AS DOUBLE)
+      |              / len(toks) END AS oov_rate
+      |FROM dd, va ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val va = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(20)
+      .agg(sort_array(collect_list(col("tok"))).as("vl"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(va))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("toks"), t => !array_contains(col("vl"), t))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
   }
 
   /** BPE merge-pair learning (Sennrich 2016), two merge rounds

@@ -271,6 +271,32 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING ANN serving: each micro-batch of probe vectors is
+    * searched against a [[graft.operators.AnnIndex.save]]d on-disk IVF
+    * index via [[graft.operators.AnnIndex.searchVectors]] and handed to
+    * `sink` — the query-serving loop of a vector store (probes arrive
+    * on a stream, the index is static between retrains). Per batch the
+    * scan bound is the batch's nprobe partition-pruned list
+    * directories; the corpus is never shuffled, so the pattern holds
+    * against a 100 TB index. The index path is re-read each batch,
+    * which makes a periodic retrain ([[graft.operators.AnnIndex.save]]
+    * to the same path) a live swap. */
+  def annServe(probes: DataFrame, indexPath: String, checkpoint: String,
+      nprobe: Int, topK: Int)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.AnnIndex.searchVectors(
+            batch.sparkSession, indexPath, batch, nprobe, topK), batchId)
+      }
+      .start()
+
+  /** A probe vector arriving on the serving stream. */
+  final case class ProbeIn(q_id: Long, q_emb: Seq[Double])
+
   /** A typed event for gap-fill (needs the event_type + event_id that
     * EventIn omits). */
   final case class TypedEventIn(user_id: Long, event_id: Long,

@@ -87,4 +87,90 @@ class AnnIndexSpec extends GraftSuite {
     val expectRows = assign.filter(col("list_id").isin(0, 1)).count()
     assert(twoLists.count() == expectRows && expectRows > 0)
   }
+
+  test("append: a fresh batch joins the stored centroids' lists without a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val base = emb.filter(col("vec_id") < 450)
+    AnnIndex.save(AnnIndex.ivfAssign(base, "vec_id", "emb", k = 8), path)
+    val fresh = emb.filter(col("vec_id") >= 450)
+    AnnIndex.append(spark, path, fresh, "vec_id", "emb")
+
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.count() == emb.count(), "index must hold base + appended")
+
+    // independent single-node replay: appended ids must sit in the
+    // argmax list of the STORED centroids (tiebreak: smaller list_id)
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Number]("list_id").intValue,
+        r.getSeq[Double](r.fieldIndex("c_emb"))))
+    val gotLists = lists.filter(col("id") >= 450)
+      .select(col("id"), col("list_id").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val freshVecs = fresh.as[(Long, Seq[Double])].collect()
+    assert(gotLists.size == freshVecs.length)
+    freshVecs.foreach { case (id, e) =>
+      val nrm = math.sqrt(e.foldLeft(0.0)((a, x) => a + x * x))
+      val en = e.map(_ / nrm)
+      val best = cents.map { case (l, c) =>
+        (l, en.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2))
+      }.maxBy { case (l, s) => (s, -l) }._1
+      assert(gotLists(id) == best, s"vec $id: list ${gotLists(id)} != argmax $best")
+    }
+  }
+
+  test("searchVectors: external probes served; a member probe's top hit is itself") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-srv").toString
+    AnnIndex.save(assign, path)
+    val probeIds = (0L until 6L).toSeq
+    val probes = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val served = AnnIndex.searchVectors(spark, path, probes, nprobe = 2, topK = 5)
+      .select("q_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byProbe = served.groupBy(_._1)
+    assert(byProbe.keySet == probeIds.toSet)
+    byProbe.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), s"ranks not contiguous for $q")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+      assert(sorted.head._2 == q && sorted.head._3 > 0.999999,
+        s"member probe $q must retrieve itself first, got ${sorted.head}")
+    }
+    // modulo the self row, external serving equals the member path
+    val member = AnnIndex.ivfSearchOnDisk(spark, path, probeIds, nprobe = 2, topK = 5)
+      .select("q_id", "vec_id", "sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).take(4).map(r => (r._2, r._3)).toList).toMap
+    byProbe.foreach { case (q, rows) =>
+      val tail = rows.sortBy(_._4).tail.map(r => (r._2, r._3)).toList
+      assert(tail == member(q), s"probe $q: serving tail $tail != member search ${member(q)}")
+    }
+  }
+
+  test("annServe: streamed probe batches equal the batch serving path") {
+    import graft.streaming.StreamingOps
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-str").toString
+    AnnIndex.save(assign, path)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingOps.ProbeIn]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val chk = java.nio.file.Files.createTempDirectory("graft-ivf-chk").toString
+    val q = StreamingOps.annServe(ms.toDF(), path, chk, nprobe = 2, topK = 5) { (res, _) =>
+      results ++= res.select("q_id", "vec_id", "sim", "rank")
+        .as[(Long, Long, Double, Int)].collect()
+    }
+    val probeRows = emb.filter(col("vec_id") < 6)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, e) => StreamingOps.ProbeIn(i, e) }
+    ms.addData(probeRows.take(3).toSeq)
+    q.processAllAvailable()
+    ms.addData(probeRows.drop(3).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val probes = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val batch = AnnIndex.searchVectors(spark, path, probes, nprobe = 2, topK = 5)
+      .select("q_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(results.toSet == batch && batch.nonEmpty)
+  }
 }
