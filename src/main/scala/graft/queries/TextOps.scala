@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21)
+      t15, t16, t17, t18, t19, t20, t21, t22)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -797,6 +797,68 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         when(col("n_tokens") === 0, lit(null).cast("double"))
           .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style data selection (Xie 2023): per-document importance
+    * weight for a TARGET domain (here lang='en') via unigram
+    * likelihood ratios — the "select raw data that looks like the
+    * target" pass used to curate pretraining mixes. The paper's hashed
+    * n-gram log-ratio product is expressed here as a mean of linear
+    * per-token ratios p_target(tok)/p_raw(tok): ln/exp are not
+    * cross-engine-deterministic, a linear mean is, and the ranking it
+    * induces serves the same selection.
+    *
+    * Scale shape: two token-frequency hash aggregates (one corpus
+    * scan), a vocab-sized ratio table joined back on the token key, and
+    * one doc-key aggregate whose float sum is decimal-exact
+    * ([[graft.util.Det.dsum]] — order-free, so partition merge order
+    * never changes the answer). Nothing all-pairs, nothing global. */
+  private val t22 = QDef(
+    "t22_dsir_weights",
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |ta AS (SELECT tok, COUNT(*) AS f_all FROM tk GROUP BY tok),
+       |te AS (SELECT tok, COUNT(*) AS f_en FROM tk WHERE lang = 'en' GROUP BY tok),
+       |tot AS (SELECT (SELECT COUNT(*) FROM tk) AS tot_all,
+       |               (SELECT COUNT(*) FROM tk WHERE lang = 'en') AS tot_en),
+       |r AS (
+       |  SELECT ta.tok,
+       |    (CAST(coalesce(te.f_en, 0) AS DOUBLE) / ta.f_all)
+       |      * (CAST(tot.tot_all AS DOUBLE) / tot.tot_en) AS ratio
+       |  FROM ta LEFT JOIN te USING (tok), tot),
+       |ds AS (
+       |  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |    ${graft.util.Det.sqlDsum("r.ratio")} / COUNT(*) AS score
+       |  FROM tk JOIN r USING (tok) GROUP BY tk.doc_id)
+       |SELECT d.doc_id, d.lang, coalesce(ds.n_tokens, 0) AS n_tokens, ds.score,
+       |  coalesce(ds.score >= CAST(1 AS DOUBLE), FALSE) AS keep
+       |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import graft.util.Det.dsum
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val tfAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("f_all"))
+    val tfEn = toks.where(col("lang") === "en")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f_en"))
+    val tot = toks.agg(count(lit(1)).as("tot_all"),
+      count(when(col("lang") === "en", 1)).as("tot_en"))
+    val ratios = tfAll.join(tfEn, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("tok"),
+        ((coalesce(col("f_en"), lit(0L)).cast("double") / col("f_all"))
+          * (col("tot_all").cast("double") / col("tot_en"))).as("ratio"))
+    val ds = toks.join(ratios, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), (dsum(col("ratio")) / count(lit(1))).as("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(ds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("score"),
+        coalesce(col("score") >= lit(1.0).cast("double"), lit(false)).as("keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -41,6 +41,19 @@ class TextPipelineSpec extends GraftSuite {
     assert(keys.sorted.sameElements(keys), "output must be sorted by skey")
   }
 
+  test("t22: importance weights rank the target domain first") {
+    val out = SparkEntry.queries("t22_dsir_weights")(spark, sf)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("keep")))
+    assert(out.length == Tables.documents(spark, sf).count())
+    val means = out.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._2).sum / rs.length).toMap
+    val (en, rest) = (means("en"), means.removed("en").values)
+    assert(rest.forall(_ < en),
+      s"target-domain mean score must dominate: $means")
+    out.foreach { case (_, sc, keep) => assert(keep == (sc >= 1.0)) }
+  }
+
   test("t20: learned merges and re-encoded lengths equal a single-node BPE replay") {
     val out = SparkEntry.queries("t20_bpe_merges")(spark, sf).collect()
     val toks = Tables.documents(spark, sf).select("text").collect()
