@@ -31,6 +31,24 @@ object SketchKernels {
     z ^ (z >>> 31)
   }
 
+  /** Even-bit spread of the low 31 bits (Morton interleave half):
+    * bit i of the input lands on bit 2i of the output. */
+  @inline def spread31(v0: Long): Long = {
+    var x = v0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Z-order (Morton) key of two coordinates in [0, 2^31): x on even
+    * bits, y on odd — always non-negative, so BIGINT ordering is curve
+    * ordering. */
+  @inline def zorder64(x: Long, y: Long): Long =
+    spread31(x) | (spread31(y) << 1)
+
   /** MinHash signature: per-permutation minima of mixed hashes, one
     * pass over the input, no intermediate arrays. */
   def minhashSig(hs: ArrayData, perms: Int): ArrayData = {
@@ -187,6 +205,31 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `zorder64(x, y)` → `long` Morton-interleaved clustering key for
+  * two integer coordinates in [0, 2^31). Sorting (or range-
+  * partitioning) a write by this key co-locates rows that are close in
+  * BOTH dimensions, so parquet row-group min/max stats stay tight on
+  * each raw coordinate column and a 2-D range predicate prunes at the
+  * row-group level — the multi-dimensional data-skipping layout
+  * (Delta/Iceberg OPTIMIZE ZORDER) as a plain codegen'd expression. */
+final case class ZOrder64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "zorder64"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SketchKernels.zorder64(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.SketchKernels.zorder64($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SQL registration (idempotent), mirroring SpatialFunctions. */
 object SketchFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -212,6 +255,15 @@ object SketchFunctions {
       case Seq(l, r) => DotFold(l, r)
       case other => throw new IllegalArgumentException(
         s"dot_fold(a, b), got ${other.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("zorder64", {
+      // integral inputs of any width are welcome: widen to long here
+      // (the analyzer resolves these casts; long→long folds away)
+      case Seq(l, r) =>
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        ZOrder64(Cast(l, LongType), Cast(r, LongType))
+      case other => throw new IllegalArgumentException(
+        s"zorder64(x, y), got ${other.size} args")
     }, "built-in")
   }
 }

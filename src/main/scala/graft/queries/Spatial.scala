@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -279,5 +279,48 @@ object Spatial {
       .where(col("a_key") < col("b_key"))
       .select(col("a_key"), col("b_key"))
       .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** Z-order (Morton) clustering keys for the customer points — the
+    * multi-dimensional layout pass: sorting a write by `zkey`
+    * co-locates rows close in BOTH x and y, keeping parquet row-group
+    * min/max tight on each raw coordinate so 2-D range predicates prune
+    * at the row-group level (what Delta/Iceberg OPTIMIZE ZORDER does).
+    * The Spark side computes the key with the native codegen'd
+    * [[graft.functions.ZOrder64]] expression; the oracle replays the
+    * identical mask-shift cascade as generated bit-arithmetic SQL, so
+    * the custom expression is verified against an independent
+    * formulation bit-for-bit. Pure per-row work — zero shuffle beyond
+    * the final presentation sort. */
+  private val sp08 = QDef(
+    "sp08_zorder_keys", {
+      def sqlSpread(e: String): String = {
+        var x = s"($e & 2147483647)"
+        for ((sh, m) <- Seq((16, 281470681808895L), (8, 71777214294589695L),
+            (4, 1085102592571150095L), (2, 3689348814741910323L),
+            (1, 6148914691236517205L)))
+          x = s"(($x | ($x << $sh)) & $m)"
+        x
+      }
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |    CAST(FLOOR(${ptX("c_custkey")}) AS BIGINT) AS ix,
+         |    CAST(FLOOR(${ptY("c_custkey")}) AS BIGINT) AS iy
+         |  FROM customer),
+         |z AS (
+         |  SELECT c_custkey, ix, iy,
+         |    (${sqlSpread("ix")} | (${sqlSpread("iy")} << 1)) AS zkey
+         |  FROM c)
+         |SELECT c_custkey, ix, iy, zkey, zkey // 64 AS curve_block
+         |FROM z ORDER BY zkey, c_custkey""".stripMargin
+    }) { (s, d) =>
+    graft.functions.SketchFunctions.registerAll(s)
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr(s"CAST(FLOOR(${ptX("c_custkey")}) AS BIGINT)").as("ix"),
+        expr(s"CAST(FLOOR(${ptY("c_custkey")}) AS BIGINT)").as("iy"))
+      .withColumn("zkey", expr("zorder64(ix, iy)"))
+      .withColumn("curve_block", expr("zkey div 64"))
+      .orderBy(col("zkey"), col("c_custkey"))
   }
 }
