@@ -24,7 +24,7 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -423,6 +423,83 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"), col("edit_dist"),
         col("edit_sim"), (col("edit_sim") >= lit(0.8).cast("double")).as("is_dup"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Content-defined chunking (CDC): token-level rolling-hash boundary
+    * detection (boundary after position i when the 3-token gram hash ≡
+    * 0 mod 16 → ~16-token average chunks), then corpus-global
+    * first-occurrence-wins chunk dedup. Unlike t15's fixed windows, CDC
+    * boundaries re-synchronize after an insertion — a doc with an added
+    * prefix still shares every chunk downstream of the first boundary,
+    * which is why backup/dedup systems (LBFS, FastCDC) chunk this way.
+    *
+    * Per-row expression work to chunk (zero shuffle), one window over
+    * the chunk-hash key to pick winners — the t15 scale shape with a
+    * content-derived chunk grid. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val spansE = bind(toksE, "tk")(tk =>
+      bind(
+        s"""concat(array(0),
+           |  CASE WHEN size($tk) >= 3 THEN
+           |    filter(transform(sequence(3, size($tk)),
+           |      i -> IF(${h64E(s"array_join(slice($tk, i - 2, 3), ' ')")} % 16 = 0, i, -1)),
+           |      p -> p != -1)
+           |  ELSE array() END,
+           |  array(size($tk)))""".stripMargin, "P")(P =>
+        s"""filter(transform(sequence(1, size($P) - 1),
+           |  j -> struct(element_at($P, j) AS st,
+           |              element_at($P, j + 1) - element_at($P, j) AS ntok,
+           |              array_join(slice($tk, element_at($P, j) + 1,
+           |                element_at($P, j + 1) - element_at($P, j)), ' ') AS txt)),
+           |  c -> c.ntok > 0)""".stripMargin))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(expr(spansE)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.st").cast("long").as("start_tok"),
+        col("c.ntok").cast("long").as("n_tok"),
+        expr(h64E("c.txt")).as("chunk_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("start_tok"))
+    exploded
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val d09 = QDef(
+    "d09_cdc_chunks",
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, tk,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      CASE WHEN len(tk) >= 3 THEN
+       |        list_filter(list_transform(range(3, len(tk) + 1),
+       |          i -> CASE WHEN ${sqlH64("array_to_string(tk[i-2:i], ' ')")} % 16 = 0
+       |               THEN i ELSE CAST(-1 AS BIGINT) END), p -> p <> -1)
+       |      ELSE CAST([] AS BIGINT[]) END),
+       |      [len(tk)]) AS P
+       |  FROM tk),
+       |s AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(list_transform(range(1, len(P)),
+       |      j -> {'st': P[j], 'ntok': P[j + 1] - P[j],
+       |            'txt': array_to_string(tk[P[j] + 1 : P[j + 1]], ' ')}),
+       |      c -> c.ntok > 0)) AS c
+       |  FROM b),
+       |r AS (
+       |  SELECT doc_id, c.st AS start_tok, c.ntok AS n_tok, c.txt AS txt,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c.st) - 1 AS chunk_idx
+       |  FROM s),
+       |f AS (
+       |  SELECT doc_id, chunk_idx, start_tok, n_tok, ${sqlH64("txt")} AS chunk_hash,
+       |    ROW_NUMBER() OVER (PARTITION BY ${sqlH64("txt")} ORDER BY doc_id, start_tok) AS rn
+       |  FROM r)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok, CAST(n_tok AS BIGINT) AS n_tok,
+       |  chunk_hash, rn = 1 AS keep
+       |FROM f ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    cdcChunks(Tables.documents(s, d))
   }
 
   /** PageRank over the near-dup graph, two power-iteration rounds

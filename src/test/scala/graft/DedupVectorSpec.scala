@@ -112,6 +112,33 @@ class DedupVectorSpec extends GraftSuite {
     }
   }
 
+  test("cdc chunks re-synchronize after an insertion (fixed windows cannot)") {
+    // deterministic pseudo-random words so boundary grams occur
+    val words = (0 until 60).map(i => s"w${(i * 7919) % 101}")
+    val inserted = Seq("xx", "yy", "zz") ++ words
+    val docs = Seq((0L, words.mkString(" ")), (1L, inserted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupOps.cdcChunks(docs)
+      .select("doc_id", "chunk_hash", "keep", "n_tok")
+      .as[(Long, Long, Boolean, Long)].collect()
+    val a = out.filter(_._1 == 0L); val b = out.filter(_._1 == 1L)
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(out.forall(c => c._4 > 0), "no empty chunks")
+    val shared = a.map(_._2).toSet.intersect(b.map(_._2).toSet)
+    assert(shared.nonEmpty,
+      s"an inserted prefix must not destroy all downstream chunks (a=${a.length}, b=${b.length})")
+    // first-occurrence-wins: every shared chunk keeps doc 0's copy
+    shared.foreach { h =>
+      assert(a.filter(_._2 == h).exists(_._3), s"doc 0 must keep $h")
+      assert(b.filter(_._2 == h).forall(!_._3), s"doc 1 must drop $h")
+    }
+    // and the same re-sync under t15-style FIXED chunking would fail:
+    // a 3-token shift misaligns every 10-token window
+    val aTok = words.grouped(10).map(_.mkString(" ")).toSet
+    val bTok = inserted.grouped(10).map(_.mkString(" ")).toSet
+    assert(aTok.intersect(bTok).isEmpty, "fixed windows should NOT re-sync here")
+  }
+
   test("simhash pairs exact dup at hamming 0") {
     val rows = q("d02_simhash_pairs")
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
