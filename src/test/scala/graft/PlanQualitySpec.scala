@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: the properties that make these queries viable
   * at 100 TB — filter/column pushdown reaching the parquet scan,
@@ -210,6 +211,36 @@ class PlanQualitySpec extends GraftSuite {
     // the global shuffle is ONE range-partitioned sort on the hash key
     assert("rangepartitioning\\(skey".r.findAllIn(p).size == 1,
       s"t18 must range-partition exactly once on the shuffle key:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (row-group + row pruning before the shuffle);
+    // local fixtures sit under the default 10 GB application-side
+    // threshold, so force the thresholds to prove the plan shape engages
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val p = Tables.part(spark, sf).filter(col("p_size") === 1)
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size")).count()
+      val n = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"selective dim join must inject a runtime bloom filter:\n$plan")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size")).count().collect()
+      assert(n.toSeq == plain.toSeq, "bloom pruning must not change the answer")
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      saved.foreach { case (k, v) => conf.set(k, v) }
+    }
   }
 
   test("t19: rank never funnels through a single partition") {
