@@ -211,7 +211,10 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
   * BOTH dimensions, so parquet row-group min/max stats stay tight on
   * each raw coordinate column and a 2-D range predicate prunes at the
   * row-group level — the multi-dimensional data-skipping layout
-  * (Delta/Iceberg OPTIMIZE ZORDER) as a plain codegen'd expression. */
+  * (Delta/Iceberg OPTIMIZE ZORDER) as a plain codegen'd expression.
+  * For double coordinates over fixed geographic bounds use
+  * `st_zorder` ([[graft.spatial.ZOrderExpr]]), which quantizes to
+  * 21-bit cells then delegates to this kernel. */
 final case class ZOrder64(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "zorder64"

@@ -15,21 +15,11 @@ import org.apache.spark.sql.types._
   * use for 2-column Z-ordering.
   */
 object ZOrderKernels {
-  /** Spread the low 21 bits of v onto the even bit positions (one zero
-    * bit between consecutive bits — the classic 2-D Morton
-    * magic-number dilation, public-domain bit twiddling). */
-  @inline private def spread(v0: Long): Long = {
-    var v = v0 & 0x1fffffL
-    v = (v | (v << 16)) & 0x0000ffff0000ffffL
-    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
-    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
-    v = (v | (v << 2)) & 0x3333333333333333L
-    v = (v | (v << 1)) & 0x5555555555555555L
-    v
-  }
-
   /** Morton key of two coordinates normalized to [0,1] against the
-    * given bounds (clamped outside). x owns the even bits. */
+    * given bounds (clamped outside). x owns the even bits. The bit
+    * interleave itself is [[graft.functions.SketchKernels.zorder64]]
+    * (the raw-integer variant, oracle-verified by sp08); 21-bit cells
+    * are a subset of its 31-bit domain. */
   def zorder(x: Double, y: Double,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): Long = {
     val scale = (1L << 21) - 1
@@ -37,7 +27,7 @@ object ZOrderKernels {
       val t = if (hi > lo) (v - lo) / (hi - lo) else 0.0
       (math.min(1.0, math.max(0.0, t)) * scale).toLong
     }
-    spread(cell(x, xmin, xmax)) | (spread(cell(y, ymin, ymax)) << 1)
+    graft.functions.SketchKernels.zorder64(cell(x, xmin, xmax), cell(y, ymin, ymax))
   }
 }
 
