@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -755,6 +755,65 @@ object TextOps {
           expr(h64E("concat(doc_id, '#', stage)")).as("skey"))
         .orderBy(col("lang"), col("doc_id"))
     }
+  }
+
+  /** Memorization-risk scan: the fraction of each document's distinct
+    * 8-grams that also occur in at least one OTHER document. High
+    * cross-document n-gram sharing marks boilerplate/templated text the
+    * model will see many times — the corpus-internal complement of
+    * t09's eval-set contamination and t10's within-doc repetition.
+    *
+    * Scale shape: distinct gram hashes per doc (per-row), ONE gram-key
+    * aggregate for document frequencies, one gram-key join back — the
+    * inverted-index pattern; the shuffle carries (hash, doc_id) pairs
+    * only. A gram shared by EVERY doc is the worst skew case; the
+    * doc-frequency table is aggregated before the join so the hot key
+    * collapses to one row per gram first. */
+  private val t23 = QDef(
+    "t23_memorization_scan", {
+      val gram = (1 to 8).map(j => s"tk[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 6), i -> ${sqlH64(gram)}))
+         |    ELSE [${sqlH64("text")}] END AS sh
+         |  FROM tk),
+         |e AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |f AS (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h),
+         |tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM sh),
+         |s AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_shared
+         |  FROM e JOIN f USING (h) WHERE f.n_docs >= 2 GROUP BY e.doc_id)
+         |SELECT tot.doc_id, tot.n_grams,
+         |  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / tot.n_grams AS shared_frac,
+         |  (CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / tot.n_grams) >= CAST(0.2 AS DOUBLE) AS risk
+         |FROM tot LEFT JOIN s ON s.doc_id = tot.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+    }) { (s, d) =>
+    val shE = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) >= 8
+         |  THEN array_distinct(transform(sequence(0, size($tk) - 8),
+         |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
+         |  ELSE array(${h64E("text")}) END""".stripMargin)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), expr(shE).as("sh")).persist()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val shared = ex.join(dfreq, Seq("h")).where(col("n_docs") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("shared_frac"),
+        ((coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          >= lit(0.2).cast("double")).as("risk"))
+      .orderBy(col("doc_id"))
   }
 
   /** Tokenizer-vocabulary coverage audit: per-document out-of-vocab
