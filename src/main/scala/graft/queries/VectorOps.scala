@@ -21,7 +21,7 @@ import graft.util.Det._
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11)
+    v11, v12)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -675,5 +675,98 @@ object VectorOps {
       .select(col("vec_id"), col("list_id"), col("ccos"),
         col("hit").isNull.as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Index-tuning sweep: recall@5 and scan cost of the IVF index at
+    * nprobe ∈ {1, 2, 4} against the exact brute-force answer — the
+    * recall/cost curve an operator reads before fixing nprobe for a
+    * deployment. One candidate pass covers every nprobe tier (a
+    * candidate reached through list-rank r is eligible for every
+    * nprobe ≥ r), the exact answer is v01's broadcast-probe scan, and
+    * the report reduces to integer hit counts divided once — no
+    * float-sum ordering anywhere. At 100 TB the sweep costs what the
+    * largest tier costs: the corpus is scanned once for candidates
+    * (list-key join) and once for the exact baseline. */
+  private val v12 = QDef(
+    "v12_nprobe_recall",
+    s"""$sqlIvfCtes,
+       |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+       |probel AS (
+       |  SELECT pr.q_id, c.c_id, pr.q_emb,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+       |      ${sqlDot("pr.q_emb", "c.c_emb")} /
+       |        (sqrt(${sqlDot("pr.q_emb", "pr.q_emb")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+       |      c.c_id) AS cr
+       |  FROM pr JOIN c ON true),
+       |np AS (SELECT unnest([1, 2, 4]) AS n),
+       |pl AS (SELECT np.n, probel.q_id, probel.c_id AS list_id, probel.q_emb
+       |       FROM probel, np WHERE probel.cr <= np.n),
+       |cand AS (
+       |  SELECT pl.n, pl.q_id, a.vec_id,
+       |    ${sqlDot("a.embedding", "pl.q_emb")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("pl.q_emb", "pl.q_emb")})) AS sim
+       |  FROM pl JOIN assign a ON a.list_id = pl.list_id
+       |  WHERE a.vec_id <> pl.q_id),
+       |itop AS (
+       |  SELECT n, q_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY n, q_id ORDER BY sim DESC, vec_id) AS rank
+       |    FROM cand) WHERE rank <= 5),
+       |btop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT pr.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+       |        ${sqlDot("e.embedding", "pr.q_emb")} /
+       |          (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("pr.q_emb", "pr.q_emb")})) DESC,
+       |        e.vec_id) AS rank
+       |    FROM e JOIN pr ON e.vec_id <> pr.q_id) WHERE rank <= 5),
+       |hits AS (
+       |  SELECT n, COUNT(*) AS total_hits
+       |  FROM itop JOIN btop USING (q_id, vec_id) GROUP BY n),
+       |scanned AS (SELECT n, COUNT(*) AS cand_rows FROM cand GROUP BY n)
+       |SELECT CAST(hits.n AS BIGINT) AS n_probe,
+       |  CAST(total_hits AS BIGINT) AS total_hits,
+       |  CAST(total_hits AS DOUBLE) / 50 AS mean_recall,
+       |  CAST(cand_rows AS DOUBLE) / 10 AS mean_candidates
+       |FROM hits JOIN scanned ON scanned.n = hits.n
+       |ORDER BY n_probe""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val assign = ivfAssign(e)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id"))
+    val probeRanked = probes.crossJoin(broadcast(cents))
+      .withColumn("qsim", dot("q_emb", "c_emb") / (norm("q_emb") * norm("c_emb")))
+      .withColumn("cr", row_number().over(wProbe))
+    val np = Seq(1, 2, 4).toDF("n")
+    val pl = probeRanked.crossJoin(broadcast(np))
+      .where(col("cr") <= col("n"))
+      .select(col("n"), col("q_id"), col("c_id").as("list_id"), col("q_emb"))
+    val cand = assign.join(broadcast(pl), Seq("list_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
+      .select(col("n"), col("q_id"), col("vec_id"), col("sim"))
+      .persist()
+    val wIvf = Window.partitionBy(col("n"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val itop = cand.withColumn("rank", row_number().over(wIvf))
+      .filter(col("rank") <= 5).select(col("n"), col("q_id"), col("vec_id"))
+    val wBrute = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val btop = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
+      .withColumn("rank", row_number().over(wBrute))
+      .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+    val hits = itop.join(btop, Seq("q_id", "vec_id"))
+      .groupBy(col("n")).agg(count(lit(1)).as("total_hits"))
+    val scanned = cand.groupBy(col("n")).agg(count(lit(1)).as("cand_rows"))
+    hits.join(scanned, Seq("n"))
+      .select(col("n").cast("long").as("n_probe"),
+        col("total_hits").cast("long").as("total_hits"),
+        (col("total_hits").cast("double") / lit(50)).as("mean_recall"),
+        (col("cand_rows").cast("double") / lit(10)).as("mean_candidates"))
+      .orderBy(col("n_probe"))
   }
 }

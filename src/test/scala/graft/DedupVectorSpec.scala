@@ -293,6 +293,19 @@ class DedupVectorSpec extends GraftSuite {
     }
   }
 
+  test("v12 nprobe sweep: recall and scan cost both rise monotonically") {
+    val rows = SparkEntry.queries("v12_nprobe_recall")(spark, sf)
+      .orderBy(col("n_probe"))
+      .select("n_probe", "mean_recall", "mean_candidates")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      s"recall must not drop as nprobe grows: ${rows.toSeq}")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 < b._3 },
+      s"scan cost must grow with nprobe: ${rows.toSeq}")
+    assert(rows.last._2 > rows.head._2, "widening the probe set must help recall here")
+  }
+
   test("kmeans-trained ivf: total assignment, consistent sizes, training moves centroids") {
     val sf = "/root/testdata/sf0.001"
     val n = graft.Tables.embeddings(spark, sf).count()
