@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -755,6 +755,57 @@ object TextOps {
           expr(h64E("concat(doc_id, '#', stage)")).as("skey"))
         .orderBy(col("lang"), col("doc_id"))
     }
+  }
+
+  /** Dataset card: the per-language release summary a data team ships
+    * with a corpus — volume, exact-dup rate, token-shape and quality
+    * aggregates in one table. Every ratio reduces to integer sums
+    * divided once at the end, so the card is bit-deterministic with no
+    * decimal-sum machinery. Two corpus scans (hash-dup counting needs
+    * the text hashed before the per-lang rollup), both hash aggregates
+    * with map-side combine. */
+  private val t24 = QDef(
+    "t24_dataset_card",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       |    length(replace(text, ' ', '')) AS n_nonspace,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN $sqlStops)) AS n_stop,
+       |    md5(text) AS h
+       |  FROM documents),
+       |dupc AS (SELECT h, COUNT(*) AS c FROM t GROUP BY h)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_nonspace) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT) AS mean_token_len,
+       |  CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT) AS stop_ratio,
+       |  CAST(SUM(CASE WHEN dupc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+       |  CAST(SUM(CASE WHEN n_tokens >= 5
+       |                 AND CAST(n_stop AS DOUBLE) / n_tokens < CAST(0.5 AS DOUBLE)
+       |            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS quality_rate
+       |FROM t JOIN dupc USING (h)
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    val t = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_stop",
+        size(filter(tokens(col("text")), t => array_contains(stopArr, t))))
+      .withColumn("h", md5(col("text")))
+    val dupc = t.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    t.join(dupc, Seq("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_nonspace")).cast("double") / sum(col("n_tokens")))
+          .as("mean_token_len"),
+        (sum(col("n_stop")).cast("double") / sum(col("n_tokens")))
+          .as("stop_ratio"),
+        (sum(when(col("c") > 1, 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("dup_rate"),
+        (sum(when(col("n_tokens") >= 5 &&
+            col("n_stop").cast("double") / col("n_tokens") < 0.5, 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("quality_rate"))
+      .orderBy(col("lang"))
   }
 
   /** Memorization-risk scan: the fraction of each document's distinct
