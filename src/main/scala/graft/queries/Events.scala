@@ -22,7 +22,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37)
+    q37, q38)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -359,5 +359,64 @@ object Events {
       .withColumn("ema", terms.reduceLeft(_ + _))
       .select(col("event_id"), col("user_id"), col("us"), col("ema"))
       .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  /** Hourly volume anomaly detection per event type — the data-drift
+    * monitor a pipeline runs over its ingest: trailing-24h mean/σ
+    * (ROWS frame excluding the current hour) and a 3σ z-score flag.
+    * The mean/σ derive from INTEGER window sums (Σx, Σx²) turned into
+    * doubles through one explicitly-ordered expression chain, so both
+    * engines compute identical floats; σ's variance is clamped at 0
+    * before sqrt (float cancellation can dip a hair negative, and the
+    * engines disagree on sqrt(-ε)). One (type, hr) aggregate + one
+    * type-partitioned window pass — at 100 TB the window input is
+    * hours × types, already tiny. */
+  private val q38 = QDef(
+    "q38_hourly_anomaly",
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events),
+      |c AS (SELECT event_type, hr, COUNT(*) AS cnt FROM e GROUP BY event_type, hr),
+      |w AS (
+      |  SELECT event_type, hr, cnt,
+      |    SUM(cnt) OVER tw AS s1, SUM(cnt * cnt) OVER tw AS s2, COUNT(*) OVER tw AS n
+      |  FROM c
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT event_type, hr, cnt,
+      |    CASE WHEN n = 24 THEN CAST(s1 AS DOUBLE) / 24 END AS mu,
+      |    CASE WHEN n = 24 THEN
+      |      sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 24) / 24,
+      |                    CAST(0 AS DOUBLE))) END AS sigma
+      |  FROM w),
+      |z AS (
+      |  SELECT event_type, hr, cnt, mu, sigma,
+      |    CASE WHEN sigma > CAST(0 AS DOUBLE)
+      |         THEN (CAST(cnt AS DOUBLE) - mu) / sigma END AS z
+      |  FROM m)
+      |SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(cnt AS BIGINT) AS cnt,
+      |  mu, sigma, z, COALESCE(abs(z) > CAST(3 AS DOUBLE), FALSE) AS is_anomaly
+      |FROM z ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"), (unix_micros(col("ts")).cast("long")).as("us"))
+      .withColumn("hr", expr("us div 3600000000"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-24, -1)
+    val w = c
+      .withColumn("s1", sum(col("cnt")).over(tw))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(tw))
+      .withColumn("n", count(lit(1)).over(tw))
+    val m = w
+      .withColumn("mu", when(col("n") === 24, col("s1").cast("double") / lit(24)))
+      .withColumn("sigma", when(col("n") === 24,
+        sqrt(greatest(
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") / lit(24)) / lit(24),
+          lit(0.0).cast("double")))))
+      .withColumn("z", when(col("sigma") > lit(0.0).cast("double"),
+        (col("cnt").cast("double") - col("mu")) / col("sigma")))
+    m.select(col("event_type"), col("hr").cast("long").as("hr"),
+        col("cnt").cast("long").as("cnt"), col("mu"), col("sigma"), col("z"),
+        coalesce(abs(col("z")) > lit(3.0).cast("double"), lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hr"))
   }
 }
