@@ -16,7 +16,7 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08, sp09)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -322,5 +322,70 @@ object Spatial {
       .withColumn("zkey", expr("zorder64(ix, iy)"))
       .withColumn("curve_block", expr("zkey div 64"))
       .orderBy(col("zkey"), col("c_custkey"))
+  }
+
+  /** Zonal statistics: per-zone aggregates of the customer points over
+    * six OVERLAPPING analysis rectangles (a point may contribute to
+    * several zones, so this is a genuine spatial join, not a
+    * partitioning) — the raster-free zonal-stats pass of geospatial
+    * OLAP. Runs through [[SpatialJoin.grid]] with `st_within` against
+    * envelope geometries; the oracle replays containment as pure
+    * arithmetic (points sit on half-integers, zone edges on integers,
+    * so boundary semantics can never differ). Double sums go through
+    * [[graft.util.Det.dsum]]. Zones with no members survive via a
+    * left join. */
+  private val sp09 = QDef(
+    "sp09_zonal_stats", {
+      val ds = graft.util.Det.sqlDsum _
+      s"""WITH z AS (SELECT unnest(range(0, 6)) AS zone_id),
+         |zb AS (
+         |  SELECT zone_id,
+         |    CAST((zone_id * 17) % 60 AS DOUBLE) AS xmin,
+         |    CAST((zone_id * 23) % 60 AS DOUBLE) AS ymin
+         |  FROM z),
+         |p AS (
+         |  SELECT c_custkey, c_acctbal AS bal,
+         |    CAST(${ptX("c_custkey")} AS DOUBLE) AS px,
+         |    CAST(${ptY("c_custkey")} AS DOUBLE) AS py
+         |  FROM customer),
+         |j AS (
+         |  SELECT zb.zone_id, p.bal, p.px, p.py
+         |  FROM p JOIN zb ON p.px >= zb.xmin AND p.px <= zb.xmin + 40
+         |                AND p.py >= zb.ymin AND p.py <= zb.ymin + 40),
+         |s AS (
+         |  SELECT zone_id, COUNT(*) AS n_points,
+         |    ${ds("bal")} AS total_bal, ${ds("bal")} / COUNT(*) AS mean_bal,
+         |    ${ds("px")} / COUNT(*) AS cx, ${ds("py")} / COUNT(*) AS cy
+         |  FROM j GROUP BY zone_id)
+         |SELECT zb.zone_id, CAST(COALESCE(n_points, 0) AS BIGINT) AS n_points,
+         |  total_bal, mean_bal, cx, cy
+         |FROM zb LEFT JOIN s USING (zone_id) ORDER BY zb.zone_id""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    import graft.util.Det.dsum
+    SpatialFunctions.registerAll(s)
+    val zones = (0 until 6)
+      .map(z => (z.toLong, ((z * 17) % 60).toDouble, ((z * 23) % 60).toDouble))
+      .toDF("zone_id", "xmin", "ymin")
+      .withColumn("z_geom",
+        expr("st_makeenvelope(xmin, ymin, xmin + 40.0D, ymin + 40.0D)"))
+      .select(col("zone_id"), col("z_geom"))
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"),
+        expr(s"CAST(${ptX("c_custkey")} AS DOUBLE)").as("px"),
+        expr(s"CAST(${ptY("c_custkey")} AS DOUBLE)").as("py"))
+      .withColumn("c_pt", expr("st_makepoint(px, py)"))
+    val joined = SpatialJoin.grid(pts, zones, "c_pt", "z_geom", "st_within")
+    val stats = joined.groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_points"),
+        dsum(col("bal")).as("total_bal"),
+        (dsum(col("bal")) / count(lit(1))).as("mean_bal"),
+        (dsum(col("px")) / count(lit(1))).as("cx"),
+        (dsum(col("py")) / count(lit(1))).as("cy"))
+    zones.select(col("zone_id"))
+      .join(stats, Seq("zone_id"), "left")
+      .select(col("zone_id"), coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("total_bal"), col("mean_bal"), col("cx"), col("cy"))
+      .orderBy(col("zone_id"))
   }
 }
