@@ -271,6 +271,73 @@ object StreamingOps {
       }
       .start()
 
+  /** One scored hour from the streaming anomaly monitor (q38's shape). */
+  final case class AnomalyOut(event_type: String, hr: Long, cnt: Long,
+      mu: Option[Double], sigma: Option[Double], z: Option[Double],
+      is_anomaly: Boolean)
+
+  /** A finalized (hour, count) entry of the trailing window. */
+  final case class AnomalyRing(hr: Long, cnt: Long)
+
+  /** Anomaly state: counts of unfinalized hours + the last ≤24
+    * finalized hours in ascending order. */
+  final case class AnomalyState(pending: Map[Long, Long], ring: Seq[AnomalyRing])
+
+  /** STREAMING hourly-volume anomaly detection — the incremental face
+    * of batch q38: per event type, each hour finalizes once the
+    * watermark passes its end, is scored against the trailing 24
+    * FINALIZED observed hours (exactly q38's `ROWS BETWEEN 24
+    * PRECEDING AND 1 PRECEDING`), and joins the ring. The float chain
+    * (integer window sums → one explicitly-ordered double expression,
+    * variance clamped at 0) is written identically to the batch query,
+    * so finalized scores match q38 bit-for-bit. State per key is O(24 +
+    * unfinalized hours), bounded by the watermark horizon. */
+  def anomalyScores(events: Dataset[TypedEventIn],
+      watermarkDelay: String = "2 hours"): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[TypedEventIn], state: GroupState[AnomalyState]) => {
+          val prev = state.getOption.getOrElse(AnomalyState(Map.empty, Vector.empty))
+          var pending = prev.pending
+          it.foreach { e =>
+            val hr = usOf(e.ts) / HourUs
+            pending = pending.updated(hr, pending.getOrElse(hr, 0L) + 1L)
+          }
+          val wmHr = state.getCurrentWatermarkMs() * 1000L / HourUs
+          val (done, rest) = pending.partition(_._1 < wmHr)
+          var ring = prev.ring
+          val out = Vector.newBuilder[AnomalyOut]
+          done.toSeq.sortBy(_._1).foreach { case (hr, cnt) =>
+            if (ring.size == 24) {
+              val s1 = ring.iterator.map(_.cnt).sum
+              val s2 = ring.iterator.map(r => r.cnt * r.cnt).sum
+              val mu = s1.toDouble / 24
+              val sigma = math.sqrt(math.max(
+                (s2.toDouble - s1.toDouble * s1 / 24) / 24, 0.0))
+              val z = if (sigma > 0) Some((cnt.toDouble - mu) / sigma) else None
+              out += AnomalyOut(key, hr, cnt, Some(mu), Some(sigma), z,
+                z.exists(v => math.abs(v) > 3.0))
+            } else out += AnomalyOut(key, hr, cnt, None, None, None, false)
+            ring = (ring :+ AnomalyRing(hr, cnt)).takeRight(24)
+          }
+          if (rest.isEmpty && ring.isEmpty) {
+            state.remove()
+          } else {
+            state.update(AnomalyState(rest, ring))
+            if (rest.nonEmpty) {
+              val wantedMs = (rest.keys.min + 1) * (HourUs / 1000L)
+              state.setTimeoutTimestamp(
+                math.max(wantedMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+        })
+  }
+
   /** STREAMING ANN serving: each micro-batch of probe vectors is
     * searched against a [[graft.operators.AnnIndex.save]]d on-disk IVF
     * index via [[graft.operators.AnnIndex.searchVectors]] and handed to

@@ -151,6 +151,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("anomalyScores: finalized hours equal batch q38 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.TypedEventIn
+    val sfDir = "/root/testdata/sf0.001"
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[TypedEventIn].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[TypedEventIn]
+    val out = StreamingOps.anomalyScores(mem.toDS(), watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("anomaly_out").outputMode("append").start()
+    try {
+      val (a, b) = evts.splitAt(evts.length / 2)
+      mem.addData(a.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(TypedEventIn(99L, -1L, "zz_sentinel",
+        new Timestamp(evts.last.ts.getTime + 72L * 3600 * 1000)))
+      query.processAllAvailable()
+      val got = spark.table("anomaly_out")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select("event_type", "hr", "cnt", "mu", "sigma", "z", "is_anomaly")
+        .as[(String, Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+      val batch = SparkEntry.queries("q38_hourly_anomaly")(spark, sfDir)
+        .select("event_type", "hr", "cnt", "mu", "sigma", "z", "is_anomaly")
+        .as[(String, Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+      assert(got.nonEmpty && got == batch,
+        s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+      assert(got.exists(_._4.isDefined), "some hours must carry a full trailing window")
+    } finally query.stop()
+  }
+
   test("dedupByKey keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
