@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -135,6 +135,74 @@ object Multimedia {
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Perceptual (average-hash) frame near-dup: each sampled frame's
+    * first 60 bytes become a 60-bit aHash (bit i set when byte i is
+    * above the frame mean — written as the integer comparison
+    * `60·bᵢ > Σb`, so no division ever happens), then frames are
+    * matched across media on the hash. aHash is robust to uniform
+    * brightness/contrast shifts in real imagery, which byte-exact
+    * matching (mm04) is not; on the synthetic fixture the two agree on
+    * the planted exact dups, which is precisely what the oracle pins
+    * down. Per-row expression work + one hash-key aggregate/join —
+    * mm04's scale shape. The byte array and its sum are let-bound
+    * ([[CrossHash.bind]]) so the 60-element decode runs once per frame,
+    * not once per bit. */
+  private val mm05 = QDef(
+    "mm05_phash_dedup", {
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    hex(encode(text)) AS payload_hex,
+         |    greatest(1, octet_length(encode(text)) // 256) AS n_frames
+         |  FROM documents),
+         |fr AS (
+         |  SELECT media_id, CAST(f.i AS INTEGER) AS frame_idx,
+         |    substring(payload_hex, CAST(f.i AS INTEGER) * 512 + 1, 512) AS frame_hex
+         |  FROM m, unnest(range(0, n_frames, 10)) AS f(i)),
+         |fb AS (
+         |  SELECT media_id, frame_idx,
+         |    list_transform(range(0, 60),
+         |      i -> CAST(('0x' || substring(frame_hex, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT)) AS bytes
+         |  FROM fr WHERE length(frame_hex) >= 120),
+         |fs AS (SELECT media_id, frame_idx, bytes,
+         |         CAST(list_sum(bytes) AS BIGINT) AS s FROM fb),
+         |fh AS (
+         |  SELECT media_id, frame_idx,
+         |    CAST(list_sum(list_transform(range(0, 60),
+         |      i -> CASE WHEN bytes[CAST(i AS INTEGER) + 1] * 60 > s
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+         |  FROM fs),
+         |hm AS (SELECT ahash, COUNT(DISTINCT media_id) AS n_media FROM fh GROUP BY ahash)
+         |SELECT fh.media_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         |  CAST(COUNT(DISTINCT fh.ahash) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN hm.n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup
+         |FROM fh JOIN hm ON hm.ahash = fh.ahash
+         |GROUP BY fh.media_id ORDER BY fh.media_id""".stripMargin
+    }) { (s, d) =>
+    import CrossHash.bind
+    val bytesE =
+      "transform(sequence(0, 59), i -> cast(conv(substring(frame_hex, i * 2 + 1, 2), 16, 10) as int))"
+    val ahashE = bind(bytesE, "B")(B =>
+      bind(s"aggregate($B, 0, (a, x) -> a + x)", "S")(S =>
+        s"""aggregate(transform(sequence(0, 59),
+           |  i -> IF(element_at($B, i + 1) * 60 > $S, shiftleft(1L, i), 0L)),
+           |  0L, (a, x) -> a + x)""".stripMargin))
+    val fh = Multimodal
+      .sampleFrames(Multimodal.attachPayload(Tables.documents(s, d)))
+      .select(col("media_id"), col("frame_idx"), hex(col("frame_bytes")).as("frame_hex"))
+      .where(length(col("frame_hex")) >= 120)
+      .withColumn("ahash", expr(ahashE))
+      .select(col("media_id"), col("frame_idx"), col("ahash"))
+    val hm = fh.groupBy(col("ahash"))
+      .agg(countDistinct(col("media_id")).as("n_media"))
+    fh.join(hm, Seq("ahash"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("ahash")).as("n_distinct"),
+        sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
       .orderBy(col("media_id"))
   }
 }
