@@ -243,6 +243,18 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("sp09: overlapping-zone join rides the cell-key equi-join, never a nested loop") {
+    val p = planOf("sp09_zonal_stats")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"zonal join must go through the grid cell key:\n$p")
+  }
+
+  test("t23: gram doc-frequency join is a plain key join with no pair explosion") {
+    val p = planOf("t23_memorization_scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t23 planned unbounded pair work:\n$p")
+  }
+
   test("t19: rank never funnels through a single partition") {
     val p = planOf("t19_curriculum")
     // the scale hazard in a global rank is Window over an empty
