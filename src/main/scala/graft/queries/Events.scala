@@ -22,7 +22,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38)
+    q37, q38, q39)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -418,5 +418,83 @@ object Events {
         col("cnt").cast("long").as("cnt"), col("mu"), col("sigma"), col("z"),
         coalesce(abs(col("z")) > lit(3.0).cast("double"), lit(false)).as("is_anomaly"))
       .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** Peak session concurrency per hour via a DISTRIBUTED sweep-line:
+    * session intervals (q20's 30-min-gap islands) become ±1 boundary
+    * deltas, totally ordered by (us, start-before-end, user, session);
+    * the running delta sum at each change point IS the live-session
+    * count, and hours aggregate their change points' peaks. The global
+    * running sum uses the t17 two-level prefix-sum shape — within-hour
+    * cumsum (partitioned window) + exclusive per-hour offsets (the only
+    * unpartitioned window scans ~one row per hour, never the deltas) —
+    * so the sweep never funnels the corpus through one partition.
+    * Touching sessions ([a,b] meeting [b,c]) count as overlapping:
+    * starts sort before ends at the same instant. */
+  private val q39 = QDef(
+    "q39_peak_concurrency",
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+       |                       OR us - LAG(us) OVER w > 1800000000
+       |                     THEN 1 ELSE 0 END AS new_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |g AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |      FROM f),
+       |s AS (SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us
+       |      FROM g GROUP BY user_id, session_id),
+       |dl AS (
+       |  SELECT start_us AS us, 1 AS d, user_id, session_id FROM s
+       |  UNION ALL
+       |  SELECT end_us AS us, -1 AS d, user_id, session_id FROM s),
+       |r AS (
+       |  SELECT us, d,
+       |    CAST(SUM(d) OVER (ORDER BY us, d DESC, user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+       |  FROM dl)
+       |SELECT us // 3600000000 AS hr,
+       |  MAX(conc + CASE WHEN d = -1 THEN 1 ELSE 0 END) AS max_concurrency,
+       |  COUNT(*) AS n_changes,
+       |  CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       |FROM r GROUP BY us // 3600000000 ORDER BY hr""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val deltas = sess
+      .select(col("start_us").as("us"), lit(1).as("d"), col("user_id"), col("session_id"))
+      .unionByName(sess.select(col("end_us").as("us"), lit(-1).as("d"),
+        col("user_id"), col("session_id")))
+      .withColumn("hr", expr("us div 3600000000"))
+      .persist() // within-hour cumsum + hour totals both scan it
+    val wIn = Window.partitionBy(col("hr"))
+      .orderBy(col("us"), col("d").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = deltas.groupBy(col("hr")).agg(sum(col("d")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(wOff) - col("tot"))
+      .select(col("hr"), col("off"))
+    deltas
+      .withColumn("cum", sum(col("d")).over(wIn))
+      .join(broadcast(off), Seq("hr"))
+      .withColumn("conc", (col("off") + col("cum")).cast("long"))
+      // the live count AT an instant: an end row's own -1 has not yet
+      // taken effect at its timestamp (touching intervals overlap)
+      .withColumn("point_conc", col("conc") + when(col("d") === -1, 1L).otherwise(0L))
+      .groupBy(col("hr"))
+      .agg(max(col("point_conc")).as("max_concurrency"),
+        count(lit(1)).as("n_changes"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"))
+      .select(col("hr").cast("long").as("hr"), col("max_concurrency"),
+        col("n_changes"), col("n_starts"))
+      .orderBy(col("hr"))
   }
 }

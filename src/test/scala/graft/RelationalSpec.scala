@@ -29,6 +29,22 @@ class RelationalSpec extends GraftSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("q39: sweep-line peaks equal brute-force interval overlap counts") {
+    import SparkTestBase.spark.implicits._
+    val out = SparkEntry.queries("q39_peak_concurrency")(spark, sf)
+      .select("hr", "max_concurrency").as[(Long, Long)].collect().toMap
+    val sessions = SparkEntry.queries("q20_user_sessions")(spark, sf)
+      .select("start_us", "end_us").as[(Long, Long)].collect()
+    val byHr = sessions.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(_ / 3600000000L)
+    assert(out.keySet == byHr.keySet)
+    byHr.foreach { case (hr, points) =>
+      val brute = points.distinct
+        .map(t => sessions.count { case (a, b) => a <= t && t <= b }.toLong).max
+      assert(out(hr) == brute, s"hour $hr: sweep ${out(hr)} != brute $brute")
+    }
+  }
+
   test("q37 ema: first event per user equals its value; replay matches") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q37_ema_decay")(spark, sf)
