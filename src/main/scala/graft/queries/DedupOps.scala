@@ -24,7 +24,7 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -567,6 +567,79 @@ object DedupOps {
     pr1.select(col("src").as("doc_id"), col("deg").cast("long").as("degree"),
         col("pr").as("pr1"))
       .join(pr2.select(col("src").as("doc_id"), col("pr").as("pr2")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Triangle counting + local clustering coefficient over the verified
+    * near-dup graph — the structure audit that separates tight dup
+    * CLIQUES (safe to collapse to one canonical doc) from loose CHAINS
+    * (a–b and b–c similar but a–c not; collapsing would over-delete).
+    *
+    * Spark side uses the degree-ordered orientation (MapReduce triangle
+    * enumeration, Suri & Vassilvitskii 2011): each undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher, wedges
+    * are enumerated only at each vertex's out-neighbors (out-degree is
+    * O(√m) regardless of hub skew), and a wedge closes iff its
+    * rank-oriented closure edge exists. Each triangle is found exactly
+    * once, at its minimum-rank vertex; pair work is Σ out-deg² — the
+    * property that makes triangle counting survive power-law graphs at
+    * 100 TB where naive neighbor self-joins explode on hubs. The oracle
+    * enumerates a<b<c id-ordered triangles — a different traversal of
+    * the same set, so the per-node counts agree exactly. */
+  private val d10 = QDef(
+    "d10_triangle_stats",
+    "WITH " + oracleShingleCte + ",\n" +
+      """deg AS (
+        |  SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT a AS n FROM vp UNION ALL SELECT b AS n FROM vp)
+        |  GROUP BY n),
+        |tr AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM vp e1 JOIN vp e2 ON e2.a = e1.b
+        |       JOIN vp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT n, COUNT(*) AS tri FROM (
+        |    SELECT x AS n FROM tr UNION ALL SELECT y AS n FROM tr
+        |    UNION ALL SELECT z AS n FROM tr)
+        |  GROUP BY n)
+        |SELECT deg.n AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+        |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN CAST(2 * coalesce(tc.tri, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1))
+        |    ELSE NULL END AS clustering
+        |FROM deg LEFT JOIN tc ON tc.n = deg.n
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val deg = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")).persist()
+    // rank = (deg, id) packed into one long (ids are far below 1e9);
+    // unique because ids are unique
+    val ranked = pairs
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("ra", col("deg_a") * lit(1000000000L) + col("a"))
+      .withColumn("rb", col("deg_b") * lit(1000000000L) + col("b"))
+    val eo = ranked.select(
+      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("dst_rank"))
+      .persist()
+    val wedges = eo.as("x").join(eo.as("y"),
+        col("x.src") === col("y.src") && col("x.dst_rank") < col("y.dst_rank"))
+      .select(col("x.src").as("apex"), col("x.dst").as("lo"), col("y.dst").as("hi"))
+    val tri = wedges.join(
+      eo.select(col("src").as("lo"), col("dst").as("hi")), Seq("lo", "hi"))
+    val tc = tri
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.join(tc, Seq("n"), "left")
+      .select(col("n").as("doc_id"),
+        col("deg").cast("long").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("n_triangles"),
+        when(col("deg") >= 2,
+          (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))))
+          .as("clustering"))
       .orderBy(col("doc_id"))
   }
 }

@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -203,6 +203,87 @@ object Multimedia {
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("ahash")).as("n_distinct"),
         sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Voice-activity segmentation over the audio corpus: the payload is
+    * framed into 64-byte PCM windows, each window's energy is the
+    * integer sum of squared centered amplitudes, a window is VOICED when
+    * its energy exceeds the media's mean (written division-free as
+    * `energy · n_windows > total`, mm05's trick), and consecutive voiced
+    * windows fuse into segments via gaps-and-islands. Output per media:
+    * window/voiced counts, segment count, longest segment — the
+    * speech-detection pass that decides which audio spans are worth
+    * sending to an (expensive) ASR stage.
+    *
+    * Scale shape: framing + energy are per-row expression work over the
+    * hex payload (codegen'd, decode runs once per window); the only
+    * shuffles are the media_id aggregate and the per-media island
+    * window — both keyed on media_id, both bounded by windows-per-file,
+    * never corpus-wide. The audio-kind filter prunes at the scan. */
+  private val mm06 = QDef(
+    "mm06_audio_vad",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+      |    greatest(1, octet_length(encode(text)) // 64) AS nw
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |w AS (
+      |  SELECT media_id, CAST(f.i AS INTEGER) AS win_idx,
+      |    substring(ph, CAST(f.i AS INTEGER) * 128 + 1, 128) AS wh
+      |  FROM m, unnest(range(0, nw)) AS f(i)),
+      |e AS (
+      |  SELECT media_id, win_idx,
+      |    CAST(list_sum(list_transform(range(0, length(wh) // 2),
+      |      i -> (CAST(('0x' || substring(wh, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT) - 128)
+      |         * (CAST(('0x' || substring(wh, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT) - 128)))
+      |      AS BIGINT) AS energy
+      |  FROM w),
+      |t AS (SELECT media_id, COUNT(*) AS nw, CAST(SUM(energy) AS BIGINT) AS tot
+      |      FROM e GROUP BY media_id),
+      |seg AS (
+      |  SELECT e.media_id, e.win_idx,
+      |    e.win_idx - ROW_NUMBER() OVER (PARTITION BY e.media_id ORDER BY e.win_idx) AS grp
+      |  FROM e JOIN t USING (media_id) WHERE e.energy * t.nw > t.tot),
+      |sl AS (SELECT media_id, grp, COUNT(*) AS len FROM seg GROUP BY media_id, grp),
+      |ns AS (SELECT media_id, CAST(SUM(len) AS BIGINT) AS n_voiced,
+      |         COUNT(*) AS n_segments, CAST(MAX(len) AS BIGINT) AS max_segment
+      |       FROM sl GROUP BY media_id)
+      |SELECT t.media_id, CAST(t.nw AS BIGINT) AS n_windows,
+      |  coalesce(ns.n_voiced, 0) AS n_voiced,
+      |  CAST(coalesce(ns.n_segments, 0) AS BIGINT) AS n_segments,
+      |  coalesce(ns.max_segment, 0) AS max_segment
+      |FROM t LEFT JOIN ns USING (media_id)
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import CrossHash.bind
+    val energyE = bind("substring(ph, win_idx * 128 + 1, 128)", "WH")(wh =>
+      s"""aggregate(transform(sequence(0, CAST(length($wh) / 2 AS INT) - 1),
+         |  i -> (cast(conv(substring($wh, i * 2 + 1, 2), 16, 10) as bigint) - 128)
+         |     * (cast(conv(substring($wh, i * 2 + 1, 2), 16, 10) as bigint) - 128)),
+         |  0L, (a, x) -> a + x)""".stripMargin)
+    val e = Multimodal.attachPayload(Tables.documents(s, d))
+      .where(col("meta.kind") === "audio")
+      .select(col("media_id"), hex(col("payload")).as("ph"),
+        expr("greatest(1, length(payload) div 64)").cast("int").as("nw"))
+      .select(col("media_id"), col("ph"),
+        posexplode(sequence(lit(0), col("nw") - 1)).as(Seq("p", "win_idx")))
+      .withColumn("energy", expr(energyE))
+      .select(col("media_id"), col("win_idx"), col("energy"))
+    val t = e.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("energy")).as("tot"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("win_idx"))
+    val sl = e.join(t, Seq("media_id"))
+      .where(col("energy") * col("nw") > col("tot"))
+      .withColumn("grp", col("win_idx") - row_number().over(wIsl))
+      .groupBy(col("media_id"), col("grp")).agg(count(lit(1)).as("len"))
+    val ns = sl.groupBy(col("media_id"))
+      .agg(sum(col("len")).as("n_voiced"), count(lit(1)).as("n_segments"),
+        max(col("len")).as("max_segment"))
+    t.join(ns, Seq("media_id"), "left")
+      .select(col("media_id"), col("nw").as("n_windows"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_segment"), lit(0L)).as("max_segment"))
       .orderBy(col("media_id"))
   }
 }

@@ -20,7 +20,8 @@ import graft.util.Det._
 object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
+    q40)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -516,5 +517,39 @@ object Relational {
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
          |LIMIT 5 OFFSET 2""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4.1 `WITH RECURSIVE` → iterative `UnionLoop`
+    * execution): a reporting-chain walk over a synthesized binary-tree
+    * hierarchy (customer k reports to k div 2), rolled up to per-depth
+    * counts. Each recursion level is ONE distributed hash join of the
+    * frontier against the customer scan — O(log n) levels, no driver
+    * loop, the anchor/frontier is never collected. Reference surface:
+    * DataFusion inherits recursive CTEs (SURVEY §2.B subqueries/CTE);
+    * DuckDB executes the identical SQL as the oracle. */
+  private val q40 = QDef(
+    "q40_recursive_hierarchy",
+    """WITH RECURSIVE h(custkey, depth) AS (
+      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey <= 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, h.depth + 1
+      |  FROM customer c JOIN h ON c.c_custkey // 2 = h.custkey
+      |  WHERE c.c_custkey > 1)
+      |SELECT depth, COUNT(*) AS n_members,
+      |  CAST(MIN(custkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(custkey) AS BIGINT) AS max_key
+      |FROM h GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_q40")
+    s.sql(
+      """WITH RECURSIVE h(custkey, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer_q40 WHERE c_custkey <= 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.depth + 1
+        |  FROM customer_q40 c JOIN h ON c.c_custkey div 2 = h.custkey
+        |  WHERE c.c_custkey > 1)
+        |SELECT depth, COUNT(*) AS n_members,
+        |  CAST(MIN(custkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(custkey) AS BIGINT) AS max_key
+        |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
   }
 }

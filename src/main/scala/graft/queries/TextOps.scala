@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1049,6 +1049,170 @@ object TextOps {
           size(split(col("seq"), " ")).cast("long").as("n_syms"),
           col("merge1"), col("merge2"))
         .orderBy(col("tok"))
+    }
+  }
+
+  /** Sub-document segment-level dedup (the CCNet paragraph-dedup shape,
+    * reference pipeline: Wenzek 2020): documents split into fixed
+    * 8-token segments, every segment keeps only its FIRST corpus-wide
+    * occurrence (first = min (doc_id, seg_idx)), and each document is
+    * reassembled from its kept segments — shared boilerplate dedups out
+    * of every copy but the canonical one, without dropping whole
+    * documents the way t04 does.
+    *
+    * Scale shape: the keep decision groups on the segment's md5 digest
+    * (constant-width key — the segment TEXT never rides the aggregate
+    * shuffle), then one digest-keyed join flags keepers and one doc_id
+    * aggregate reassembles. At 100 TB that is two hash shuffles, both on
+    * narrow keys, no self-join, no skew hotspot (digests are uniform). */
+  private val t25 = QDef(
+    "t25_segment_dedup",
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id, CAST(i.i AS INTEGER) AS seg_idx,
+      |    array_to_string(tk[CAST(i.i AS INTEGER) * 8 + 1 : CAST(i.i AS INTEGER) * 8 + 8], ' ') AS seg
+      |  FROM tk, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS INTEGER))) AS i(i)),
+      |k AS (SELECT md5(seg) AS h, MIN(doc_id * 1000000 + seg_idx) AS ord FROM sg GROUP BY 1),
+      |f AS (
+      |  SELECT sg.*, (sg.doc_id * 1000000 + sg.seg_idx) = k.ord AS keep
+      |  FROM sg JOIN k ON md5(sg.seg) = k.h),
+      |a AS (
+      |  SELECT doc_id, COUNT(*) AS n_segs,
+      |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    md5(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep)) AS kept_md5
+      |  FROM f GROUP BY doc_id)
+      |SELECT doc_id, n_segs, n_kept, n_segs - n_kept AS n_dropped, kept_md5
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sg = Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+          |       i -> array_join(slice(tk, i * 8 + 1, 8), ' '))
+          |END""".stripMargin)).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("seg_idx"))
+    val keepers = sg.groupBy(col("h")).agg(min(col("ord")).as("min_ord"))
+    sg.join(keepers, Seq("h"))
+      .withColumn("keep", col("ord") === col("min_ord"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("md5_raw"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"),
+        when(col("n_kept") > 0, col("md5_raw")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM quality scoring (the CCNet LM-filter shape, Wenzek 2020:
+    * score every document against a language model trained on a
+    * reference corpus — here the t08 train split — and gate on the
+    * score). The statistic is the mean PREDICTABILITY RATIO
+    * r = V·(c₂+1)/(c₁+V) — the add-one-smoothed conditional bigram
+    * probability relative to the uniform baseline 1/V — so r = 1 means
+    * "no better than uniform" and the keep gate is "above the train
+    * split's mean score" (CCNet gates on the score distribution's
+    * head/middle the same way). Ratios keep the arithmetic
+    * bit-deterministic (each addend is one integer-ratio IEEE division;
+    * [[graft.util.Det.dsum]] makes the sums order-independent) where a
+    * log-likelihood would hinge on ln() agreeing across engines to the
+    * last ulp. Train-split counts also make this the contamination-safe
+    * form: eval docs are scored by a model that never saw them.
+    *
+    * Scale shape: ONE bigram-key aggregate over the train split (the
+    * prefix counts roll up from the vocab-sized bigram table, not a
+    * second corpus pass), two vocab-key joins, one doc-key mean — the
+    * inverted-index pattern of t22, conditioned on the prefix token.
+    * Hot prefix keys (stopwords) are the skew knob; AQE skew-join or a
+    * broadcast of the (vocab-sized) count tables both apply. */
+  private val t26 = {
+    val splitSql =
+      "CASE WHEN substring(md5(text), 1, 1) IN ('0','1','2') THEN 'eval' ELSE 'train' END"
+    QDef(
+      "t26_lm_quality",
+      s"""WITH t AS (SELECT doc_id, $splitSql AS split,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, split,
+         |    unnest(list_transform(range(1, len(tk)),
+         |      i -> {'w1': tk[i], 'big': tk[i] || ' ' || tk[i + 1]})) AS b
+         |  FROM t),
+         |b2 AS (SELECT doc_id, split, b.w1 AS w1, b.big AS big FROM bi),
+         |c2 AS (SELECT w1, big, COUNT(*) AS c2 FROM b2 WHERE split = 'train' GROUP BY w1, big),
+         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         |vv AS (SELECT COUNT(DISTINCT u.tok) AS v
+         |       FROM (SELECT unnest(tk) AS tok FROM t WHERE split = 'train') u),
+         |c2j AS (SELECT big, c2 FROM c2),
+         |r AS (
+         |  SELECT b2.doc_id,
+         |    CAST(vv.v * (coalesce(c2j.c2, 0) + 1) AS DOUBLE)
+         |      / (coalesce(c1.c1, 0) + vv.v) AS r
+         |  FROM b2 LEFT JOIN c2j USING (big) LEFT JOIN c1 USING (w1), vv),
+         |ds AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |         ${graft.util.Det.sqlDsum("r.r")} / COUNT(*) AS lm_ratio
+         |       FROM r GROUP BY doc_id),
+         |tm AS (SELECT ${graft.util.Det.sqlDsum("ds.lm_ratio")} / COUNT(*) AS mu
+         |       FROM ds JOIN t ON t.doc_id = ds.doc_id WHERE t.split = 'train')
+         |SELECT d.doc_id, $splitSql AS split,
+         |  coalesce(ds.n_bigrams, 0) AS n_bigrams, ds.lm_ratio,
+         |  coalesce(ds.lm_ratio >= tm.mu, FALSE) AS keep
+         |FROM documents d LEFT JOIN ds USING (doc_id), tm
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import graft.util.Det.dsum
+      val docs = Tables.documents(s, d)
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 1).isin("0", "1", "2"), "eval")
+            .otherwise("train"))
+        .withColumn("tk", tokens(col("text")))
+      val bi = docs
+        .select(col("doc_id"), col("split"), explode(expr(
+          """CASE WHEN size(tk) >= 2
+            |  THEN transform(sequence(1, size(tk) - 1),
+            |         i -> named_struct(
+            |           'w1', element_at(tk, i),
+            |           'big', concat(element_at(tk, i), ' ', element_at(tk, i + 1))))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, big: STRING>>)
+            |END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("split"),
+          col("b.w1").as("w1"), col("b.big").as("big"))
+      // ONE train-corpus aggregate; the prefix counts roll up from the
+      // (vocab-sized) bigram table instead of a second corpus pass
+      val c2 = bi.where(col("split") === "train")
+        .groupBy(col("w1"), col("big")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vv = docs.where(col("split") === "train")
+        .select(explode(col("tk")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val ds = bi
+        .join(c2.select(col("big"), col("c2")), Seq("big"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vv))
+        .withColumn("r",
+          (col("v") * (coalesce(col("c2"), lit(0L)) + 1)).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + col("v")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (dsum(col("r")) / count(lit(1))).as("lm_ratio"))
+      val tm = ds.join(docs.where(col("split") === "train")
+          .select(col("doc_id")), Seq("doc_id"))
+        .agg((dsum(col("lm_ratio")) / count(lit(1))).as("mu"))
+      docs.select(col("doc_id"), col("split"))
+        .join(ds, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tm))
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ratio"),
+          coalesce(col("lm_ratio") >= col("mu"), lit(false)).as("keep"))
+        .orderBy(col("doc_id"))
     }
   }
 }

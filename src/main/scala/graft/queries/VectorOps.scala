@@ -21,7 +21,7 @@ import graft.util.Det._
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12)
+    v11, v12, v13)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -768,5 +768,55 @@ object VectorOps {
         (col("total_hits").cast("double") / lit(50)).as("mean_recall"),
         (col("cand_rows").cast("double") / lit(10)).as("mean_candidates"))
       .orderBy(col("n_probe"))
+  }
+
+  /** Binary (sign-bit) embedding retrieval: each 64-dim vector packs
+    * into two 32-bit sign words, and search is Hamming top-5 over
+    * bit_count(xor) — the 32×-smaller "binary passage retrieval" path
+    * where the corpus index is 8 bytes/vector and the distance is two
+    * CPU popcounts. Integer-exact end to end (sign tests + bit ops, no
+    * float arithmetic in the distance), so the DuckDB oracle packs the
+    * identical words and reproduces the ranking bit-for-bit.
+    *
+    * Scale shape: the packed words are a one-pass projection (codegen'd
+    * higher-order aggregate, no UDF); probes broadcast; the corpus
+    * streams through one scan exactly like v01 but moving 8 bytes where
+    * v01 moves 512. At 100 TB this is the cheap first-pass retriever
+    * that feeds v09's ADC or v01-style exact re-ranking. */
+  private val v13 = {
+    def packSql(col: String, w: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         |    i -> CASE WHEN $col[$w * 32 + i + 1] < 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    def packE(w: Int): String =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(emb, $w * 32 + i + 1) < CAST(0 AS DOUBLE),
+         |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+    QDef(
+      "v13_hamming_knn",
+      s"""WITH b AS (
+         |  SELECT vec_id, ${packSql("embedding", 0)} AS w0, ${packSql("embedding", 1)} AS w1
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS hamming
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM p)
+         |SELECT q_id, vec_id, hamming, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val b = embeddings(s, d)
+        .select(col("vec_id"), expr(packE(0)).as("w0"), expr(packE(1)).as("w1"))
+      val probes = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+      b.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .withColumn("hamming",
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("hamming"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
   }
 }

@@ -284,4 +284,36 @@ class PlanQualitySpec extends GraftSuite {
     assert(cacheReads >= 5,
       s"greedy rounds must read the persisted candidate/pair sets, got $cacheReads cache reads:\n$p")
   }
+
+  test("t25: keep decision and reassembly are key shuffles, no pair work") {
+    val p = planOf("t25_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment dedup must join on the digest key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"t25 planned a single-partition stage:\n$p")
+  }
+
+  test("d10: wedge/closure joins are equi-joins, never nested loops") {
+    val p = planOf("d10_triangle_stats")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must ride src/(lo,hi) equi-joins:\n$p")
+  }
+
+  test("v13: probe side broadcasts; corpus scanned once for packing") {
+    val p = planOf("v13_hamming_knn")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"10-row probe table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v13 planned a cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"bit packing must stay codegen'd:\n$p")
+  }
+
+  test("mm06: framing/energy stay expression work, islands window is media-keyed") {
+    val p = planOf("mm06_audio_vad")
+    assert(!p.contains("ScalaUDF"), s"hex decode must stay codegen'd:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"mm06 planned a single-partition stage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mm06 planned unbounded pair work:\n$p")
+  }
 }

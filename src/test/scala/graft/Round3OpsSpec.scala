@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Single-node replays for the round-3 additions: segment-level dedup
+  * (t25), triangle stats on the near-dup graph (d10), binary Hamming
+  * retrieval (v13), and audio voice-activity segmentation (mm06). Each
+  * test recomputes the full expected answer in plain Scala and compares
+  * exactly — the same bar as the DuckDB oracle, from an independent
+  * implementation.
+  */
+class Round3OpsSpec extends GraftSuite {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def docs(): Array[(Long, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("t25: segment dedup equals a first-occurrence-wins replay") {
+    val segs = docs().flatMap { case (id, text) =>
+      text.split("\\s+").filter(_.nonEmpty).grouped(8).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val firstOrd = segs.groupBy(_._3).view
+      .mapValues(_.map(s => s._1 * 1000000L + s._2).min).toMap
+    val expected = segs.groupBy(_._1).map { case (id, ss) =>
+      val kept = ss.filter(s => s._1 * 1000000L + s._2 == firstOrd(s._3))
+        .sortBy(_._2)
+      (id, ss.length.toLong, kept.length.toLong,
+        if (kept.isEmpty) null
+        else md5hex(kept.map(_._3).mkString(" ")))
+    }
+    val out = SparkEntry.queries("t25_segment_dedup")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (_, nSegs, nKept, md5) = expected.find(_._1 == r.getLong(0)).get
+      assert(r.getLong(1) == nSegs, s"doc ${r.getLong(0)} n_segs")
+      assert(r.getLong(2) == nKept, s"doc ${r.getLong(0)} n_kept")
+      assert(r.getLong(3) == nSegs - nKept, s"doc ${r.getLong(0)} n_dropped")
+      assert(r.getAs[String]("kept_md5") == md5, s"doc ${r.getLong(0)} md5")
+    }
+    // the fixture plants near-dups, so some segments must actually dedup
+    assert(out.map(_.getLong(3)).sum > 0, "corpus should contain dup segments")
+  }
+
+  test("d10: triangle counts equal brute-force enumeration of the d01 graph") {
+    val edges = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b) if c > b) {
+      // a<b<c enumerates each triangle once
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val out = SparkEntry.queries("d10_triangle_stats")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == adj.keySet)
+    out.foreach { r =>
+      val (id, deg) = (r.getLong(0), r.getLong(1))
+      assert(deg == adj(id).size.toLong, s"node $id degree")
+      assert(r.getLong(2) == triPerNode(id), s"node $id triangles")
+      val cc = r.getAs[java.lang.Double]("clustering")
+      if (deg < 2) assert(cc == null)
+      else assert(cc == 2.0 * triPerNode(id) / (deg * (deg - 1.0)))
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "dup cliques should close triangles")
+  }
+
+  test("v13: hamming top-5 equals a sign-bit replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float], w: Int): Long =
+      (0 until 32).map(i => if (v(w * 32 + i) < 0f) 1L << i else 0L).sum
+    val packed = vecs.map { case (id, v) => (id, pack(v, 0), pack(v, 1)) }
+    val expected = packed.filter(_._1 < 10).flatMap { case (q, q0, q1) =>
+      packed.filter(_._1 != q)
+        .map { case (c, w0, w1) =>
+          (q, c, java.lang.Long.bitCount(q0 ^ w0) + java.lang.Long.bitCount(q1 ^ w1))
+        }
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, c, h), i) => (qq, c, h, i + 1) }
+    }.toSet
+    val out = SparkEntry.queries("v13_hamming_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(out == expected)
+  }
+
+  test("t26: LM quality ratios equal a single-node bigram-LM replay") {
+    val rows = docs().map { case (id, text) =>
+      (id, text, md5hex(text).charAt(0) <= '2',
+        text.split("\\s+").filter(_.nonEmpty))
+    }
+    val trainBigrams = rows.filter(_._3 == false)
+      .flatMap(_._4.sliding(2).filter(_.length == 2).map(p => (p(0), p(0) + " " + p(1))))
+    val c2 = trainBigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = trainBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val v = rows.filter(_._3 == false).flatMap(_._4).distinct.length.toLong
+    val expected = rows.map { case (id, _, isEval, tk) =>
+      val rs = tk.sliding(2).filter(_.length == 2).map { p =>
+        val big = p(0) + " " + p(1)
+        v.toDouble * (c2.getOrElse(big, 0L) + 1) / (c1.getOrElse(p(0), 0L) + v)
+      }.toSeq
+      val ratio =
+        if (rs.isEmpty) null
+        else java.lang.Double.valueOf(
+          rs.map(r => BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / rs.length)
+      (id, if (isEval) "eval" else "train", rs.length.toLong, ratio)
+    }
+    val trainRatios = expected.filter(e => e._2 == "train" && e._4 != null)
+      .map(_._4.toDouble)
+    val mu = trainRatios
+      .map(r => BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / trainRatios.length
+    val out = SparkEntry.queries("t26_lm_quality")(spark, sf).collect()
+    assert(out.length == expected.length)
+    out.foreach { r =>
+      val (_, split, n, ratio) = expected.find(_._1 == r.getLong(0)).get
+      assert(r.getString(1) == split)
+      assert(r.getLong(2) == n)
+      assert(r.getAs[java.lang.Double]("lm_ratio") == ratio, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(4) == (ratio != null && ratio >= mu))
+    }
+    assert(out.count(_.getBoolean(4)) > 0, "above-mean docs must keep")
+    assert(out.count(!_.getBoolean(4)) > 0, "below-mean docs must drop")
+    // train text must score as more predictable than uniform on average
+    val trainMean = out.filter(_.getString(1) == "train")
+      .flatMap(r => Option(r.getAs[java.lang.Double]("lm_ratio"))).map(_.toDouble)
+    assert(trainMean.sum / trainMean.length > 1.0)
+  }
+
+  test("q40: recursive CTE depth histogram equals closed-form tree depths") {
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    // customer k>=1 sits at depth floor(log2(k)) of the k->k div 2 tree;
+    // k=0 is a depth-0 anchor root
+    val expected = keys.map { k =>
+      if (k <= 1) 0 else 63 - java.lang.Long.numberOfLeadingZeros(k)
+    }.groupBy(identity).map { case (dep, ks) => (dep, ks.length.toLong) }
+    val out = SparkEntry.queries("q40_recursive_hierarchy")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.map(_._2).sum == keys.length, "every customer reached once")
+    assert(out.toMap == expected)
+  }
+
+  test("mm06: VAD segmentation equals a PCM-window replay") {
+    val expected = docs().filter(_._1 % 3 == 1).map { case (id, text) =>
+      val bytes = text.getBytes(UTF_8)
+      val nw = math.max(1, bytes.length / 64)
+      val energies = (0 until nw).map { i =>
+        bytes.slice(i * 64, math.min(i * 64 + 64, bytes.length))
+          .map { b => val v = (b & 0xff) - 128; v.toLong * v }.sum
+      }
+      val tot = energies.sum
+      val voiced = energies.map(_ * nw > tot)
+      var segLens = List.empty[Long]
+      var cur = 0L
+      voiced.foreach { v =>
+        if (v) cur += 1
+        else { if (cur > 0) segLens ::= cur; cur = 0 }
+      }
+      if (cur > 0) segLens ::= cur
+      (id, nw.toLong, voiced.count(identity).toLong, segLens.length.toLong,
+        if (segLens.isEmpty) 0L else segLens.max)
+    }
+    val out = SparkEntry.queries("mm06_audio_vad")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq.sortBy(_._1) == expected.toSeq.sortBy(_._1))
+    assert(out.exists(_._4 >= 1), "some audio file should have voiced segments")
+  }
+}
