@@ -24,7 +24,8 @@ import graft.{QDef, Tables}
   */
 object DedupOps {
 
-  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -640,6 +641,64 @@ object DedupOps {
           (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
             (col("deg") * (col("deg") - lit(1L))))
           .as("clustering"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental-ingest dedup: a NEW shard (sources src18/src19 — the
+    * "latest dump") dedups against the already-ingested BASE corpus and
+    * against itself in ingestion order. A new doc is rejected when it is
+    * an LSH-verified near-dup (exact Jaccard ≥ 0.5) of any base doc or
+    * of an earlier (lower doc_id) new doc — the per-dump dedup pass
+    * every production pipeline runs on each crawl snapshot, without
+    * re-deduplicating the base corpus against itself.
+    *
+    * Scale note: this form reuses the symmetric banding join and
+    * classifies pairs afterwards — the same shuffle as d01. The
+    * stored-index variant (band hashes of the base corpus persisted
+    * once, only the new shard banded per dump — the AnnIndex shape for
+    * text) changes WHERE the base bands come from, not the join
+    * geometry: the per-dump shuffle is new-shard-sized either way. */
+  private val d11 = QDef(
+    "d11_incremental_dedup",
+    "WITH " + oracleShingleCte + ",\n" +
+      """nd AS (SELECT doc_id, source IN ('src18', 'src19') AS is_new FROM documents),
+        |e AS (SELECT a AS x, b AS y FROM vp UNION ALL SELECT b AS x, a AS y FROM vp),
+        |cl AS (
+        |  SELECT e.x AS doc_id,
+        |    CAST(SUM(CASE WHEN NOT ny.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base_dups,
+        |    CAST(SUM(CASE WHEN ny.is_new AND e.y < e.x THEN 1 ELSE 0 END) AS BIGINT) AS n_earlier_new_dups
+        |  FROM e JOIN nd nx ON nx.doc_id = e.x
+        |         JOIN nd ny ON ny.doc_id = e.y
+        |  WHERE nx.is_new GROUP BY e.x)
+        |SELECT d.doc_id,
+        |  coalesce(cl.n_base_dups, 0) AS n_base_dups,
+        |  coalesce(cl.n_earlier_new_dups, 0) AS n_earlier_new_dups,
+        |  coalesce(cl.n_base_dups, 0) = 0
+        |    AND coalesce(cl.n_earlier_new_dups, 0) = 0 AS accept
+        |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        |WHERE d.source IN ('src18', 'src19')
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source").isin("src18", "src19").as("is_new"))
+      .persist()
+    val p = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+    val e = p.union(p.select(col("b"), col("a"))).toDF("x", "y")
+    val cl = e
+      .join(docs.select(col("doc_id").as("x"), col("is_new").as("x_new")), Seq("x"))
+      .where(col("x_new"))
+      .join(docs.select(col("doc_id").as("y"), col("is_new").as("y_new")), Seq("y"))
+      .groupBy(col("x"))
+      .agg(
+        sum(when(!col("y_new"), 1L).otherwise(0L)).as("n_base_dups"),
+        sum(when(col("y_new") && col("y") < col("x"), 1L).otherwise(0L))
+          .as("n_earlier_new_dups"))
+    docs.where(col("is_new")).select(col("doc_id"))
+      .join(cl.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_base_dups"), lit(0L)).as("n_base_dups"),
+        coalesce(col("n_earlier_new_dups"), lit(0L)).as("n_earlier_new_dups"),
+        (coalesce(col("n_base_dups"), lit(0L)) === 0 &&
+          coalesce(col("n_earlier_new_dups"), lit(0L)) === 0).as("accept"))
       .orderBy(col("doc_id"))
   }
 }

@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -284,6 +284,98 @@ object Multimedia {
         coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"),
         coalesce(col("max_segment"), lit(0L)).as("max_segment"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Shot-boundary detection over the video corpus: consecutive decoded
+    * frames (64-byte stride — the stub codec's finest granularity, so
+    * multi-frame media exist at every fixture SF) are compared by the
+    * Hamming distance of their 60-bit aHashes (mm05's
+    * brightness-profile hash); a CUT is a transition whose distance
+    * clears 16 of 60 bits, and shots = cuts + 1. The standard
+    * cheap-pass segmentation that decides where a captioning/embedding
+    * stage samples its keyframes.
+    *
+    * Scale shape: framing + hashing are per-row expression work; the
+    * only shuffle is the media-keyed lag window (frames-per-file
+    * bounded), then one media aggregate. Integer-exact end to end. */
+  private val mm07 = QDef(
+    "mm07_shot_boundaries",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+      |    greatest(1, octet_length(encode(text)) // 64) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT media_id, CAST(f.i AS INTEGER) AS frame_idx,
+      |    substring(ph, CAST(f.i AS INTEGER) * 128 + 1, 128) AS fh
+      |  FROM m, unnest(range(0, nf)) AS f(i)),
+      |fb AS (
+      |  SELECT media_id, frame_idx,
+      |    list_transform(range(0, 60),
+      |      i -> CAST(('0x' || substring(fh, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT)) AS bytes
+      |  FROM fr WHERE length(fh) >= 120),
+      |fs AS (SELECT media_id, frame_idx, bytes,
+      |         CAST(list_sum(bytes) AS BIGINT) AS s FROM fb),
+      |fh2 AS (
+      |  SELECT media_id, frame_idx,
+      |    CAST(list_sum(list_transform(range(0, 60),
+      |      i -> CASE WHEN bytes[CAST(i AS INTEGER) + 1] * 60 > s
+      |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+      |  FROM fs),
+      |dists AS (
+      |  SELECT media_id, frame_idx,
+      |    bit_count(xor(ahash, lag(ahash) OVER (PARTITION BY media_id ORDER BY frame_idx))) AS dist
+      |  FROM fh2),
+      |ag AS (
+      |  SELECT media_id, COUNT(*) + 1 AS n_frames,
+      |    CAST(SUM(CASE WHEN dist >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |    CAST(MAX(dist) AS INTEGER) AS max_dist
+      |  FROM dists WHERE dist IS NOT NULL GROUP BY media_id)
+      |SELECT m.media_id,
+      |  CAST(coalesce(ag.n_frames, 1) AS BIGINT) AS n_frames,
+      |  coalesce(ag.n_cuts, 0) AS n_cuts,
+      |  coalesce(ag.n_cuts, 0) + 1 AS n_shots,
+      |  coalesce(ag.max_dist, 0) AS max_dist
+      |FROM m LEFT JOIN ag ON ag.media_id = m.media_id
+      |ORDER BY m.media_id""".stripMargin) { (s, d) =>
+    import CrossHash.bind
+    val bytesE =
+      "transform(sequence(0, 59), i -> cast(conv(substring(fh, i * 2 + 1, 2), 16, 10) as int))"
+    val ahashE = bind(bytesE, "B")(B =>
+      bind(s"aggregate($B, 0, (a, x) -> a + x)", "S")(S =>
+        s"""aggregate(transform(sequence(0, 59),
+           |  i -> IF(element_at($B, i + 1) * 60 > $S, shiftleft(1L, i), 0L)),
+           |  0L, (a, x) -> a + x)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val media = Multimodal.attachPayload(Tables.documents(s, d))
+      .where(col("meta.kind") === "video")
+      .select(col("media_id"), hex(col("payload")).as("ph"),
+        expr("greatest(1, length(payload) div 64)").cast("int").as("nf"))
+    val fh2 = media
+      .select(col("media_id"),
+        posexplode(sequence(lit(0), col("nf") - 1)).as(Seq("p", "frame_idx")),
+        col("ph"))
+      .withColumn("fh", expr("substring(ph, frame_idx * 128 + 1, 128)"))
+      .where(length(col("fh")) >= 120)
+      .withColumn("ahash", expr(ahashE))
+      .select(col("media_id"), col("frame_idx"), col("ahash"))
+    val ag = fh2
+      .withColumn("dist",
+        bit_count(col("ahash").bitwiseXOR(lag(col("ahash"), 1).over(w))))
+      .where(col("dist").isNotNull)
+      .groupBy(col("media_id"))
+      .agg((count(lit(1)) + 1).as("n_frames"),
+        sum(when(col("dist") >= 16, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("dist")).cast("int").as("max_dist"))
+    media.select(col("media_id"))
+      .join(ag, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_frames"), lit(1L)).as("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        (coalesce(col("n_cuts"), lit(0L)) + 1).as("n_shots"),
+        coalesce(col("max_dist"), lit(0)).as("max_dist"))
       .orderBy(col("media_id"))
   }
 }

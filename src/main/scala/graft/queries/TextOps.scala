@@ -18,7 +18,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1214,5 +1214,57 @@ object TextOps {
           coalesce(col("lm_ratio") >= col("mu"), lit(false)).as("keep"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** Robust per-language score normalization: each document's quality
+    * score (t03's mean token length) is rescaled by its LANGUAGE's
+    * median/IQR — (x−median)/IQR — with Tukey |z| > 1.5 outlier flags.
+    * Quality thresholds never transfer across languages (Chinese
+    * "words" are shorter than German ones); median/IQR normalization is
+    * how a pipeline applies ONE gate corpus-wide. Exact interpolated
+    * percentiles (q25 proved Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit); the scaled value is two IEEE
+    * subtractions and one division on deterministic inputs.
+    *
+    * Scale shape: one scan for scores, one lang-key percentile
+    * aggregate (languages ≪ corpus), stats broadcast back — zero
+    * corpus-wide shuffle beyond the tiny aggregate. */
+  private val t27 = QDef(
+    "t27_robust_scores",
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) = 0
+      |         THEN NULL
+      |         ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |              / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+      |    END AS score
+      |  FROM documents),
+      |st AS (
+      |  SELECT lang, quantile_cont(score, 0.5) AS med,
+      |    quantile_cont(score, 0.75) - quantile_cont(score, 0.25) AS iqr
+      |  FROM sc GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.score,
+      |  CASE WHEN st.iqr > 0 THEN (sc.score - st.med) / st.iqr END AS scaled,
+      |  coalesce(abs(CASE WHEN st.iqr > 0 THEN (sc.score - st.med) / st.iqr END)
+      |             > CAST(1.5 AS DOUBLE), FALSE) AS outlier
+      |FROM sc JOIN st USING (lang)
+      |ORDER BY sc.doc_id""".stripMargin) { (s, d) =>
+    val sc = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("score",
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("n_tokens")))
+      .select(col("doc_id"), col("lang"), col("score"))
+    val st = sc.groupBy(col("lang"))
+      .agg(expr("percentile(score, 0.5D)").as("med"),
+        (expr("percentile(score, 0.75D)") - expr("percentile(score, 0.25D)"))
+          .as("iqr"))
+    val scaled = when(col("iqr") > 0, (col("score") - col("med")) / col("iqr"))
+    sc.join(broadcast(st), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        scaled.as("scaled"),
+        coalesce(abs(scaled) > lit(1.5).cast("double"), lit(false)).as("outlier"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -308,6 +308,29 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("ScalaUDF"), s"bit packing must stay codegen'd:\n$p")
   }
 
+  test("d11: incremental classification rides key joins on the pair graph") {
+    val p = planOf("d11_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"d11 planned unbounded pair work:\n$p")
+  }
+
+  test("t26: LM count tables join on vocab keys; corpus never self-joins") {
+    val p = planOf("t26_lm_quality")
+    assert(!p.contains("CartesianProduct"),
+      s"t26 planned a cartesian beyond the 1-row broadcasts:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row V / train-mean tables must broadcast:\n$p")
+  }
+
+  test("t27: per-lang stats broadcast back; no corpus-wide funnel") {
+    val p = planOf("t27_robust_scores")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t27 planned pair work:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the languages-sized stats table must broadcast:\n$p")
+  }
+
   test("mm06: framing/energy stay expression work, islands window is media-keyed") {
     val p = planOf("mm06_audio_vad")
     assert(!p.contains("ScalaUDF"), s"hex decode must stay codegen'd:\n$p")

@@ -137,6 +137,54 @@ class Round3OpsSpec extends GraftSuite {
     assert(trainMean.sum / trainMean.length > 1.0)
   }
 
+  test("d11: incremental accept/reject equals pair classification of the d01 graph") {
+    val srcs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def isNew(id: Long) = srcs(id) == "src18" || srcs(id) == "src19"
+    val pairs = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val partners = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val out = SparkEntry.queries("d11_incremental_dedup")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == srcs.keySet.filter(isNew))
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ps = partners.getOrElse(id, Array.empty[Long])
+      val nBase = ps.count(!isNew(_)).toLong
+      val nEarlier = ps.count(p => isNew(p) && p < id).toLong
+      assert(r.getLong(1) == nBase, s"doc $id base dups")
+      assert(r.getLong(2) == nEarlier, s"doc $id earlier-new dups")
+      assert(r.getBoolean(3) == (nBase == 0 && nEarlier == 0), s"doc $id accept")
+    }
+    assert(out.exists(!_.getBoolean(3)), "some new doc should be rejected")
+    assert(out.count(_.getBoolean(3)) > out.length / 2, "most should be accepted")
+  }
+
+  test("t27: scaled scores are internally consistent and lang-centered") {
+    val out = SparkEntry.queries("t27_robust_scores")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.lang.Double]("score"),
+        r.getAs[java.lang.Double]("scaled"), r.getBoolean(4)))
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { case (id, _, _, scaled, outlier) =>
+      assert(outlier == (scaled != null && math.abs(scaled) > 1.5), s"doc $id")
+    }
+    // scaled = (score - med)/iqr must invert: per lang, the count of
+    // negative scaled values equals the count of scores below the median
+    for ((lang, rows) <- out.groupBy(_._2)) {
+      val scores = rows.flatMap(r => Option(r._3)).map(_.toDouble).sorted
+      val n = scores.length
+      val pos = 0.5 * (n - 1)
+      val med = scores(pos.toInt) +
+        (pos - pos.toInt) * (scores(math.min(pos.toInt + 1, n - 1)) - scores(pos.toInt))
+      rows.filter(_._3 != null).foreach { r =>
+        if (r._4 != null)
+          assert((r._4 < 0) == (r._3 < med) || r._3.toDouble == med,
+            s"lang $lang doc ${r._1}: scaled sign disagrees with median side")
+      }
+    }
+    assert(out.exists(_._5), "heavy-tailed synthetic scores should flag outliers")
+  }
+
   test("q40: recursive CTE depth histogram equals closed-form tree depths") {
     val keys = Tables.customer(spark, sf).select("c_custkey").collect()
       .map(_.getLong(0))
@@ -149,6 +197,32 @@ class Round3OpsSpec extends GraftSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(out.map(_._2).sum == keys.length, "every customer reached once")
     assert(out.toMap == expected)
+  }
+
+  test("mm07: shot boundaries equal a consecutive-frame aHash replay") {
+    def ahash(frame: Array[Byte]): Long = {
+      val b = frame.take(60).map(x => (x & 0xff).toLong)
+      val s = b.sum
+      b.indices.map(i => if (b(i) * 60 > s) 1L << i else 0L).sum
+    }
+    val expected = docs().filter(_._1 % 3 == 2).map { case (id, text) =>
+      val bytes = text.getBytes(UTF_8)
+      val nf = math.max(1, bytes.length / 64)
+      val hashes = (0 until nf)
+        .map(i => bytes.slice(i * 64, math.min(i * 64 + 64, bytes.length)))
+        .filter(_.length >= 60).map(ahash)
+      val dists = hashes.sliding(2).filter(_.length == 2)
+        .map(p => java.lang.Long.bitCount(p(0) ^ p(1))).toSeq
+      (id, math.max(1, hashes.length).toLong,
+        dists.count(_ >= 16).toLong,
+        dists.count(_ >= 16).toLong + 1,
+        if (dists.isEmpty) 0 else dists.max)
+    }
+    val out = SparkEntry.queries("mm07_shot_boundaries")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSeq.sortBy(_._1) == expected.toSeq.sortBy(_._1))
+    assert(out.exists(_._3 > 0), "cuts must exist")
+    assert(out.exists(t => t._2 > 1 && t._3 < t._2 - 1), "not every transition is a cut")
   }
 
   test("mm06: VAD segmentation equals a PCM-window replay") {
