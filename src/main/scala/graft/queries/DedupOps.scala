@@ -25,7 +25,7 @@ import graft.{QDef, Tables}
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11)
+    d11, d12)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -699,6 +699,53 @@ object DedupOps {
         coalesce(col("n_earlier_new_dups"), lit(0L)).as("n_earlier_new_dups"),
         (coalesce(col("n_base_dups"), lit(0L)) === 0 &&
           coalesce(col("n_earlier_new_dups"), lit(0L)) === 0).as("accept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Leakage-free train/eval split: the split decision is made per
+    * NEAR-DUP COMPONENT (d06's graph), not per document — every member
+    * of a component lands on the same side, so no eval document has a
+    * near-duplicate in train. This closes the leak t09 detects in the
+    * naive per-document split (t08): a doc-level hash split puts ~25%
+    * of each dup cluster's members on the other side, and the model
+    * effectively trains on its own eval set. Singleton docs (no
+    * near-dup) are their own component.
+    *
+    * Scale shape: d06's O(diameter) label propagation + one doc-key
+    * left join + per-row hash — the split itself adds nothing beyond
+    * the dedup pass the pipeline already runs. */
+  private val d12 = QDef(
+    "d12_leakfree_split",
+    "WITH RECURSIVE " + oracleShingleCte + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |ac AS (
+        |  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+        |SELECT doc_id, component,
+        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize,
+        |  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |       THEN 'eval' ELSE 'train' END AS split
+        |FROM ac ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v")))
+    val ac = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    val sizes = ac.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    ac.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"),
+        when(substring(md5(col("component").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"), "eval").otherwise("train").as("split"))
       .orderBy(col("doc_id"))
   }
 }

@@ -16,7 +16,8 @@ import graft.spatial.SpatialFunctions
   */
 object Spatial {
 
-  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08, sp09)
+  def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
+    sp09, sp10)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -387,5 +388,59 @@ object Spatial {
       .select(col("zone_id"), coalesce(col("n_points"), lit(0L)).as("n_points"),
         col("total_bal"), col("mean_bal"), col("cx"), col("cy"))
       .orderBy(col("zone_id"))
+  }
+
+  /** Tile-pyramid density pre-aggregation (zooms 0-3 over the [0,100)²
+    * domain) — the serving-side companion of the reference's
+    * ST_TileEnvelope/ST_AsMVTGeom vector-tile surface (A25/A27): a map
+    * renderer asks "how many points in tile (z,x,y)" at every zoom, and
+    * this materializes the whole pyramid in ONE corpus pass. Points
+    * aggregate at the FINEST zoom only; every coarser level rolls up
+    * from the (tiny) finer tile table with `tile div 2` — corpus cost
+    * is a single scan + one 2^(2·zmax)-row cascade, the standard tile
+    * pre-aggregation shape. Tile ids are floor arithmetic (integer-
+    * exact); tile centers are exact dyadic products. */
+  private val sp10 = QDef(
+    "sp10_tile_pyramid",
+    s"""WITH z3 AS (
+       |  SELECT CAST(FLOOR((${ptX("c_custkey")}) * 8 / 100) AS BIGINT) AS tx,
+       |    CAST(FLOOR((${ptY("c_custkey")}) * 8 / 100) AS BIGINT) AS ty,
+       |    COUNT(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |pyr AS (
+       |  SELECT 3 AS zoom, tx, ty, n FROM z3
+       |  UNION ALL
+       |  SELECT 2 AS zoom, tx // 2 AS tx, ty // 2 AS ty, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM z3 GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 1 AS zoom, tx // 4 AS tx, ty // 4 AS ty, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM z3 GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 0 AS zoom, tx // 8 AS tx, ty // 8 AS ty, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM z3 GROUP BY 2, 3)
+       |SELECT zoom, tx, ty, n,
+       |  (tx + CAST(0.5 AS DOUBLE)) * (CAST(100 AS DOUBLE) / (1 << zoom)) AS center_x,
+       |  (ty + CAST(0.5 AS DOUBLE)) * (CAST(100 AS DOUBLE) / (1 << zoom)) AS center_y
+       |FROM pyr ORDER BY zoom, tx, ty""".stripMargin) { (s, d) =>
+    val z3 = Tables.customer(s, d)
+      .select(
+        floor(expr(s"(${ptX("c_custkey")}) * 8 / 100")).cast("long").as("tx"),
+        floor(expr(s"(${ptY("c_custkey")}) * 8 / 100")).cast("long").as("ty"))
+      .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n"))
+      .persist()
+    def roll(z: Int): DataFrame = {
+      val k = 1 << (3 - z)
+      z3.select(expr(s"tx div $k").as("tx"), expr(s"ty div $k").as("ty"), col("n"))
+        .groupBy(col("tx"), col("ty")).agg(sum(col("n")).as("n"))
+        .select(lit(z).as("zoom"), col("tx"), col("ty"), col("n"))
+    }
+    val pyr = z3.select(lit(3).as("zoom"), col("tx"), col("ty"), col("n"))
+      .union(roll(2)).union(roll(1)).union(roll(0))
+    pyr
+      .withColumn("center_x",
+        expr("(tx + CAST(0.5 AS DOUBLE)) * (CAST(100 AS DOUBLE) / shiftleft(1, zoom))"))
+      .withColumn("center_y",
+        expr("(ty + CAST(0.5 AS DOUBLE)) * (CAST(100 AS DOUBLE) / shiftleft(1, zoom))"))
+      .orderBy(col("zoom"), col("tx"), col("ty"))
   }
 }

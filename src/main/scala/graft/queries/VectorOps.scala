@@ -21,7 +21,7 @@ import graft.util.Det._
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13)
+    v11, v12, v13, v14)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -816,6 +816,74 @@ object VectorOps {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"), col("hamming"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** Two-stage retrieval — the production composition of v13 and v01:
+    * stage 1 scans the corpus with 8-byte binary codes and keeps the
+    * Hamming top-50 candidates per probe; stage 2 fetches full vectors
+    * for the candidates ONLY (a vec_id-keyed rejoin — full embeddings
+    * never ride the candidate shuffle) and re-ranks by exact cosine to
+    * the final top-5. At 100 TB the expensive float math touches
+    * 50×probes rows while the corpus pass moves two BIGINT words per
+    * vector; the top-50 window shuffles only (q_id, vec_id, hamming).
+    * Everything downstream of the integer prefilter is v01's exact
+    * arithmetic, so the whole cascade is oracle-exact. */
+  private val v14 = {
+    def packSql(col: String, w: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         |    i -> CASE WHEN $col[$w * 32 + i + 1] < 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    def packE(w: Int): String =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(emb, $w * 32 + i + 1) < CAST(0 AS DOUBLE),
+         |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+    QDef(
+      "v14_binary_rerank",
+      s"""WITH b AS (
+         |  SELECT vec_id, ${packSql("embedding", 0)} AS w0, ${packSql("embedding", 1)} AS w1
+         |  FROM embeddings),
+         |h AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS hamming
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn
+         |  FROM h),
+         |ce AS (
+         |  SELECT cand.q_id, cand.vec_id, cand.hamming,
+         |    ${sqlDot("ce.embedding", "qe.embedding")} /
+         |      (sqrt(${sqlDot("qe.embedding", "qe.embedding")}) * sqrt(${sqlDot("ce.embedding", "ce.embedding")})) AS sim
+         |  FROM cand
+         |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+         |    JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |  WHERE cand.rn <= 50),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM ce)
+         |SELECT q_id, vec_id, hamming, sim, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val b = e.select(col("vec_id"), expr(packE(0)).as("w0"), expr(packE(1)).as("w1"))
+      val probesB = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+      val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+      val cand = b.join(broadcast(probesB), col("vec_id") =!= col("q_id"))
+        .withColumn("hamming",
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int"))
+        .withColumn("rn", row_number().over(wHam))
+        .filter(col("rn") <= 50)
+        .select(col("q_id"), col("vec_id"), col("hamming"))
+      val qe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val wSim = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      cand
+        .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+        .join(broadcast(qe), Seq("q_id"))
+        .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+        .withColumn("rank", row_number().over(wSim))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("hamming"), col("sim"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
   }

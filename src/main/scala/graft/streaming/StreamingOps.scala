@@ -114,6 +114,30 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq(keyCol))
 
+  /** Streaming sub-document segment dedup — the streaming face of
+    * t25_segment_dedup: incoming documents split into fixed 8-token
+    * segments (a stateless per-row explode), and each segment DIGEST
+    * keeps only its first arrival corpus-wide within the watermark.
+    * Emits the kept segments (doc that owns each canonical copy +
+    * position), so a downstream reassembly stage sees exactly one copy
+    * of every distinct segment. State = one row per distinct digest,
+    * TTL-bounded by the watermark — constant per-key state, the same
+    * digest-keyed shape as the batch pass. Owner choice follows arrival
+    * order (batch t25 uses the deterministic (doc_id, seg_idx) min);
+    * the kept DIGEST SET is identical, which is what parity asserts. */
+  def segmentDedup(docs: Dataset[DocIn], segTokens: Int = 8,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs.toDF()
+      .withColumn("tk", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        s"""CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+           |ELSE transform(sequence(0, CAST(ceil(size(tk) / ${segTokens}.0D) AS INT) - 1),
+           |       i -> array_join(slice(tk, i * $segTokens + 1, $segTokens), ' '))
+           |END""".stripMargin)).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("seg_hash"))
+
   /** Convenience: file-source stream over an events-shaped parquet
     * directory (schema required up front — streaming scans can't infer),
     * for deployments reading a landing zone. */

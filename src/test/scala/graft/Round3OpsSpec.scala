@@ -185,6 +185,34 @@ class Round3OpsSpec extends GraftSuite {
     assert(out.exists(_._5), "heavy-tailed synthetic scores should flag outliers")
   }
 
+  test("sp10: tile pyramid equals a floor-arithmetic replay; levels conserve mass") {
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    def px(k: Long) = ((k * 48271) % 10007) % 100 + 0.5
+    def py(k: Long) = ((k * 69621) % 10007) % 100 + 0.5
+    val z3 = keys.groupBy(k =>
+        (math.floor(px(k) * 8 / 100).toLong, math.floor(py(k) * 8 / 100).toLong))
+      .view.mapValues(_.length.toLong).toMap
+    val expected = (0 to 3).flatMap { z =>
+      val k = 1 << (3 - z)
+      z3.groupBy { case ((tx, ty), _) => (tx / k, ty / k) }
+        .map { case ((tx, ty), m) => (z, tx, ty, m.values.sum) }
+    }.toSet
+    val out = SparkEntry.queries("sp10_tile_pyramid")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == expected)
+    // every zoom level carries the full corpus
+    (0 to 3).foreach { z =>
+      assert(out.filter(_._1 == z).map(_._4).sum == keys.length.toLong, s"zoom $z")
+    }
+    val outRows = SparkEntry.queries("sp10_tile_pyramid")(spark, sf).collect()
+    outRows.foreach { r =>
+      val (z, tx, ty) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(r.getDouble(4) == (tx + 0.5) * (100.0 / (1 << z)), "center_x")
+      assert(r.getDouble(5) == (ty + 0.5) * (100.0 / (1 << z)), "center_y")
+    }
+  }
+
   test("q40: recursive CTE depth histogram equals closed-form tree depths") {
     val keys = Tables.customer(spark, sf).select("c_custkey").collect()
       .map(_.getLong(0))
@@ -197,6 +225,61 @@ class Round3OpsSpec extends GraftSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(out.map(_._2).sum == keys.length, "every customer reached once")
     assert(out.toMap == expected)
+  }
+
+  test("v14: two-stage retrieval equals prefilter+rerank replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def pack(v: Array[Double], w: Int): Long =
+      (0 until 32).map(i => if (v(w * 32 + i) < 0d) 1L << i else 0L).sum
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val packed = vecs.map { case (id, v) => (id, v, pack(v, 0), pack(v, 1)) }
+    val expected = packed.filter(_._1 < 10).flatMap { case (q, qv, q0, q1) =>
+      val cand = packed.filter(_._1 != q)
+        .map { case (c, cv, w0, w1) =>
+          (c, cv, java.lang.Long.bitCount(q0 ^ w0) + java.lang.Long.bitCount(q1 ^ w1))
+        }
+        .sortBy(t => (t._3, t._1)).take(50)
+      cand.map { case (c, cv, h) =>
+        (c, h, dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv))))
+      }.sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((c, h, sim), i) => (q, c, h, sim, i + 1) }
+    }.toSet
+    val out = SparkEntry.queries("v14_binary_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(out == expected)
+  }
+
+  test("d12: no near-dup pair crosses the component split; t08's does leak") {
+    val out = SparkEntry.queries("d12_leakfree_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docsAll = Tables.documents(spark, sf)
+    assert(out.length == docsAll.count())
+    val split = out.map(r => (r._1, r._4)).toMap
+    val compOf = out.map(r => (r._1, r._2)).toMap
+    // every member of a component shares its split
+    out.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._4).distinct.length == 1)
+    }
+    val pairs = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) crosses the d12 split")
+      assert(compOf(a) == compOf(b), s"pair ($a,$b) not in one component")
+    }
+    // the naive doc-level split (t08's rule) DOES leak on this corpus —
+    // that is the failure d12 exists to close
+    val t08split = docsAll.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        if (md5hex(r.getString(1)).charAt(0) <= '2') "eval" else "train")).toMap
+    assert(pairs.exists { case (a, b) => t08split(a) != t08split(b) },
+      "expected at least one near-dup pair to cross the naive split")
+    assert(out.exists(_._4 == "eval") && out.exists(_._4 == "train"))
   }
 
   test("mm07: shot boundaries equal a consecutive-frame aHash replay") {

@@ -386,4 +386,41 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} vs batch ${expected.size}")
     } finally query.stop()
   }
+
+  test("segmentDedup: streamed kept-digest set equals the batch segment universe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.DocIn(r.getLong(0), r.getString(1), ts(r.getLong(0))))
+      .sortBy(_.doc_id)
+    val mem = MemoryStream[StreamingOps.DocIn]
+    // the corpus spans ~500 min of event time; retention must cover it
+    // or early digests age out of state and late dups re-emit (the
+    // documented within-watermark semantics)
+    val out = StreamingOps.segmentDedup(mem.toDS(), watermarkDelay = "2 days")
+    val query = out.writeStream.format("memory")
+      .queryName("segdedup_out").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+      val kept = spark.table("segdedup_out")
+      val keptDigests = kept.select("seg_hash").as[String].collect()
+      // exactly one kept copy per distinct segment, across micro-batches
+      assert(keptDigests.length == keptDigests.distinct.length)
+      // and the batch universe: every distinct 8-token segment digest,
+      // computed independently on the same corpus
+      val batchDigests = docs.flatMap(d =>
+        d.text.split("\\s+").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")))
+        .map(s => java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .distinct.sorted
+      assert(keptDigests.sorted.toSeq == batchDigests.toSeq,
+        s"stream ${keptDigests.length} vs batch ${batchDigests.length}")
+      // dup segments exist in the corpus, so dedup actually dropped rows
+      assert(keptDigests.length <
+        docs.map(d => math.max(1,
+          (d.text.split("\\s+").count(_.nonEmpty) + 7) / 8)).sum)
+    } finally query.stop()
+  }
 }
