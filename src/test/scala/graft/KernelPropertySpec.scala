@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchKernels
+import graft.spatial.{KdbTree, Projections}
+
+/** Property-based tests (ScalaCheck) for the pure kernels behind the
+  * codegen expressions: the defining algebraic property of each kernel
+  * is checked on randomized inputs, independent of any fixture.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sig(hs: Seq[Long]): Seq[Long] =
+    SketchKernels.minhashSig(new GenericArrayData(hs.toArray), 64)
+      .toLongArray().toSeq
+
+  test("minhash: sig(A ∪ B) is the elementwise min of sig(A), sig(B)") {
+    val genSet = Gen.nonEmptyListOf(Gen.long)
+    check(Prop.forAll(genSet, genSet) { (a: List[Long], b: List[Long]) =>
+      val u = sig(a ++ b)
+      val (sa, sb) = (sig(a), sig(b))
+      u == sa.zip(sb).map { case (x, y) => math.min(x, y) }
+    })
+  }
+
+  test("minhash: signature is order- and multiplicity-invariant") {
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.long)
+      seed <- Gen.long
+    } yield (xs, seed)
+    check(Prop.forAll(gen) { case (xs: List[Long], seed: Long) =>
+      val shuffled = new scala.util.Random(seed).shuffle(xs ++ xs.take(3))
+      sig(shuffled) == sig(xs.distinct.sorted)
+    })
+  }
+
+  test("zorder64: de-interleaving recovers both coordinates exactly") {
+    val coord = Gen.choose(0L, (1L << 31) - 1)
+    def unpick(z: Long, off: Int): Long =
+      (0 until 31).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
+    check(Prop.forAll(coord, coord) { (x: Long, y: Long) =>
+      val z = SketchKernels.zorder64(x, y)
+      z >= 0 && unpick(z, 0) == x && unpick(z, 1) == y
+    })
+  }
+
+  test("kdb tree: assign equals brute-force region overlap; locate agrees") {
+    val pt = Gen.choose(0.0, 100.0)
+    val genSamples = Gen.listOfN(60, Gen.zip(pt, pt))
+    // independent leaf-region enumeration (assign's dual): walk the
+    // tree accumulating half-open bounds
+    def regions(t: KdbTree,
+        b: (Double, Double, Double, Double) = (Double.NegativeInfinity,
+          Double.PositiveInfinity, Double.NegativeInfinity, Double.PositiveInfinity))
+        : Seq[(Int, (Double, Double, Double, Double))] = t match {
+      case KdbTree.Leaf(id) => Seq(id -> b)
+      case KdbTree.Split(vertical, v, lo, hi) =>
+        val (x0, x1, y0, y1) = b
+        if (vertical)
+          regions(lo, (x0, math.min(x1, v), y0, y1)) ++
+            regions(hi, (math.max(x0, v), x1, y0, y1))
+        else
+          regions(lo, (x0, x1, y0, math.min(y1, v))) ++
+            regions(hi, (x0, x1, math.max(y0, v), y1))
+    }
+    check(Prop.forAll(genSamples, pt, pt, pt, pt) {
+      (samples: List[(Double, Double)], ax: Double, bx: Double, ay: Double, by: Double) =>
+        val tree = KdbTree.build(samples.toArray, 16)
+        val (x0, x1) = (math.min(ax, bx), math.max(ax, bx))
+        val (y0, y1) = (math.min(ay, by), math.max(ay, by))
+        val got = tree.assign(x0, y0, x1, y1).toSet
+        val want = regions(tree).collect {
+          // box [lo,hi] overlaps half-open region [rl, rh) iff hi >= rl && lo < rh
+          case (id, (rx0, rx1, ry0, ry1))
+            if x1 >= rx0 && x0 < rx1 && y1 >= ry0 && y0 < ry1 => id
+        }.toSet
+        val pointCell = tree.locate(x0, y0)
+        got == want && tree.assign(x0, y0, x0, y0) == Seq(pointCell)
+    })
+  }
+
+  test("projections: inverse(forward) roundtrips inside each CRS domain") {
+    // (srid, lon range, lat range); domains stay inside each
+    // projection's validity region
+    val domains = Seq(
+      (3857, (-179.0, 179.0), (-84.0, 84.0)),
+      (32633, (9.0, 21.0), (0.5, 83.5)),   // UTM 33N
+      (32733, (9.0, 21.0), (-79.5, -0.5)), // UTM 33S
+      (26917, (-87.0, -75.0), (24.0, 83.0)), // NAD83 UTM 17N
+      (5070, (-124.0, -67.0), (25.0, 49.0)), // CONUS Albers
+      (2154, (-4.5, 9.5), (41.5, 51.0)),   // Lambert-93
+      (3031, (-179.0, 179.0), (-89.0, -61.0)), // Antarctic stereo
+      (3035, (-10.0, 30.0), (35.0, 70.0))) // LAEA Europe
+    for ((srid, (lo0, lo1), (la0, la1)) <- domains) {
+      val proj = Projections.forSrid(srid).get
+      check(Prop.forAll(Gen.choose(lo0, lo1), Gen.choose(la0, la1)) {
+        (lon: Double, lat: Double) =>
+          val (x, y) = proj.forward(lon, lat)
+          val (lon2, lat2) = proj.inverse(x, y)
+          math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6
+      }, n = 100)
+    }
+  }
+}
