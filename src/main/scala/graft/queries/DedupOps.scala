@@ -25,7 +25,7 @@ import graft.{QDef, Tables}
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12)
+    d11, d12, d13)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -747,5 +747,72 @@ object DedupOps {
         when(substring(md5(col("component").cast("string")), 1, 1)
           .isin("0", "1", "2", "3"), "eval").otherwise("train").as("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Sketch-threshold calibration audit — "measure, don't guess" for
+    * the dedup gates: on a bounded deterministic sample (doc_id % 3 = 0,
+    * the knob that caps the quadratic cost), EVERY pair's SimHash
+    * Hamming distance is compared against its exact shingle Jaccard,
+    * bucketed by distance. The output is the calibration curve a
+    * pipeline reads before picking d02's hamming gate: which distance
+    * bucket still holds true dups, and how sharply dup concentration
+    * decays. The all-pairs join is deliberate and sample-bounded —
+    * that is the audit's cost model (production runs it on a fraction
+    * of a shard, never the corpus).
+    *
+    * The jaccard side intersects 64-bit shingle hashes (sizes are
+    * engine-independent); the simhash side is the h64/md5-derived
+    * fingerprint, so DuckDB rebuilds both bit-for-bit. */
+  private val d13 = QDef(
+    "d13_sketch_calibration",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 3
+       |      THEN list_distinct(list_transform(
+       |             range(1, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) - 1),
+       |             i -> list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[i] || ' ' ||
+       |                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[i+1] || ' ' ||
+       |                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[i+2]))
+       |      ELSE [text] END AS sh,
+       |    (SELECT CASE WHEN len(hs) = 0 THEN 0 ELSE
+       |       CAST(list_sum(list_transform(range(0, 60), b ->
+       |         CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) >= len(hs)
+       |              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END
+       |     FROM (SELECT list_transform(
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |         tk -> ${sqlH64("tk")}) AS hs)) AS sim
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p0 AS (
+       |  SELECT bit_count(xor(a.sim, b.sim)) AS ham,
+       |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+       |    len(a.sh) + len(b.sh) AS total
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT CAST(ham // 8 AS INTEGER) AS bucket,
+       |    CAST(inter AS DOUBLE) / (total - inter) AS jaccard
+       |  FROM p0 WHERE total - inter > 0)
+       |SELECT bucket, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       |  ${graft.util.Det.sqlDsum("jaccard")} / COUNT(*) AS mean_jaccard
+       |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    import graft.util.Det.dsum
+    graft.functions.SketchFunctions.registerAll(s)
+    val simE = s"simhash64(transform($toksE, t -> ${h64E("t")}))"
+    val t = Tables.documents(s, d).where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), expr(shE).as("sh"), expr(simE).as("sim"))
+    val p = t.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sim").as("sim_a"))
+      .join(t.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sim").as("sim_b")),
+        col("a") < col("b"))
+      .withColumn("ham", expr("bit_count(sim_a ^ sim_b)"))
+      .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
+      .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
+      .where(col("total") - col("inter") > 0)
+      .select(expr("CAST(ham div 8 AS INT)").as("bucket"),
+        (col("inter").cast("double") / (col("total") - col("inter"))).as("jaccard"))
+    p.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        (dsum(col("jaccard")) / count(lit(1))).as("mean_jaccard"))
+      .orderBy(col("bucket"))
   }
 }

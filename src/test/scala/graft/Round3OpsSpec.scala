@@ -185,6 +185,21 @@ class Round3OpsSpec extends GraftSuite {
     assert(out.exists(_._5), "heavy-tailed synthetic scores should flag outliers")
   }
 
+  test("d13: calibration buckets cover all sample pairs; dups concentrate low") {
+    val out = SparkEntry.queries("d13_sketch_calibration")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val n = Tables.documents(spark, sf).where(col("doc_id") % 3 === 0).count()
+    assert(out.map(_._2).sum == n * (n - 1) / 2, "every sample pair is audited")
+    // true dups exist and live ONLY in the lowest hamming bucket
+    assert(out.map(_._3).sum > 0)
+    assert(out.filter(_._3 > 0).map(_._1).max == out.map(_._1).min,
+      s"dups must concentrate in the lowest bucket: $out")
+    // mean jaccard decays with hamming distance at the curve's head
+    assert(out.head._4 > out(1)._4,
+      "bucket 0 must be more similar than bucket 1 on average")
+  }
+
   test("sp10: tile pyramid equals a floor-arithmetic replay; levels conserve mass") {
     val keys = Tables.customer(spark, sf).select("c_custkey").collect()
       .map(_.getLong(0))
