@@ -331,6 +331,34 @@ class PlanQualitySpec extends GraftSuite {
       s"the languages-sized stats table must broadcast:\n$p")
   }
 
+  test("v14: hamming stage broadcasts probes; candidate fetch is a key join") {
+    val p = planOf("v14_binary_rerank")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"probe words must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v14 planned a cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"packing/popcount must stay codegen'd:\n$p")
+  }
+
+  test("sp10: pyramid rolls up from the tile table, one corpus aggregate") {
+    val p = planOf("sp10_tile_pyramid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sp10 planned pair work:\n$p")
+    // the three coarser zooms must read the persisted z3 tile table,
+    // not re-aggregate the corpus (parquet-scan lines also appear inside
+    // InMemoryRelation reprints, so count cache READS, like the v10
+    // audit)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cacheReads >= 3,
+      s"coarser zooms must read the cached tile table, got $cacheReads cache reads:\n$p")
+  }
+
+  test("d12: component join and split are key joins on narrow rows") {
+    val p = planOf("d12_leakfree_split")
+    assert(!p.contains("CartesianProduct"),
+      s"d12 planned unbounded pair work:\n$p")
+  }
+
   test("mm06: framing/energy stay expression work, islands window is media-keyed") {
     val p = planOf("mm06_audio_vad")
     assert(!p.contains("ScalaUDF"), s"hex decode must stay codegen'd:\n$p")
