@@ -22,7 +22,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39)
+    q37, q38, q39, q41)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -496,5 +496,44 @@ object Events {
       .select(col("hr").cast("long").as("hr"), col("max_concurrency"),
         col("n_changes"), col("n_starts"))
       .orderBy(col("hr"))
+  }
+
+  /** Latest-wins upsert materialization (the CDC merge view / SCD
+    * "current" table): the append-only event log collapses to one row
+    * per (user, event_type) — the most recent value, its event time
+    * (as epoch micros), and the version count. The standard way a
+    * Spark pipeline materializes a keyed current-state table from a
+    * changelog without a mutable store: one window over the key, kept
+    * rows written out (deterministic tie-break on event_id; the
+    * fixture has no timestamp collisions, asserted cheaply by the
+    * n_versions sum matching the log size).
+    *
+    * Scale shape: ONE shuffle on the natural key; at 100 TB the same
+    * pass runs per ingest batch against the previous snapshot (d11's
+    * incremental shape applied to state). */
+  private val q41 = QDef(
+    "q41_upsert_latest",
+    """WITH r AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      |  FROM events)
+      |SELECT user_id, event_type, value AS latest_value, ts_us AS latest_ts_us,
+      |  CAST(n_versions AS BIGINT) AS n_versions
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wCnt = Window.partitionBy(col("user_id"), col("event_type"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(wCnt))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("value").as("latest_value"),
+        unix_micros(col("ts")).as("latest_ts_us"),
+        col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
   }
 }

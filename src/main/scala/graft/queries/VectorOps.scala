@@ -21,7 +21,7 @@ import graft.util.Det._
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14)
+    v11, v12, v13, v14, v15)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -884,6 +884,111 @@ object VectorOps {
         .withColumn("rank", row_number().over(wSim))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id"), col("hamming"), col("sim"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** IVF+PQ (the faiss IVFPQ shape — Jégou 2011): the coarse quantizer
+    * restricts each query to its nprobe=2 inverted lists (v05's
+    * machinery) and ranking inside the probed lists uses PQ
+    * asymmetric distance (v09's 8×8 codebook LUT) instead of exact
+    * float math — the index layout production ANN serves from, where
+    * the corpus stores 8 single-byte codes per vector and a probe
+    * touches nprobe/K of the corpus with table lookups only.
+    *
+    * Scale shape: codes + list assignment are one-pass projections;
+    * the probe join shuffles on the list key; the ADC join touches
+    * candidate rows only, with the (tiny, 10×8×4-row) LUT broadcast.
+    * Every distance is a decimal-exact sum of 8 LUT doubles, so the
+    * full cascade replays in DuckDB bit-for-bit. */
+  private val v15 = {
+    def sqlL2(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, 9),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |           (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    QDef(
+      "v15_ivfpq_knn",
+      s"""$sqlIvfCtes,
+         |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+         |probel AS (
+         |  SELECT pr.q_id, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+         |      ${sqlDot("pr.q_emb", "c.c_emb")} /
+         |        (sqrt(${sqlDot("pr.q_emb", "pr.q_emb")}) * sqrt(${sqlDot("c.c_emb", "c.c_emb")})) DESC,
+         |      c.c_id) AS cr
+         |  FROM pr JOIN c ON true),
+         |pl AS (SELECT q_id, c_id AS list_id FROM probel WHERE cr <= 2),
+         |cb AS (
+         |  SELECT cv.vec_id - 100 AS pc, r.m AS m,
+         |    cv.embedding[r.m * 8 + 1 : r.m * 8 + 8] AS cvec
+         |  FROM e cv, range(0, 8) r(m) WHERE cv.vec_id BETWEEN 100 AND 103),
+         |sub AS (
+         |  SELECT vec_id, r.m AS m, embedding[r.m * 8 + 1 : r.m * 8 + 8] AS svec
+         |  FROM e, range(0, 8) r(m)),
+         |dist AS (
+         |  SELECT s.vec_id, s.m, cb.pc,
+         |    ${sqlL2("s.svec", "cb.cvec")} AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |code AS (
+         |  SELECT vec_id, m, pc FROM (
+         |    SELECT vec_id, m, pc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, pc) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |lut AS (SELECT vec_id AS q_id, m, pc, d2 FROM dist WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT pl.q_id, a.vec_id, a.list_id
+         |  FROM pl JOIN assign a ON a.list_id = pl.list_id
+         |  WHERE a.vec_id <> pl.q_id),
+         |adc AS (
+         |  SELECT cand.q_id, cand.vec_id, cand.list_id,
+         |    CAST(SUM(CAST(lut.d2 AS DECIMAL(30,6))) AS DOUBLE) AS adc_d2
+         |  FROM cand
+         |    JOIN code ON code.vec_id = cand.vec_id
+         |    JOIN lut ON lut.q_id = cand.q_id AND lut.m = code.m AND lut.pc = code.pc
+         |  GROUP BY cand.q_id, cand.vec_id, cand.list_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank FROM adc)
+         |SELECT q_id, vec_id, list_id, adc_d2, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val assign = ivfAssign(e).select(col("vec_id"), col("list_id"))
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("c_id"))
+      val pl = probes.crossJoin(broadcast(cents))
+        .withColumn("qsim", dot("q_emb", "c_emb") / (norm("q_emb") * norm("c_emb")))
+        .withColumn("cr", row_number().over(wProbe))
+        .filter(col("cr") <= 2)
+        .select(col("q_id"), col("c_id").as("list_id"))
+      val ms = explode(sequence(lit(0), lit(7))).as("m")
+      val cb = e.filter(col("vec_id").between(100, 103))
+        .select((col("vec_id") - 100).as("pc"), ms, col("emb"))
+        .select(col("pc"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("cvec"))
+      val sub = e.select(col("vec_id"), ms, col("emb"))
+        .select(col("vec_id"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("svec"))
+      val dist = sub.join(broadcast(cb), Seq("m"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+        .select(col("vec_id"), col("m"), col("pc"), col("d2"))
+      val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("pc"))
+      val code = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("pc"))
+      val lut = dist.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("m"), col("pc"), col("d2"))
+      val cand = assign.join(broadcast(pl), Seq("list_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("list_id"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
+      cand
+        .join(code, Seq("vec_id"))
+        .join(broadcast(lut), Seq("q_id", "m", "pc"))
+        .groupBy(col("q_id"), col("vec_id"), col("list_id"))
+        .agg(dsum(col("d2")).as("adc_d2"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("list_id"), col("adc_d2"),
+          col("rank").cast("int").as("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
   }

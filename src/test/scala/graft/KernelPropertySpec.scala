@@ -91,11 +91,14 @@ class KernelPropertySpec extends AnyFunSuite {
   test("projections: inverse(forward) roundtrips inside each CRS domain") {
     // (srid, lon range, lat range); domains stay inside each
     // projection's validity region
+    // UTM domains are the true 6°-wide zones: the Snyder TM series is
+    // specified in-zone (error ~1e-6 deg already at 2× the zone
+    // half-width at high latitude)
     val domains = Seq(
       (3857, (-179.0, 179.0), (-84.0, 84.0)),
-      (32633, (9.0, 21.0), (0.5, 83.5)),   // UTM 33N
-      (32733, (9.0, 21.0), (-79.5, -0.5)), // UTM 33S
-      (26917, (-87.0, -75.0), (24.0, 83.0)), // NAD83 UTM 17N
+      (32633, (12.1, 17.9), (0.5, 83.5)),   // UTM 33N
+      (32733, (12.1, 17.9), (-79.5, -0.5)), // UTM 33S
+      (26917, (-83.9, -78.1), (24.0, 83.0)), // NAD83 UTM 17N
       (5070, (-124.0, -67.0), (25.0, 49.0)), // CONUS Albers
       (2154, (-4.5, 9.5), (41.5, 51.0)),   // Lambert-93
       (3031, (-179.0, 179.0), (-89.0, -61.0)), // Antarctic stereo

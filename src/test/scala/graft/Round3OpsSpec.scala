@@ -228,6 +228,23 @@ class Round3OpsSpec extends GraftSuite {
     }
   }
 
+  test("q41: upsert view equals a latest-wins replay of the changelog") {
+    val log = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000,
+        r.getLong(4)))
+    val expected = log.groupBy(e => (e._1, e._2)).map { case ((u, t), es) =>
+      val latest = es.maxBy(e => (e._4, e._5))
+      (u, t, latest._3, latest._4, es.length.toLong)
+    }.toSet
+    val out = SparkEntry.queries("q41_upsert_latest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == expected)
+    assert(out.toSeq.map(_._5).sum == log.length.toLong, "versions cover the log")
+  }
+
   test("q40: recursive CTE depth histogram equals closed-form tree depths") {
     val keys = Tables.customer(spark, sf).select("c_custkey").collect()
       .map(_.getLong(0))
@@ -266,6 +283,54 @@ class Round3OpsSpec extends GraftSuite {
     }.toSet
     val out = SparkEntry.queries("v14_binary_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(out == expected)
+  }
+
+  test("v15: IVFPQ equals an assign+code+LUT replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byId = vecs.toMap
+    val cents = (100L to 107L).map(c => (c, byId(c)))
+    // IVF assignment: nearest centroid by cosine, ties to lower c_id
+    def listOf(v: Array[Double]): Long =
+      cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    val assign = vecs.map { case (id, v) => (id, listOf(v)) }.toMap
+    // PQ codes: 8 subspaces x 4 centroids (vec 100-103 slices), L2 argmin
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * 8, m * 8 + 8)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def codeOf(v: Array[Double], m: Int): Int =
+      (0 to 3).map(pc => (pc, l2(sub(v, m), sub(byId(100L + pc), m))))
+        .sortBy { case (pc, d) => (d, pc) }.head._1
+    val expected = vecs.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val lists = cents.map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val lut = Array.tabulate(8, 4)((m, pc) => l2(sub(qv, m), sub(byId(100L + pc), m)))
+      vecs.filter { case (id, _) => id != q && lists(assign(id)) }
+        .map { case (id, v) =>
+          val adc = (0 until 8)
+            .map(m => BigDecimal(lut(m)(codeOf(v, m)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
+          (q, id, assign(id), adc)
+        }
+        .sortBy { case (_, id, _, adc) => (adc, id) }.take(5).zipWithIndex
+        .map { case ((qq, id, l, adc), i) => (qq, id, l, adc, i + 1) }
+    }.toSet
+    val out = SparkEntry.queries("v15_ivfpq_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
       .toSet
     assert(out == expected)
   }
