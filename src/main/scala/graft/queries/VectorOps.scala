@@ -21,7 +21,7 @@ import graft.util.Det._
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15)
+    v11, v12, v13, v14, v15, v16)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -990,6 +990,75 @@ object VectorOps {
         .select(col("q_id"), col("vec_id"), col("list_id"), col("adc_d2"),
           col("rank").cast("int").as("rank"))
         .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** Matryoshka truncation audit (MRL, Kusupati 2022): recall@5 of
+    * cosine retrieval over the first 8/16/32 components against the
+    * exact full-64-dim answer — the measurement behind "serve the
+    * 4×-smaller prefix embedding". Same report shape as v12's nprobe
+    * sweep: one brute-force pass per tier (it's an audit, run on a
+    * sample in production), integer hit counts, one division per row,
+    * so the whole report is oracle-exact. */
+  private val v16 = {
+    def sqlPDot(a: String, b: String, d: Int): String =
+      s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def sqlPCos(a: String, b: String, d: Int): String =
+      s"""${sqlPDot(a, b, d)} /
+         |      (sqrt(${sqlPDot(a, a, d)}) * sqrt(${sqlPDot(b, b, d)}))""".stripMargin
+    def sqlTier(d: Int): String =
+      s"""  SELECT $d AS dim, q_id, vec_id FROM (
+         |    SELECT pr.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+         |        ${sqlPCos("e.embedding", "pr.q_emb", d)} DESC, e.vec_id) AS rank
+         |    FROM e JOIN pr ON e.vec_id <> pr.q_id) WHERE rank <= 5""".stripMargin
+    QDef(
+      "v16_matryoshka_recall",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+         |btop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT pr.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+         |        ${sqlPCos("e.embedding", "pr.q_emb", 64)} DESC, e.vec_id) AS rank
+         |    FROM e JOIN pr ON e.vec_id <> pr.q_id) WHERE rank <= 5),
+         |ttop AS (
+         |${sqlTier(8)}
+         |  UNION ALL
+         |${sqlTier(16)}
+         |  UNION ALL
+         |${sqlTier(32)})
+         |SELECT CAST(ttop.dim AS INTEGER) AS dim,
+         |  CAST(COUNT(btop.q_id) AS BIGINT) AS total_hits,
+         |  CAST(COUNT(btop.q_id) AS DOUBLE) / 50 AS mean_recall
+         |FROM ttop LEFT JOIN btop
+         |  ON btop.q_id = ttop.q_id AND btop.vec_id = ttop.vec_id
+         |GROUP BY ttop.dim ORDER BY dim""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      def tier(dim: Int): DataFrame = {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+        e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            expr(s"dot_fold(slice(emb, 1, $dim), slice(q_emb, 1, $dim))") /
+              (sqrt(expr(s"dot_fold(slice(q_emb, 1, $dim), slice(q_emb, 1, $dim))")) *
+                sqrt(expr(s"dot_fold(slice(emb, 1, $dim), slice(emb, 1, $dim))"))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(lit(dim).as("dim"), col("q_id"), col("vec_id"))
+      }
+      val btop = tier(64).select(col("q_id"), col("vec_id"))
+      val ttop = tier(8).union(tier(16)).union(tier(32))
+      ttop.join(btop.withColumnRenamed("vec_id", "b_vec")
+          .withColumnRenamed("q_id", "b_q"),
+          col("b_q") === col("q_id") && col("b_vec") === col("vec_id"), "left")
+        .groupBy(col("dim"))
+        .agg(count(col("b_q")).as("total_hits"))
+        .select(col("dim").cast("int").as("dim"),
+          col("total_hits").cast("long").as("total_hits"),
+          (col("total_hits").cast("double") / lit(50)).as("mean_recall"))
+        .orderBy(col("dim"))
     }
   }
 }

@@ -335,6 +335,36 @@ class Round3OpsSpec extends GraftSuite {
     assert(out == expected)
   }
 
+  test("v16: matryoshka recall equals a prefix-cosine replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def dotP(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
+    def top5(d: Int): Map[Long, Set[Long]] =
+      vecs.filter(_._1 < 10).map { case (q, qv) =>
+        q -> vecs.filter(_._1 != q)
+          .map { case (c, cv) =>
+            (c, dotP(qv, cv, d) / (math.sqrt(dotP(qv, qv, d)) * math.sqrt(dotP(cv, cv, d))))
+          }
+          .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+      }.toMap
+    val full = top5(64)
+    val expected = Seq(8, 16, 32).map { d =>
+      val t = top5(d)
+      (d, t.map { case (q, ids) => (ids intersect full(q)).size }.sum.toLong)
+    }.toMap
+    val out = SparkEntry.queries("v16_matryoshka_recall")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(r => (r._1, r._2)).toMap == expected)
+    out.foreach(r => assert(r._3 == r._2.toDouble / 50))
+    // more dims should not hurt recall on this corpus
+    val byDim = out.map(r => (r._1, r._2)).toMap
+    assert(byDim(32) >= byDim(8))
+  }
+
   test("d12: no near-dup pair crosses the component split; t08's does leak") {
     val out = SparkEntry.queries("d12_leakfree_split")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
