@@ -17,14 +17,18 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and suppress the trailing "[success] Total time: ..." banner so the
 // JSON line is the LAST stdout line (driver parses the tail).
 ThisBuild / showSuccess := false
-// Real-engine federation e2e: the duckdb JDBC driver sits in the pre-warmed
-// coursier cache; reference it as an unmanaged test jar (no resolution
-// needed, so the offline rule holds). FederationSpec skips gracefully if
-// the jar or its native lib is unavailable.
+// Real-engine federation e2e: extra JDBC drivers (duckdb, sqlite, ...) may
+// sit in the pre-warmed local coursier cache; locate them by globbing the
+// cache (hostname-free) or via GRAFT_EXTRA_TEST_JARS (path-separated list).
+// No network resolution happens, so the offline rule holds. FederationSpec
+// skips gracefully if a jar or its native lib is unavailable.
 Test / unmanagedJars ++= {
-  val j = file(sys.props("user.home")) /
-    ".cache/coursier/v1/mirror/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
-  if (j.exists) Seq(Attributed.blank(j)) else Seq.empty
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  val globbed = Seq("duckdb_jdbc-*.jar", "sqlite-jdbc-*.jar")
+    .flatMap(p => (cache ** p).get())
+  val fromEnv = sys.env.get("GRAFT_EXTRA_TEST_JARS").toSeq
+    .flatMap(_.split(java.io.File.pathSeparator)).map(file).filter(_.exists)
+  (globbed ++ fromEnv).distinct.map(Attributed.blank(_))
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

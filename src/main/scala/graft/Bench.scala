@@ -36,14 +36,20 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally graft.util.Persist.releaseAll() // drop query-local caches
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (p1, p2) = (pass(), pass())
+    val p1 = pass()
+    spark.catalog.clearCache() // drop pass-1 persisted intermediates
+    val p2 = pass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first; the driver tail-captures only ~2.2 KB of
+    // stdout, so the machine-parseable record must be a SHORT final line.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

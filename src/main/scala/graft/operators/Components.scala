@@ -56,6 +56,12 @@ object Components {
       rounds += 1
     }
     e.unpersist()
+    // Unconverged labels silently split one true component in two — for
+    // consumers like d12 (leakage-free split) that is the exact defect the
+    // operator exists to prevent, so fail loudly instead of returning them.
+    if (delta > 0) throw new IllegalStateException(
+      s"Components.minLabel did not converge after $rounds rounds " +
+      s"($delta labels still changing); raise spark.graft.components.max_rounds")
     labels
   }
 }

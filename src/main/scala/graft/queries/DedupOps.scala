@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.util.Persist.Syntax
 
 /** Sketch-based near-duplicate detection over `documents` — the core
   * LLM-pretraining dedup toolkit, all expressed as Catalyst expression
@@ -360,7 +361,7 @@ object DedupOps {
         |  (doc_id = component) AS keep
         |FROM comp
         |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -539,13 +540,13 @@ object DedupOps {
          |FROM p1 JOIN p2 ON p2.src = p1.src
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.util.Det.dsum
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .persist()
+      .persistTracked()
     // degree table is joined in every round (and n derives from it):
     // persist so the rounds rebuild neither the edge aggregate nor the
     // upstream LSH pipeline
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persistTracked()
     val n = deg.agg(count(lit(1)).as("n"))
     val damp = lit(0.85).cast("double")
     val base = lit(1.0).cast("double") - damp
@@ -609,22 +610,23 @@ object DedupOps {
         |    ELSE NULL END AS clustering
         |FROM deg LEFT JOIN tc ON tc.n = deg.n
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
     val deg = pairs.select(col("a").as("n"))
       .union(pairs.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg")).persist()
-    // rank = (deg, id) packed into one long (ids are far below 1e9);
-    // unique because ids are unique
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")).persistTracked()
+    // rank = the (deg, id) STRUCT, compared lexicographically — unique
+    // because ids are unique, and safe for any id domain (arithmetic
+    // packing deg*1e9 + id breaks the total order past 1e9 ids)
     val ranked = pairs
       .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
-      .withColumn("ra", col("deg_a") * lit(1000000000L) + col("a"))
-      .withColumn("rb", col("deg_b") * lit(1000000000L) + col("b"))
+      .withColumn("ra", struct(col("deg_a").as("deg"), col("a").as("id")))
+      .withColumn("rb", struct(col("deg_b").as("deg"), col("b").as("id")))
     val eo = ranked.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
       when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("dst_rank"))
-      .persist()
+      .persistTracked()
     val wedges = eo.as("x").join(eo.as("y"),
         col("x.src") === col("y.src") && col("x.dst_rank") < col("y.dst_rank"))
       .select(col("x.src").as("apex"), col("x.dst").as("lo"), col("y.dst").as("hi"))
@@ -680,7 +682,7 @@ object DedupOps {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source").isin("src18", "src19").as("is_new"))
-      .persist()
+      .persistTracked()
     val p = lshVerifiedPairs(s, d).select(col("a"), col("b"))
     val e = p.union(p.select(col("b"), col("a"))).toDF("x", "y")
     val cl = e
@@ -734,7 +736,7 @@ object DedupOps {
         |  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1) IN ('0','1','2','3')
         |       THEN 'eval' ELSE 'train' END AS split
         |FROM ac ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persist()
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.util.Persist.Syntax
 import graft.util.Det._
 
 /** Batch event analytics over the `events` fixture: time bucketing,
@@ -473,7 +474,7 @@ object Events {
       .unionByName(sess.select(col("end_us").as("us"), lit(-1).as("d"),
         col("user_id"), col("session_id")))
       .withColumn("hr", expr("us div 3600000000"))
-      .persist() // within-hour cumsum + hour totals both scan it
+      .persistTracked() // within-hour cumsum + hour totals both scan it
     val wIn = Window.partitionBy(col("hr"))
       .orderBy(col("us"), col("d").desc, col("user_id"), col("session_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

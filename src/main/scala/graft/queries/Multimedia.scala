@@ -233,10 +233,11 @@ object Multimedia {
       |  FROM m, unnest(range(0, nw)) AS f(i)),
       |e AS (
       |  SELECT media_id, win_idx,
+      |    CASE WHEN length(wh) = 0 THEN NULL ELSE
       |    CAST(list_sum(list_transform(range(0, length(wh) // 2),
       |      i -> (CAST(('0x' || substring(wh, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT) - 128)
       |         * (CAST(('0x' || substring(wh, CAST(i AS INTEGER) * 2 + 1, 2)) AS BIGINT) - 128)))
-      |      AS BIGINT) AS energy
+      |      AS BIGINT) END AS energy
       |  FROM w),
       |t AS (SELECT media_id, COUNT(*) AS nw, CAST(SUM(energy) AS BIGINT) AS tot
       |      FROM e GROUP BY media_id),
@@ -255,11 +256,14 @@ object Multimedia {
       |FROM t LEFT JOIN ns USING (media_id)
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     import CrossHash.bind
+    // empty window (empty audio payload) → explicitly NULL energy on both
+    // engines, not an accident of conv('')/list_sum(empty) returning NULL
     val energyE = bind("substring(ph, win_idx * 128 + 1, 128)", "WH")(wh =>
-      s"""aggregate(transform(sequence(0, CAST(length($wh) / 2 AS INT) - 1),
+      s"""CASE WHEN length($wh) = 0 THEN CAST(NULL AS BIGINT) ELSE
+         |aggregate(transform(sequence(0, CAST(length($wh) / 2 AS INT) - 1),
          |  i -> (cast(conv(substring($wh, i * 2 + 1, 2), 16, 10) as bigint) - 128)
          |     * (cast(conv(substring($wh, i * 2 + 1, 2), 16, 10) as bigint) - 128)),
-         |  0L, (a, x) -> a + x)""".stripMargin)
+         |  0L, (a, x) -> a + x) END""".stripMargin)
     val e = Multimodal.attachPayload(Tables.documents(s, d))
       .where(col("meta.kind") === "audio")
       .select(col("media_id"), hex(col("payload")).as("ph"),

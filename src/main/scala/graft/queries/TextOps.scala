@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.util.Persist.Syntax
 
 /** Text-analysis + exact-dedup operators over the `documents` fixture —
   * the oracle-checkable half of the LLM-pipeline surface (the sketch-
@@ -851,7 +852,7 @@ object TextOps {
          |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
          |  ELSE array(${h64E("text")}) END""".stripMargin)
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), expr(shE).as("sh")).persist()
+      .select(col("doc_id"), expr(shE).as("sh")).persistTracked()
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
     val shared = ex.join(dfreq, Seq("h")).where(col("n_docs") >= 2)
@@ -1042,8 +1043,8 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
         .withColumn("seq", expr("trim(regexp_replace(tok, '(.)', '$1 '))"))
-        .persist()
-      val v1 = applyMerge(v0, top1(pairCount(v0), "merge1"), "merge1").persist()
+        .persistTracked()
+      val v1 = applyMerge(v0, top1(pairCount(v0), "merge1"), "merge1").persistTracked()
       val v2 = applyMerge(v1, top1(pairCount(v1), "merge2"), "merge2")
       v2.select(col("tok"), col("freq"),
           size(split(col("seq"), " ")).cast("long").as("n_syms"),
@@ -1074,9 +1075,10 @@ object TextOps {
       |  SELECT doc_id, CAST(i.i AS INTEGER) AS seg_idx,
       |    array_to_string(tk[CAST(i.i AS INTEGER) * 8 + 1 : CAST(i.i AS INTEGER) * 8 + 8], ' ') AS seg
       |  FROM tk, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS INTEGER))) AS i(i)),
-      |k AS (SELECT md5(seg) AS h, MIN(doc_id * 1000000 + seg_idx) AS ord FROM sg GROUP BY 1),
+      |k AS (SELECT md5(seg) AS h,
+      |    MIN({'doc_id': doc_id, 'seg_idx': seg_idx}) AS ord FROM sg GROUP BY 1),
       |f AS (
-      |  SELECT sg.*, (sg.doc_id * 1000000 + sg.seg_idx) = k.ord AS keep
+      |  SELECT sg.*, {'doc_id': sg.doc_id, 'seg_idx': sg.seg_idx} = k.ord AS keep
       |  FROM sg JOIN k ON md5(sg.seg) = k.h),
       |a AS (
       |  SELECT doc_id, COUNT(*) AS n_segs,
@@ -1092,8 +1094,10 @@ object TextOps {
           |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
           |       i -> array_join(slice(tk, i * 8 + 1, 8), ' '))
           |END""".stripMargin)).as(Seq("seg_idx", "seg")))
+      // first-wins order is the (doc_id, seg_idx) STRUCT — arithmetic
+      // packing (doc_id*1e6 + seg_idx) silently collides past 1M segments
       .withColumn("h", md5(col("seg")))
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("seg_idx"))
+      .withColumn("ord", struct(col("doc_id"), col("seg_idx")))
     val keepers = sg.groupBy(col("h")).agg(min(col("ord")).as("min_ord"))
     sg.join(keepers, Seq("h"))
       .withColumn("keep", col("ord") === col("min_ord"))

@@ -35,6 +35,34 @@ class FederationSpec extends GraftSuite {
     }
   }
 
+  test("sqlite_scan runs end-to-end against a real SQLite engine") {
+    // The sqlite JDBC driver is wired the same hostname-free way as the
+    // duckdb one (build.sbt globs the local cache / GRAFT_EXTRA_TEST_JARS);
+    // this container's pre-warmed cache does not ship it, so the e2e body
+    // skips gracefully when the class is absent and runs wherever the
+    // single self-contained public org.xerial:sqlite-jdbc jar is cached.
+    assume(
+      try { Class.forName("org.sqlite.JDBC"); true }
+      catch { case _: Throwable => false },
+      "sqlite JDBC driver not on test classpath")
+    val dbPath = java.nio.file.Files
+      .createTempDirectory("fed").resolve("fed.sqlite").toString
+    val conn = DriverManager.getConnection(s"jdbc:sqlite:$dbPath")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE metrics (id INTEGER, name TEXT, score REAL)")
+    st.execute("INSERT INTO metrics VALUES (1, 'a', 0.5), (2, 'b', 1.5), (3, 'c', 2.5)")
+    st.close(); conn.close()
+
+    val df = spark.sql(
+      s"SELECT name, score FROM sqlite_scan('$dbPath', '', 'metrics') " +
+        "WHERE score > 1.0 ORDER BY id")
+    assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("b", 1.5), ("c", 2.5)))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.toLowerCase.contains("pushedfilters"),
+      s"expected JDBC pushdown markers in:\n$physical")
+  }
+
   test("duckdb_scan runs end-to-end against a real DuckDB engine") {
     // The duckdb JDBC driver is an unmanaged TEST jar (build.sbt) from
     // the pre-warmed cache; skip gracefully if it isn't loadable here.
