@@ -31,16 +31,68 @@ object SpatialJoin {
     def refCellFor(lbox: String, rbox: String, expand: Double): Column
   }
 
-  /** Inner spatial join of `left` × `right` on `predicate` (an ST_
+  /** Grid spatial join of `left` × `right` on `predicate` (an ST_
     * relation name, or st_dwithin with `distance`). Column names of the
     * two sides must be disjoint. `cells` is the target partition count;
     * `adaptive=true` fits cell regions to a data sample (KDB tree) so
     * skewed distributions stay balanced, `false` uses a uniform grid.
+    *
+    * `joinType` supports inner, left/right/full outer, left_semi and
+    * left_anti — all join types of the reference's multi-partition mode
+    * (spatial/src/join/stream.rs:84-90, 1350-1445). Outer emission is
+    * shuffle-native: the grid INNER pass produces each matched pair
+    * exactly once (reference-point dedup), and the unmatched sides are
+    * recovered by anti-joining each input on its matched row ids — the
+    * key-only-shuffle analogue of the reference's per-partition matched
+    * bitmaps, with no broadcast bound on either side.
     */
   def grid(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String,
       predicate: String, distance: Double = 0.0,
-      cells: Int = -1, adaptive: Boolean = true): DataFrame = {
+      cells: Int = -1, adaptive: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(Set("inner", "left", "right", "full", "leftsemi", "semi",
+      "leftanti", "anti").contains(jt), s"unsupported joinType: $joinType")
+    if (jt == "inner")
+      return gridInner(left, right, leftGeom, rightGeom, predicate, distance,
+        cells, adaptive)
+
+    // row ids are stamped on the INPUTS and flow through both the inner
+    // pass and the anti-joins, so both executions see identical ids
+    // (monotonically_increasing_id is deterministic per scan layout)
+    val lId = left.withColumn("__lid", monotonically_increasing_id())
+    val rId = right.withColumn("__rid", monotonically_increasing_id())
+    val matched = gridInner(lId, rId, leftGeom, rightGeom, predicate,
+      distance, cells, adaptive)
+
+    def nulls(df: DataFrame) = df.schema.fields.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    val leftCols = left.columns.map(col)
+    val rightCols = right.columns.map(col)
+    val unmatchedL = lId.join(matched.select(col("__lid")), Seq("__lid"),
+      "left_anti").select(leftCols ++ nulls(right): _*)
+    val unmatchedR = rId.join(matched.select(col("__rid")), Seq("__rid"),
+      "left_anti").select(nulls(left) ++ rightCols: _*)
+    val inner = matched.select(leftCols ++ rightCols: _*)
+
+    jt match {
+      case "left"  => inner.unionByName(unmatchedL)
+      case "right" => inner.unionByName(unmatchedR)
+      case "full"  => inner.unionByName(unmatchedL).unionByName(unmatchedR)
+      case "leftsemi" | "semi" =>
+        lId.join(matched.select(col("__lid")), Seq("__lid"), "left_semi")
+          .select(leftCols: _*)
+      case "leftanti" | "anti" =>
+        lId.join(matched.select(col("__lid")), Seq("__lid"), "left_anti")
+          .select(leftCols: _*)
+    }
+  }
+
+  private def gridInner(left: DataFrame, right: DataFrame,
+      leftGeom: String, rightGeom: String,
+      predicate: String, distance: Double,
+      cells: Int, adaptive: Boolean): DataFrame = {
     val spark = left.sparkSession
     SpatialFunctions.registerAll(spark)
     // conf-driven defaults (spark.graft.spatial_join.*), the analogue
@@ -54,7 +106,8 @@ object SpatialJoin {
       (if (useAdaptive) kdbScheme(left, right, leftGeom, rightGeom, nCells)
        else uniformScheme(left, right, leftGeom, rightGeom, nCells)) match {
         case Some(s) => s
-        case None    => return left.limit(0).crossJoin(right.limit(0))
+        case None    => // no valid geometry on either side: no pairs
+          return left.limit(0).crossJoin(right.limit(0))
       }
 
     // envelopes computed ONCE per input row (one WKB parse), before the
