@@ -128,13 +128,14 @@ object AnnIndex {
     val probedLists = probeLists.select(col("list_id")).distinct()
       .collect().map(_.get(0).asInstanceOf[Number].longValue)
     val pruned = lists.filter(col("list_id").isin(probedLists: _*))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
     val joined = pruned.join(broadcast(probeLists), Seq("list_id"))
-    (if (excludeSelf) joined.where(col("id") =!= col("q_id")) else joined)
+    val cand = (if (excludeSelf) joined.where(col("id") =!= col("q_id")) else joined)
       .withColumn("sim", expr("dot_fold(emb_n, q_emb)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("id").as("vec_id"), col("sim"), col("rank"))
+    // two-level top-k (O(topK) state per map-side partial): a giant IVF
+    // list never serializes into one window partition per probe
+    TopK.topK(cand, Seq("q_id"), col("sim"), col("id"), topK, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim"),
+        col("rank"))
   }
 
   /** Top-`topK` cosine neighbors for each probe id, scanning only the
@@ -151,12 +152,13 @@ object AnnIndex {
       .withColumn("cr", row_number().over(wProbe))
       .filter(col("cr") <= nprobe)
       .select(col("q_id"), col("list_id"), col("q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
-    assign.join(broadcast(probeLists), Seq("list_id"))
+    val cand = assign.join(broadcast(probeLists), Seq("list_id"))
       .where(col("id") =!= col("q_id"))
       .withColumn("sim", expr("dot_fold(emb_n, q_emb)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("id").as("vec_id"), col("list_id"), col("sim"), col("rank"))
+    TopK.topK(cand, Seq("q_id"), col("sim"), col("id"), topK, asc = false,
+        extra = col("list_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        col("extra").cast("int").as("list_id"), col("ordv").as("sim"),
+        col("rank"))
   }
 }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.operators.TopK
 import graft.util.Det._
+import graft.util.Persist.Syntax
 
 /** Similarity search over the `embeddings` fixture (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, a
@@ -57,13 +59,12 @@ object VectorOps {
     val e = embeddings(s, d)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .withColumn("sim",
         dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rank"))
+    TopK.topK(cand, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim"),
+        col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -131,13 +132,13 @@ object VectorOps {
     val e = embeddings(s, d).withColumn("bucket", bucket)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(probes), Seq("bucket"))
+    val cand = e.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rank"), col("bucket"))
+    TopK.topK(cand, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false,
+        extra = col("bucket"))
+      .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim"),
+        col("rank"), col("extra").as("bucket"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -214,13 +215,13 @@ object VectorOps {
       .withColumn("cr", row_number().over(wProbe))
       .filter(col("cr") <= 2)
       .select(col("q_id"), col("c_id").as("list_id"), col("q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    assign.join(broadcast(probeLists), Seq("list_id"))
+    val cand = assign.join(broadcast(probeLists), Seq("list_id"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("list_id"), col("sim"), col("rank"))
+    TopK.topK(cand, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false,
+        extra = col("list_id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("extra").as("list_id"),
+        col("ordv").as("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -424,14 +425,13 @@ object VectorOps {
       .select(col("vec_id"), col("m"), col("c"))
     val lut = dist.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m"), col("c"), col("d2"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
-    code.join(broadcast(lut), Seq("m", "c"))
+    val adc = code.join(broadcast(lut), Seq("m", "c"))
       .where(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(dsum(col("d2")).as("adc_d2"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("adc_d2"), col("rank").cast("int").as("rank"))
+    TopK.topK(adc, Seq("q_id"), col("adc_d2"), col("vec_id"), 5, asc = true)
+      .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("adc_d2"),
+        col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -509,13 +509,13 @@ object VectorOps {
       .withColumn("rel", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
       .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= 8)
       .select(col("q_id"), col("vec_id"), col("emb"), col("rel"))
-      .persist()
+      .persistTracked()
     val cs = cand.select(col("q_id"), col("vec_id").as("a"), col("emb").as("a_emb"))
       .join(cand.select(col("q_id"), col("vec_id").as("b"), col("emb").as("b_emb")), Seq("q_id"))
       .where(col("a") =!= col("b"))
       .withColumn("sim", dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
       .select(col("q_id"), col("a"), col("b"), col("sim"))
-      .persist()
+      .persistTracked()
     def pickTop(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -748,17 +748,16 @@ object VectorOps {
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
       .select(col("n"), col("q_id"), col("vec_id"), col("sim"))
-      .persist()
-    val wIvf = Window.partitionBy(col("n"), col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val itop = cand.withColumn("rank", row_number().over(wIvf))
-      .filter(col("rank") <= 5).select(col("n"), col("q_id"), col("vec_id"))
-    val wBrute = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    val btop = e.crossJoin(broadcast(probes))
+      .persistTracked()
+    val itop = TopK.topK(cand, Seq("n", "q_id"), col("sim"), col("vec_id"),
+        5, asc = false)
+      .select(col("n"), col("q_id"), col("id").as("vec_id"))
+    val bruteCand = e.crossJoin(broadcast(probes))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb")))
-      .withColumn("rank", row_number().over(wBrute))
-      .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+    val btop = TopK.topK(bruteCand, Seq("q_id"), col("sim"), col("vec_id"),
+        5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"))
     val hits = itop.join(btop, Seq("q_id", "vec_id"))
       .groupBy(col("n")).agg(count(lit(1)).as("total_hits"))
     val scanned = cand.groupBy(col("n")).agg(count(lit(1)).as("cand_rows"))
@@ -808,14 +807,13 @@ object VectorOps {
         .select(col("vec_id"), expr(packE(0)).as("w0"), expr(packE(1)).as("w1"))
       val probes = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
-      b.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      val cand = b.join(broadcast(probes), col("vec_id") =!= col("q_id"))
         .withColumn("hamming",
           (bit_count(col("w0").bitwiseXOR(col("q0"))) +
             bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"), col("hamming"), col("rank"))
+      TopK.topK(cand, Seq("q_id"), col("hamming"), col("vec_id"), 5, asc = true)
+        .select(col("q_id"), col("id").as("vec_id"),
+          col("ordv").cast("int").as("hamming"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
   }
@@ -866,24 +864,25 @@ object VectorOps {
       val b = e.select(col("vec_id"), expr(packE(0)).as("w0"), expr(packE(1)).as("w1"))
       val probesB = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
-      val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
-      val cand = b.join(broadcast(probesB), col("vec_id") =!= col("q_id"))
+      val hamCand = b.join(broadcast(probesB), col("vec_id") =!= col("q_id"))
         .withColumn("hamming",
           (bit_count(col("w0").bitwiseXOR(col("q0"))) +
             bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int"))
-        .withColumn("rn", row_number().over(wHam))
-        .filter(col("rn") <= 50)
-        .select(col("q_id"), col("vec_id"), col("hamming"))
+      val cand = TopK.topK(hamCand, Seq("q_id"), col("hamming"),
+          col("vec_id"), 50, asc = true)
+        .select(col("q_id"), col("id").as("vec_id"),
+          col("ordv").cast("int").as("hamming"))
       val qe = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val wSim = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      cand
+      val reranked = cand
         .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
         .join(broadcast(qe), Seq("q_id"))
         .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
-        .withColumn("rank", row_number().over(wSim))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"), col("hamming"), col("sim"), col("rank"))
+      TopK.topK(reranked, Seq("q_id"), col("sim"), col("vec_id"), 5,
+          asc = false, extra = col("hamming"))
+        .select(col("q_id"), col("id").as("vec_id"),
+          col("extra").cast("int").as("hamming"), col("ordv").as("sim"),
+          col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
   }
@@ -979,16 +978,15 @@ object VectorOps {
       val cand = assign.join(broadcast(pl), Seq("list_id"))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), col("list_id"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_d2"), col("vec_id"))
-      cand
+      val adc = cand
         .join(code, Seq("vec_id"))
         .join(broadcast(lut), Seq("q_id", "m", "pc"))
         .groupBy(col("q_id"), col("vec_id"), col("list_id"))
         .agg(dsum(col("d2")).as("adc_d2"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"), col("list_id"), col("adc_d2"),
-          col("rank").cast("int").as("rank"))
+      TopK.topK(adc, Seq("q_id"), col("adc_d2"), col("vec_id"), 5,
+          asc = true, extra = col("list_id"))
+        .select(col("q_id"), col("id").as("vec_id"),
+          col("extra").as("list_id"), col("ordv").as("adc_d2"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
   }
@@ -1038,15 +1036,13 @@ object VectorOps {
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       def tier(dim: Int): DataFrame = {
-        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-        e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        val cand = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
           .withColumn("sim",
             expr(s"dot_fold(slice(emb, 1, $dim), slice(q_emb, 1, $dim))") /
               (sqrt(expr(s"dot_fold(slice(q_emb, 1, $dim), slice(q_emb, 1, $dim))")) *
                 sqrt(expr(s"dot_fold(slice(emb, 1, $dim), slice(emb, 1, $dim))"))))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(lit(dim).as("dim"), col("q_id"), col("vec_id"))
+        TopK.topK(cand, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
+          .select(lit(dim).as("dim"), col("q_id"), col("id").as("vec_id"))
       }
       val btop = tier(64).select(col("q_id"), col("vec_id"))
       val ttop = tier(8).union(tier(16)).union(tier(32))
