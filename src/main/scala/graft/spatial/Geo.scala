@@ -201,25 +201,40 @@ object Geo extends Serializable {
     * same SRID; SRID is preserved on the output. The reference uses
     * proj4rs over the full EPSG registry (st_transform.rs:18-120); this
     * engine ships the Snyder projection families + parameter table in
-    * [[Projections]] (TM/UTM, LCC 2SP, Albers, web mercator,
-    * geographic aliases — WGS84/GRS80-family frames, no datum shift). */
+    * [[Projections]]. WGS84/GRS80-family pairs skip the datum leg;
+    * datum-shifted frames (OSGB36 4277/27700, NAD27 4267) additionally
+    * route lon/lat through the geocentric 7-param Helmert pipeline
+    * ([[Projections.DatumShift]]), matching proj's +towgs84. */
   def transform(g: Geometry, toSrid: Int): Geometry = {
     val from = if (g.getSRID == 0) 4326 else g.getSRID
     val out =
       if (from == toSrid) g.copy()
-      else (Projections.forSrid(from), Projections.forSrid(toSrid)) match {
-        case (Some(fp), Some(tp)) =>
+      else (Projections.crsFor(from), Projections.crsFor(toSrid)) match {
+        case (Some(fc), Some(tc)) =>
           mapCoords(g, (x, y) => {
-            val (lon, lat) = fp.inverse(x, y)
-            tp.forward(lon, lat)
+            val (lon, lat) = fc.proj.inverse(x, y)
+            val (lonW, latW) =
+              if (fc.shift.isZero && tc.shift.isZero) (lon, lat)
+              else {
+                // geodetic -> geocentric -> (to WGS84) -> (to target
+                // frame) -> geodetic; each zero shift is skipped
+                var xyz = Projections.DatumShift.toGeocentric(fc.ell, lon, lat)
+                if (!fc.shift.isZero)
+                  xyz = fc.shift.forward(xyz._1, xyz._2, xyz._3)
+                if (!tc.shift.isZero)
+                  xyz = tc.shift.inverse(xyz._1, xyz._2, xyz._3)
+                Projections.DatumShift.toGeodetic(tc.ell, xyz._1, xyz._2, xyz._3)
+              }
+            tc.proj.forward(lonW, latW)
           })
-        case (fp, tp) =>
-          val unknown = Seq(from -> fp, toSrid -> tp)
+        case (fc, tc) =>
+          val unknown = Seq(from -> fc, toSrid -> tc)
             .collect { case (s, None) => s }.mkString(", ")
           throw new IllegalArgumentException(
             s"ST_Transform: SRID(s) not in the EPSG registry: $unknown " +
-              "(supported: 4326/4269/4258, 3857, UTM 326xx/327xx/269xx/258xx, " +
-              "2154, 3587, 5070, 3413/3995/3031, 3035)")
+              "(supported: 4326/4269/4258/4267/4277, 3857, 27700, " +
+              "UTM 326xx/327xx/269xx/258xx, 2154, 3587, 5070, " +
+              "3413/3995/3031, 3035)")
       }
     out.setSRID(toSrid)
     out

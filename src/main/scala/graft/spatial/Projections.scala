@@ -9,13 +9,15 @@ package graft.spatial
   * Conic 2SP, Albers Equal Area, spherical Web Mercator — plus a
   * parameter registry for those codes.
   *
-  * Datum handling: all registry entries are WGS84/GRS80-family frames
-  * (WGS84, NAD83, ETRS89), whose mutual offsets are below coordinate
-  * noise at analytics precision, so transforms go through a shared
-  * geographic intermediate with NO datum shift. Frames that genuinely
-  * differ (NAD27, OSGB36) are intentionally NOT in the registry —
-  * projection classes are still usable directly with any ellipsoid
-  * (the EPSG worked-example test drives TM with Airy 1830).
+  * Datum handling: WGS84/GRS80-family frames (WGS84, NAD83, ETRS89)
+  * share a geographic intermediate with NO shift (their mutual offsets
+  * are below coordinate noise at analytics precision). Frames that
+  * genuinely differ — OSGB36 (4277/27700) and NAD27 (4267) — carry
+  * published towgs84 Helmert parameters and transform through the
+  * geocentric pipeline ([[DatumShift]]): geodetic -> XYZ -> 7-param
+  * position-vector Helmert -> WGS84 -> inverse -> target geodetic,
+  * matching proj4rs' +towgs84 behavior (reference st_transform.rs:
+  * 18-120).
   */
 object Projections {
 
@@ -28,6 +30,7 @@ object Projections {
   val Wgs84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
   val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.978698214)
 
   /** A map projection: degrees lon/lat <-> projected x/y (meters). */
   trait Projection extends Serializable {
@@ -285,6 +288,107 @@ object Projections {
         (761 * e6 / 45360) * math.sin(6 * betaP)
       (math.toDegrees(lon), math.toDegrees(phi))
     }
+  }
+
+  /** 7-parameter Helmert datum shift to/from WGS84 (EPSG method 9606,
+    * position-vector convention — the convention proj's +towgs84 uses):
+    * translations in meters, rotations in arc-seconds, scale in ppm.
+    * The inverse is the exact algebraic inverse of the forward's
+    * (1+s)·R matrix (closed-form 3×3 inversion), so round trips are
+    * bit-stable to machine precision. */
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double) {
+    val isZero: Boolean =
+      dx == 0 && dy == 0 && dz == 0 && rxSec == 0 && rySec == 0 &&
+        rzSec == 0 && dsPpm == 0
+    private val sec = math.Pi / (180.0 * 3600.0)
+    private val rx = rxSec * sec
+    private val ry = rySec * sec
+    private val rz = rzSec * sec
+    private val s = 1.0 + dsPpm * 1e-6
+    // M = (1+s) * [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]]
+    private val m = Array(
+      Array(s, -s * rz, s * ry),
+      Array(s * rz, s, -s * rx),
+      Array(-s * ry, s * rx, s))
+    private val mInv = { // closed-form inverse of the 3x3
+      val det =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      Array(
+        Array((m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) / det,
+          (m(0)(2) * m(2)(1) - m(0)(1) * m(2)(2)) / det,
+          (m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)) / det),
+        Array((m(1)(2) * m(2)(0) - m(1)(0) * m(2)(2)) / det,
+          (m(0)(0) * m(2)(2) - m(0)(2) * m(2)(0)) / det,
+          (m(0)(2) * m(1)(0) - m(0)(0) * m(1)(2)) / det),
+        Array((m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0)) / det,
+          (m(0)(1) * m(2)(0) - m(0)(0) * m(2)(1)) / det,
+          (m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)) / det))
+    }
+    /** source frame -> WGS84 */
+    def forward(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      dx + m(0)(0) * x + m(0)(1) * y + m(0)(2) * z,
+      dy + m(1)(0) * x + m(1)(1) * y + m(1)(2) * z,
+      dz + m(2)(0) * x + m(2)(1) * y + m(2)(2) * z)
+    /** WGS84 -> source frame (exact inverse) */
+    def inverse(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val (u, v, w) = (x - dx, y - dy, z - dz)
+      (mInv(0)(0) * u + mInv(0)(1) * v + mInv(0)(2) * w,
+        mInv(1)(0) * u + mInv(1)(1) * v + mInv(1)(2) * w,
+        mInv(2)(0) * u + mInv(2)(1) * v + mInv(2)(2) * w)
+    }
+  }
+  val NoShift: Helmert = Helmert(0, 0, 0, 0, 0, 0, 0)
+
+  /** Geodetic (lon/lat on `ell`, h=0) <-> geocentric XYZ. */
+  object DatumShift {
+    def toGeocentric(ell: Ellipsoid, lonDeg: Double, latDeg: Double):
+        (Double, Double, Double) = {
+      val lon = math.toRadians(lonDeg)
+      val lat = math.toRadians(latDeg)
+      val n = ell.a / math.sqrt(1 - ell.e2 * math.sin(lat) * math.sin(lat))
+      (n * math.cos(lat) * math.cos(lon),
+        n * math.cos(lat) * math.sin(lon),
+        n * (1 - ell.e2) * math.sin(lat))
+    }
+    def toGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double):
+        (Double, Double) = {
+      val p = math.hypot(x, y)
+      val lon = math.atan2(y, x)
+      var lat = math.atan2(z, p * (1 - ell.e2))
+      var i = 0
+      while (i < 16) { // converges quadratically; 1e-15 rad ≈ 10 nm
+        val sinLat = math.sin(lat)
+        val n = ell.a / math.sqrt(1 - ell.e2 * sinLat * sinLat)
+        val h = p / math.cos(lat) - n
+        val next = math.atan2(z, p * (1 - ell.e2 * n / (n + h)))
+        if (math.abs(next - lat) < 1e-15) i = 16 else i += 1
+        lat = next
+      }
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** A complete CRS: projection + geodetic datum (ellipsoid + Helmert
+    * to WGS84). Zero-Helmert entries skip the geocentric leg. */
+  final case class Crs(proj: Projection, ell: Ellipsoid, shift: Helmert)
+
+  /** Published towgs84 parameter sets (EPSG / proj registry values). */
+  private val Osgb36Shift = // EPSG 1314 (OSGB36 -> WGS84, ~2 m accuracy)
+    Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+  private val Nad27Shift = // CONUS 3-param approximation (proj registry)
+    Helmert(-8.0, 160.0, 176.0, 0, 0, 0, 0)
+
+  /** Registry including datum: every [[forSrid]] code (zero shift —
+    * WGS84/GRS80 family) plus the datum-shifted frames. */
+  def crsFor(srid: Int): Option[Crs] = srid match {
+    case 4277  => Some(Crs(Geographic, Airy1830, Osgb36Shift))
+    case 27700 => Some(Crs(TransverseMercator(Airy1830, 49.0, -2.0,
+      0.9996012717, 400000.0, -100000.0), Airy1830, Osgb36Shift))
+    case 4267  => Some(Crs(Geographic, Clarke1866, Nad27Shift))
+    case s     => forSrid(s).map(p => Crs(p, Wgs84, NoShift))
   }
 
   /** EPSG parameter registry (public EPSG dataset values) for the

@@ -107,6 +107,66 @@ class ProjectionsSpec extends GraftSuite {
     assert(y > 6820000 && y < 6900000, s"northing $y")
   }
 
+  test("Helmert matches the EPSG GN7-2 position-vector worked example") {
+    // EPSG Guidance Note 7-2, method 9606 (WGS72 -> WGS84): dz=4.5 m,
+    // rz=0.554", ds=0.219 ppm; published input/output geocentric XYZ
+    val h = Helmert(0, 0, 4.5, 0, 0, 0.554, 0.219)
+    val (x, y, z) = h.forward(3657660.66, 255768.55, 5201382.11)
+    assert(math.abs(x - 3657660.78) < 0.01, s"X $x")
+    assert(math.abs(y - 255778.43) < 0.01, s"Y $y")
+    assert(math.abs(z - 5201387.75) < 0.01, s"Z $z")
+    // the inverse is the exact algebraic inverse, not the negated-
+    // parameter approximation: round trip to sub-mm
+    val (xi, yi, zi) = h.inverse(x, y, z)
+    assert(math.abs(xi - 3657660.66) < 1e-4 &&
+      math.abs(yi - 255768.55) < 1e-4 && math.abs(zi - 5201382.11) < 1e-4)
+  }
+
+  test("OSGB36 27700 -> 4326 lands on the OS guide station (datum shift)") {
+    // OS 'A guide to coordinate systems in Great Britain' station
+    // (Caister water tower): OSGB36 E 651409.903 N 313177.270;
+    // ETRS89 (≈WGS84) 52°39'28.8282"N 1°42'57.8663"E. The single
+    // 7-param Helmert (EPSG 1314) is documented ±2 m vs the OSTN grid,
+    // so assert within 3e-5 deg (~3 m) — a sign/convention error in the
+    // datum leg would miss by the full ~100 m OSGB36-WGS84 offset.
+    val g = Geo.fromWkt("POINT (651409.903 313177.270)")
+    g.setSRID(27700)
+    val out = Geo.transform(g, 4326).getCoordinate
+    val expLat = 52.0 + 39.0 / 60 + 28.8282 / 3600
+    val expLon = 1.0 + 42.0 / 60 + 57.8663 / 3600
+    assert(math.abs(out.y - expLat) < 3e-5, s"lat ${out.y} vs $expLat")
+    assert(math.abs(out.x - expLon) < 3e-5, s"lon ${out.x} vs $expLon")
+    // without the datum leg the error would be the full frame offset
+    assert(math.abs(out.x - expLon) * 111320.0 < 3.0)
+    // round trip back to the grid: the 2D pipeline drops ellipsoidal
+    // height at each geodetic leg (~50 m Airy/WGS84 separation), which
+    // costs a few mm of latitude — assert within 1 cm
+    val back = Geo.transform(Geo.transform(g, 4326), 27700).getCoordinate
+    assert(math.abs(back.x - 651409.903) < 0.01 &&
+      math.abs(back.y - 313177.270) < 0.01)
+  }
+
+  test("NAD27 4267 -> 4326: CONUS shift applied, exact round trip") {
+    // the 3-param CONUS approximation moves a mid-CONUS point by
+    // roughly 10-100 m; a missing or double-applied shift falls
+    // outside that band
+    val g = Geo.fromWkt("POINT (-98.0 39.0)")
+    g.setSRID(4267)
+    val out = Geo.transform(g, 4326).getCoordinate
+    val dMeters = math.hypot((out.x - (-98.0)) * 111320.0 * math.cos(math.toRadians(39.0)),
+      (out.y - 39.0) * 110540.0)
+    assert(dMeters > 10 && dMeters < 300, s"NAD27 shift $dMeters m")
+    // height is dropped at each geodetic leg, so the round trip is
+    // ~1e-9 deg (sub-mm), not bit-exact
+    val back = Geo.transform(Geo.transform(g, 4326), 4267).getCoordinate
+    assert(math.abs(back.x - (-98.0)) < 1e-8 && math.abs(back.y - 39.0) < 1e-8)
+    // WGS84-family pairs still skip the datum leg entirely (identity)
+    val w = Geo.fromWkt("POINT (-98.0 39.0)")
+    w.setSRID(4269)
+    val nad83 = Geo.transform(w, 4326).getCoordinate
+    assert(nad83.x == -98.0 && nad83.y == 39.0)
+  }
+
   test("ST_Transform composes arbitrary registry pairs and keeps SRID") {
     import org.apache.spark.sql.functions.expr
     graft.spatial.SpatialFunctions.registerAll(spark)
@@ -122,9 +182,10 @@ class ProjectionsSpec extends GraftSuite {
     // web-mercator round-trip error (exact: inverse is its exact inverse)
     assert(math.abs(row.getDouble(1) - direct._1) < 1e-6)
     assert(math.abs(row.getDouble(2) - direct._2) < 1e-6)
-    // unknown SRID names the offender
+    // unknown SRID names the offender (27700 graduated to the registry
+    // in round 4 — datum-shifted OSGB36 — so probe a truly absent code)
     val e = intercept[Exception](spark.sql(
-      "SELECT st_transform(st_setsrid(st_makepoint(0,0), 27700), 4326)").collect())
-    assert(e.getMessage.contains("27700") || e.getCause.getMessage.contains("27700"))
+      "SELECT st_transform(st_setsrid(st_makepoint(0,0), 29900), 4326)").collect())
+    assert(e.getMessage.contains("29900") || e.getCause.getMessage.contains("29900"))
   }
 }
