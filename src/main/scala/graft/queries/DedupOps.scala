@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13)
+    d11, d12, d13, d14)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -816,5 +816,92 @@ object DedupOps {
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
         (dsum(col("jaccard")) / count(lit(1))).as("mean_jaccard"))
       .orderBy(col("bucket"))
+  }
+
+  /** Bloom-filter dedup PRE-FILTER with a false-positive audit — the
+    * mergeable-sketch membership test a production pipeline puts in
+    * front of exact chunk dedup (d09/t15) on each incremental ingest:
+    * the base corpus's 8-token-chunk digests populate an m=16384-bit /
+    * k=4 Bloom filter, and every NEW-shard chunk is classified
+    * maybe-dup (all 4 bits set) before any exact comparison. Per new
+    * doc: chunk count, Bloom hits, true base-chunk hits, and the
+    * false-positive count — at this fixture's fill (~0.5 per bit) the
+    * measured FP rate sits right on the (1-e^{-kn/m})^k curve, which is
+    * the calibration a pipeline reads before sizing m for a dump.
+    *
+    * Scale shape: the filter is built by ONE bit_or aggregate over
+    * (word, mask) pairs — 256 words regardless of corpus size at this
+    * m, map-side combined, broadcast to probes. At 100 TB m grows to
+    * GB-scale and the SAME plan holds without the broadcast: the filter
+    * stays a word-keyed distributed table and probes join on the word
+    * key (4 narrow rows per chunk), never shuffling text. Bits derive
+    * from md5 ([[CrossHash.h64E]]) so DuckDB rebuilds the identical
+    * filter; the oracle's words are UBIGINT only because DuckDB checks
+    * signed-shift overflow at bit 63 — the hit/miss booleans are
+    * engine-identical either way. */
+  private val d14 = QDef(
+    "d14_bloom_prefilter",
+    """WITH tk AS (
+      |  SELECT doc_id, source IN ('src18','src19') AS is_new,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id, is_new,
+      |    md5(array_to_string(tk[CAST(i.i AS INTEGER) * 8 + 1 : CAST(i.i AS INTEGER) * 8 + 8], ' ')) AS dg
+      |  FROM tk, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS INTEGER))) AS i(i)),
+      |h AS (SELECT doc_id, is_new, dg,
+      |        CAST(('0x' || substring(md5(dg || '#' || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS pos
+      |      FROM sg, unnest(range(0, 4)) AS i(i)),
+      |bloom AS (SELECT pos // 64 AS word,
+      |            bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INTEGER)) AS bits
+      |          FROM h WHERE NOT is_new GROUP BY 1),
+      |hits AS (
+      |  SELECT h.doc_id, h.dg,
+      |    CAST(SUM(CASE WHEN bloom.bits IS NOT NULL
+      |      AND (bloom.bits & (CAST(1 AS UBIGINT) << CAST(h.pos % 64 AS INTEGER))) <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) = 4 AS maybe
+      |  FROM h LEFT JOIN bloom ON bloom.word = h.pos // 64
+      |  WHERE h.is_new GROUP BY h.doc_id, h.dg),
+      |base_dg AS (SELECT DISTINCT dg FROM sg WHERE NOT is_new),
+      |cl AS (
+      |  SELECT hits.doc_id, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+      |    CAST(SUM(CASE WHEN base_dg.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+      |  FROM hits LEFT JOIN base_dg ON base_dg.dg = hits.dg
+      |  GROUP BY hits.doc_id)
+      |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, n_maybe, n_exact,
+      |  n_maybe - n_exact AS n_fp
+      |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tk = Tables.documents(s, d).select(col("doc_id"),
+      col("source").isin("src18", "src19").as("is_new"), expr(toksE).as("tk"))
+    val sg = tk.select(col("doc_id"), col("is_new"), explode(expr(
+      """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+        |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+        |       i -> md5(array_join(slice(tk, i * 8 + 1, 8), ' ')))
+        |END""".stripMargin)).as("dg"))
+    val h = sg.select(col("doc_id"), col("is_new"), col("dg"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("pos",
+        expr(s"${h64E("concat(dg, '#', cast(i as string))")} % 16384"))
+      .withColumn("word", expr("pos div 64"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+    val bloom = h.where(!col("is_new")).groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val hits = h.where(col("is_new"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("dg"))
+      .agg((sum(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("mask")) =!= 0), 1L).otherwise(0L)) === 4L)
+        .as("maybe"))
+    val baseDg = sg.where(!col("is_new")).select(col("dg")).distinct()
+      .withColumn("inbase", lit(true))
+    hits.join(baseDg, Seq("dg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("inbase"), 1L).otherwise(0L)).as("n_exact"))
+      .select(col("doc_id"), col("n_chunks"), col("n_maybe"), col("n_exact"),
+        (col("n_maybe") - col("n_exact")).as("n_fp"))
+      .orderBy(col("doc_id"))
   }
 }

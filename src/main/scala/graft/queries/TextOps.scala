@@ -19,7 +19,7 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1269,6 +1269,60 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("score"),
         scaled.as("scaled"),
         coalesce(abs(scaled) > lit(1.5).cast("double"), lit(false)).as("outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate detection by cross-document chunk frequency (the CCNet
+    * paragraph-hash pass, Wenzek 2020: a crawled corpus repeats
+    * navigation/footer/license text across many pages — hash every
+    * chunk, count DISTINCT documents per hash, and flag chunks above a
+    * document-frequency threshold as boilerplate). Per doc: chunk
+    * count, boilerplate-chunk count (df >= 3), and the boilerplate
+    * ratio a cleaning pass gates on.
+    *
+    * Scale shape: identical to t15/t25's digest geometry — the chunk
+    * TEXT never rides a shuffle, only md5 digests do. One digest-keyed
+    * distinct-doc aggregate builds the document-frequency table, the
+    * boilerplate set (df >= 3, corpus-wide TINY: repeated chunks only)
+    * broadcasts back against the per-doc digests, one doc-key
+    * aggregate reports. Hot digests (the boilerplate itself) are
+    * exactly the rows the df aggregate's map-side combine collapses. */
+  private val t28 = QDef(
+    "t28_boilerplate_chunks",
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(tk[CAST(i.i AS INTEGER) * 8 + 1 : CAST(i.i AS INTEGER) * 8 + 8], ' ')) AS dg
+      |  FROM tk, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS INTEGER))) AS i(i)),
+      |df AS (SELECT dg, COUNT(DISTINCT doc_id) AS ndocs FROM sg GROUP BY dg),
+      |b AS (SELECT dg FROM df WHERE ndocs >= 3),
+      |cl AS (
+      |  SELECT sg.doc_id, COUNT(*) AS n_segs,
+      |    CAST(SUM(CASE WHEN b.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |  FROM sg LEFT JOIN b ON b.dg = sg.dg
+      |  GROUP BY sg.doc_id)
+      |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs, n_boiler,
+      |  CAST(n_boiler AS DOUBLE) / n_segs AS boiler_ratio
+      |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sg = Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+          |       i -> md5(array_join(slice(tk, i * 8 + 1, 8), ' ')))
+          |END""".stripMargin)).as("dg"))
+    val boiler = sg.groupBy(col("dg"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 3)
+      .select(col("dg")).withColumn("isb", lit(true))
+    sg.join(broadcast(boiler), Seq("dg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("isb"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_segs"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_segs")).as("boiler_ratio"))
       .orderBy(col("doc_id"))
   }
 }

@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16)
+    v11, v12, v13, v14, v15, v16, v17)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1055,6 +1055,84 @@ object VectorOps {
           col("total_hits").cast("long").as("total_hits"),
           (col("total_hits").cast("double") / lit(50)).as("mean_recall"))
         .orderBy(col("dim"))
+    }
+  }
+
+  /** int8-quantized retrieval with a per-candidate exactness flag —
+    * v08's storage path actually SERVING queries: vectors quantize to
+    * symmetric int8 (scale 127/max|x|), candidates rank by the
+    * quantized cosine, and each returned neighbor is flagged against
+    * the exact float top-5. The per-vector scales CANCEL in the cosine
+    * (dot_int/(√dot_int·√dot_int)), so every ranking input is an exact
+    * BIGINT and the score is one IEEE division of integer-derived
+    * doubles — bit-reproducible in DuckDB with no decimal machinery.
+    *
+    * Scale shape: v01's broadcast-probe scan geometry, but the corpus
+    * side moves 64 bytes of codes instead of 512 bytes of doubles and
+    * the dot is integer multiply-add (the SIMD int8 path on real
+    * hardware); the top-k is the two-level [[graft.operators.TopK]]
+    * aggregate; the audit join touches 5×|probes| rows. */
+  private val v17 = {
+    def iDot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    QDef(
+      "v17_int8_knn",
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id,
+         |    list_transform(emb, x -> CAST(round(x * (CAST(127 AS DOUBLE) / amax)) AS BIGINT)) AS q
+         |  FROM e WHERE amax > 0),
+         |p AS (
+         |  SELECT a.vec_id AS q_id, c.vec_id AS vec_id,
+         |    CAST(${iDot("a.q", "c.q")} AS DOUBLE) /
+         |      (sqrt(CAST(${iDot("a.q", "a.q")} AS DOUBLE)) * sqrt(CAST(${iDot("c.q", "c.q")} AS DOUBLE))) AS sim8
+         |  FROM q8 a JOIN q8 c ON a.vec_id < 10 AND c.vec_id <> a.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim8 DESC, vec_id) AS rank FROM p),
+         |bt AS (SELECT q_id, vec_id FROM (
+         |    SELECT fq.vec_id AS q_id, fc.vec_id AS vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY fq.vec_id ORDER BY
+         |        ${sqlDot("fc.embedding", "fq.embedding")} /
+         |          (sqrt(${sqlDot("fq.embedding", "fq.embedding")}) * sqrt(${sqlDot("fc.embedding", "fc.embedding")})) DESC,
+         |        fc.vec_id) AS rank
+         |    FROM embeddings fq JOIN embeddings fc
+         |      ON fq.vec_id < 10 AND fc.vec_id <> fq.vec_id) WHERE rank <= 5)
+         |SELECT r.q_id, r.vec_id, r.sim8, CAST(r.rank AS INTEGER) AS rank,
+         |  (bt.vec_id IS NOT NULL) AS in_exact_top5
+         |FROM r LEFT JOIN bt ON bt.q_id = r.q_id AND bt.vec_id = r.vec_id
+         |WHERE r.rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+        .withColumn("amax", expr("array_max(transform(emb, x -> abs(x)))"))
+      val q8 = e.where(col("amax") > 0).select(col("vec_id"), expr(
+        "transform(emb, x -> CAST(round(x * (CAST(127 AS DOUBLE) / amax)) AS BIGINT))")
+        .as("q"))
+      val probes8 = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      def iFold(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+      val cand = q8.join(broadcast(probes8), col("vec_id") =!= col("q_id"))
+        .withColumn("sim8",
+          expr(iFold("q", "qq")).cast("double") /
+            (sqrt(expr(iFold("qq", "qq")).cast("double")) *
+              sqrt(expr(iFold("q", "q")).cast("double"))))
+      val top8 = TopK.topK(cand, Seq("q_id"), col("sim8"), col("vec_id"), 5,
+        asc = false)
+      val probesF = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val bruteCand = e.join(broadcast(probesF), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+      val bt = TopK.topK(bruteCand, Seq("q_id"), col("sim"), col("vec_id"), 5,
+          asc = false)
+        .select(col("q_id"), col("id").as("vec_id")).withColumn("hit", lit(true))
+      top8
+        .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim8"),
+          col("rank"))
+        .join(bt, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("vec_id"), col("sim8"), col("rank"),
+          coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+        .orderBy(col("q_id"), col("rank"))
     }
   }
 }
