@@ -138,6 +138,55 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("seg_hash"))
 
+  /** Dense Bloom word array over a digest column — the build side of
+    * [[bloomPrefilter]], identical bit layout to d14_bloom_prefilter:
+    * k md5-derived positions per digest, 64 bits per word. The returned
+    * array is the whole filter (m/64 longs) — the structure a serving
+    * tier ships to every node. */
+  def bloomOf(digests: DataFrame, digestCol: String = "dg",
+      bits: Int = 16384, hashes: Int = 4): Array[Long] = {
+    import graft.queries.CrossHash.h64E
+    val words = digests
+      .select(col(digestCol).as("dg"),
+        explode(sequence(lit(0), lit(hashes - 1))).as("i"))
+      .withColumn("pos",
+        expr(s"${h64E("concat(dg, '#', cast(i as string))")} % $bits"))
+      .groupBy(expr("pos div 64").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(bits / 64)(w => words.getOrElse(w, 0L))
+  }
+
+  /** STREAMING Bloom dedup pre-filter — the streaming face of
+    * d14_bloom_prefilter: each arriving document's 8-token chunk
+    * digests probe a STATIC Bloom filter built from the already-
+    * ingested base corpus ([[bloomOf]]), emitting one row per (doc,
+    * chunk) occurrence with its maybe-dup flag. The probe is STATELESS pure
+    * per-row expression work (the filter rides along as a literal — a
+    * Bloom filter is exactly the structure you ship whole to serving
+    * nodes), so the stream needs no watermark, no state store, and no
+    * shuffle; at GB-scale m the same flags come from the word-keyed
+    * stream-static join instead of the literal. */
+  def bloomPrefilter(docs: Dataset[DocIn], bloom: Array[Long],
+      bits: Int = 16384, hashes: Int = 4): DataFrame = {
+    import graft.queries.CrossHash.h64E
+    val bloomLit = bloom.map(v => s"${v}L").mkString("array(", ",", ")")
+    val maybe = (0 until hashes).map { i =>
+      val posE = s"(${h64E(s"concat(dg, '#', '$i')")} % $bits)"
+      expr(s"""(element_at($bloomLit, CAST($posE div 64 AS INT) + 1) &
+              | shiftleft(CAST(1 AS BIGINT), CAST($posE % 64 AS INT))) != 0""".stripMargin)
+    }.reduce(_ && _)
+    docs.toDF()
+      .withColumn("tk", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(col("doc_id"), col("ts"), explode(expr(
+        """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+          |       i -> md5(array_join(slice(tk, i * 8 + 1, 8), ' ')))
+          |END""".stripMargin)).as("dg"))
+      .withColumn("maybe_dup", maybe)
+  }
+
   /** Convenience: file-source stream over an events-shaped parquet
     * directory (schema required up front — streaming scans can't infer),
     * for deployments reading a landing zone. */

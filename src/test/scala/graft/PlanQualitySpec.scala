@@ -94,6 +94,26 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("d14/t28: digest-keyed aggregates, filter/boiler set broadcast back") {
+    // the bloom filter (<=256 words) and the boilerplate digest set are
+    // corpus-size-independent / tiny: both must broadcast back to the
+    // probe side rather than shuffling the chunk stream a second time,
+    // and nothing may degenerate to a cartesian
+    for (name <- Seq("d14_bloom_prefilter", "t28_boilerplate_chunks")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"$name: small side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name degenerated:\n$p")
+    }
+  }
+
+  test("v17: integer-code scan with broadcast probes and two-level top-k") {
+    val p = planOf("v17_int8_knn")
+    assert(p.contains("BroadcastExchange"), s"probes not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"top-k lost its partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v17 degenerated:\n$p")
+  }
+
   test("q26: native session_window plans one session aggregation") {
     val p = planOf("q26_session_window")
     assert(p.toLowerCase.contains("sessionwindow") || p.contains("session_window"),

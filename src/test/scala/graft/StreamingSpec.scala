@@ -387,6 +387,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("bloomPrefilter: streamed maybe-dup flags equal the batch d14 filter") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // same split as d14: base corpus builds the filter, new shard streams
+    val base = all.where(!col("source").isin("src18", "src19"))
+    val baseChunks = base
+      .withColumn("tk", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(explode(expr(
+        """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+          |       i -> md5(array_join(slice(tk, i * 8 + 1, 8), ' ')))
+          |END""".stripMargin)).as("dg"))
+    val bloom = StreamingOps.bloomOf(baseChunks)
+    assert(bloom.length == 256 && bloom.exists(_ != 0L))
+
+    val newDocs = all.where(col("source").isin("src18", "src19"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.DocIn(r.getLong(0), r.getString(1), ts(r.getLong(0))))
+      .sortBy(_.doc_id)
+    assume(newDocs.nonEmpty, "fixture has no new-shard docs at this sf")
+    val mem = MemoryStream[StreamingOps.DocIn]
+    val out = StreamingOps.bloomPrefilter(mem.toDS(), bloom)
+    val query = out.writeStream.format("memory")
+      .queryName("bloom_out").outputMode("append").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      Seq(b1, b2).foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+      val got = spark.table("bloom_out")
+        .select("doc_id", "dg", "maybe_dup").distinct()
+        .as[(Long, String, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+      // batch replay of the SAME filter probe on the same chunks
+      val expected = spark.createDataset(newDocs.toSeq).toDF()
+        .withColumn("tk", filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+            |ELSE transform(sequence(0, CAST(ceil(size(tk) / 8.0D) AS INT) - 1),
+            |       i -> md5(array_join(slice(tk, i * 8 + 1, 8), ' ')))
+            |END""".stripMargin)).as("dg"))
+        .distinct().collect().map { r =>
+          val dg = r.getString(1)
+          val hit = (0 until 4).forall { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$dg#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val pos = java.lang.Long.parseLong(md.substring(0, 15), 16) % 16384
+            (bloom((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0
+          }
+          (r.getLong(0), dg) -> hit
+        }.toMap
+      assert(got == expected, s"stream ${got.size} vs batch ${expected.size}")
+      // the fixture's near-dup shard means the filter actually fires
+      assert(got.values.exists(identity) || expected.values.forall(!_))
+    } finally query.stop()
+  }
+
   test("segmentDedup: streamed kept-digest set equals the batch segment universe") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -8,7 +8,7 @@ runs the matching SQL from oracle_sql.json in DuckDB with views named
 after the fixture tables, and compares values exactly (bit-exact for
 floats — same bar as the driver's hash compare).
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 
@@ -22,8 +22,15 @@ def main(sfdir: str, outdir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # SKIP: whitespace-separated query names whose ORACLE side is
+    # quadratic (brute-force all-pairs in DuckDB) — used for sf0.1 runs
+    # where the oracle, not our engine, is the bottleneck
+    skip = set(os.environ.get("SKIP", "").split())
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
