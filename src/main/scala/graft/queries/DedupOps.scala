@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14)
+    d11, d12, d13, d14, d15)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -816,6 +816,64 @@ object DedupOps {
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
         (dsum(col("jaccard")) / count(lit(1))).as("mean_jaccard"))
       .orderBy(col("bucket"))
+  }
+
+  /** Canonical selection per near-dup CLUSTER — the decision dedup
+    * actually exists to make: within each connected component of the
+    * verified near-dup graph (d06's machinery), KEEP exactly one
+    * canonical member — the longest document (token count), ties to
+    * the smallest doc_id — and drop the rest. Keep-longest is the
+    * standard crawl heuristic (truncated/paywalled variants lose to
+    * the full text). Singletons keep themselves.
+    *
+    * Scale shape: d06's O(diameter) min-label propagation + one doc-key
+    * score join + one component-key argmax — the argmax is a struct-MIN
+    * aggregate ((-n_tok, doc_id) lexicographic), map-side combined,
+    * O(1) state per component, then the k-row winner table joins back
+    * on the component key. No window over members, no pair work beyond
+    * the dedup graph the pipeline already built. */
+  private val d15 = QDef(
+    "d15_canonical_keep",
+    "WITH RECURSIVE " + oracleShingleCte + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |ac AS (
+        |  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pick AS (
+        |  SELECT ac.component, MIN({'neg_tok': -sc.n_tok, 'doc_id': ac.doc_id}) AS best
+        |  FROM ac JOIN sc ON sc.doc_id = ac.doc_id GROUP BY ac.component)
+        |SELECT ac.doc_id, ac.component, sc.n_tok,
+        |  (ac.doc_id = struct_extract(pick.best, 'doc_id')) AS keep
+        |FROM ac JOIN sc USING (doc_id) JOIN pick ON pick.component = ac.component
+        |ORDER BY ac.doc_id""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v")))
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"), size(expr(toksE)).cast("long").as("n_tok"))
+    val ac = sc.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    val pick = ac.join(sc, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(min(struct((-col("n_tok")).as("neg_tok"), col("doc_id").as("doc_id")))
+        .as("best"))
+    ac.join(sc, Seq("doc_id")).join(pick, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_tok"),
+        (col("doc_id") === col("best.doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** Bloom-filter dedup PRE-FILTER with a false-positive audit — the
