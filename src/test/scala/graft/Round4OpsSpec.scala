@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+/** Single-node replays for the round-4 additions: the Bloom dedup
+  * pre-filter (d14), canonical selection per near-dup cluster (d15),
+  * boilerplate chunk detection (t28), and int8 retrieval (v17). Each
+  * test recomputes the full expected answer in plain Scala and
+  * compares exactly — the same bar as the DuckDB oracle, from an
+  * independent implementation.
+  */
+class Round4OpsSpec extends GraftSuite {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def chunksOf(text: String): Seq[String] =
+    text.split("\\s+").filter(_.nonEmpty).grouped(8)
+      .map(g => md5hex(g.mkString(" "))).toSeq
+
+  private def h64(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+  test("d14: bloom flags and false-positive counts equal a bitset replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val isNew = (src: String) => src == "src18" || src == "src19"
+    val baseChunks = rows.filterNot(r => isNew(r._3)).flatMap(r => chunksOf(r._2))
+    val bloom = new java.util.BitSet(16384)
+    for (dg <- baseChunks; i <- 0 until 4)
+      bloom.set((h64(s"$dg#$i") % 16384).toInt)
+    val baseSet = baseChunks.toSet
+    def maybe(dg: String): Boolean =
+      (0 until 4).forall(i => bloom.get((h64(s"$dg#$i") % 16384).toInt))
+
+    val expected = rows.filter(r => isNew(r._3)).map { case (id, text, _) =>
+      val dgs = chunksOf(text).distinct
+      val nMaybe = dgs.count(maybe)
+      val nExact = dgs.count(baseSet)
+      id -> ((dgs.size.toLong, nMaybe.toLong, nExact.toLong))
+    }.toMap
+    val out = SparkEntry.queries("d14_bloom_prefilter")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nc, nm, ne) = expected(r.getLong(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == nm && r.getLong(3) == ne &&
+        r.getLong(4) == nm - ne, s"doc ${r.getLong(0)}")
+    }
+    // a Bloom hit can never miss a true duplicate (no false negatives)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(3)))
+  }
+
+  test("d15: canonical keep equals union-find + keep-longest replay") {
+    // components from the engine's own verified pair output (d01)
+    val pairs = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").count(_.nonEmpty).toLong))
+    val comp = toks.map { case (id, _) => id -> find(id) }.toMap
+    val best = toks.groupBy(t => comp(t._1)).view.mapValues(ms =>
+      ms.minBy(t => (-t._2, t._1))._1).toMap
+
+    val out = SparkEntry.queries("d15_canonical_keep")(spark, sf).collect()
+    assert(out.length == toks.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == comp(id), s"doc $id component")
+      assert(r.getBoolean(3) == (best(comp(id)) == id), s"doc $id keep")
+    }
+    // exactly one keeper per component, and some component actually drops
+    assert(out.count(_.getBoolean(3)) == comp.values.toSet.size)
+    assert(out.exists(r => !r.getBoolean(3)), "fixture should have dup clusters")
+  }
+
+  test("t28: boilerplate ratios equal a chunk-frequency replay") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occ = rows.flatMap { case (id, t) => chunksOf(t).map(dg => (id, dg)) }
+    val df = occ.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val boiler = df.filter(_._2 >= 3).keySet
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.length.toLong, os.count(o => boiler(o._2)).toLong))
+    }
+    val out = SparkEntry.queries("t28_boilerplate_chunks")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, nb) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nb, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == nb.toDouble / n)
+    }
+    assert(out.exists(_.getLong(2) > 0), "fixture should contain boilerplate")
+  }
+
+  test("v17: int8 ranking equals a single-node quantized-cosine replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def quant(v: Array[Double]): Array[Long] = {
+      val amax = v.map(math.abs).max
+      // HALF_UP away from zero, matching Spark/DuckDB round() — Java
+      // Math.round is floor(x+0.5), which differs on negative .5 ties
+      v.map { x =>
+        val y = x * (127.0 / amax)
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+      }
+    }
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    def cos8(a: Array[Long], b: Array[Long]): Double = {
+      def dot(x: Array[Long], y: Array[Long]): Long =
+        x.zip(y).map { case (u, v) => u * v }.sum
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    }
+    val expected = (for ((qid, qv) <- q.toSeq if qid < 10) yield {
+      val top = q.toSeq.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos8(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+      top.zipWithIndex.map { case ((cid, s), i) => (qid, cid) -> ((s, i + 1)) }
+    }).flatten.toMap
+    val out = SparkEntry.queries("v17_int8_knn")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (s, rank) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getDouble(2) == s && r.getInt(3) == rank,
+        s"probe ${r.getLong(0)} cand ${r.getLong(1)}")
+    }
+  }
+}
