@@ -75,6 +75,13 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), s"ivf degenerated:\n$p")
   }
 
+  test("sp11: grid full outer never falls back to a nested-loop join") {
+    val df = SparkEntry.queries("sp11_grid_full_outer")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid outer degenerated to a quadratic join:\n$p")
+  }
+
   test("ANN retrieval top-k is a two-level aggregate, not a per-probe window") {
     // round-3 judge ask #4: the final top-k must partially aggregate
     // map-side (ObjectHashAggregate over the TopKAgg buffer) so a giant
