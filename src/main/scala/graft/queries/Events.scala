@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41)
+    q37, q38, q39, q41, q42)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -536,5 +536,46 @@ object Events {
         unix_micros(col("ts")).as("latest_ts_us"),
         col("n_versions"))
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Seasonal (hour-of-day) traffic baseline + load ratio — the
+    * seasonality-aware companion to q38's trailing z-score: each
+    * (event_type, hour) compares against the MEAN of its own
+    * hour-of-day slot across the whole span, so a 3 am spike isn't
+    * excused by the daily cycle the way a trailing window can. The
+    * baseline averages over PRESENT hours (q35's gap-fill densifies if
+    * silent hours should count as zero).
+    *
+    * Determinism: counts are exact integers; baseline is ONE IEEE
+    * division (sum/hours), load_ratio one more — both engines chain
+    * identically (the q38-proven pattern). Scale shape: two narrow-key
+    * aggregates ((type, hr), (type, hod)) and a broadcast of the
+    * 24×|types| baseline table — one corpus scan, map-side combined. */
+  private val q42 = QDef(
+    "q42_seasonal_baseline",
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events),
+      |c AS (SELECT event_type, hr, COUNT(*) AS cnt FROM e GROUP BY event_type, hr),
+      |b AS (SELECT event_type AS b_type, hr % 24 AS hod, CAST(SUM(cnt) AS BIGINT) AS tot,
+      |        COUNT(*) AS n_hours
+      |      FROM c GROUP BY event_type, hr % 24)
+      |SELECT c.event_type, CAST(c.hr AS BIGINT) AS hr, CAST(c.cnt AS BIGINT) AS cnt,
+      |  CAST(b.tot AS DOUBLE) / b.n_hours AS baseline,
+      |  CAST(c.cnt AS DOUBLE) / (CAST(b.tot AS DOUBLE) / b.n_hours) AS load_ratio
+      |FROM c JOIN b ON b.b_type = c.event_type AND b.hod = c.hr % 24
+      |ORDER BY c.event_type, hr""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr("us div 3600000000"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val b = c.withColumn("hod", col("hr") % 24)
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_hours"))
+    c.withColumn("hod", col("hr") % 24)
+      .join(broadcast(b), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        (col("tot").cast("double") / col("n_hours")).as("baseline"),
+        (col("cnt").cast("double") /
+          (col("tot").cast("double") / col("n_hours"))).as("load_ratio"))
+      .orderBy(col("event_type"), col("hr"))
   }
 }

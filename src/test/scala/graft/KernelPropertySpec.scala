@@ -113,4 +113,29 @@ class KernelPropertySpec extends AnyFunSuite {
       }, n = 100)
     }
   }
+
+  test("TopKAgg: any reduce/merge partitioning equals global sort-take(k)") {
+    import graft.operators.{TopKAgg, TopKIn}
+    // candidates with DELIBERATE ordv ties (small value domain) so the
+    // id tie-break is exercised; ids unique by construction
+    val genRows = Gen.nonEmptyListOf(Gen.choose(0, 9))
+      .map(_.zipWithIndex.map { case (v, i) => TopKIn(v.toDouble, i.toLong, 0L) })
+    val genCase = for {
+      rows <- genRows
+      k <- Gen.choose(1, 8)
+      asc <- Gen.oneOf(true, false)
+      cuts <- Gen.listOfN(3, Gen.choose(0, rows.size))
+    } yield (rows, k, asc, cuts.sorted)
+    check(Prop.forAll(genCase) { case (rows, k, asc, cuts) =>
+      val agg = new TopKAgg(k, asc)
+      // split into 4 "partitions", reduce each, merge in tree order —
+      // the ObjectHashAggregate partial/merge path
+      val bounds = (0 +: cuts) :+ rows.size
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(partials.reduce(agg.merge))
+      val expected = rows.sortBy(r => (if (asc) r.ordv else -r.ordv, r.id)).take(k)
+      merged == expected
+    })
+  }
 }
