@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15)
+    d11, d12, d13, d14, d15, d16)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -961,5 +961,81 @@ object DedupOps {
       .select(col("doc_id"), col("n_chunks"), col("n_maybe"), col("n_exact"),
         (col("n_maybe") - col("n_exact")).as("n_fp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Dedup impact report — the cluster-size histogram a dedup run
+    * publishes before anyone deletes anything: per near-dup cluster
+    * size (1 = unique), how many clusters, documents, removed
+    * documents (everything but the canonical min-id keeper, d06's
+    * rule) and removed tokens. THE summary a data lead reads to decide
+    * whether the sketch thresholds (audited by d13) are eating real
+    * data; totals are corpus-complete because singletons are included.
+    *
+    * Scale shape: d01/d06's verified-pair + min-label machinery
+    * unchanged, then one doc-keyed left join of per-doc token counts
+    * against the component labels (shuffle, not broadcast — under
+    * heavy duplication the labels cover most of the corpus) and two
+    * narrow-key aggregates — the report adds nothing quadratic on top
+    * of the dedup it audits.
+    * Oracle is the d06 reachability CTE extended with the same
+    * histogram (quadratic in DuckDB, like the rest of the d01 family —
+    * sf0.1 diff skips it for the ORACLE's sake, not ours). */
+  private val d16 = QDef(
+    "d16_dedup_impact",
+    "WITH RECURSIVE " + oracleShingleCte + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |tok AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |allc AS (SELECT tok.doc_id, coalesce(comp.component, tok.doc_id) AS component,
+        |    tok.n_tokens
+        |  FROM tok LEFT JOIN comp ON tok.doc_id = comp.doc_id),
+        |cl AS (SELECT component, count(*) AS csize, sum(n_tokens) AS toks,
+        |    sum(CASE WHEN doc_id <> component THEN n_tokens ELSE 0 END) AS toks_rm
+        |  FROM allc GROUP BY component)
+        |SELECT CAST(csize AS BIGINT) AS cluster_size,
+        |  count(*) AS n_clusters,
+        |  CAST(csize * count(*) AS BIGINT) AS n_docs,
+        |  CAST((csize - 1) * count(*) AS BIGINT) AS n_removed,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(toks_rm) AS BIGINT) AS tokens_removed
+        |FROM cl GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v")))
+    pairs.unpersist()
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n_tokens"))
+    // labels cover every doc in a dup pair — a large fraction under
+    // heavy duplication, so join by key, don't broadcast
+    val allc = tok
+      .join(labels.select(col("v").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"), col("n_tokens"))
+    val cl = allc.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"), sum(col("n_tokens")).as("toks"),
+        sum(when(col("doc_id") =!= col("component"), col("n_tokens"))
+          .otherwise(0L)).as("toks_rm"))
+    cl.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("toks")).as("tokens_total"),
+        sum(col("toks_rm")).as("tokens_removed"))
+      .select(col("csize").as("cluster_size"),
+        col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - lit(1L)) * col("n_clusters")).as("n_removed"),
+        col("tokens_total"), col("tokens_removed"))
+      .orderBy(col("cluster_size"))
   }
 }

@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42)
+    q37, q38, q39, q41, q42, q43)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -577,5 +577,38 @@ object Events {
         (col("cnt").cast("double") /
           (col("tot").cast("double") / col("n_hours"))).as("load_ratio"))
       .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** Per-type top-5 users by exact total value — the leaderboard /
+    * heavy-account query, served by the two-level
+    * [[graft.operators.TopK]] aggregate rather than a row_number
+    * window: after the (type, user) pre-aggregate, per-partition O(k)
+    * partials merge per type, so no single task ever holds one type's
+    * full user list (the 100 TB shape; a window would serialize each
+    * type's millions of users into one partition). Value sums go
+    * through [[graft.util.Det.dsum]] so ranking keys are
+    * bit-deterministic; event counts ride TopK's `extra` payload slot. */
+  private val q43 = QDef(
+    "q43_type_top_users",
+    s"""WITH s AS (
+       |  SELECT event_type, user_id, ${sqlDsum("value")} AS total_value,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY total_value DESC, user_id) AS rnk FROM s)
+       |SELECT event_type, CAST(user_id AS BIGINT) AS user_id, total_value,
+       |  CAST(n_events AS BIGINT) AS n_events, CAST(rnk AS INTEGER) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.TopK
+    val sums = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(dsum(col("value")).as("total_value"),
+        count(lit(1)).as("n_events"))
+    TopK.topK(sums, Seq("event_type"), col("total_value"), col("user_id"),
+        5, asc = false, extra = col("n_events"))
+      .select(col("event_type"), col("id").as("user_id"),
+        col("ordv").as("total_value"), col("extra").as("n_events"),
+        col("rank").as("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
   }
 }

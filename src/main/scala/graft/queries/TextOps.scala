@@ -19,7 +19,8 @@ object TextOps {
 
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t29)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1323,6 +1324,83 @@ object TextOps {
         sum(when(col("isb"), 1L).otherwise(0L)).as("n_boiler"))
       .select(col("doc_id"), col("n_segs"), col("n_boiler"),
         (col("n_boiler").cast("double") / col("n_segs")).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact duplicated-span tiers (the Lee et al. 2022 "Deduplicating
+    * Training Data" signal, seed-sized): for each span length n ∈
+    * {4, 8, 16} tokens, how many of a document's distinct n-grams also
+    * occur in ANOTHER document, and the longest tier with any hit — the
+    * per-document evidence a substring-level dedup pass acts on (t15/
+    * t25/t28 dedup fixed chunks; this measures SLIDING spans, so it
+    * catches duplication at any alignment).
+    *
+    * Scale shape: per tier, one explode of distinct gram hashes (the
+    * gram TEXT never rides a shuffle — only (hash, doc_id) pairs), one
+    * hash-keyed aggregate whose duplicate test is min(doc_id) <>
+    * max(doc_id) — O(1) mergeable state, so hot grams (stopword runs)
+    * collapse map-side instead of fanning a countDistinct — one hash-
+    * keyed join back, one doc-keyed count. The dup-gram set is
+    * corpus-sized, so it is joined by shuffle, NOT broadcast (unlike
+    * t28's tiny df>=3 boilerplate set). A shared 2n-gram implies shared
+    * n-grams with the same counterpart, so tiers are monotone and
+    * max_dup_tier is well-defined. */
+  private val t29 = QDef(
+    "t29_dup_span_tiers", {
+      def tierCtes(n: Int) = {
+        val gram = sqlH64(s"array_to_string(list_slice(tk, i, i + $n - 1), ' ')")
+        s"""g$n AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(tk) >= $n
+           |    THEN list_distinct(list_transform(range(1, len(tk) - $n + 2), i -> $gram))
+           |    ELSE []::BIGINT[] END) AS h FROM tk),
+           |d$n AS (SELECT h FROM g$n GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+           |c$n AS (SELECT doc_id, count(*) AS c FROM g$n JOIN d$n USING (h) GROUP BY doc_id)""".stripMargin
+      }
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |${Seq(4, 8, 16).map(tierCtes).mkString(",\n")}
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(c4.c, 0) AS BIGINT) AS n_dup4,
+         |  CAST(coalesce(c8.c, 0) AS BIGINT) AS n_dup8,
+         |  CAST(coalesce(c16.c, 0) AS BIGINT) AS n_dup16,
+         |  CAST(CASE WHEN coalesce(c16.c, 0) > 0 THEN 16
+         |            WHEN coalesce(c8.c, 0) > 0 THEN 8
+         |            WHEN coalesce(c4.c, 0) > 0 THEN 4 ELSE 0 END AS INTEGER) AS max_dup_tier
+         |FROM tk LEFT JOIN c4 ON tk.doc_id = c4.doc_id
+         |        LEFT JOIN c8 ON tk.doc_id = c8.doc_id
+         |        LEFT JOIN c16 ON tk.doc_id = c16.doc_id
+         |ORDER BY tk.doc_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def gramsE(n: Int): String = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) >= $n
+         |  THEN array_distinct(transform(sequence(0, size($tk) - $n),
+         |         i -> ${h64E(s"array_join(slice($tk, i + 1, $n), ' ')")}))
+         |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    def dupCounts(n: Int): DataFrame = {
+      val pairs = docs
+        .select(col("doc_id"), explode(expr(gramsE(n))).as("h"))
+        .persistTracked()
+      val dups = pairs.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") =!= col("mx"))
+        .select(col("h"))
+      pairs.join(dups, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as(s"n_dup$n"))
+    }
+    def n(c: String): Column = coalesce(col(c), lit(0L))
+    docs.select(col("doc_id"))
+      .join(dupCounts(4), Seq("doc_id"), "left")
+      .join(dupCounts(8), Seq("doc_id"), "left")
+      .join(dupCounts(16), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        n("n_dup4").as("n_dup4"), n("n_dup8").as("n_dup8"),
+        n("n_dup16").as("n_dup16"),
+        when(n("n_dup16") > 0, 16).when(n("n_dup8") > 0, 8)
+          .when(n("n_dup4") > 0, 4).otherwise(0)
+          .cast("int").as("max_dup_tier"))
       .orderBy(col("doc_id"))
   }
 }

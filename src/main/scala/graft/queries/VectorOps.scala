@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17)
+    v11, v12, v13, v14, v15, v16, v17, v18)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1134,5 +1134,39 @@ object VectorOps {
           coalesce(col("hit"), lit(false)).as("in_exact_top5"))
         .orderBy(col("q_id"), col("rank"))
     }
+  }
+
+  /** IVF list-balance audit — the operational health check behind
+    * v05/v15's efficiency claims: per-list vector count and load factor
+    * (n_vecs · n_lists / total, so 1.0 = perfectly balanced). A skewed
+    * quantizer (hot list ≫ 1.0) is exactly what turns an IVF probe into
+    * a straggler task at 100 TB, and re-training (v07) or splitting is
+    * the fix — this query is the monitor that triggers it.
+    *
+    * Scale shape: the coarse assignment is a broadcast of k centroids
+    * against the corpus (one pass), then ONE k-row aggregate — the
+    * audit costs no more than the index build it audits. The load
+    * factor is integer counts with one IEEE division, so the oracle
+    * matches bit-exactly. */
+  private val v18 = QDef(
+    "v18_ivf_balance",
+    s"""$sqlIvfCtes,
+       |ls AS (SELECT list_id, count(*) AS n_vecs FROM assign GROUP BY list_id)
+       |SELECT CAST(list_id AS BIGINT) AS list_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(n_vecs * (SELECT count(*) FROM ls) AS DOUBLE) /
+       |    (SELECT sum(n_vecs) FROM ls) AS load_factor
+       |FROM ls ORDER BY list_id""".stripMargin) { (s, d) =>
+    val ls = ivfAssign(embeddings(s, d))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .persistTracked()
+    val tot = ls.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("n_lists"))
+    ls.crossJoin(broadcast(tot))
+      .select(col("list_id").cast("long").as("list_id"),
+        col("n_vecs"),
+        ((col("n_vecs") * col("n_lists")).cast("double") / col("total"))
+          .as("load_factor"))
+      .orderBy(col("list_id"))
   }
 }

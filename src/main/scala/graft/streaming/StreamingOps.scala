@@ -580,6 +580,69 @@ object StreamingOps {
       }
   }
 
+  /** One valued event for the leaderboard (q43's input columns). */
+  final case class ValuedEventIn(user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+
+  /** One leaderboard entry: a shard's current rank-r user. `total_micros`
+    * is the exact running value sum in 1e-6 units (micro-units), so the
+    * consumer can compare/merge without float drift; `gen` is the
+    * per-(type, shard) update generation (keep the max-gen snapshot). */
+  final case class LeaderboardOut(event_type: String, shard: Int,
+      user_id: Long, total_micros: Long, n_events: Long, rank: Int, gen: Long)
+
+  /** Streaming per-type top-k leaderboard — the incremental face of
+    * batch q43. State is keyed by (event_type, user_id % shards) and
+    * holds each user's exact running (micro-unit sum, count); every
+    * micro-batch re-emits the shard's current top-k. Merging the
+    * max-gen shard snapshots (top-k by (-total, user) over shards) is
+    * EXACT, because a user's hash shard sees every one of their events
+    * — per-user totals are complete within a shard, so no cross-shard
+    * candidate can be missed. That is the same two-level decomposition
+    * as [[graft.operators.TopK]], re-expressed as keyed streaming
+    * state: shards bound per-task state and parallelize a hot
+    * event_type across the cluster.
+    *
+    * Values accumulate as exact integers (value rounded HALF_UP to 6
+    * decimals × 1e6 — the same quantization as
+    * [[graft.util.Det.dsum]]'s decimal(30,6), so final totals equal the
+    * batch query's bit-for-bit; StreamingSpec asserts it). Per-shard
+    * state grows with DISTINCT USERS in the shard — unavoidable for an
+    * exact leaderboard (any user may climb into the top-k later);
+    * bound it at scale with more shards, or swap in the
+    * [[graft.functions.HeavyHittersAgg]] sketch when approximate
+    * ranking is acceptable. */
+  def leaderboard(events: Dataset[ValuedEventIn], k: Int,
+      shards: Int = 8): Dataset[LeaderboardOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(v: Double): Long =
+      (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000)).toLongExact
+
+    events
+      .groupByKey(e => (e.event_type, (math.floorMod(e.user_id, shards.toLong)).toInt))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), it: Iterator[ValuedEventIn],
+            state: GroupState[(Map[Long, (Long, Long)], Long)]) =>
+          val (prev, gen) = state.getOption.getOrElse(
+            (Map.empty[Long, (Long, Long)], 0L))
+          var m = prev
+          it.foreach { e =>
+            val (s0, n0) = m.getOrElse(e.user_id, (0L, 0L))
+            m = m.updated(e.user_id, (s0 + micros(e.value), n0 + 1))
+          }
+          state.update((m, gen + 1))
+          m.toSeq
+            .sortBy { case (u, (s, _)) => (-s, u) }
+            .take(k).zipWithIndex
+            .map { case ((u, (s, n)), i) =>
+              LeaderboardOut(key._1, key._2, u, s, n, i + 1, gen + 1) }
+            .iterator
+      }
+  }
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

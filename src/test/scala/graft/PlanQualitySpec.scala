@@ -413,4 +413,33 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"mm06 planned unbounded pair work:\n$p")
   }
+
+  test("t29: gram shuffles are hash-keyed with map-side partials, no cartesian") {
+    val p = planOf("t29_dup_span_tiers")
+    // min/max(doc_id) per gram hash must partially aggregate map-side so
+    // hot grams (stopword runs) collapse before the shuffle
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"t29 dup test lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t29 planned unbounded pair work:\n$p")
+    // the gram text must never ride a shuffle: exchanges carry hashes only
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"t29 shuffles document text:\n$p")
+  }
+
+  test("q43: leaderboard is a two-level TopK aggregate, not a window") {
+    val p = planOf("q43_type_top_users")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q43 top-k lost its partial aggregate:\n$p")
+    assert(!p.contains("Window"), s"q43 still plans a window:\n$p")
+  }
+
+  test("v18: balance audit is one broadcast assignment plus a k-row aggregate") {
+    val p = planOf("v18_ivf_balance")
+    // the k centroids and the 1-row total broadcast against the corpus;
+    // an UNHINTED cross join (CartesianProduct) would shuffle both sides
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v18 planned a non-broadcast cartesian:\n$p")
+  }
 }

@@ -138,4 +138,123 @@ class Round4OpsSpec extends GraftSuite {
         s"probe ${r.getLong(0)} cand ${r.getLong(1)}")
     }
   }
+
+  test("t29: duplicated-span tiers equal a sliding-gram replay") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    def grams(tk: Array[String], n: Int): Set[String] =
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    val tiers = Seq(4, 8, 16)
+    // gram -> set of docs, per tier; dup = present in >= 2 docs
+    val expected = rows.map { case (id, _) => id ->
+      scala.collection.mutable.Map(tiers.map(n => n -> 0L): _*) }.toMap
+    for (n <- tiers) {
+      val byGram = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, tk) <- rows; g <- grams(tk, n))
+        byGram(g) = byGram.getOrElse(g, Set.empty) + id
+      val dup = byGram.filter(_._2.size >= 2).keySet
+      for ((id, tk) <- rows)
+        expected(id)(n) = grams(tk, n).count(dup).toLong
+    }
+    val out = SparkEntry.queries("t29_dup_span_tiers")(spark, sf).collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getLong(1) == e(4) && r.getLong(2) == e(8) && r.getLong(3) == e(16),
+        s"doc ${r.getLong(0)}")
+      val want = if (e(16) > 0) 16 else if (e(8) > 0) 8 else if (e(4) > 0) 4 else 0
+      assert(r.getInt(4) == want, s"doc ${r.getLong(0)} max tier")
+    }
+    // tier monotonicity: a doc with a shared 16-gram has shared 8/4-grams
+    out.foreach { r =>
+      if (r.getLong(3) > 0) assert(r.getLong(2) > 0 && r.getLong(1) > 0)
+    }
+    assert(out.exists(_.getInt(4) == 16), "fixture should contain long dup spans")
+  }
+
+  test("v18: IVF load factors equal a nearest-centroid counting replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, v) <- vecs) {
+      val best = cents.map { case (cid, c) =>
+        (cid, dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))))
+      }.minBy { case (cid, s) => (-s, cid) }._1
+      counts(best) = counts.getOrElse(best, 0L) + 1
+    }
+    val out = SparkEntry.queries("v18_ivf_balance")(spark, sf).collect()
+    assert(out.length == counts.size)
+    val total = counts.values.sum
+    out.foreach { r =>
+      val n = counts(r.getLong(0))
+      assert(r.getLong(1) == n, s"list ${r.getLong(0)}")
+      assert(r.getDouble(2) == n.toDouble * counts.size / total)
+    }
+  }
+
+  test("d16: impact histogram equals a union-find + token-count replay") {
+    val pairs = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").count(_.nonEmpty).toLong))
+    val byComp = toks.groupBy { case (id, _) => find(id) }
+    // min-union keeps the min id as root, so keeper ⇔ find(id) == id
+    val expected = byComp.values.groupBy(_.size).map { case (csize, cls) =>
+      csize.toLong -> ((cls.size.toLong,
+        cls.map(_.map(_._2).sum).sum,
+        cls.map(_.filter { case (id, _) => find(id) != id }.map(_._2).sum).sum))
+    }
+    val out = SparkEntry.queries("d16_dedup_impact")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    var docsTotal = 0L
+    out.foreach { r =>
+      val (nc, toksTotal, toksRm) = expected(r.getLong(0))
+      assert(r.getLong(1) == nc, s"size ${r.getLong(0)} clusters")
+      assert(r.getLong(2) == r.getLong(0) * nc, "n_docs")
+      assert(r.getLong(3) == (r.getLong(0) - 1) * nc, "n_removed")
+      assert(r.getLong(4) == toksTotal, s"size ${r.getLong(0)} tokens_total")
+      assert(r.getLong(5) == toksRm, s"size ${r.getLong(0)} tokens_removed")
+      docsTotal += r.getLong(2)
+    }
+    // corpus-complete: histogram covers every document exactly once
+    assert(docsTotal == toks.length.toLong)
+    assert(out.exists(_.getLong(0) >= 2), "fixture should have dup clusters")
+  }
+
+  test("q43: per-type top users equal an exact-decimal-sum replay") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val sums = rows.groupBy(r => (r._1, r._2)).map { case ((t, u), es) =>
+      // Det.dsum: each addend cast to decimal(30,6) (HALF_UP), exact sum
+      val s = es.map(e => BigDecimal(e._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (t, u, s.toDouble, es.length.toLong)
+    }
+    val expected = sums.groupBy(_._1).flatMap { case (t, us) =>
+      us.toSeq.sortBy { case (_, u, s, _) => (-s, u) }.take(5).zipWithIndex
+        .map { case ((_, u, s, n), i) => (t, i + 1) -> ((u, s, n)) }
+    }
+    val out = SparkEntry.queries("q43_type_top_users")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (u, s, n) = expected((r.getString(0), r.getInt(4)))
+      assert(r.getLong(1) == u && r.getDouble(2) == s && r.getLong(3) == n,
+        s"${r.getString(0)} rank ${r.getInt(4)}")
+    }
+  }
 }

@@ -479,4 +479,53 @@ class StreamingSpec extends AnyFunSuite {
           (d.text.split("\\s+").count(_.nonEmpty) + 7) / 8)).sum)
     } finally query.stop()
   }
+
+  test("leaderboard: merged shard snapshots equal batch q43 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{LeaderboardOut, ValuedEventIn}
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value", "event_id").collect()
+      .map(r => (r.getLong(3), ValuedEventIn(r.getLong(0), r.getString(1),
+        r.getDouble(2), new Timestamp(1700000000000L + r.getLong(3)))))
+      .sortBy(_._1).map(_._2)
+    val mem = MemoryStream[ValuedEventIn]
+    val out = StreamingOps.leaderboard(mem.toDS(), k = 5, shards = 4)
+    val query = out.writeStream.format("memory")
+      .queryName("leaderboard_out").outputMode("update").start()
+    try {
+      val (b1, rest) = events.splitAt(events.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+
+      // consumer-side exact merge: max-gen snapshot per (type, shard),
+      // then global top-5 per type by (-total, user) over shard tops
+      val all = spark.table("leaderboard_out").as[LeaderboardOut].collect()
+      val lastGen = all.groupBy(r => (r.event_type, r.shard))
+        .map { case (k2, rs) => k2 -> rs.map(_.gen).max }
+      val merged = all
+        .filter(r => r.gen == lastGen((r.event_type, r.shard)))
+        .groupBy(_.event_type)
+        .toSeq
+        .flatMap { case (t, rs) =>
+          rs.sortBy(r => (-r.total_micros, r.user_id)).take(5).zipWithIndex
+            .map { case (r, i) =>
+              (t, i + 1) -> ((r.user_id, r.total_micros, r.n_events)) }
+        }.toMap
+
+      // batch truth: the oracle-verified q43 on the same scale factor
+      val batch = SparkEntry.queries("q43_type_top_users")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getInt(4)) ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(merged.size == batch.size)
+      merged.foreach { case (key, (u, micros, n)) =>
+        val (bu, btotal, bn) = batch(key)
+        assert(u == bu && n == bn, s"$key user/count")
+        // micro-units → the same double dsum produces
+        assert(BigDecimal(micros)./(BigDecimal(1000000)).toDouble == btotal,
+          s"$key total")
+      }
+    } finally query.stop()
+  }
 }
