@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16)
+    d11, d12, d13, d14, d15, d16, d17)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1037,5 +1037,54 @@ object DedupOps {
         ((col("csize") - lit(1L)) * col("n_clusters")).as("n_removed"),
         col("tokens_total"), col("tokens_removed"))
       .orderBy(col("cluster_size"))
+  }
+
+  /** Cross-source duplication matrix — which ingest sources copy from
+    * each other: verified near-dup pairs (d01's candidate+verify stage)
+    * labeled with each member's source, grouped by the unordered source
+    * pair. n_pairs counts dup links; n_docs counts the distinct
+    * documents entangled in that source pair (a doc duplicated across 3
+    * sources appears under each pairing). The triage view that turns
+    * "the corpus has dups" into "src7 re-crawls src5".
+    *
+    * Scale shape: two doc-keyed joins of the (tiny relative to corpus)
+    * pair set against the (doc_id, source) projection — key shuffles
+    * only, no broadcast assumption on the doc side — then two narrow
+    * aggregates on (src_a, src_b). Nothing quadratic beyond the d01
+    * machinery it reuses; the DuckDB ORACLE (all-pairs vp CTE) is the
+    * quadratic side, so the sf0.1 diff skips it like the rest of the
+    * d01 family. */
+  private val d17 = QDef(
+    "d17_cross_source_matrix",
+    "WITH " + oracleShingleCte + ",\n" +
+      """lab AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b, vp.a, vp.b
+        |  FROM vp JOIN documents da ON vp.a = da.doc_id
+        |          JOIN documents db ON vp.b = db.doc_id),
+        |np AS (SELECT src_a, src_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2),
+        |nd AS (SELECT src_a, src_b, count(*) AS n_docs FROM (
+        |    SELECT DISTINCT src_a, src_b, unnest([a, b]) AS doc FROM lab)
+        |  GROUP BY 1, 2)
+        |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (src_a, src_b) ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val lab = lshVerifiedPairs(s, d)
+      .select(col("a"), col("b"))
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("a"), col("b"))
+      .persistTracked()
+    val np = lab.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = lab
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("a"), col("b"))).as("doc"))
+      .distinct()
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("src_a", "src_b"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

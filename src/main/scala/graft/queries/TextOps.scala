@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29)
+      t29, t30, t31)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -255,6 +255,15 @@ object TextOps {
   /** Tokens as a SQL-expression fragment (for [[CrossHash.bind]]). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
 
+  /** Distinct 8-token shingle hashes of `text` (whole-text fallback for
+    * short docs) — shared by t09/t23 and the streaming contamination
+    * gate, so batch and stream provably fingerprint identically. */
+  private[graft] val gram8E = bind(toksE, "tk")(tk =>
+    s"""CASE WHEN size($tk) >= 8
+       |  THEN array_distinct(transform(sequence(0, size($tk) - 8),
+       |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
+       |  ELSE array(${h64E("text")}) END""".stripMargin)
+
   /** Eval-set contamination scan: per TRAIN document, how many of its
     * distinct 8-token shingles appear anywhere in the EVAL set
     * (doc_id < 25 here; in production, the benchmark suite). The scale
@@ -286,12 +295,7 @@ object TextOps {
          |FROM tot LEFT JOIN s ON tot.doc_id = s.doc_id
          |ORDER BY tot.doc_id""".stripMargin
     }) { (s, d) =>
-    val shE = bind(toksE, "tk")(tk =>
-      s"""CASE WHEN size($tk) >= 8
-         |  THEN array_distinct(transform(sequence(0, size($tk) - 8),
-         |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
-         |  ELSE array(${h64E("text")}) END""".stripMargin)
-    val sh = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
+    val sh = Tables.documents(s, d).select(col("doc_id"), expr(gram8E).as("sh"))
     val ev = sh.filter(col("doc_id") < 25)
       .select(explode(col("sh")).as("h")).distinct()
     val tot = sh.filter(col("doc_id") >= 25)
@@ -847,13 +851,8 @@ object TextOps {
          |FROM tot LEFT JOIN s ON s.doc_id = tot.doc_id
          |ORDER BY tot.doc_id""".stripMargin
     }) { (s, d) =>
-    val shE = bind(toksE, "tk")(tk =>
-      s"""CASE WHEN size($tk) >= 8
-         |  THEN array_distinct(transform(sequence(0, size($tk) - 8),
-         |         i -> ${h64E(s"array_join(slice($tk, i + 1, 8), ' ')")}))
-         |  ELSE array(${h64E("text")}) END""".stripMargin)
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), expr(shE).as("sh")).persistTracked()
+      .select(col("doc_id"), expr(gram8E).as("sh")).persistTracked()
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
     val shared = ex.join(dfreq, Seq("h")).where(col("n_docs") >= 2)
@@ -1402,5 +1401,148 @@ object TextOps {
           .when(n("n_dup4") > 0, 4).otherwise(0)
           .cast("int").as("max_dup_tier"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Duplicated-span REMOVAL — the action side of t29's measurement
+    * (Lee et al. 2022 apply exactly this: delete any span that appears
+    * verbatim in another document): every token covered by a shared
+    * 16-gram at ANY sliding alignment is dropped and the text rebuilt
+    * from the survivors. Docs that are near-verbatim copies collapse to
+    * empty ('' — 23 of the fixture's 500), while docs sharing only a
+    * quoted paragraph lose just that span.
+    *
+    * Scale shape: t29's tier-16 machinery with positions attached —
+    * the shuffle carries (hash, doc_id, pos) triples, never gram text;
+    * the dup test is the same O(1) min≠max aggregate; covered positions
+    * explode 16× per dup gram BOUNDED by doc length (positions dedup
+    * before the per-doc collect), and the rebuild is one per-row lambda
+    * over the token array. The covered-position set per doc is at most
+    * the doc's own token count — driver never sees it, `collect_set`
+    * state is per-doc bounded. */
+  private val t30 = QDef(
+    "t30_dup_span_removal", {
+      val gram = sqlH64("array_to_string(list_slice(tk, i, i + 15), ' ')")
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 16
+         |    THEN list_transform(range(1, len(tk) - 14),
+         |           i -> struct_pack(pos := i, h := $gram))
+         |    ELSE [] END) AS u FROM tk),
+         |gp AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+         |dup AS (SELECT h FROM gp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 16)) AS p
+         |  FROM gp JOIN dup USING (h)),
+         |cv AS (SELECT doc_id, list(p) AS cov, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(cv.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(tk.tk,
+         |    (x, i) -> cv.cov IS NULL OR NOT list_contains(cv.cov, i)), ' '), '') AS text_clean
+         |FROM tk LEFT JOIN cv ON tk.doc_id = cv.doc_id
+         |ORDER BY tk.doc_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // 1-based positions to match the oracle's list indexing
+    val gramsPos = bind(toksE, "tk")(tk =>
+      s"""CASE WHEN size($tk) >= 16
+         |  THEN transform(sequence(0, size($tk) - 16),
+         |         i -> named_struct('pos', i + 1,
+         |                'h', ${h64E(s"array_join(slice($tk, i + 1, 16), ' ')")}))
+         |  ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END""".stripMargin)
+    val gp = docs
+      .select(col("doc_id"), explode(expr(gramsPos)).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.h").as("h"))
+      .persistTracked()
+    val dup = gp.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val cv = gp.join(dup, Seq("h"))
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 15)")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"), count(lit(1)).as("n_removed"))
+    docs.select(col("doc_id"), expr(toksE).as("tk"))
+      .join(cv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        // Spark's filter lambda index is 0-based; cov holds 1-based
+        expr("array_join(filter(tk, (x, i) -> cov IS NULL OR " +
+          "NOT array_contains(cov, i + 1)), ' ')").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-(source, lang) corpus health report — the dashboard a data
+    * lead reads per ingest batch: doc/token volume, mean doc size,
+    * Gopher keep count (t07's exact rule), and exact-duplicate count
+    * (corpus-global md5 digests, so a source that plagiarizes another
+    * still shows its dups). One narrow digest aggregate + one doc-keyed
+    * join + one (source, lang) aggregate; mean_chars is an exact
+    * integer sum with ONE IEEE division, so the oracle matches
+    * bit-exactly. */
+  private val t31 = QDef(
+    "t31_source_report",
+    """WITH t AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    length(replace(text, ' ', '')) AS n_nonspace,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |        x -> regexp_matches(x, '[#%$@]'))) AS n_symbol,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |        x -> regexp_matches(x, '\p{L}'))) AS n_alpha,
+      |    len(list_filter(regexp_split_to_array(text, '\n'), l -> l LIKE '...%')) AS n_ellipsis,
+      |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+      |    md5(text) AS dg
+      |  FROM documents),
+      |d AS (SELECT dg FROM t GROUP BY dg HAVING count(*) > 1),
+      |k AS (SELECT t.*,
+      |    ((n_tokens >= 30 AND n_tokens <= 50000)
+      |      AND (n_tokens > 0 AND CAST(n_nonspace AS DOUBLE) / n_tokens >= 2.0
+      |                        AND CAST(n_nonspace AS DOUBLE) / n_tokens <= 12.0)
+      |      AND (n_tokens > 0 AND CAST(n_symbol AS DOUBLE) / n_tokens < 0.5)
+      |      AND (n_lines = 0 OR CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3)
+      |      AND (n_tokens > 0 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.6)) AS keep,
+      |    (t.dg IN (SELECT dg FROM d)) AS is_dup
+      |  FROM t)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+      |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_symbol", size(filter(toks, t => t.rlike("[#%$@]"))))
+      .withColumn("n_alpha", size(filter(toks, t => t.rlike("\\p{L}"))))
+      .withColumn("n_ellipsis",
+        size(filter(split(col("text"), "\n"), l => l.startsWith("..."))))
+      .withColumn("n_lines", size(split(col("text"), "\n")))
+      .withColumn("dg", md5(col("text")))
+    val meanLen = col("n_nonspace").cast("double") / col("n_tokens")
+    val keep = (col("n_tokens") >= 30 && col("n_tokens") <= 50000) &&
+      (col("n_tokens") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
+      (col("n_tokens") > 0 &&
+        col("n_symbol").cast("double") / col("n_tokens") < 0.5) &&
+      (col("n_lines") === 0 ||
+        col("n_ellipsis").cast("double") / col("n_lines") <= 0.3) &&
+      (col("n_tokens") > 0 &&
+        col("n_alpha").cast("double") / col("n_tokens") >= 0.6)
+    val dups = base.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("dg"), lit(true).as("is_dup"))
+    base.join(dups, Seq("dg"), "left")
+      .withColumn("keep", keep)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens_total"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"))
+      .orderBy(col("source"), col("lang"))
   }
 }

@@ -643,6 +643,49 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING eval-set contamination gate — t09's incremental face:
+    * each arriving train document is fingerprinted with the SAME
+    * distinct-8-gram expression as batch t09 ([[graft.queries.TextOps
+    * .gram8E]] — shared, so batch and stream cannot drift), its gram
+    * hashes are probed against the static eval-set gram table via a
+    * stream-static BROADCAST join (eval sets are benchmark-sized by
+    * definition — the same premise batch t09 broadcasts on), and the
+    * per-doc shared-gram count is a watermarked streaming aggregate
+    * keyed by (doc_id, ts).
+    *
+    * Scale/state shape: the only streaming state is one count row per
+    * in-flight document, dropped once the watermark passes its `ts` —
+    * bounded by arrival rate × watermark, independent of corpus size.
+    * A document's exploded grams always land in one micro-batch (it
+    * arrives as one row), so each doc's final Update-mode emission is
+    * its exact t09 row; StreamingSpec asserts bit parity.
+    *
+    * `evalGrams` must be a static DataFrame with a BIGINT `h` column
+    * (distinct eval-set gram hashes — build it with [[evalGramsOf]]). */
+  def contaminationGate(docs: Dataset[DocIn], evalGrams: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        expr(graft.queries.TextOps.gram8E).as("sh"))
+      .select(col("doc_id"), col("ts"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("h"))
+      .join(broadcast(evalGrams.select(col("h"), lit(true).as("hit"))),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"), col("ts"), col("n_shingles"))
+      .agg(count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles"))
+          .as("contamination"),
+        (col("n_shared") > 0).as("contaminated"))
+
+  /** Distinct 8-gram hashes of an eval corpus (static side for
+    * [[contaminationGate]]) — identical fingerprinting to the stream. */
+  def evalGramsOf(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(explode(expr(graft.queries.TextOps.gram8E)).as("h"))
+      .distinct()
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

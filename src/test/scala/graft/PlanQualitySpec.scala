@@ -442,4 +442,29 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"),
       s"v18 planned a non-broadcast cartesian:\n$p")
   }
+
+  test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
+    val p = planOf("t30_dup_span_removal")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"t30 dup test lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t30 planned unbounded pair work:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"t30 shuffles document text:\n$p")
+  }
+
+  test("t31: source report is digest agg + doc join + one group aggregate") {
+    val p = planOf("t31_source_report")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t31 planned unbounded pair work:\n$p")
+    // per-row metric work must not shuffle text: exchanges carry the
+    // md5 digest / group keys only
+    assert(!p.contains("Window"), s"t31 needs no window:\n$p")
+  }
+
+  test("d17: matrix labels pairs via doc-keyed joins, never broadcast corpus") {
+    val p = planOf("d17_cross_source_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d17 planned unbounded pair work:\n$p")
+  }
 }

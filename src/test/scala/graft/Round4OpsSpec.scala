@@ -257,4 +257,95 @@ class Round4OpsSpec extends GraftSuite {
         s"${r.getString(0)} rank ${r.getInt(4)}")
     }
   }
+
+  test("t30: dup-span removal equals a covered-position replay") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val N = 16
+    // gram text -> docs; dup grams appear in >= 2 docs
+    val byGram = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, tk) <- rows; if tk.length >= N; g <- tk.sliding(N).map(_.mkString(" ")))
+      byGram(g) = byGram.getOrElse(g, Set.empty) + id
+    val dup = byGram.filter(_._2.size >= 2).keySet
+    val expected = rows.map { case (id, tk) =>
+      val covered = (for {
+        (w, i) <- tk.sliding(N).zipWithIndex if tk.length >= N
+        if dup(w.mkString(" "))
+        p <- i until i + N
+      } yield p).toSet
+      val kept = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((tk.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val out = SparkEntry.queries("t30_dup_span_removal")(spark, sf).collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val (nt, nr, tc) = expected(r.getLong(0))
+      assert(r.getLong(1) == nt && r.getLong(2) == nr,
+        s"doc ${r.getLong(0)} counts")
+      assert(r.getString(3) == tc, s"doc ${r.getLong(0)} text")
+    }
+    // the fixture has verbatim near-copies: some docs collapse entirely
+    assert(out.exists(r => r.getLong(2) == r.getLong(1) && r.getLong(1) > 0),
+      "expected fully-removed docs")
+    assert(out.exists(r => r.getLong(2) == 0), "expected untouched docs")
+  }
+
+  test("t31: source report equals a per-group replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    val digests = rows.groupBy(r => md5hex(r._2)).view.mapValues(_.size).toMap
+    def gopherKeep(text: String): Boolean = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val n = tk.length
+      val nonspace = text.replace(" ", "").length
+      val sym = tk.count(_.exists(c => "#%$@".contains(c)))
+      val alpha = tk.count(_.exists(_.isLetter))
+      val lines = text.split("\n", -1)
+      val ell = lines.count(_.startsWith("..."))
+      n >= 30 && n <= 50000 &&
+        n > 0 && nonspace.toDouble / n >= 2.0 && nonspace.toDouble / n <= 12.0 &&
+        sym.toDouble / n < 0.5 &&
+        (lines.length == 0 || ell.toDouble / lines.length <= 0.3) &&
+        alpha.toDouble / n >= 0.6
+    }
+    val expected = rows.groupBy(r => (r._3, r._4)).map { case (k, rs) =>
+      k -> ((rs.length.toLong,
+        rs.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
+        rs.map(_._5).sum.toDouble / rs.length,
+        rs.count(r => gopherKeep(r._2)).toLong,
+        rs.count(r => digests(md5hex(r._2)) > 1).toLong))
+    }
+    val out = SparkEntry.queries("t31_source_report")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nd, tt, mc, nk, ndup) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == nd && r.getLong(3) == tt && r.getLong(5) == nk &&
+        r.getLong(6) == ndup, s"${r.getString(0)}/${r.getString(1)}")
+      assert(r.getDouble(4) == mc, s"${r.getString(0)}/${r.getString(1)} mean")
+    }
+  }
+
+  test("d17: cross-source matrix equals a pair-labeling replay") {
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), a, b)
+    }
+    val expected = lab.groupBy(_._1).map { case (k, ps) =>
+      k -> ((ps.length.toLong,
+        ps.flatMap(p => Seq(p._2, p._3)).distinct.length.toLong))
+    }
+    val out = SparkEntry.queries("d17_cross_source_matrix")(spark, sf).collect()
+    assert(out.length == expected.size && expected.nonEmpty)
+    out.foreach { r =>
+      val (np, ndocs) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == np && r.getLong(3) == ndocs,
+        s"${r.getString(0)}×${r.getString(1)}")
+    }
+  }
 }

@@ -528,4 +528,34 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("contaminationGate: streamed train docs equal batch t09 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // same split as batch t09: eval = doc_id < 25, train = the rest
+    val evalGrams = StreamingOps.evalGramsOf(corpus.where(col("doc_id") < 25))
+    val train = corpus.where(col("doc_id") >= 25)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => StreamingOps.DocIn(r.getLong(0), r.getString(1), ts(r.getLong(0))))
+      .sortBy(_.doc_id)
+
+    val mem = MemoryStream[StreamingOps.DocIn]
+    val out = StreamingOps.contaminationGate(mem.toDS(), evalGrams)
+    val query = out.writeStream.format("memory")
+      .queryName("contam_out").outputMode("update").start()
+    try {
+      // three micro-batches; each doc arrives once, so each emits once
+      val thirds = train.grouped((train.length + 2) / 3).toSeq
+      thirds.foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+      val got = spark.table("contam_out")
+        .as[(Long, Long, Int, Double, Boolean)].collect().toSet
+      val batch = SparkEntry.queries("t09_eval_contamination")(spark, sf)
+        .as[(Long, Long, Int, Double, Boolean)].collect().toSet
+      assert(got == batch && batch.nonEmpty,
+        s"stream ${got.size} rows vs batch ${batch.size}")
+      assert(got.exists(_._5), "fixture should contain contaminated docs")
+    } finally query.stop()
+  }
 }
