@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43)
+    q37, q38, q39, q41, q42, q43, q44)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -610,5 +610,68 @@ object Events {
         col("ordv").as("total_value"), col("extra").as("n_events"),
         col("rank").as("rnk"))
       .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** CUSUM changepoint per event type — where did the rate shift? The
+    * classic cumulative-sum statistic over hourly counts: CUSUM_i =
+    * Σ_{j≤i} (c_j − mean), peaking exactly where the level changes; the
+    * report row is the hour of max |CUSUM| (earliest on ties) with the
+    * signed peak and direction. The monitoring query behind "traffic
+    * stepped up on the 22nd".
+    *
+    * Determinism: CUSUM_i = (H·prefix_i − i·S)/H with H = hour count
+    * and S = total events — the numerator is pure BIGINT arithmetic,
+    * ONE IEEE division at the end, so the oracle matches bit-exactly
+    * (and argmax over |num| is an integer comparison).
+    *
+    * Scale shape: one (type, hour) pre-aggregate (map-side combined),
+    * then windows over the per-type HOURLY series — partitions are
+    * bounded by the time horizon (720 rows/month/type), never by event
+    * volume, the same posture as q38/q39/q42. */
+  private val q44 = QDef(
+    "q44_cusum_changepoint",
+    """WITH h AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d %H:00') AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, count(*) AS n_hours, sum(c) AS s FROM h GROUP BY 1),
+      |p AS (
+      |  SELECT event_type, hr, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hr) AS pf,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i
+      |  FROM h),
+      |n AS (
+      |  SELECT p.event_type, p.hr, p.c,
+      |    CAST(t.n_hours * p.pf - p.i * t.s AS BIGINT) AS num, t.n_hours
+      |  FROM p JOIN t ON p.event_type = t.event_type),
+      |mx AS (
+      |  SELECT event_type, hr, c, num, n_hours,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(num) DESC, hr) AS rk
+      |  FROM n)
+      |SELECT event_type, hr AS change_hr, CAST(c AS BIGINT) AS n_at_change,
+      |  CAST(num AS DOUBLE) / n_hours AS cusum_peak, (num < 0) AS rising
+      |FROM mx WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .persistTracked()
+    val t = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val p = h
+      .withColumn("pf", sum(col("c")).over(w))
+      .withColumn("i", row_number().over(w))
+    val n = p.join(t, Seq("event_type"))
+      .withColumn("num", col("n_hours") * col("pf") - col("i") * col("s"))
+    val wm = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("num")).desc, col("hr"))
+    n.withColumn("rk", row_number().over(wm))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("hr").as("change_hr"),
+        col("c").as("n_at_change"),
+        (col("num").cast("double") / col("n_hours")).as("cusum_peak"),
+        (col("num") < 0).as("rising"))
+      .orderBy(col("event_type"))
   }
 }

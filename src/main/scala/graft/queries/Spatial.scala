@@ -18,7 +18,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11)
+    sp09, sp10, sp11, sp12)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -475,5 +475,97 @@ object Spatial {
       .withColumn("center_y",
         expr("(ty + CAST(0.5 AS DOUBLE)) * (CAST(100 AS DOUBLE) / shiftleft(1, zoom))"))
       .orderBy(col("zoom"), col("tx"), col("ty"))
+  }
+
+  /** Revenue hotspot / coldspot cells (the Getis-Ord-flavored grid
+    * analytic a geo-BI layer runs over a choropleth): per 10×10 cell,
+    * customer count, order revenue (exact decimal sum), the cell's
+    * revenue share vs the uniform expectation (`cell_ratio`, 1.0 =
+    * average), a 3×3-neighborhood-smoothed ratio, and hot/cold flags
+    * at ±25%. All ratios are single IEEE divisions of exact decimal
+    * sums, so the oracle matches bit-exactly.
+    *
+    * Scale shape: revenue is a customer-key aggregate joined onto the
+    * point table (key shuffle), cells are a 100-row aggregate, and the
+    * neighborhood sum is an EQUI-join — each cell's revenue exploded to
+    * its 9 neighbor positions and re-aggregated by target cell — the
+    * shape that still works when the grid is 10^6 cells (the oracle's
+    * |Δ|≤1 theta-join form would nested-loop). */
+  private val sp12 = QDef(
+    "sp12_revenue_hotspots",
+    s"""WITH rev AS (
+       |  SELECT o_custkey AS c, sum(CAST(o_totalprice AS DECIMAL(30,6))) AS r
+       |  FROM orders GROUP BY 1),
+       |pc AS (
+       |  SELECT CAST(FLOOR((${ptX("c_custkey")}) / 10) AS BIGINT) AS gx,
+       |    CAST(FLOOR((${ptY("c_custkey")}) / 10) AS BIGINT) AS gy,
+       |    count(*) AS n, sum(coalesce(rev.r, 0)) AS rv
+       |  FROM customer LEFT JOIN rev ON c_custkey = rev.c GROUP BY 1, 2),
+       |grid AS (SELECT CAST(r.range AS BIGINT) // 10 AS gx,
+       |    CAST(r.range AS BIGINT) % 10 AS gy FROM range(0, 100) r),
+       |cells AS (SELECT grid.gx, grid.gy, coalesce(pc.n, 0) AS n,
+       |    coalesce(pc.rv, 0) AS rv
+       |  FROM grid LEFT JOIN pc ON grid.gx = pc.gx AND grid.gy = pc.gy),
+       |tot AS (SELECT sum(rv) AS s FROM cells),
+       |nbr AS (
+       |  SELECT a.gx, a.gy, sum(b.rv) AS w, count(*) AS k
+       |  FROM cells a JOIN cells b
+       |    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+       |  GROUP BY a.gx, a.gy)
+       |SELECT CAST(c.gx * 10 + c.gy AS BIGINT) AS cell_id,
+       |  CAST(c.n AS BIGINT) AS n_customers,
+       |  CAST(c.rv AS DOUBLE) AS revenue,
+       |  CAST(100 * c.rv AS DOUBLE) / CAST(tot.s AS DOUBLE) AS cell_ratio,
+       |  CAST(100 * nbr.w AS DOUBLE) / CAST(nbr.k * tot.s AS DOUBLE) AS smooth_ratio,
+       |  (CAST(100 * c.rv AS DOUBLE) / CAST(tot.s AS DOUBLE)) >= CAST(1.25 AS DOUBLE) AS hot,
+       |  (CAST(100 * c.rv AS DOUBLE) / CAST(tot.s AS DOUBLE)) <= CAST(0.75 AS DOUBLE) AS cold
+       |FROM cells c JOIN nbr ON c.gx = nbr.gx AND c.gy = nbr.gy CROSS JOIN tot
+       |ORDER BY cell_id""".stripMargin) { (s, d) =>
+    val dec = "decimal(30,6)"
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey").as("c"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("r"))
+    val pc = Tables.customer(s, d)
+      .join(rev, col("c_custkey") === col("c"), "left")
+      .select(
+        expr(s"CAST(FLOOR((${ptX("c_custkey")}) / 10) AS BIGINT)").as("gx"),
+        expr(s"CAST(FLOOR((${ptY("c_custkey")}) / 10) AS BIGINT)").as("gy"),
+        coalesce(col("r"), lit(0).cast(dec)).as("r"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("rv"))
+    val grid = s.range(0, 100)
+      .select(expr("id div 10").as("gx"), (col("id") % 10).as("gy"))
+    val cells = grid.join(pc, Seq("gx", "gy"), "left")
+      .select(col("gx"), col("gy"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rv"), lit(0).cast(dec)).as("rv"))
+      .persistTracked()
+    val tot = cells.agg(sum(col("rv")).as("s"))
+    // equi-join neighborhood: each cell contributes rv to its 9 target
+    // positions; re-aggregate by target; join back to the grid
+    val contrib = cells
+      .select(col("gx"), col("gy"), col("rv"),
+        explode(expr("array(-1, 0, 1)")).as("dx"))
+      .select(col("gx"), col("gy"), col("rv"), col("dx"),
+        explode(expr("array(-1, 0, 1)")).as("dy"))
+      .select((col("gx") + col("dx")).as("tgx"),
+        (col("gy") + col("dy")).as("tgy"), col("rv"))
+    val nbr = contrib
+      .join(grid.select(col("gx").as("tgx"), col("gy").as("tgy")),
+        Seq("tgx", "tgy"))
+      .groupBy(col("tgx"), col("tgy"))
+      .agg(sum(col("rv")).as("w"), count(lit(1)).as("k"))
+    val ratio = (col("rv") * 100).cast("double") / col("s").cast("double")
+    cells
+      .join(nbr, col("gx") === col("tgx") && col("gy") === col("tgy"))
+      .crossJoin(broadcast(tot))
+      .select((col("gx") * 10 + col("gy")).as("cell_id"),
+        col("n").as("n_customers"),
+        col("rv").cast("double").as("revenue"),
+        ratio.as("cell_ratio"),
+        ((col("w") * 100).cast("double") /
+          (col("k") * col("s")).cast("double")).as("smooth_ratio"),
+        (ratio >= 1.25).as("hot"),
+        (ratio <= 0.75).as("cold"))
+      .orderBy(col("cell_id"))
   }
 }

@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31)
+      t29, t30, t31, t32)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1544,5 +1544,69 @@ object TextOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
         sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"))
       .orderBy(col("source"), col("lang"))
+  }
+
+  /** Snapshot diff between two dataset versions — the release audit a
+    * versioned corpus publishes with every refresh: per (source,
+    * status ∈ added/removed/changed/unchanged), doc counts and
+    * token totals on each side. Versions are synthesized
+    * deterministically from the fixture (v1 = doc_id < 450, v2 =
+    * doc_id ≥ 50 with every 7th doc carrying a ' [rev2]' revision
+    * suffix) so both engines diff the identical pair; in production
+    * the two sides are two partition snapshots.
+    *
+    * Scale shape: ONE full-outer join on the doc key with md5 digests
+    * compared in the join output — no text comparison rides the
+    * shuffle beyond the digest, and the status classification is
+    * per-row expression work. The CDC-diff pass that needs no mutable
+    * store (q41 is the latest-wins companion over a changelog). */
+  private val t32 = QDef(
+    "t32_snapshot_diff",
+    """WITH ntok AS (
+      |  SELECT doc_id, source, text,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nt
+      |  FROM documents),
+      |v1 AS (SELECT doc_id, source, text, nt FROM ntok WHERE doc_id < 450),
+      |v2 AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+      |    CASE WHEN doc_id % 7 = 0 THEN nt + 1 ELSE nt END AS nt
+      |  FROM ntok WHERE doc_id >= 50),
+      |j AS (
+      |  SELECT coalesce(v1.source, v2.source) AS source,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    coalesce(v1.nt, 0) AS t1, coalesce(v2.nt, 0) AS t2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT source, status, count(*) AS n_docs,
+      |  CAST(sum(t1) AS BIGINT) AS tokens_v1,
+      |  CAST(sum(t2) AS BIGINT) AS tokens_v2
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ntok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(expr(toksE)).as("nt"))
+    val v1 = ntok.where(col("doc_id") < 450)
+      .select(col("doc_id").as("id1"), col("source").as("src1"),
+        md5(col("text")).as("dg1"), col("nt").as("t1"))
+    val v2 = ntok.where(col("doc_id") >= 50)
+      .select(col("doc_id").as("id2"), col("source").as("src2"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("dg2"),
+        when(col("doc_id") % 7 === 0, col("nt") + 1).otherwise(col("nt"))
+          .as("t2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(col("dg1") =!= col("dg2"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("t1"), lit(0)).as("t1"),
+        coalesce(col("t2"), lit(0)).as("t2"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t1")).cast("long").as("tokens_v1"),
+        sum(col("t2")).cast("long").as("tokens_v2"))
+      .orderBy(col("source"), col("status"))
   }
 }

@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17, v18)
+    v11, v12, v13, v14, v15, v16, v17, v18, v19)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -371,13 +371,18 @@ object VectorOps {
     * [[graft.util.Det.dsum]] so group-merge order can't move a double;
     * everything else is IEEE-fixed, so DuckDB replays codebooks,
     * encoding, and ADC ranking bit-exactly. */
-  private val v09 = QDef(
-    "v09_pq_adc_knn", {
-      def l2(a: String, b: String) =
-        s"""list_sum(list_transform(range(1, 9),
-           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
-           |           (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** DuckDB sub-vector L2² (8-dim slices, left-to-right fold). */
+  private def sqlSubL2(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, 9),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+       |           (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
+  /** Shared PQ oracle CTE chain (codebook → codes → LUT → ADC sums →
+    * ranked): v09 selects the ranking, v19 extends it with the exact
+    * rerank + recall audit. Ends with CTEs `adc` and `r` in scope. */
+  private lazy val sqlPqCtes = {
+    def l2(a: String, b: String) = sqlSubL2(a, b)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |cb AS (
          |  SELECT cv.vec_id - 100 AS c, r.m AS m,
          |    cv.embedding[r.m * 8 + 1 : r.m * 8 + 8] AS cvec
@@ -404,10 +409,12 @@ object VectorOps {
          |r AS (
          |  SELECT q_id, vec_id, adc_d2,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rank
-         |  FROM adc)
-         |SELECT q_id, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    }) { (s, d) =>
+         |  FROM adc)""".stripMargin
+  }
+
+  /** Spark side of the shared PQ machinery: the (q_id, vec_id, adc_d2)
+    * ADC candidate sums (see v09's scaladoc for the design notes). */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("emb"))
     val ms = explode(sequence(lit(0), lit(7))).as("m")
     val cb = e.filter(col("vec_id").between(100, 103))
@@ -425,11 +432,19 @@ object VectorOps {
       .select(col("vec_id"), col("m"), col("c"))
     val lut = dist.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m"), col("c"), col("d2"))
-    val adc = code.join(broadcast(lut), Seq("m", "c"))
+    code.join(broadcast(lut), Seq("m", "c"))
       .where(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(dsum(col("d2")).as("adc_d2"))
-    TopK.topK(adc, Seq("q_id"), col("adc_d2"), col("vec_id"), 5, asc = true)
+  }
+
+  private val v09 = QDef(
+    "v09_pq_adc_knn",
+    s"""$sqlPqCtes
+       |SELECT q_id, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    TopK.topK(pqAdc(s, d), Seq("q_id"), col("adc_d2"), col("vec_id"), 5,
+        asc = true)
       .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("adc_d2"),
         col("rank"))
       .orderBy(col("q_id"), col("rank"))
@@ -1168,5 +1183,93 @@ object VectorOps {
         ((col("n_vecs") * col("n_lists")).cast("double") / col("total"))
           .as("load_factor"))
       .orderBy(col("list_id"))
+  }
+
+  /** PQ serving-quality audit — closes v09/v15's measurement loop with
+    * the standard two-stage serving numbers: per probe, recall@5 vs the
+    * exact-L2 ground truth for (a) the raw ADC ranking and (b) the
+    * production shape, ADC shortlist@20 → exact rerank → top-5. The
+    * rerank pool contains the ADC top-5, so rerank_hits ≥ adc_hits per
+    * probe by construction (asserted in spec); the gap between the two
+    * columns is exactly what a shortlist buys — the number a serving
+    * team reads before sizing it.
+    *
+    * Scale shape: everything beyond v09's machinery touches only
+    * k·|probes| rows (shortlists and their exact distances); the exact
+    * ground truth is the v01 brute-force pass with broadcast probes —
+    * the audit, like v12/v16, costs one corpus scan more than the index
+    * it audits. All distances are left-to-right IEEE folds, hits are
+    * integer counts, recall is ONE division — bit-exact oracle. */
+  private val v19 = QDef(
+    "v19_pq_recall_audit", {
+      def l2full(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, 65),
+           |  i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+           |       (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      s"""$sqlPqCtes,
+         |pr AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rk
+         |    FROM adc) WHERE rk <= 20),
+         |rr AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+         |      ${l2full("e.embedding", "pr.q_emb")}, s.vec_id) AS rk
+         |  FROM short s JOIN e ON e.vec_id = s.vec_id JOIN pr ON pr.q_id = s.q_id),
+         |rtop AS (SELECT q_id, vec_id FROM rr WHERE rk <= 5),
+         |itop AS (SELECT q_id, vec_id FROM r WHERE rank <= 5),
+         |btop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT pr.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+         |        ${l2full("e.embedding", "pr.q_emb")}, e.vec_id) AS rank
+         |    FROM e JOIN pr ON e.vec_id <> pr.q_id) WHERE rank <= 5),
+         |h1 AS (SELECT itop.q_id, count(*) AS n FROM itop JOIN btop USING (q_id, vec_id) GROUP BY 1),
+         |h2 AS (SELECT rtop.q_id, count(*) AS n FROM rtop JOIN btop USING (q_id, vec_id) GROUP BY 1)
+         |SELECT pr.q_id,
+         |  CAST(coalesce(h1.n, 0) AS BIGINT) AS adc_hits,
+         |  CAST(coalesce(h2.n, 0) AS BIGINT) AS rerank_hits,
+         |  CAST(coalesce(h1.n, 0) AS DOUBLE) / 5 AS adc_recall,
+         |  CAST(coalesce(h2.n, 0) AS DOUBLE) / 5 AS rerank_recall
+         |FROM pr LEFT JOIN h1 ON pr.q_id = h1.q_id
+         |        LEFT JOIN h2 ON pr.q_id = h2.q_id
+         |ORDER BY pr.q_id""".stripMargin
+    }) { (s, d) =>
+    val e = embeddings(s, d).select(col("vec_id"), col("emb"))
+    val pr = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val l2full = "aggregate(zip_with(emb, q_emb, (a, b) -> (a - b) * (a - b)), " +
+      "0D, (acc, x) -> acc + x)"
+    val adc = pqAdc(s, d).persistTracked()
+    val short = TopK.topK(adc, Seq("q_id"), col("adc_d2"), col("vec_id"), 20,
+        asc = true)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val rtop = TopK.topK(
+        short.join(e, Seq("vec_id")).join(broadcast(pr), Seq("q_id"))
+          .withColumn("d2", expr(l2full)),
+        Seq("q_id"), col("d2"), col("vec_id"), 5, asc = true)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val itop = TopK.topK(adc, Seq("q_id"), col("adc_d2"), col("vec_id"), 5,
+        asc = true)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val btop = TopK.topK(
+        e.crossJoin(broadcast(pr)).where(col("vec_id") =!= col("q_id"))
+          .withColumn("d2", expr(l2full)),
+        Seq("q_id"), col("d2"), col("vec_id"), 5, asc = true)
+      .select(col("q_id"), col("id").as("vec_id"))
+    def hits(top: DataFrame, name: String): DataFrame =
+      top.join(btop, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    pr.select(col("q_id"))
+      .join(hits(itop, "h1"), Seq("q_id"), "left")
+      .join(hits(rtop, "h2"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h1"), lit(0L)).as("adc_hits"),
+        coalesce(col("h2"), lit(0L)).as("rerank_hits"),
+        (coalesce(col("h1"), lit(0L)).cast("double") / 5).as("adc_recall"),
+        (coalesce(col("h2"), lit(0L)).cast("double") / 5).as("rerank_recall"))
+      .orderBy(col("q_id"))
   }
 }

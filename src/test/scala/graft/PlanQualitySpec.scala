@@ -443,6 +443,46 @@ class PlanQualitySpec extends GraftSuite {
       s"v18 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("sp12: neighborhood sum is an equi-join on cell keys, no cartesian") {
+    val p = planOf("sp12_revenue_hotspots")
+    // the oracle's |Δ|≤1 form would plan a nested loop; the engine must
+    // use the exploded-offset equi-join (scales to 10^6-cell grids)
+    assert(!p.contains("CartesianProduct"),
+      s"sp12 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("Exchange hashpartitioning") || p.contains("BroadcastExchange"),
+      s"sp12 lost its keyed join:\n$p")
+  }
+
+  test("q44: CUSUM windows scan the hourly series, not raw events") {
+    val p = planOf("q44_cusum_changepoint")
+    // the only window input is the (type, hour) aggregate — count rows
+    // bounded by the time horizon; raw events are pre-aggregated with a
+    // map-side partial first
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"q44 hourly rollup lost its map-side combine:\n$p")
+    assert(p.contains("Window"), s"q44 needs its per-type scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q44 planned pair work:\n$p")
+  }
+
+  test("t32: snapshot diff joins on the doc key; text never shuffles") {
+    val p = planOf("t32_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t32 planned pair work:\n$p")
+    // digests are computed BEFORE the full-outer join: exchanges carry
+    // (doc_id, source, digest, token-count), never the document text
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"t32 shuffles document text:\n$p")
+  }
+
+  test("v19: recall audit rides two-level TopK aggregates, no cartesian") {
+    val p = planOf("v19_pq_recall_audit")
+    assert(p.contains("ObjectHashAggregate"),
+      s"v19 shortlists lost their partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v19 planned a non-broadcast cartesian:\n$p")
+  }
+
   test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
     val p = planOf("t30_dup_span_removal")
     assert(p.contains("partial_min") || p.contains("partial"),

@@ -327,6 +327,140 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("sp12: hotspot ratios equal an exact-decimal grid replay") {
+    def coord(key: Long, mul: Long): Double = ((key * mul) % 10007) % 100 + 0.5
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    val rev = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val cellRv = scala.collection.mutable.Map.empty[(Long, Long), BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    val cellN = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (c <- custs) {
+      val k = (math.floor(coord(c, 48271) / 10).toLong,
+        math.floor(coord(c, 69621) / 10).toLong)
+      cellRv(k) += rev.getOrElse(c, BigDecimal(0))
+      cellN(k) += 1
+    }
+    val grid = for (gx <- 0L to 9L; gy <- 0L to 9L) yield (gx, gy)
+    val s = grid.map(cellRv).sum
+    val out = SparkEntry.queries("sp12_revenue_hotspots")(spark, sf).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val id = r.getLong(0); val k = (id / 10, id % 10)
+      val nbrs = grid.filter(b =>
+        math.abs(b._1 - k._1) <= 1 && math.abs(b._2 - k._2) <= 1)
+      val w = nbrs.map(cellRv).sum
+      assert(r.getLong(1) == cellN(k), s"cell $id count")
+      assert(r.getDouble(2) == cellRv(k).toDouble, s"cell $id revenue")
+      assert(r.getDouble(3) == (cellRv(k) * 100).toDouble / s.toDouble,
+        s"cell $id ratio")
+      assert(r.getDouble(4) == (w * 100).toDouble / (s * nbrs.length).toDouble,
+        s"cell $id smooth")
+      assert(r.getBoolean(5) == (r.getDouble(3) >= 1.25) &&
+        r.getBoolean(6) == (r.getDouble(3) <= 0.75), s"cell $id flags")
+    }
+  }
+
+  test("q44: CUSUM changepoint equals an integer prefix-sum replay") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00").withZone(java.time.ZoneOffset.UTC)
+    val byType = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getString(0), fmt.format(r.getTimestamp(1).toInstant)))
+      .groupBy(_._1)
+    val expected = byType.map { case (t, es) =>
+      val hourly = es.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val hTot = hourly.length.toLong
+      val sTot = hourly.map(_._2).sum
+      var pf = 0L
+      val nums = hourly.zipWithIndex.map { case ((hr, c), i) =>
+        pf += c
+        (hr, c, hTot * pf - (i + 1) * sTot)
+      }
+      val (hr, c, num) = nums.minBy { case (h, _, n) => (-math.abs(n), h) }
+      t -> ((hr, c, num.toDouble / hTot, num < 0))
+    }
+    val out = SparkEntry.queries("q44_cusum_changepoint")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (hr, c, peak, rising) = expected(r.getString(0))
+      assert(r.getString(1) == hr && r.getLong(2) == c &&
+        r.getDouble(3) == peak && r.getBoolean(4) == rising,
+        s"type ${r.getString(0)}")
+    }
+    // a changepoint exists for every type and peaks are nonzero
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 0))
+  }
+
+  test("t32: snapshot diff equals a two-version replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def ntok(t: String): Long = t.split("\\s+").count(_.nonEmpty).toLong
+    val v1 = rows.filter(_._1 < 450).map(r => r._1 -> r).toMap
+    val v2 = rows.filter(_._1 >= 50).map { case (id, src, t) =>
+      val t2 = if (id % 7 == 0) t + " [rev2]" else t
+      id -> ((id, src, t2))
+    }.toMap
+    val statuses = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val st = (v1.get(id), v2.get(id)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) => if (a._3 != b._3) "changed" else "unchanged"
+      }
+      val src = v1.get(id).orElse(v2.get(id)).get._2
+      (src, st, v1.get(id).map(r => ntok(r._3)).getOrElse(0L),
+        v2.get(id).map(r => ntok(r._3)).getOrElse(0L))
+    }
+    val expected = statuses.groupBy(s => (s._1, s._2)).view.mapValues(g =>
+      (g.length.toLong, g.map(_._3).sum, g.map(_._4).sum)).toMap
+    val out = SparkEntry.queries("t32_snapshot_diff")(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, t1, t2) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == t1 && r.getLong(4) == t2,
+        s"${r.getString(0)}/${r.getString(1)}")
+    }
+    Seq("added", "removed", "changed", "unchanged").foreach(st =>
+      assert(out.exists(_.getString(1) == st), s"missing status $st"))
+  }
+
+  test("v19: rerank recall dominates ADC recall; hits match a replay") {
+    val out = SparkEntry.queries("v19_pq_recall_audit")(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      // rerank pool ⊇ ADC top-5, so rerank hits can only add
+      assert(r.getLong(2) >= r.getLong(1), s"probe ${r.getLong(0)} monotone")
+      assert(r.getDouble(3) == r.getLong(1).toDouble / 5 &&
+        r.getDouble(4) == r.getLong(2).toDouble / 5)
+    }
+    // independent exact ground truth: brute-force L2 top-5 per probe
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) emb")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val adcOut = SparkEntry.queries("v09_pq_adc_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    for (q <- 0L until 10L) {
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .map(v => (l2(vecs(v), vecs(q)), v)).sortBy(identity).take(5)
+        .map(_._2).toSet
+      val adcHits = adcOut(q).map(_._2).count(truth)
+      assert(out.find(_.getLong(0) == q).get.getLong(1) == adcHits,
+        s"probe $q adc hits")
+    }
+  }
+
   test("d17: cross-source matrix equals a pair-labeling replay") {
     val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
