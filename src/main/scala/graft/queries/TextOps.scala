@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32)
+      t29, t30, t31, t32, t33)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1608,5 +1608,61 @@ object TextOps {
         sum(col("t1")).cast("long").as("tokens_v1"),
         sum(col("t2")).cast("long").as("tokens_v2"))
       .orderBy(col("source"), col("status"))
+  }
+
+  /** Marginal novelty per source — the "is this source worth buying/
+    * crawling?" measure: processing sources in name order, how many of
+    * a source's distinct 8-gram fingerprints were never seen in any
+    * earlier source (its NOVEL contribution), plus the running distinct-
+    * gram total of the corpus so far. A source full of re-crawls scores
+    * near 0 and gets dropped before it costs storage; the DataComp/
+    * RedPajama-style marginal-value curve over sources.
+    *
+    * Scale shape: the gram explode shuffles (hash, source) pairs only;
+    * first-owner is a min(source) aggregate with O(1) mergeable state
+    * (hot grams collapse map-side); per-source totals are one more hash
+    * aggregate. The ONLY window is the cumulative sum over the final
+    * per-SOURCE table — rows = number of sources, never corpus-sized
+    * (same bounded-window posture as q44's hour series). */
+  private val t33 = QDef(
+    "t33_source_novelty", {
+      val gram = (1 to 8).map(j => s"tk[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 6), i -> ${sqlH64(gram)}))
+         |    ELSE [${sqlH64("text")}] END) AS g
+         |  FROM tk),
+         |fg AS (SELECT g, min(source) AS first_src FROM sh GROUP BY g),
+         |per AS (SELECT source, count(DISTINCT g) AS n_grams FROM sh GROUP BY source),
+         |nov AS (SELECT first_src AS source, count(*) AS n_novel FROM fg GROUP BY 1)
+         |SELECT per.source, CAST(per.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / per.n_grams AS novelty_ratio,
+         |  CAST(sum(coalesce(nov.n_novel, 0)) OVER (ORDER BY per.source) AS BIGINT)
+         |    AS cum_corpus_grams
+         |FROM per LEFT JOIN nov ON per.source = nov.source
+         |ORDER BY per.source""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(expr(gram8E)).as("g"))
+      .persistTracked()
+    val fg = sh.groupBy(col("g")).agg(min(col("source")).as("first_src"))
+    val per = sh.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_grams"))
+    val nov = fg.groupBy(col("first_src").as("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    per.join(nov, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_grams"))
+      .withColumn("cum_corpus_grams",
+        sum(col("n_novel")).over(Window.orderBy(col("source"))))
+      .orderBy(col("source"))
   }
 }

@@ -643,6 +643,64 @@ object StreamingOps {
       }
   }
 
+  /** The current changepoint estimate for one event type. */
+  final case class ChangepointOut(event_type: String, change_hr: String,
+      n_at_change: Long, cusum_peak: Double, rising: Boolean, gen: Long)
+
+  /** STREAMING CUSUM changepoint monitor — batch q44's incremental
+    * face: per event type, keyed state holds the hourly count map;
+    * every micro-batch folds its events in and re-emits the CURRENT
+    * hour-of-max-|CUSUM| (the live "did the rate shift?" readout an
+    * on-call dashboard polls). Identical arithmetic to q44 — integer
+    * numerators H·prefix − i·S over the hour-sorted series, ONE IEEE
+    * division — so once the stream drains, the latest-gen snapshot per
+    * type equals the oracle-verified batch answer bit-for-bit
+    * (StreamingSpec asserts it).
+    *
+    * State is one (hour → count) entry per OBSERVED hour per type —
+    * bounded by the time horizon like the batch windows, not by event
+    * volume. The per-batch re-scan of the hour series is O(hours), a
+    * few hundred entries; counts, not events, are what the state
+    * carries. */
+  def changepointMonitor(events: Dataset[TypedEventIn]): Dataset[ChangepointOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TypedEventIn],
+         state: GroupState[(Map[Long, Long], Long)]) =>
+          val (prev, gen) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          var hours = prev
+          it.foreach { e =>
+            val hr = usOf(e.ts) / HourUs
+            hours = hours.updated(hr, hours.getOrElse(hr, 0L) + 1L)
+          }
+          state.update((hours, gen + 1))
+          val series = hours.toSeq.sortBy(_._1)
+          val hTot = series.length.toLong
+          val sTot = series.iterator.map(_._2).sum
+          var pf = 0L
+          var best: (Long, Long, Long) = null // (hr, count, num)
+          series.zipWithIndex.foreach { case ((hr, c), i) =>
+            pf += c
+            val num = hTot * pf - (i + 1) * sTot
+            if (best == null || math.abs(num) > math.abs(best._3)) best = (hr, c, num)
+          }
+          if (best == null) Iterator.empty
+          else Iterator.single(ChangepointOut(key, hourString(best._1),
+            best._2, best._3.toDouble / hTot, best._3 < 0, gen + 1))
+      }
+  }
+
+  /** Epoch hour → "yyyy-MM-dd HH:00" in UTC (q44's hour label).
+    * Formatter built per call: DateTimeFormatter is not Serializable
+    * and must not be captured by the state closure. */
+  private def hourString(hr: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:00")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(hr * 3600L))
+
   /** STREAMING eval-set contamination gate — t09's incremental face:
     * each arriving train document is fingerprinted with the SAME
     * distinct-8-gram expression as batch t09 ([[graft.queries.TextOps

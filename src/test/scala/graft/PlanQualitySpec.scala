@@ -483,6 +483,17 @@ class PlanQualitySpec extends GraftSuite {
       s"v19 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("t33: novelty rides gram-hash aggregates; window scans sources only") {
+    val p = planOf("t33_source_novelty")
+    // first-owner is min(source) per gram hash — O(1) mergeable state
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"t33 first-owner lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t33 planned pair work:\n$p")
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"t33 shuffles document text:\n$p")
+  }
+
   test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
     val p = planOf("t30_dup_span_removal")
     assert(p.contains("partial_min") || p.contains("partial"),

@@ -461,6 +461,40 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("t33: source novelty equals a first-owner replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Set[String] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      if (tk.length >= 8) tk.sliding(8).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val bySrc = rows.groupBy(_._2).view
+      .mapValues(_.flatMap(r => grams(r._3)).toSet).toMap
+    val firstSrc = bySrc.toSeq.flatMap { case (s, gs) => gs.map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    var cum = 0L
+    val expected = srcs.map { s =>
+      val novel = bySrc(s).count(g => firstSrc(g) == s).toLong
+      cum += novel
+      s -> ((bySrc(s).size.toLong, novel, cum))
+    }.toMap
+    val out = SparkEntry.queries("t33_source_novelty")(spark, sf).collect()
+    assert(out.length == srcs.length)
+    out.foreach { r =>
+      val (ng, nn, c) = expected(r.getString(0))
+      assert(r.getLong(1) == ng && r.getLong(2) == nn && r.getLong(4) == c,
+        s"source ${r.getString(0)}")
+      assert(r.getDouble(3) == nn.toDouble / ng, s"${r.getString(0)} ratio")
+    }
+    // the corpus has cross-source near-dups, so not every source is 100% novel
+    assert(out.exists(_.getDouble(3) < 1.0))
+    // the cumulative curve ends at the corpus-wide distinct gram count
+    assert(out.map(_.getLong(2)).sum == rows.flatMap(r => grams(r._3)).distinct.length)
+  }
+
   test("d17: cross-source matrix equals a pair-labeling replay") {
     val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

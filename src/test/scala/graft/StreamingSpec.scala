@@ -529,6 +529,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("changepointMonitor: drained snapshot equals batch q44 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => StreamingOps.TypedEventIn(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getTimestamp(3)))
+      .sortBy(_.event_id)
+
+    val mem = MemoryStream[StreamingOps.TypedEventIn]
+    val out = StreamingOps.changepointMonitor(mem.toDS())
+    val query = out.writeStream.format("memory")
+      .queryName("changepoint_out").outputMode("update").start()
+    try {
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      thirds.foreach { b => mem.addData(b.toSeq: _*); query.processAllAvailable() }
+      val all = spark.table("changepoint_out")
+        .as[StreamingOps.ChangepointOut].collect()
+      val latest = all.groupBy(_.event_type).map { case (_, rs) =>
+        rs.maxBy(_.gen)
+      }
+      val batch = SparkEntry.queries("q44_cusum_changepoint")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(latest.size == batch.size && batch.nonEmpty)
+      latest.foreach { r =>
+        val (hr, c, peak, rising) = batch(r.event_type)
+        assert(r.change_hr == hr && r.n_at_change == c &&
+          r.cusum_peak == peak && r.rising == rising, s"type ${r.event_type}")
+      }
+      // the monitor revises its estimate as data arrives: >= 1 gen/type
+      assert(all.groupBy(_.event_type).forall(_._2.map(_.gen).max == 3))
+    } finally query.stop()
+  }
+
   test("contaminationGate: streamed train docs equal batch t09 bit-for-bit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
