@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43, q44)
+    q37, q38, q39, q41, q42, q43, q44, q45)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -673,5 +673,33 @@ object Events {
         (col("num").cast("double") / col("n_hours")).as("cusum_peak"),
         (col("num") < 0).as("rising"))
       .orderBy(col("event_type"))
+  }
+
+  /** Daily value-distribution bands per event type — the SLO/latency
+    * report shape: exact interpolated P50/P95/P99 of `value` per
+    * (type, day), plus the count. Spark's `percentile` and DuckDB's
+    * `quantile_cont` compute the same R-7 interpolation bit-exactly
+    * (q25's proven parity, here grouped 5×31 ways).
+    *
+    * Scale shape: one hash aggregate keyed (type, day); exact
+    * percentile state is the per-group value multiset — the honest
+    * exact form (the approx path is percentile_approx/ApproxAggSpec);
+    * groups are day-bounded so state per key is bounded by daily
+    * volume, and the shuffle carries (key, value) pairs only. */
+  private val q45 = QDef(
+    "q45_daily_value_bands",
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  count(*) AS n,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5D)").as("p50"),
+        expr("percentile(value, 0.95D)").as("p95"),
+        expr("percentile(value, 0.99D)").as("p99"))
+      .orderBy(col("event_type"), col("day"))
   }
 }

@@ -461,6 +461,40 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("q45: daily bands equal an R-7 interpolation replay") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .map(r => ((r.getString(0), fmt.format(r.getTimestamp(1).toInstant)),
+        r.getDouble(2)))
+    // Spark percentile / DuckDB quantile_cont: lower + (pos-⌊pos⌋)·Δ
+    def q(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val expected = rows.groupBy(_._1).map { case (k, vs) =>
+      val xs = vs.map(_._2).sorted
+      k -> ((xs.length.toLong, q(xs, 0.5), q(xs, 0.95), q(xs, 0.99)))
+    }
+    val out = SparkEntry.queries("q45_daily_value_bands")(spark, sf).collect()
+    assert(out.length == expected.size)
+    // replay vs engine: ulp-level tolerance — the interpolation term
+    // order inside Spark's percentile differs from the naive formula;
+    // BIT-exactness is asserted engine-vs-DuckDB by the oracle gate
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    out.foreach { r =>
+      val (n, p50, p95, p99) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n && close(r.getDouble(3), p50) &&
+        close(r.getDouble(4), p95) && close(r.getDouble(5), p99),
+        s"${r.getString(0)}/${r.getString(1)}")
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
+
   test("t33: source novelty equals a first-owner replay") {
     val rows = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
