@@ -1,0 +1,45 @@
+package graft
+
+/** Shuffle-partitioning invariance: at 100 TB the partition count is
+  * whatever the cluster decides, so a query whose RESULT depends on it
+  * (IEEE sum order through a hash aggregate, unstable top-k ties,
+  * collect_set ordering leaking into output) is wrong even if it passes
+  * the single-configuration oracle gate. This suite re-runs a sample of
+  * the most order-sensitive queries under 1 / 4 / 7 shuffle partitions
+  * and asserts byte-identical results — the determinism contracts
+  * (Det.dsum decimal sums, TopK struct tie-breaks, membership-only
+  * collect_set use) doing their job under a reshuffle.
+  */
+class DeterminismSpec extends GraftSuite {
+
+  // order-sensitive shapes: decimal sums (q01/q43/sp12), two-level
+  // TopK (q43/v19), min-label propagation + histogram (d16), windows
+  // over aggregates (q44/t33), covered-position collect_set (t30)
+  private val names = Seq(
+    "q01_pricing_summary", "q43_type_top_users", "q44_cusum_changepoint",
+    "t30_dup_span_removal", "t33_source_novelty", "d16_dedup_impact",
+    "sp12_revenue_hotspots", "v19_pq_recall_audit")
+
+  private def run(name: String, parts: String): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    finally graft.util.Persist.releaseAll()
+  }
+
+  test("results are bit-identical under 1 / 4 / 7 shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (name <- names) {
+        val ref = run(name, "4")
+        assert(ref.nonEmpty, s"$name returned no rows")
+        for (p <- Seq("1", "7")) {
+          val got = run(name, p)
+          assert(got == ref,
+            s"$name changed under $p shuffle partitions: " +
+              got.zip(ref).collectFirst { case (g, r) if g != r => s"$g != $r" }
+                .getOrElse(s"sizes ${got.size} vs ${ref.size}"))
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
