@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43, q44, q45)
+    q37, q38, q39, q41, q42, q43, q44, q45, q47)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -701,5 +701,46 @@ object Events {
         expr("percentile(value, 0.95D)").as("p95"),
         expr("percentile(value, 0.99D)").as("p99"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Event-type Markov transition matrix — per user's chronological
+    * event stream, the next-event counts and probabilities P(dst|src):
+    * the behavior-model input (what follows a signup?) and the anomaly
+    * prior (a transition with p≈0 appearing in force is an incident).
+    * Each probability row-sums to 1 per source type.
+    *
+    * Scale shape: ONE user-keyed window (lag/lead over each user's own
+    * events — partition width = a user's event count, the q20/q37
+    * posture) feeding a (src, dst) aggregate of at most |types|² rows;
+    * probabilities are ONE division of exact counts. Tie order inside
+    * a user's stream is pinned by (ts, event_id) in both engines. */
+  private val q47 = QDef(
+    "q47_event_transitions",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |t AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+      |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src AS src2, sum(n) AS n_src FROM t GROUP BY 1)
+      |SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+      |  CAST(t.n AS DOUBLE) / tot.n_src AS p,
+      |  CAST(tot.n_src AS BIGINT) AS n_src
+      |FROM t JOIN tot ON t.src = tot.src2 ORDER BY t.src, t.dst""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .persistTracked()
+    val tot = t.groupBy(col("src").as("src2")).agg(sum(col("n")).as("n_src"))
+    t.join(tot, col("src") === col("src2"))
+      .select(col("src"), col("dst"), col("n"),
+        (col("n").cast("double") / col("n_src")).as("p"),
+        col("n_src"))
+      .orderBy(col("src"), col("dst"))
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
 import graft.util.Det._
+import graft.util.Persist.Syntax
 
 /** Relational operator coverage (SURVEY §2.B): scans, filters, joins of
   * every flavor, aggregation incl. grouping sets, windows, set ops,
@@ -21,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40)
+    q40, q46)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -551,5 +552,56 @@ object Relational {
         |  CAST(MIN(custkey) AS BIGINT) AS min_key,
         |  CAST(MAX(custkey) AS BIGINT) AS max_key
         |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  /** Market-basket part affinity — co-occurrence mining over order
+    * baskets: for every part pair bought together in ≥2 orders, the
+    * co-order count and the lift n_ab·N / (n_a·n_b) (>1 = bought
+    * together more than chance — the association signal behind
+    * "customers who bought X also bought Y").
+    *
+    * Scale shape: the pair explosion is a self-join ON THE ORDER KEY,
+    * so pair work is bounded by basket size squared per order (≈7
+    * lines/order), never corpus-quadratic — the canonical distributed
+    * market-basket shape. Frequencies join back by part key; lift is
+    * ONE division of exact integer products, so the oracle matches
+    * bit-exactly. */
+  private val q46 = QDef(
+    "q46_part_affinity",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+      |pf AS (SELECT pk, count(*) AS n_p FROM op GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT CAST(pairs.pa AS BIGINT) AS part_a, CAST(pairs.pb AS BIGINT) AS part_b,
+      |  CAST(pairs.n_ab AS BIGINT) AS n_together,
+      |  CAST(fa.n_p AS BIGINT) AS n_a, CAST(fb.n_p AS BIGINT) AS n_b,
+      |  CAST(pairs.n_ab * n.n_orders AS DOUBLE) / CAST(fa.n_p * fb.n_p AS DOUBLE) AS lift
+      |FROM pairs JOIN pf fa ON pairs.pa = fa.pk JOIN pf fb ON pairs.pb = fb.pk
+      |CROSS JOIN n
+      |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persistTracked()
+    val n = op.agg(countDistinct(col("ok")).as("n_orders"))
+    val pf = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(pf.select(col("pk").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+      .join(pf.select(col("pk").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab").as("n_together"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
   }
 }

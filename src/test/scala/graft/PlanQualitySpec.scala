@@ -494,6 +494,24 @@ class PlanQualitySpec extends GraftSuite {
       s"t33 shuffles document text:\n$p")
   }
 
+  test("q46: basket pairs ride the order-key equi-join, freqs join by part") {
+    val p = planOf("q46_part_affinity")
+    // pair work must be bounded per order: the self-join is an
+    // EQUI-join on l_orderkey, never an unbounded cross product
+    assert(!p.contains("CartesianProduct"),
+      s"q46 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("Exchange hashpartitioning") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q46 lost its keyed join:\n$p")
+  }
+
+  test("q47: transitions are one user-keyed window + a types² aggregate") {
+    val p = planOf("q47_event_transitions")
+    assert(p.contains("Window"), s"q47 lost its per-user lead:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q47 planned pair work:\n$p")
+  }
+
   test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
     val p = planOf("t30_dup_span_removal")
     assert(p.contains("partial_min") || p.contains("partial"),

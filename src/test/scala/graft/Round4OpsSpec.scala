@@ -495,6 +495,53 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("q46: part affinity equals a basket-pair replay") {
+    val op = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val pf = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val out = SparkEntry.queries("q46_part_affinity")(spark, sf).collect()
+    assert(out.length == pairs.size && pairs.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(pairs(k) == r.getLong(2), s"$k n_together")
+      assert(r.getLong(3) == pf(k._1) && r.getLong(4) == pf(k._2), s"$k freqs")
+      assert(r.getDouble(5) ==
+        (pairs(k) * nOrders).toDouble / (pf(k._1) * pf(k._2)).toDouble,
+        s"$k lift")
+    }
+    // lift > 1 somewhere: the fixture has real co-purchase structure
+    assert(out.exists(_.getDouble(5) > 1.0))
+  }
+
+  test("q47: transition matrix equals a per-user sequence replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000L + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val trans = evs.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).map(_._3).sliding(2)
+        .collect { case Array(a, b) => (a, b) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val out = SparkEntry.queries("q47_event_transitions")(spark, sf).collect()
+    assert(out.length == trans.size)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == trans(k) && r.getLong(4) == totals(k._1), s"$k")
+      assert(r.getDouble(3) == trans(k).toDouble / totals(k._1), s"$k p")
+    }
+    // each source's outgoing probabilities sum to 1 (allowing fp dust)
+    out.groupBy(_.getString(0)).foreach { case (s2, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9, s"$s2 sums")
+    }
+  }
+
   test("t33: source novelty equals a first-owner replay") {
     val rows = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
