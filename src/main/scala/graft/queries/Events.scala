@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43, q44, q45, q47)
+    q37, q38, q39, q41, q42, q43, q44, q45, q47, q48)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -742,5 +742,61 @@ object Events {
         (col("n").cast("double") / col("n_src")).as("p"),
         col("n_src"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Top session paths — behavior path mining: per 30-minute-gap user
+    * session (q20's sessionization), the path of the first 5 event
+    * types ('view>click>purchase'), counted across all sessions; paths
+    * seen ≥10× ranked by frequency (with a truncation count for
+    * sessions longer than the prefix). The funnel-discovery complement
+    * of q47's pairwise transitions.
+    *
+    * Scale shape: sessionization is q20's user-keyed gaps-and-islands
+    * windows; the path string is built from a per-SESSION sorted
+    * collect bounded by the 5-event prefix (slice before join — the
+    * collected array is bounded by session length, never user
+    * history); then one path-keyed count. The final top-30 is bounded
+    * output, ordered deterministically by (count desc, path). */
+  private val q48 = QDef(
+    "q48_session_paths",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid FROM f),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY user_id, sid) AS slen
+      |      FROM g),
+      |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+      |        max(slen) AS slen
+      |      FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+      |SELECT path, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN slen > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+      |FROM p GROUP BY path HAVING count(*) >= 10
+      |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val g = e
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w))
+    val p = g.groupBy(col("user_id"), col("sid"))
+      .agg(
+        array_join(expr(
+          "transform(slice(array_sort(collect_list(struct(us, event_id, event_type))), 1, 5), s -> s.event_type)"),
+          ">").as("path"),
+        count(lit(1)).as("slen"))
+    p.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("slen") > 5, 1L).otherwise(0L)).as("n_truncated"))
+      .where(col("n_sessions") >= 10)
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(30)
   }
 }

@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17, v18, v19)
+    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1270,6 +1270,65 @@ object VectorOps {
         coalesce(col("h2"), lit(0L)).as("rerank_hits"),
         (coalesce(col("h1"), lit(0L)).cast("double") / 5).as("adc_recall"),
         (coalesce(col("h2"), lit(0L)).cast("double") / 5).as("rerank_recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** kNN label-agreement audit — the embedding-space label-coherence /
+    * mislabel detector: for a 50-vector probe sample, what fraction of
+    * each probe's 5 exact cosine neighbors share its label. agreement ≈
+    * 1/|labels| means the labels carry no embedding-space signal (this
+    * fixture's honest verdict: random embeddings); a per-item
+    * agreement of 0 in a corpus with real structure flags a suspect
+    * label. The audit behind "can we trust these labels for
+    * classifier-style filtering?".
+    *
+    * Scale shape: v01's broadcast-probe brute-force pass (probe count
+    * is the explicit cost knob — the corpus is scanned once, never
+    * self-joined) + a label join on the 250 neighbor rows + the
+    * two-level TopK. One division per probe. */
+  private val v20 = QDef(
+    "v20_label_agreement",
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |pr AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |       FROM e WHERE vec_id < 50),
+       |top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT pr.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY pr.q_id ORDER BY
+       |        ${sqlDot("e.embedding", "pr.q_emb")} /
+       |          (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("pr.q_emb", "pr.q_emb")})) DESC,
+       |        e.vec_id) AS rank
+       |    FROM e JOIN pr ON e.vec_id <> pr.q_id) WHERE rank <= 5),
+       |ag AS (
+       |  SELECT top.q_id, count(*) FILTER (e.label = pr.q_label) AS n_agree
+       |  FROM top JOIN e ON top.vec_id = e.vec_id JOIN pr ON top.q_id = pr.q_id
+       |  GROUP BY top.q_id)
+       |SELECT pr.q_id, CAST(pr.q_label AS INTEGER) AS label,
+       |  CAST(coalesce(ag.n_agree, 0) AS BIGINT) AS n_agree,
+       |  CAST(coalesce(ag.n_agree, 0) AS DOUBLE) / 5 AS agreement,
+       |  (coalesce(ag.n_agree, 0) = 0) AS suspect
+       |FROM pr LEFT JOIN ag ON pr.q_id = ag.q_id ORDER BY pr.q_id""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val pr = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val top = TopK.topK(
+        e.crossJoin(broadcast(pr)).where(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", dot("emb", "q_emb") / (norm("emb") * norm("q_emb"))),
+        Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val ag = top
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(pr.select(col("q_id"), col("q_label")), Seq("q_id"))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_agree"))
+    pr.select(col("q_id"), col("q_label"))
+      .join(ag, Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label").cast("int").as("label"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        (coalesce(col("n_agree"), lit(0L)).cast("double") / 5).as("agreement"),
+        (coalesce(col("n_agree"), lit(0L)) === 0).as("suspect"))
       .orderBy(col("q_id"))
   }
 }

@@ -512,6 +512,22 @@ class PlanQualitySpec extends GraftSuite {
       s"q47 planned pair work:\n$p")
   }
 
+  test("q48: paths ride user-keyed windows and a bounded path aggregate") {
+    val p = planOf("q48_session_paths")
+    assert(p.contains("Window"), s"q48 lost its sessionization windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q48 planned pair work:\n$p")
+  }
+
+  test("v20: agreement audit broadcasts probes; corpus scanned once") {
+    val p = planOf("v20_label_agreement")
+    assert(p.contains("BroadcastExchange"), s"v20 probes not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"v20 top-k lost its two-level aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v20 planned a non-broadcast cartesian:\n$p")
+  }
+
   test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
     val p = planOf("t30_dup_span_removal")
     assert(p.contains("partial_min") || p.contains("partial"),

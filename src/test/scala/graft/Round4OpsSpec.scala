@@ -542,6 +542,59 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("q48: session paths equal a gaps-and-islands replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000L + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val paths = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      for (Array(a, b) <- sorted.sliding(2).collect { case s if s.length == 2 => s }) {
+        if (b._4 - a._4 > 1800000000L) sessions += scala.collection.mutable.ArrayBuffer(b)
+        else sessions.last += b
+      }
+      sessions.map(ss => (ss.take(5).map(_._3).mkString(">"), ss.length))
+    }.toSeq
+    val expected = paths.groupBy(_._1).view.mapValues(g =>
+      (g.size.toLong, g.count(_._2 > 5).toLong))
+      .filter(_._2._1 >= 10).toSeq
+      .sortBy { case (p, (n, _)) => (-n, p) }.take(30)
+    val out = SparkEntry.queries("q48_session_paths")(spark, sf).collect()
+    assert(out.length == expected.length && expected.nonEmpty)
+    out.zip(expected).foreach { case (r, (p, (n, tr))) =>
+      assert(r.getString(0) == p && r.getLong(1) == n && r.getLong(2) == tr,
+        s"path $p")
+    }
+  }
+
+  test("v20: label agreement equals a brute-force cosine replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) emb",
+        "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val out = SparkEntry.queries("v20_label_agreement")(spark, sf).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val q = byId(r.getLong(0))
+      val top = vecs.filter(_._1 != q._1)
+        .map(v => (-dot(v._2, q._2) / (math.sqrt(dot(v._2, v._2)) * math.sqrt(dot(q._2, q._2))), v._1, v._3))
+        .sortBy(t => (t._1, t._2)).take(5)
+      val agree = top.count(_._3 == q._3).toLong
+      assert(r.getInt(1) == q._3 && r.getLong(2) == agree, s"probe ${q._1}")
+      assert(r.getDouble(3) == agree.toDouble / 5 &&
+        r.getBoolean(4) == (agree == 0), s"probe ${q._1} derived")
+    }
+  }
+
   test("t33: source novelty equals a first-owner replay") {
     val rows = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
