@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17)
+    d11, d12, d13, d14, d15, d16, d17, d18)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1086,5 +1086,57 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"))
     np.join(nd, Seq("src_a", "src_b"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Near-dup cluster-size histogram — the "how is duplication
+    * distributed" report behind d16's aggregate impact numbers: sizes
+    * of d06's connected components bucketed into (csize, n_clusters,
+    * n_docs), with unpaired documents counted as size-1 clusters. A
+    * heavy tail here (a few mega-clusters holding most dup mass) is
+    * the signal to switch d15's canonical-keep from per-pair to
+    * per-cluster processing; all-size-2 means simple pair-drop
+    * suffices.
+    *
+    * Scale shape: d06's label propagation (O(diameter) rounds,
+    * bucketed LSH candidates, never all-pairs) + two tiny aggregates;
+    * the singleton row comes from broadcast single-row counts, no
+    * driver collect. The DuckDB oracle replays components with a
+    * recursive CTE over brute-force pairs — quadratic on the ORACLE
+    * side only (sf0.1 skip list, like d06). */
+  private val d18 = QDef(
+    "d18_cluster_size_histogram",
+    "WITH RECURSIVE " + oracleShingleCte + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |cs AS (SELECT component, count(*) AS csize FROM comp GROUP BY component),
+        |hist AS (
+        |  SELECT csize, count(*) AS n_clusters FROM cs GROUP BY csize
+        |  UNION ALL
+        |  SELECT 1 AS csize,
+        |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters)
+        |SELECT csize, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(csize * n_clusters) AS BIGINT) AS n_docs
+        |FROM hist GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v"))).persistTracked()
+    val hist = labels.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+    val singleton = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      .crossJoin(labels.agg(count(lit(1)).as("np")))
+      .select(lit(1L).as("csize"), (col("nd") - col("np")).as("n_clusters"))
+    hist.select(col("csize"), col("n_clusters")).union(singleton)
+      .groupBy(col("csize"))
+      .agg(sum(col("n_clusters")).as("n_clusters"),
+        sum(col("csize") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("csize"))
   }
 }

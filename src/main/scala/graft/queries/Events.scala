@@ -23,7 +23,7 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43, q44, q45, q47, q48)
+    q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -798,5 +798,205 @@ object Events {
       .where(col("n_sessions") >= 10)
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(30)
+  }
+
+  /** Last-touch attribution — the conversion-credit report: each
+    * purchase is attributed to the user's most recent preceding
+    * non-purchase event within a 7-day lookback ('none' when the
+    * purchase is cold), then purchases and revenue roll up by touch
+    * type. The marketing-analytics staple that q48's funnel paths and
+    * q47's transition matrix feed into.
+    *
+    * Scale shape: ONE user-keyed window (last-ignore-nulls over an
+    * unbounded-preceding frame — Spark evaluates it in a single
+    * streaming pass per user, state is one value, not the history)
+    * and one 5-row aggregate; the share denominator is a window sum
+    * over the 5 grouped rows, not a second scan. Revenue sums are
+    * exact decimal ([[graft.util.Det.dsum]]). */
+  private val q49 = QDef(
+    "q49_last_touch_attribution",
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+      |t AS (SELECT *,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |          OVER w AS touch_type,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+      |          OVER w AS touch_us
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (SELECT CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 604800000000
+      |               THEN touch_type ELSE 'none' END AS touch_type, value
+      |      FROM t WHERE event_type = 'purchase')
+      |SELECT touch_type, COUNT(*) AS n_purchases,
+      |  ${sqlDsum("value")} AS attributed_value,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+      |FROM p GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    val t = e
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("event_type") =!= "purchase", col("us")),
+          ignoreNulls = true).over(w))
+    val p = t.filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_us").isNotNull &&
+          col("us") - col("touch_us") <= 604800000000L,
+          col("touch_type")).otherwise("none").as("touch_type"),
+        col("value"))
+    p.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+      .withColumn("share",
+        col("n_purchases").cast("double") /
+          sum(col("n_purchases")).over(Window.partitionBy()))
+      .orderBy(col("touch_type"))
+  }
+
+  /** Funnel conversion — the ordered view→click→purchase completion
+    * report over q48's 30-minute sessions: a session converts stage k
+    * only if the stage-k event happens strictly AFTER the previous
+    * stage's first completion ((us, event_id) struct order, so
+    * same-microsecond ties break identically in both engines). The
+    * output is the one-row funnel card: session counts per stage and
+    * the per-stage conversion ratios (NULL-guarded divisions — the
+    * honest answer on this fixture's uniform event types is a funnel
+    * that decays ~5× per stage).
+    *
+    * Scale shape: sessionization is the user-keyed window pair; each
+    * stage is one session-keyed aggregate + one session-keyed join
+    * (three total, same key — AQE coalesces the exchanges), and the
+    * final card is a single global aggregate over one row per
+    * session. Nothing is ever pairwise and no session's events are
+    * ever collected into an array. */
+  private val q50 = QDef(
+    "q50_funnel_conversion",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid FROM f),
+      |s1 AS (SELECT user_id, sid,
+      |         min(CASE WHEN event_type = 'view' THEN struct_pack(us := us, eid := event_id) END) AS t1
+      |       FROM g GROUP BY user_id, sid),
+      |s2 AS (SELECT g.user_id, g.sid,
+      |         min(CASE WHEN g.event_type = 'click' AND struct_pack(us := g.us, eid := g.event_id) > s1.t1
+      |               THEN struct_pack(us := g.us, eid := g.event_id) END) AS t2
+      |       FROM g JOIN s1 USING (user_id, sid) GROUP BY g.user_id, g.sid),
+      |s3 AS (SELECT g.user_id, g.sid,
+      |         min(CASE WHEN g.event_type = 'purchase' AND struct_pack(us := g.us, eid := g.event_id) > s2.t2
+      |               THEN struct_pack(us := g.us, eid := g.event_id) END) AS t3
+      |       FROM g JOIN s2 USING (user_id, sid) GROUP BY g.user_id, g.sid),
+      |j AS (SELECT s1.user_id, s1.sid, s1.t1, s2.t2, s3.t3
+      |      FROM s1 JOIN s2 USING (user_id, sid) JOIN s3 USING (user_id, sid))
+      |SELECT count(*) AS n_sessions,
+      |  CAST(count(t1) AS BIGINT) AS n_view,
+      |  CAST(count(t2) AS BIGINT) AS n_view_click,
+      |  CAST(count(t3) AS BIGINT) AS n_full_funnel,
+      |  CASE WHEN count(*) = 0 THEN NULL
+      |       ELSE CAST(count(t1) AS DOUBLE) / count(*) END AS r_view,
+      |  CASE WHEN count(t1) = 0 THEN NULL
+      |       ELSE CAST(count(t2) AS DOUBLE) / count(t1) END AS r_click_given_view,
+      |  CASE WHEN count(t2) = 0 THEN NULL
+      |       ELSE CAST(count(t3) AS DOUBLE) / count(t2) END AS r_purchase_given_click
+      |FROM j""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val ev = e
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .select(col("user_id"), col("sid"), col("event_type"),
+        struct(col("us"), col("event_id").as("eid")).as("t"))
+      .persistTracked()
+    val s1 = ev.groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "view", col("t"))).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id", "sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "click" && col("t") > col("t1"),
+        col("t"))).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id", "sid"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(when(col("event_type") === "purchase" && col("t") > col("t2"),
+        col("t"))).as("t3"))
+    s1.join(s2, Seq("user_id", "sid")).join(s3, Seq("user_id", "sid"))
+      .agg(count(lit(1)).as("n_sessions"), count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"), count(col("t3")).as("n_full_funnel"))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        when(col("n_sessions") === 0, lit(null))
+          .otherwise(col("n_view").cast("double") / col("n_sessions"))
+          .as("r_view"),
+        when(col("n_view") === 0, lit(null))
+          .otherwise(col("n_view_click").cast("double") / col("n_view"))
+          .as("r_click_given_view"),
+        when(col("n_view_click") === 0, lit(null))
+          .otherwise(col("n_full_funnel").cast("double") / col("n_view_click"))
+          .as("r_purchase_given_click"))
+  }
+
+  /** Touch-to-purchase latency — q49's timing companion: for each
+    * converted purchase (a non-purchase touch within the 7-day
+    * lookback), the touch→purchase latency distribution per touch
+    * type (exact interpolated P50/P90 + max, the q45-proven
+    * `percentile` ≡ `quantile_cont` pair). The "how long does
+    * conversion take per channel" card that sizes attribution
+    * windows.
+    *
+    * Scale shape: identical to q49 — ONE user-keyed last-ignore-nulls
+    * window, O(1) state per user — then a 5-group percentile
+    * aggregate whose state is bounded by per-type conversion counts. */
+  private val q51 = QDef(
+    "q51_conversion_latency",
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t AS (SELECT *,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |          OVER w AS touch_type,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+      |          OVER w AS touch_us
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (SELECT touch_type, us - touch_us AS lat_us FROM t
+      |      WHERE event_type = 'purchase' AND touch_us IS NOT NULL
+      |        AND us - touch_us <= 604800000000)
+      |SELECT touch_type, count(*) AS n_conversions,
+      |  quantile_cont(lat_us, 0.5) AS p50_latency_us,
+      |  quantile_cont(lat_us, 0.9) AS p90_latency_us,
+      |  CAST(max(lat_us) AS BIGINT) AS max_latency_us
+      |FROM p GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    e.withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("event_type") =!= "purchase", col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_us").isNotNull &&
+        col("us") - col("touch_us") <= 604800000000L)
+      .select(col("touch_type"), (col("us") - col("touch_us")).as("lat_us"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        percentile(col("lat_us"), lit(0.5)).as("p50_latency_us"),
+        percentile(col("lat_us"), lit(0.9)).as("p90_latency_us"),
+        max(col("lat_us")).as("max_latency_us"))
+      .orderBy(col("touch_type"))
   }
 }

@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33)
+      t29, t30, t31, t32, t33, t34, t35, t36)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1664,5 +1664,122 @@ object TextOps {
       .withColumn("cum_corpus_grams",
         sum(col("n_novel")).over(Window.orderBy(col("source"))))
       .orderBy(col("source"))
+  }
+
+  /** Duplicate-gram mass per source — the standard corpus-repetition
+    * metric (what fraction of a source's 8-gram occurrences are grams
+    * that also appear in ANOTHER document, anywhere in the corpus):
+    * the "how much of this source is boilerplate/recycled text" gauge
+    * that complements t33's first-owner novelty (novelty asks "who
+    * contributed it first"; dup mass asks "how much of what I'd train
+    * on is duplicated at all"). Per-doc grams are DISTINCT
+    * ([[gram8E]]), so occurrences are (doc, gram) pairs and a gram
+    * duplicated N times within one doc counts once — the cross-doc
+    * duplication signal, not t10's within-doc repetition.
+    *
+    * Scale shape: one gram-keyed count aggregate + one gram-keyed
+    * join — the shuffle carries (hash, doc_id/source) only, never
+    * text, and nothing is ever pairwise in documents. The reference
+    * has no corpus analytics; this extends its text surface
+    * (`src/core/src/expr/`) the way a training-data pipeline needs.
+    */
+  private val t34 = QDef(
+    "t34_dup_gram_mass", {
+      val gram = (1 to 8).map(j => s"tk[i+${j - 1}]").mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 6), i -> ${sqlH64(gram)}))
+         |    ELSE [${sqlH64("text")}] END) AS g
+         |  FROM tk),
+         |gc AS (SELECT g, count(*) AS nd FROM sh GROUP BY g)
+         |SELECT sh.source, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         |  CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_mass
+         |FROM sh JOIN gc USING (g)
+         |GROUP BY sh.source ORDER BY sh.source""".stripMargin
+    }) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(expr(gram8E)).as("g"))
+      .persistTracked()
+    val gc = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    sh.join(gc, Seq("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_mass",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-budget report per source — the capacity-planning card for
+    * sequence packing (t17) and mixture weighting (t18): per source,
+    * document and token totals plus the exact interpolated
+    * P50/P90/P99 of per-document token counts (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, the q45-proven bit-exact pair). The P99
+    * tells you the context length that avoids truncating the tail;
+    * the total tells you the epoch budget.
+    *
+    * Scale shape: per-row token counting (codegen'd split/filter) +
+    * one source-keyed aggregate; exact-percentile state per key is
+    * bounded by per-source document counts, and sources are the
+    * partition axis a 100 TB corpus is already bucketed by. */
+  private val t35 = QDef(
+    "t35_token_budget",
+    """WITH t AS (SELECT source,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+      |  quantile_cont(n_tokens, 0.9) AS p90_tokens,
+      |  quantile_cont(n_tokens, 0.99) AS p99_tokens
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+        percentile(col("n_tokens"), lit(0.99)).as("p99_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Language mix per source — the corpus-card panel d04's predicted
+    * langid feeds and t18's mixture weights consume: per (source,
+    * lang) document counts, each language's share of its source, and
+    * the dominant-language flag (ties broken lexicographically so
+    * both engines agree). The report a multilingual pipeline reads
+    * before assigning per-language processing budgets.
+    *
+    * Scale shape: one (source, lang) count aggregate — map-side
+    * combined, output bounded by sources×languages — plus
+    * source-partitioned windows over those tiny grouped rows; the
+    * corpus is scanned once and only grouped counts shuffle. */
+  private val t36 = QDef(
+    "t36_language_mix",
+    """WITH c AS (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source) AS share,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, lang) AS rk
+      |      FROM c)
+      |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, share, (rk = 1) AS is_dominant
+      |FROM t ORDER BY source, lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("source"))
+    val wR = Window.partitionBy(col("source"))
+      .orderBy(col("n_docs").desc, col("lang"))
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(wS))
+      .withColumn("is_dominant", row_number().over(wR) === 1)
+      .select(col("source"), col("lang"), col("n_docs"), col("share"),
+        col("is_dominant"))
+      .orderBy(col("source"), col("lang"))
   }
 }

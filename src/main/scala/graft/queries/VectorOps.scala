@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20)
+    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1330,5 +1330,125 @@ object VectorOps {
         (coalesce(col("n_agree"), lit(0L)).cast("double") / 5).as("agreement"),
         (coalesce(col("n_agree"), lit(0L)) === 0).as("suspect"))
       .orderBy(col("q_id"))
+  }
+
+  /** Per-label centroid shift audit — the embedding distribution-drift
+    * monitor: split the corpus into two ingest batches (vec_id parity
+    * here; in production, yesterday's snapshot vs today's), compute
+    * each label's centroid in each batch, and report the cosine
+    * between the two half-centroids plus their norms. A centroid_cos
+    * near 0 on random embeddings (this fixture's honest answer) or a
+    * sudden drop on real ones is the "retrain / re-embed" alarm that
+    * gates incremental index appends (v05's append path).
+    *
+    * Scale shape: one (label, batch, dim) two-level aggregate —
+    * map-side combined partial sums, K×2×D result rows — then a
+    * K-row self-join; the corpus is scanned once and nothing pairwise
+    * ever ships. Determinism: per-dim means are exact decimal sums
+    * ([[graft.util.Det.dsum]]) divided once in double (the v07
+    * k-means pattern), and the cosine is the sequential [[dot]] fold
+    * over those bit-identical means. */
+  private val v21 = QDef(
+    "v21_label_centroid_shift",
+    s"""WITH e AS (SELECT vec_id, label, vec_id % 2 AS batch, embedding FROM embeddings),
+       |m AS (SELECT label, batch, list(m ORDER BY j) AS c_emb, max(cnt) AS n FROM (
+       |        SELECT e.label, e.batch, r.j,
+       |          ${sqlDsum("CAST(e.embedding[r.j] AS DOUBLE)")} / COUNT(*) AS m,
+       |          COUNT(*) AS cnt
+       |        FROM e, range(1, 65) r(j) GROUP BY e.label, e.batch, r.j)
+       |      GROUP BY label, batch),
+       |a AS (SELECT label, c_emb, n FROM m WHERE batch = 0),
+       |b AS (SELECT label, c_emb, n FROM m WHERE batch = 1)
+       |SELECT CAST(a.label AS INTEGER) AS label, CAST(a.n AS BIGINT) AS n_even,
+       |  CAST(b.n AS BIGINT) AS n_odd,
+       |  sqrt(${sqlDot("a.c_emb", "a.c_emb")}) AS norm_even,
+       |  sqrt(${sqlDot("b.c_emb", "b.c_emb")}) AS norm_odd,
+       |  ${sqlDot("a.c_emb", "b.c_emb")} /
+       |    (sqrt(${sqlDot("a.c_emb", "a.c_emb")}) * sqrt(${sqlDot("b.c_emb", "b.c_emb")})) AS centroid_cos
+       |FROM a JOIN b USING (label) ORDER BY label""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("batch"), col("emb"))
+    val m = e
+      .select(col("label"), col("batch"), posexplode(col("emb")).as(Seq("j", "x")))
+      .groupBy(col("label"), col("batch"), col("j"))
+      .agg((dsum(col("x")) / count(lit(1))).as("m"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"), col("batch"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+        .as("c_emb"), max(col("cnt")).as("n"))
+    val a = m.filter(col("batch") === 0)
+      .select(col("label"), col("c_emb").as("a_emb"), col("n").as("n_even"))
+    val b = m.filter(col("batch") === 1)
+      .select(col("label"), col("c_emb").as("b_emb"), col("n").as("n_odd"))
+    a.join(b, Seq("label"))
+      .select(col("label").cast("int").as("label"),
+        col("n_even"), col("n_odd"),
+        norm("a_emb").as("norm_even"), norm("b_emb").as("norm_odd"),
+        (dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** Quantizer churn audit — the "is retraining worth re-sharding the
+    * index" report: assign every vector to (a) the fixed-seed coarse
+    * quantizer v05 serves with and (b) the k-means-trained quantizer
+    * after v07's two Lloyd rounds plus a final assignment, then per
+    * trained list report how many members changed lists. High churn
+    * on a list means a trained deploy invalidates its cached
+    * postings and the re-embed/re-shard cost is real; near-zero
+    * churn says keep serving the fixed quantizer.
+    *
+    * Scale shape: v07's distributed Lloyd machinery (each round =
+    * one K×D broadcast + one corpus scan, decimal-exact means) plus
+    * one extra broadcast-assign pass and a vec_id-keyed join of the
+    * two bounded assignment tables; nothing pairwise, driver holds
+    * only K×D centroids. */
+  private val v22 = QDef(
+    "v22_quantizer_churn",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |       WHERE vec_id BETWEEN 100 AND 107),
+       |${sqlKmAssign("c0", "a0")},
+       |${sqlKmUpdate("a0", "c1")},
+       |${sqlKmAssign("c1", "a2x")},
+       |${sqlKmUpdate("a2x", "c2")},
+       |${sqlKmAssign("c2", "af")},
+       |j AS (SELECT a0.vec_id, a0.c_id AS fixed_list, af.c_id AS trained_list
+       |      FROM a0 JOIN af USING (vec_id))
+       |SELECT trained_list AS list_id, count(*) AS n_trained,
+       |  CAST(sum(CASE WHEN fixed_list <> trained_list THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |  CAST(sum(CASE WHEN fixed_list <> trained_list THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS churn
+       |FROM j GROUP BY trained_list ORDER BY trained_list""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d).select(col("vec_id"), col("emb"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+      e.crossJoin(broadcast(c))
+        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("c_id"), col("emb"))
+    }
+    def update(a: DataFrame): DataFrame = a
+      .select(col("c_id"), posexplode(col("emb")).as(Seq("j", "x")))
+      .groupBy(col("c_id"), col("j"))
+      .agg((dsum(col("x")) / count(lit(1))).as("m"))
+      .groupBy(col("c_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)")
+        .as("c_emb"))
+    val seeds = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    var a = assign(seeds)
+    val a0 = a.persistTracked()
+    a = a0
+    for (_ <- 1 to 2) a = assign(update(a))
+    a0.select(col("vec_id"), col("c_id").as("fixed_list"))
+      .join(a.select(col("vec_id"), col("c_id").as("trained_list")),
+        Seq("vec_id"))
+      .groupBy(col("trained_list").as("list_id"))
+      .agg(count(lit(1)).as("n_trained"),
+        sum(when(col("fixed_list") =!= col("trained_list"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+      .withColumn("churn",
+        col("n_moved_in").cast("double") / col("n_trained"))
+      .orderBy(col("list_id"))
   }
 }

@@ -528,6 +528,82 @@ class PlanQualitySpec extends GraftSuite {
       s"v20 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("t34: dup-gram mass joins on the gram hash; no pair work") {
+    val p = planOf("t34_dup_gram_mass")
+    assert(p.contains("hashpartitioning(g"),
+      s"t34 not shuffling on the gram hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t34 planned pair work:\n$p")
+  }
+
+  test("v21: centroid shift is a map-side-combined dim aggregate") {
+    val p = planOf("v21_label_centroid_shift")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"v21 lost its map-side partial aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"v21 planned pair work:\n$p")
+  }
+
+  test("q49: attribution rides one user-keyed window; no pair work") {
+    val p = planOf("q49_last_touch_attribution")
+    assert(p.contains("Window"), s"q49 lost its attribution window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q49 planned pair work:\n$p")
+  }
+
+  test("q50: funnel stages are session-keyed aggregates; no pair work") {
+    val p = planOf("q50_funnel_conversion")
+    assert(p.contains("Window"), s"q50 lost its sessionization windows:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"q50 stages not session-keyed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q50 planned pair work:\n$p")
+  }
+
+  test("t35: token budget is one source-keyed percentile aggregate") {
+    val p = planOf("t35_token_budget")
+    assert(p.contains("percentile"), s"t35 lost its percentile aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t35 planned pair work:\n$p")
+  }
+
+  test("d18: histogram rides d06's checkpointed labels; no driver collect") {
+    val df = SparkEntry.queries("d18_cluster_size_histogram")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"d18 planned unbounded pair work:\n$p")
+    // the only nested-loop allowed is the cross of the two single-row
+    // counts (broadcast one-row build side), never corpus×corpus
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("IdentityBroadcastMode"),
+      s"d18 planned a non-singleton nested loop:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"d18 final plan should read the checkpointed labels:\n$p")
+  }
+
+  test("q51: latency rides q49's one user-keyed window; no pair work") {
+    val p = planOf("q51_conversion_latency")
+    assert(p.contains("Window"), s"q51 lost its attribution window:\n$p")
+    assert(p.contains("percentile"), s"q51 lost its percentile aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q51 planned pair work:\n$p")
+  }
+
+  test("t36: language mix windows ride tiny grouped counts") {
+    val p = planOf("t36_language_mix")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"t36 lost its map-side count combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t36 planned pair work:\n$p")
+  }
+
+  test("v22: churn assigns via broadcast centroids; corpus never self-joins") {
+    val p = planOf("v22_quantizer_churn")
+    assert(p.contains("BroadcastExchange"), s"v22 centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v22 planned a non-broadcast cartesian:\n$p")
+  }
+
   test("t30: span removal shuffles hashes/positions only, with map-side dup test") {
     val p = planOf("t30_dup_span_removal")
     assert(p.contains("partial_min") || p.contains("partial"),

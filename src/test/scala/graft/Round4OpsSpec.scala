@@ -595,6 +595,290 @@ class Round4OpsSpec extends GraftSuite {
     }
   }
 
+  test("t34: duplicate-gram mass equals a corpus-count replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Seq[Long] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      if (tk.length >= 8)
+        tk.sliding(8).map(g => h64(g.mkString(" "))).toSeq.distinct
+      else Seq(h64(text))
+    }
+    val pairs = rows.flatMap(r => grams(r._3).map(g => (r._2, g)))
+    val gramDocs = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = pairs.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.count(p => gramDocs(p._2) >= 2).toLong)
+    }.toSeq.sortBy(_._1)
+    val out = SparkEntry.queries("t34_dup_gram_mass")(spark, sf).collect()
+    assert(out.length == expected.length && expected.nonEmpty)
+    out.zip(expected).foreach { case (r, (src, (n, dup))) =>
+      assert(r.getString(0) == src && r.getLong(1) == n && r.getLong(2) == dup,
+        s"source $src")
+      assert(r.getDouble(3) == dup.toDouble / n, s"source $src mass")
+    }
+  }
+
+  test("v21: label centroid shift equals a decimal-mean replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) emb",
+        "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def centroid(vs: Array[Array[Double]]): Array[Double] =
+      Array.tabulate(vs.head.length) { j =>
+        (vs.map(v => BigDecimal(v(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble) / vs.length
+      }
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byKey = vecs.groupBy(v => (v._3, v._1 % 2))
+    val out = SparkEntry.queries("v21_label_centroid_shift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lab = r.getInt(0)
+      val ev = byKey((lab, 0L)).map(_._2); val od = byKey((lab, 1L)).map(_._2)
+      assert(r.getLong(1) == ev.length && r.getLong(2) == od.length, s"label $lab n")
+      val (ca, cb) = (centroid(ev), centroid(od))
+      assert(r.getDouble(3) == math.sqrt(fold(ca, ca)) &&
+        r.getDouble(4) == math.sqrt(fold(cb, cb)), s"label $lab norms")
+      assert(r.getDouble(5) ==
+        fold(ca, cb) / (math.sqrt(fold(ca, ca)) * math.sqrt(fold(cb, cb))),
+        s"label $lab cos")
+    }
+  }
+
+  test("q49: last-touch attribution equals a per-user scan replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4).getTime * 1000L + r.getTimestamp(4).getNanos / 1000 % 1000))
+    val touches = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._5, e._2))
+      var lastTouch: Option[(String, Long)] = None
+      sorted.flatMap { e =>
+        val out = if (e._3 == "purchase") {
+          val t = lastTouch match {
+            case Some((tt, tus)) if e._5 - tus <= 604800000000L => tt
+            case _ => "none"
+          }
+          Some((t, e._4))
+        } else None
+        if (e._3 != "purchase") lastTouch = Some((e._3, e._5))
+        out
+      }
+    }.toSeq
+    val total = touches.length.toLong
+    val expected = touches.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong,
+        g.map(p => BigDecimal(p._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble)
+    }.toSeq.sortBy(_._1)
+    val out = SparkEntry.queries("q49_last_touch_attribution")(spark, sf).collect()
+    assert(out.length == expected.length && expected.nonEmpty)
+    out.zip(expected).foreach { case (r, (tt, (n, v))) =>
+      assert(r.getString(0) == tt && r.getLong(1) == n, s"touch $tt")
+      assert(r.getDouble(2) == v, s"touch $tt value")
+      assert(r.getDouble(3) == n.toDouble / total, s"touch $tt share")
+    }
+  }
+
+  test("q50: funnel conversion equals an ordered-stage session replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000L + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val sessions = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val ss = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      for (Array(a, b) <- sorted.sliding(2).collect { case s if s.length == 2 => s }) {
+        if (b._4 - a._4 > 1800000000L) ss += scala.collection.mutable.ArrayBuffer(b)
+        else ss.last += b
+      }
+      ss
+    }.toSeq
+    def firstAfter(es: Seq[(Long, Long, String, Long)], tpe: String,
+        after: Option[(Long, Long)]): Option[(Long, Long)] =
+      es.filter(e => e._3 == tpe && after.forall(t =>
+          e._4 > t._1 || (e._4 == t._1 && e._2 > t._2)))
+        .map(e => (e._4, e._2)).sorted.headOption
+    var (nv, nc, np) = (0L, 0L, 0L)
+    sessions.foreach { ses =>
+      val t1 = firstAfter(ses.toSeq, "view", None)
+      if (t1.isDefined) nv += 1
+      val t2 = if (t1.isDefined) firstAfter(ses.toSeq, "click", t1) else None
+      if (t2.isDefined) nc += 1
+      val t3 = if (t2.isDefined) firstAfter(ses.toSeq, "purchase", t2) else None
+      if (t3.isDefined) np += 1
+    }
+    val r = SparkEntry.queries("q50_funnel_conversion")(spark, sf).collect().head
+    assert(r.getLong(0) == sessions.length && r.getLong(1) == nv &&
+      r.getLong(2) == nc && r.getLong(3) == np)
+    assert(r.getDouble(4) == nv.toDouble / sessions.length)
+    assert(nv == 0 || r.getDouble(5) == nc.toDouble / nv)
+    assert(nc == 0 || r.getDouble(6) == np.toDouble / nc)
+  }
+
+  test("t35: token budget equals an R-7 percentile replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("\\s+").count(_.nonEmpty)))
+    def q(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val xs = ds.map(_._2.toDouble).sorted
+      src -> ((ds.length.toLong, ds.map(_._2.toLong).sum,
+        q(xs, 0.5), q(xs, 0.9), q(xs, 0.99)))
+    }
+    val out = SparkEntry.queries("t35_token_budget")(spark, sf).collect()
+    assert(out.length == expected.size && expected.nonEmpty)
+    out.foreach { r =>
+      val (n, tot, p50, p90, p99) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tot, r.getString(0))
+      assert(close(r.getDouble(3), p50) && close(r.getDouble(4), p90) &&
+        close(r.getDouble(5), p99), r.getString(0))
+    }
+  }
+
+  test("d18: cluster-size histogram equals a union-find replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- sh.indices; j <- i + 1 until sh.length) {
+      val inter = (sh(i)._2 & sh(j)._2).size
+      val union = sh(i)._2.size + sh(j)._2.size - inter
+      if (union > 0 && inter.toDouble / union >= 0.5) {
+        val (a, b) = (find(sh(i)._1), find(sh(j)._1))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+    }
+    val sizes = docs.map(d => find(d._1)).groupBy(identity).values.map(_.length)
+    val expected = sizes.groupBy(identity).toSeq
+      .map { case (cs, g) => (cs.toLong, g.size.toLong, (cs * g.size).toLong) }
+      .sortBy(_._1)
+    val out = SparkEntry.queries("d18_cluster_size_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == expected, s"got ${out.toSeq} want $expected")
+  }
+
+  test("q51: conversion latency equals a per-user scan replay") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000L + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val lats = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var lastTouch: Option[(String, Long)] = None
+      sorted.flatMap { e =>
+        val out = if (e._3 == "purchase") lastTouch match {
+          case Some((tt, tus)) if e._4 - tus <= 604800000000L =>
+            Some((tt, e._4 - tus))
+          case _ => None
+        } else None
+        if (e._3 != "purchase") lastTouch = Some((e._3, e._4))
+        out
+      }
+    }.toSeq
+    def q(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    val expected = lats.groupBy(_._1).map { case (tt, g) =>
+      val xs = g.map(_._2.toDouble).sorted.toArray
+      tt -> ((g.size.toLong, q(xs, 0.5), q(xs, 0.9), g.map(_._2).max))
+    }
+    val out = SparkEntry.queries("q51_conversion_latency")(spark, sf).collect()
+    assert(out.length == expected.size && expected.nonEmpty)
+    out.foreach { r =>
+      val (n, p50, p90, mx) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(4) == mx, r.getString(0))
+      assert(close(r.getDouble(2), p50) && close(r.getDouble(3), p90),
+        r.getString(0))
+    }
+  }
+
+  test("t36: language mix equals a grouped-count replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._1)
+    val out = SparkEntry.queries("t36_language_mix")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, lang) = (r.getString(0), r.getString(1))
+      val n = bySrc(src).count(_._2 == lang).toLong
+      val tot = bySrc(src).length
+      val counts = bySrc(src).groupBy(_._2).view.mapValues(_.length).toMap
+      val dominant = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(r.getLong(2) == n && r.getDouble(3) == n.toDouble / tot,
+        s"$src/$lang")
+      assert(r.getBoolean(4) == (lang == dominant), s"$src/$lang dominant")
+    }
+  }
+
+  test("v22: quantizer churn equals a Lloyd replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) emb")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      vecs.map { case (id, v) =>
+        id -> cents.map { case (cid, c) =>
+          (-fold(v, c) / (math.sqrt(fold(v, v)) * math.sqrt(fold(c, c))), cid)
+        }.sorted.head._2
+      }.toMap
+    def update(a: Map[Long, Long]): Seq[(Long, Array[Double])] = {
+      val byList = vecs.groupBy(v => a(v._1))
+      byList.toSeq.sortBy(_._1).map { case (cid, vs) =>
+        cid -> Array.tabulate(vs.head._2.length) { j =>
+          vs.map(v => BigDecimal(v._2(j))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.length
+        }
+      }
+    }
+    val seeds = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
+      .map(v => (v._1, v._2)).toSeq
+    val a0 = assign(seeds)
+    var a = a0
+    for (_ <- 1 to 2) a = assign(update(a))
+    val expected = a.groupBy(_._2).toSeq.map { case (list, g) =>
+      (list, g.size.toLong,
+        g.count { case (vid, _) => a0(vid) != list }.toLong)
+    }.sortBy(_._1)
+    val out = SparkEntry.queries("v22_quantizer_churn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == expected, s"got ${out.toSeq} want $expected")
+  }
+
   test("t33: source novelty equals a first-owner replay") {
     val rows = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
