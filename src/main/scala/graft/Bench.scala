@@ -46,9 +46,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Per-query detail first; the driver tail-captures only ~2.2 KB of
-    // stdout, so the machine-parseable record must be a SHORT final line.
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    // The driver tail-captures only ~2.2 KB of stdout, so the full
+    // per-query map goes to a sidecar file; stdout carries only short,
+    // individually parseable lines (pointer + total).
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "BENCH_QUERIES.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(perQueryPath),
+      s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}\n"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"per_query","unit":"sec","file":"$perQueryPath","n":${results.size}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

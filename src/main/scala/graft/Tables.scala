@@ -27,10 +27,17 @@ object Tables {
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw long nanos (legacy conf) and convert
-    * with integer division — a double-rounded division would lose
-    * sub-microsecond precision on ~1.7e18 nano values.
+  /** `events.ts` normalization — the fixture's physical type has varied
+    * across driver regenerations, and every downstream query/spec is
+    * written against session-UTC `TimestampType`:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as
+    *    raw long nanos (legacy conf) and convert with integer division —
+    *    a double-rounded division would lose sub-microsecond precision
+    *    on ~1.7e18 nano values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ; cast to TimestampType (identity on the stored
+    *    micros under the session's UTC zone, matching how DuckDB reads
+    *    the same naive values).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,6 +45,8 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
