@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1781,5 +1781,121 @@ object TextOps {
       .select(col("source"), col("lang"), col("n_docs"), col("share"),
         col("is_dominant"))
       .orderBy(col("source"), col("lang"))
+  }
+
+  /** BM25 lexical retrieval (Robertson-Spärck Jones): top-10 documents
+    * for each of the corpus' 5 highest-df non-stopword terms. The
+    * score keeps BM25's tf saturation and length normalization but
+    * uses the PRE-LOG idf ratio (N - df + 0.5)/(df + 0.5) — ln() is
+    * monotone, so per-term rankings are identical to classic BM25
+    * while every arithmetic step stays an IEEE-determined ratio both
+    * engines compute bit-equally (the t26 rule: ratios, not logs).
+    *
+    * Scale shape: the inverted-index pattern — one (doc, term) tf
+    * aggregate, a vocab-key df rollup, the 5-term query set broadcast
+    * back against the postings. The corpus shuffles on term keys once;
+    * nothing is ever doc×doc. At 100 TB this is the standard
+    * build-the-index pass with the query side a constant. */
+  private val t37 = {
+    val k1 = "2.2" // (k1 + 1) with k1 = 1.2, written as one literal
+    QDef(
+      "t37_bm25_topk",
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |      FROM dl),
+         |q AS (SELECT term, df FROM (
+         |        SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+         |        FROM df WHERE term NOT IN $sqlStops) WHERE r <= 5),
+         |sc AS (
+         |  SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+         |    ((CAST(n.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) *
+         |      ((CAST(tf.tf AS DOUBLE) * $k1) /
+         |       (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / n.avgdl)))) AS score
+         |  FROM q JOIN tf USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         |SELECT term, CAST(rnk AS INTEGER) AS rnk, doc_id, tf, dl, score
+         |FROM r WHERE rnk <= 10 ORDER BY term, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stopArr = array(stopwords.map(lit): _*)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val qTerms = df.filter(!array_contains(stopArr, col("term")))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+        .filter(col("r") <= 5)
+        .select(col("term"), col("df"))
+      val wT = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qTerms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+            ((col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") +
+                lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+        .withColumn("rnk", row_number().over(wT))
+        .filter(col("rnk") <= 10)
+        .select(col("term"), col("rnk").cast("int").as("rnk"), col("doc_id"),
+          col("tf"), col("dl"), col("score"))
+        .orderBy(col("term"), col("rnk"))
+    }
+  }
+
+  /** Deterministic stratified sampling for eval-set construction:
+    * strata are (lang × within-lang length quartile), each stratum
+    * contributes ~10% of its rows, and membership is decided by
+    * md5-order rank inside the stratum — reproducible across runs,
+    * engines, and partitionings, and unbiased w.r.t. document order
+    * (the md5 key is the t08/t11 trick).
+    *
+    * Scale shape: NTILE needs a per-lang sort — languages partition
+    * the corpus, so each window partition is one language, not the
+    * whole corpus (the t19 rule: never a single global window). At
+    * 100 TB, quartile edges would come from approx percentiles
+    * instead; the per-stratum md5 rank is a bounded top-k. */
+  private val t38 = QDef(
+    "t38_stratified_sample",
+    """WITH q AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS len_q
+      |  FROM documents),
+      |k AS (SELECT lang, len_q, CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS k
+      |      FROM q GROUP BY lang, len_q),
+      |r AS (
+      |  SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.lang, q.len_q
+      |           ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id) AS pick
+      |  FROM q)
+      |SELECT r.lang, CAST(r.len_q AS INTEGER) AS len_q, r.doc_id, r.n_chars
+      |FROM r JOIN k ON r.lang = k.lang AND r.len_q = k.len_q
+      |WHERE r.pick <= k.k
+      |ORDER BY r.lang, len_q, r.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wQ = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val wP = Window.partitionBy(col("lang"), col("len_q"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("len_q", ntile(4).over(wQ))
+    val k = q.groupBy(col("lang"), col("len_q"))
+      .agg(ceil(count(lit(1)) / lit(10.0)).as("k"))
+    q.withColumn("pick", row_number().over(wP))
+      .join(broadcast(k), Seq("lang", "len_q"))
+      .filter(col("pick") <= col("k"))
+      .select(col("lang"), col("len_q").cast("int").as("len_q"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("len_q"), col("doc_id"))
   }
 }

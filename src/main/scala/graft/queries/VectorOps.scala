@@ -23,7 +23,7 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22)
+    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1450,5 +1450,198 @@ object VectorOps {
       .withColumn("churn",
         col("n_moved_in").cast("double") / col("n_trained"))
       .orderBy(col("list_id"))
+  }
+
+  /** Hybrid-retrieval rank fusion (reciprocal rank fusion, Cormack
+    * 2009): fuse the exact-cosine top-20 (v01's retriever) with the
+    * binary sign-bit hamming top-20 (v13's retriever) per probe —
+    * rrf = 1/(60 + cos_rank) + 1/(60 + ham_rank), absent list
+    * contributes 0 — and keep the fused top-10. The standard
+    * dense + cheap-binary hybrid a retrieval pipeline runs when the
+    * two retrievers disagree on recall. Every score is a sum of two
+    * integer-ratio IEEE divisions in a fixed order — bit-equal across
+    * engines, no ln, no order-dependent float aggregation.
+    *
+    * Scale shape: both rank lists are per-probe bounded (top-20), so
+    * the fusion join and final top-k touch ≤40 rows per probe — the
+    * expensive parts are the two retrievers, each already scale-shaped
+    * (one broadcast scan; one sign-pack scan). */
+  private val v23 = {
+    def packSql(col: String, w: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         |    i -> CASE WHEN $col[$w * 32 + i + 1] < 0
+         |              THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    def packE(w: Int): String =
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(emb, $w * 32 + i + 1) < CAST(0 AS DOUBLE),
+         |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+    QDef(
+      "v23_hybrid_rrf",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${sqlDot("q.embedding", "c.embedding")} /
+         |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS cr
+         |       FROM cp),
+         |ctop AS (SELECT q_id, vec_id, CAST(cr AS INTEGER) AS cr FROM cr WHERE cr <= 20),
+         |b AS (
+         |  SELECT vec_id, ${packSql("embedding", 0)} AS w0, ${packSql("embedding", 1)} AS w1
+         |  FROM e),
+         |hp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INTEGER) AS hamming
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |hr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hr
+         |       FROM hp),
+         |htop AS (SELECT q_id, vec_id, CAST(hr AS INTEGER) AS hr FROM hr WHERE hr <= 20),
+         |fused AS (
+         |  SELECT coalesce(c.q_id, h.q_id) AS q_id, coalesce(c.vec_id, h.vec_id) AS vec_id,
+         |    c.cr, h.hr,
+         |    coalesce(1.0 / (60.0 + CAST(c.cr AS DOUBLE)), 0.0) +
+         |      coalesce(1.0 / (60.0 + CAST(h.hr AS DOUBLE)), 0.0) AS rrf
+         |  FROM ctop c FULL JOIN htop h ON c.q_id = h.q_id AND c.vec_id = h.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rank FROM fused)
+         |SELECT q_id, vec_id, cr, hr, rrf, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d)
+      // dense retriever: exact cosine top-20 (v01's shape)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val cosCand = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+      val cosTop = TopK.topK(cosCand, Seq("q_id"), col("sim"), col("vec_id"), 20,
+          asc = false)
+        .select(col("q_id"), col("id").as("vec_id"), col("rank").cast("int").as("cr"))
+      // binary retriever: sign-bit hamming top-20 (v13's shape)
+      val b = e.select(col("vec_id"), expr(packE(0)).as("w0"), expr(packE(1)).as("w1"))
+      val bProbes = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+      val hamCand = b.join(broadcast(bProbes), col("vec_id") =!= col("q_id"))
+        .withColumn("hamming",
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int"))
+      val hamTop = TopK.topK(hamCand, Seq("q_id"), col("hamming"), col("vec_id"), 20,
+          asc = true)
+        .select(col("q_id"), col("id").as("vec_id"), col("rank").cast("int").as("hr"))
+      val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+      cosTop.join(hamTop, Seq("q_id", "vec_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("cr").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("hr").cast("double")), lit(0.0)))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("cr"), col("hr"), col("rrf"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** Johnson-Lindenstrauss sign-projection audit: project 64-d
+    * embeddings to 16-d with a fixed ±1 matrix (the Achlioptas 2003
+    * database-friendly JL variant) and measure, for every probe pair,
+    * how far the 16-d cosine drifts from the 64-d cosine — the
+    * dimensionality-reduction quality gate run before committing a
+    * corpus to a cheaper index. The matrix is an index parameter
+    * (splitmix64-derived signs), injected as literals on both engines
+    * like v03's hyperplanes; every projection is one fused left-fold
+    * dot, so both engines produce bit-identical doubles.
+    *
+    * Scale shape: projection is per-row expression work (16 fused
+    * folds) — embarrassingly parallel; the pair audit runs on the
+    * bounded probe set only, never corpus×corpus. */
+  private val v24 = {
+    // 16×64 fixed sign matrix in {-1, +1}, from the splitmix64 finalizer
+    // (seed block disjoint from v03's hyperplane grid).
+    val signs: Array[Array[Int]] = Array.tabulate(16, 64) { (j, i) =>
+      if (Math.floorMod(graft.functions.SketchKernels.mix(8192L + j * 64L + i), 2L) == 0L) -1 else 1
+    }
+    val matSql = signs.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
+    def sqlDot16(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))"
+    QDef(
+      "v24_jl_projection_audit",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 16), j -> list_sum(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(($matSql)[j + 1][i] AS DOUBLE)))) AS proj
+         |  FROM e),
+         |p AS (
+         |  SELECT q.vec_id AS q1, c.vec_id AS q2,
+         |    ${sqlDot("q.embedding", "c.embedding")} /
+         |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos64,
+         |    ${sqlDot16("q.proj", "c.proj")} /
+         |      (sqrt(${sqlDot16("q.proj", "q.proj")}) * sqrt(${sqlDot16("c.proj", "c.proj")})) AS cos16
+         |  FROM pr q JOIN pr c ON q.vec_id < c.vec_id)
+         |SELECT q1, q2, cos64, cos16, cos16 - cos64 AS err
+         |FROM p ORDER BY q1, q2""".stripMargin) { (s, d) =>
+      val projCols = (0 until 16).map { j =>
+        dot("emb", s"array(${signs(j).map(v => s"${v}.0D").mkString(",")})")
+      }
+      val pr = embeddings(s, d).filter(col("vec_id") < 10)
+        .withColumn("proj", array(projCols: _*))
+      val q = pr.select(col("vec_id").as("q1"), col("emb").as("e1"),
+        col("proj").as("p1"))
+      val c = pr.select(col("vec_id").as("q2"), col("emb").as("e2"),
+        col("proj").as("p2"))
+      q.join(broadcast(c), col("q1") < col("q2"))
+        .withColumn("cos64", dot("e1", "e2") / (norm("e1") * norm("e2")))
+        .withColumn("cos16", dot("p1", "p2") / (norm("p1") * norm("p2")))
+        .select(col("q1"), col("q2"), col("cos64"), col("cos16"),
+          (col("cos16") - col("cos64")).as("err"))
+        .orderBy(col("q1"), col("q2"))
+    }
+  }
+
+  /** Cluster labeling by class-TF-IDF (the BERTopic c-TF-IDF shape,
+    * Grootendorst 2022): assign every embedding to its IVF list (the
+    * v05 coarse quantizer), pool the matching documents' tokens per
+    * list, and score each (list, term) by tf × n_lists / n_lists_with_
+    * term — t14's rational tf-idf lifted from documents to clusters —
+    * keeping the top-5 terms as the cluster's label. The human-readable
+    * summary a pipeline prints next to every embedding cluster.
+    *
+    * Scale shape: one quantizer assignment scan (broadcast centroids),
+    * one id-key join to the text table, one (list, term) aggregate —
+    * output bounded by lists × vocab. Nothing is ever doc×doc; list
+    * skew inherits the IVF knobs (re-pick centroids / split hot
+    * lists). */
+  private val v25 = QDef(
+    "v25_cluster_labels",
+    s"""$sqlIvfCtes,
+       |tk AS (
+       |  SELECT d.doc_id, a.list_id,
+       |    unnest(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+       |ctf AS (SELECT list_id, term, COUNT(*) AS ctf FROM tk GROUP BY list_id, term),
+       |cdf AS (SELECT term, COUNT(*) AS cdf FROM ctf GROUP BY term),
+       |sc AS (
+       |  SELECT ctf.list_id, ctf.term, ctf.ctf, cdf.cdf,
+       |    CAST(ctf.ctf AS DOUBLE) * 8.0 / CAST(cdf.cdf AS DOUBLE) AS score
+       |  FROM ctf JOIN cdf USING (term)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY list_id ORDER BY score DESC, term) AS rnk FROM sc)
+       |SELECT list_id, CAST(rnk AS INTEGER) AS rnk, term, ctf, cdf, score
+       |FROM r WHERE rnk <= 5 ORDER BY list_id, rnk""".stripMargin) { (s, d) =>
+    val assign = ivfAssign(embeddings(s, d))
+      .select(col("vec_id"), col("list_id"))
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("term"))
+      .join(assign.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    val ctf = tk.groupBy(col("list_id"), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val cdf = ctf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val wL = Window.partitionBy(col("list_id"))
+      .orderBy(col("score").desc, col("term"))
+    ctf.join(cdf, Seq("term"))
+      .withColumn("score",
+        col("ctf").cast("double") * lit(8.0) / col("cdf").cast("double"))
+      .withColumn("rnk", row_number().over(wL))
+      .filter(col("rnk") <= 5)
+      .select(col("list_id"), col("rnk").cast("int").as("rnk"), col("term"),
+        col("ctf"), col("cdf"), col("score"))
+      .orderBy(col("list_id"), col("rnk"))
   }
 }

@@ -628,4 +628,48 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d17 planned unbounded pair work:\n$p")
   }
+
+  test("t37: BM25 broadcasts the query-term set against the postings") {
+    val p = planOf("t37_bm25_topk")
+    // the 5-term query set and the 1-row corpus stats join as broadcasts;
+    // the postings (corpus-sized) side never broadcasts or pairs up
+    assert(p.contains("BroadcastExchange"), s"t37 query terms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t37 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"t37 tf aggregate lost its map-side combine:\n$p")
+  }
+
+  test("t38: stratified sample windows partition by language, never globally") {
+    val p = planOf("t38_stratified_sample")
+    assert(!"Window.*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined &&
+      !p.contains("Window [n_chars"),
+      s"t38 planned a global (unpartitioned) window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t38 planned pair work:\n$p")
+  }
+
+  test("v23: fusion joins two bounded rank lists; corpus scans stay broadcast-probe") {
+    val p = planOf("v23_hybrid_rrf")
+    assert(p.contains("BroadcastExchange"), s"v23 probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v23 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("v24: JL audit pairs only the bounded probe set") {
+    val p = planOf("v24_jl_projection_audit")
+    // probe×probe via broadcast on a vec_id inequality is the intended
+    // bounded pair set; what must never appear is a corpus-wide shuffle join
+    assert(p.contains("BroadcastExchange"), s"v24 probe side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"v24 shuffled the pair join:\n$p")
+  }
+
+  test("v25: labels assign via broadcast centroids, aggregate on (list, term)") {
+    val p = planOf("v25_cluster_labels")
+    assert(p.contains("BroadcastExchange"), s"v25 centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v25 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"v25 term counts lost their map-side combine:\n$p")
+  }
 }
