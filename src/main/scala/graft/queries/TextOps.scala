@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -1897,5 +1897,110 @@ object TextOps {
       .select(col("lang"), col("len_q").cast("int").as("len_q"),
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("len_q"), col("doc_id"))
+  }
+
+  /** Vocabulary-growth (Heaps' law) curve: cumulative distinct vocabulary
+    * vs cumulative tokens at 10 corpus checkpoints, plus the per-bucket
+    * new-term count and type-token ratio. The corpus-card panel that
+    * tells you whether more data still buys new vocabulary — a flattening
+    * curve means the source is exhausted.
+    *
+    * Scale shape: a term's first occurrence is `min(doc_id)` — one
+    * term-key aggregate (map-side combined); per-doc token counts are a
+    * doc-key aggregate. Both collapse to 10 bucket rows before the
+    * cumulative window, so the only unpartitioned window runs over 10
+    * rows (the t19 rule: grouped rows only, never the corpus). */
+  private val t39 = QDef(
+    "t39_vocab_growth",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+      |ft AS (SELECT term, MIN(doc_id) AS first_doc FROM tk GROUP BY term),
+      |dt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tk GROUP BY doc_id),
+      |vb AS (SELECT CAST(first_doc * 10 // n.n_docs AS INTEGER) AS bucket,
+      |              COUNT(*) AS new_terms
+      |       FROM ft CROSS JOIN n GROUP BY 1),
+      |tb AS (SELECT CAST(doc_id * 10 // n.n_docs AS INTEGER) AS bucket,
+      |              CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens
+      |       FROM dt CROSS JOIN n GROUP BY 1),
+      |cm AS (
+      |  SELECT tb.bucket, COALESCE(vb.new_terms, 0) AS new_terms,
+      |    CAST(SUM(COALESCE(vb.new_terms, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_vocab,
+      |    CAST(SUM(tb.bucket_tokens) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens
+      |  FROM tb LEFT JOIN vb ON tb.bucket = vb.bucket)
+      |SELECT bucket, new_terms, cum_vocab, cum_tokens,
+      |  CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
+      |FROM cm ORDER BY bucket""".stripMargin) { (s, d) =>
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val n = Tables.documents(s, d).agg((max(col("doc_id")) + 1).as("n_docs"))
+    val ft = tk.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val dt = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val vb = ft.crossJoin(broadcast(n))
+      .groupBy(expr("(first_doc * 10) div n_docs").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val tb = dt.crossJoin(broadcast(n))
+      .groupBy(expr("(doc_id * 10) div n_docs").cast("int").as("bucket"))
+      .agg(sum(col("n_tok")).as("bucket_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wC = W.orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tb.join(vb, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(wC))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wC))
+      .select(col("bucket"), col("new_terms"), col("cum_vocab"), col("cum_tokens"),
+        (col("cum_vocab").cast("double") / col("cum_tokens").cast("double")).as("ttr"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Flesch reading-ease scoring: per document, whitespace words,
+    * `[.!?]+` sentence runs, `[aeiouy]+` vowel-group syllable proxy, the
+    * Flesch score 206.835 − 1.015·(W/S) − 84.6·(Syl/W), and a five-band
+    * difficulty label. The classic readability gate a curriculum or
+    * audience filter runs per document. Every arithmetic step is a
+    * fixed-order IEEE expression over integer counts, so both engines
+    * produce bit-identical doubles (the t26 rule).
+    *
+    * Scale shape: pure per-row expression work — regexp counts fused in
+    * whole-stage codegen, no shuffle at all beyond the final order. */
+  private val t40 = QDef(
+    "t40_readability",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) AS n_words,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_words, n_sents, n_syll,
+      |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+      |            - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+      |  FROM c)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+      |  flesch,
+      |  CASE WHEN flesch >= 90 THEN 'very_easy' WHEN flesch >= 70 THEN 'easy'
+      |       WHEN flesch >= 50 THEN 'medium' WHEN flesch >= 30 THEN 'hard'
+      |       ELSE 'very_hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d).select(
+      col("doc_id"),
+      greatest(size(tokens(col("text"))), lit(1)).cast("long").as("n_words"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+        .cast("long").as("n_sents"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syll"))
+    c.withColumn("flesch",
+        lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+      .withColumn("band",
+        when(col("flesch") >= 90, "very_easy").when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "medium").when(col("flesch") >= 30, "hard")
+          .otherwise("very_hard"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        col("flesch"), col("band"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -23,7 +23,8 @@ import graft.util.Persist.Syntax
 object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
-    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25)
+    v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
+    v26)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1643,5 +1644,77 @@ object VectorOps {
       .select(col("list_id"), col("rnk").cast("int").as("rnk"), col("term"),
         col("ctf"), col("cdf"), col("score"))
       .orderBy(col("list_id"), col("rnk"))
+  }
+
+  /** IVF hot-list split (the index-maintenance move behind v18's balance
+    * audit): find the most occupied coarse list, split it in two with a
+    * single 2-means assignment step seeded by the list's min- and
+    * max-id members, and report every resulting list's occupancy before
+    * and after — the rebalancing pass an operator runs when one
+    * posting list dominates probe latency. Seeding by member ids (not
+    * random) keeps the split reproducible across engines and runs.
+    *
+    * Scale shape: one broadcast-centroid assignment scan (shared
+    * [[ivfAssign]]), one list-key size aggregate, then the split
+    * decision — two more broadcast rows (the seeds) against only the
+    * hot list's members. Nothing is ever corpus×corpus; the driver
+    * never sees more than the 8-row size table. */
+  private val v26 = QDef(
+    "v26_hot_list_split",
+    s"""$sqlIvfCtes,
+       |sz AS (SELECT list_id, COUNT(*) AS n FROM assign GROUP BY list_id),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sz),
+       |hot AS (SELECT list_id AS hot_id FROM sz ORDER BY n DESC, list_id LIMIT 1),
+       |sd AS (SELECT MIN(a.vec_id) AS sa, MAX(a.vec_id) AS sb
+       |       FROM assign a JOIN hot ON a.list_id = hot.hot_id),
+       |se AS (SELECT ea.embedding AS ea, eb.embedding AS eb
+       |       FROM sd JOIN e ea ON ea.vec_id = sd.sa JOIN e eb ON eb.vec_id = sd.sb),
+       |lab AS (
+       |  SELECT a.vec_id, a.list_id AS parent_list,
+       |    CASE WHEN a.list_id <> hot.hot_id THEN CAST(a.list_id AS VARCHAR)
+       |         WHEN ${sqlDot("a.embedding", "se.ea")} /
+       |                (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("se.ea", "se.ea")})) >=
+       |              ${sqlDot("a.embedding", "se.eb")} /
+       |                (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("se.eb", "se.eb")}))
+       |         THEN CAST(a.list_id AS VARCHAR) || '.a'
+       |         ELSE CAST(a.list_id AS VARCHAR) || '.b' END AS list_label
+       |  FROM assign a CROSS JOIN hot CROSS JOIN se),
+       |aft AS (SELECT list_label, parent_list, COUNT(*) AS n_after
+       |        FROM lab GROUP BY list_label, parent_list)
+       |SELECT aft.list_label, aft.parent_list, sz.n AS n_before, aft.n_after,
+       |  CAST(aft.n_after AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share_after
+       |FROM aft JOIN sz ON aft.parent_list = sz.list_id CROSS JOIN tot
+       |ORDER BY aft.list_label""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val assign = ivfAssign(e).persistTracked()
+    val sz = assign.groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+    val tot = sz.agg(sum(col("n")).as("total"))
+    val hot = sz.orderBy(col("n").desc, col("list_id")).limit(1)
+      .select(col("list_id").as("hot_id"))
+    val sd = assign.join(broadcast(hot), col("list_id") === col("hot_id"))
+      .agg(min(col("vec_id")).as("sa"), max(col("vec_id")).as("sb"))
+    val se = sd
+      .join(e.select(col("vec_id").as("sa"), col("emb").as("ea")), Seq("sa"))
+      .join(e.select(col("vec_id").as("sb"), col("emb").as("eb")), Seq("sb"))
+      .select(col("ea"), col("eb"))
+    val lab = assign.crossJoin(broadcast(hot)).crossJoin(broadcast(se))
+      .withColumn("list_label",
+        when(col("list_id") =!= col("hot_id"), col("list_id").cast("string"))
+          .when(
+            dot("emb", "ea") / (norm("emb") * norm("ea")) >=
+              dot("emb", "eb") / (norm("emb") * norm("eb")),
+            concat(col("list_id").cast("string"), lit(".a")))
+          .otherwise(concat(col("list_id").cast("string"), lit(".b"))))
+      .select(col("vec_id"), col("list_id").as("parent_list"), col("list_label"))
+    lab.groupBy(col("list_label"), col("parent_list"))
+      .agg(count(lit(1)).as("n_after"))
+      .join(broadcast(sz.withColumnRenamed("list_id", "parent_list")
+        .withColumnRenamed("n", "n_before")), Seq("parent_list"))
+      .crossJoin(broadcast(tot))
+      .select(col("list_label"), col("parent_list"), col("n_before"),
+        col("n_after"),
+        (col("n_after").cast("double") / col("total").cast("double"))
+          .as("share_after"))
+      .orderBy(col("list_label"))
   }
 }

@@ -664,6 +664,40 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), s"v24 shuffled the pair join:\n$p")
   }
 
+  test("t39: vocab growth is two map-side-combined aggregates, no pair work") {
+    val p = planOf("t39_vocab_growth")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"t39 term/doc aggregates lost their map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t39 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("t40: readability is pure per-row expression work, no join, no agg") {
+    val p = planOf("t40_readability")
+    assert(!p.contains("Join"), s"t40 planned a join:\n$p")
+    assert(!p.contains("HashAggregate"), s"t40 planned an aggregate:\n$p")
+    // the only exchange is the final output sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"t40 shuffled beyond the output sort:\n$p")
+  }
+
+  test("q52: RFM collapses events to one user aggregate before any window") {
+    val p = planOf("q52_rfm_segments")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"q52 user aggregate lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q52 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("v26: split assigns via broadcast centroids/seeds, no pair work") {
+    val p = planOf("v26_hot_list_split")
+    assert(p.contains("BroadcastExchange"), s"v26 seeds not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v26 planned a non-broadcast cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"v26 shuffled a join that should broadcast:\n$p")
+  }
+
   test("v25: labels assign via broadcast centroids, aggregate on (list, term)") {
     val p = planOf("v25_cluster_labels")
     assert(p.contains("BroadcastExchange"), s"v25 centroids not broadcast:\n$p")
