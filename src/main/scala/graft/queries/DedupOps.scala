@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1138,5 +1138,62 @@ object DedupOps {
       .agg(sum(col("n_clusters")).as("n_clusters"),
         sum(col("csize") * col("n_clusters")).as("n_docs"))
       .orderBy(col("csize"))
+  }
+
+  /** Asymmetric containment dedup (Broder's containment, not
+    * resemblance): directed pairs where ≥80% of the source document's
+    * shingles appear in the destination — the "quote expansion" /
+    * "doc A is embedded in longer doc B" case that symmetric Jaccard
+    * misses entirely (a short doc inside a long one has low Jaccard
+    * but containment ≈ 1).
+    *
+    * Scale shape: the inverted-index pattern — explode shingle hashes,
+    * equi-join on the gram key (docs sharing no shingle never meet),
+    * count per directed pair, join the two size columns. Never
+    * all-pairs; at 100 TB you additionally drop ubiquitous grams (a
+    * df cap) exactly like t09's hot-gram collapse. The DuckDB oracle
+    * is the brute-force all-pairs intersection — quadratic on the
+    * ORACLE side only. */
+  private val d19 = QDef(
+    "d19_containment_pairs",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 3
+      |      THEN list_distinct(list_transform(
+      |             range(1, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) - 1),
+      |             i -> list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1] || ' ' ||
+      |                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[i+2]))
+      |      ELSE [text] END AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+      |    len(a.sh) AS n_src, len(b.sh) AS n_dst
+      |  FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+      |SELECT src, dst, CAST(inter AS BIGINT) AS inter,
+      |  CAST(n_src AS BIGINT) AS n_src, CAST(n_dst AS BIGINT) AS n_dst,
+      |  CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+      |FROM p WHERE CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.8
+      |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    graft.functions.SketchFunctions.registerAll(s)
+    val t = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
+      .persistTracked()
+    val ex = t.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = ex.select(col("doc_id").as("src"), col("g"))
+      .join(ex.select(col("doc_id").as("dst"), col("g")), Seq("g"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = t.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("src"), col("n").as("n_src")), Seq("src"))
+      .join(sizes.select(col("doc_id").as("dst"), col("n").as("n_dst")), Seq("dst"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_src").cast("double"))
+      .filter(col("containment") >= 0.8)
+      .select(col("src"), col("dst"), col("inter"), col("n_src"),
+        col("n_dst"), col("containment"))
+      .orderBy(col("src"), col("dst"))
   }
 }

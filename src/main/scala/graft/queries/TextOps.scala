@@ -20,7 +20,7 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2002,5 +2002,114 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
         col("flesch"), col("band"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Term burstiness (Church & Gale): the 20 vocabulary terms whose
+    * per-document frequency is most over-dispersed, measured by the
+    * variance-to-mean ratio over ALL documents (zeros included) —
+    * bursty terms cluster in few documents (topical), Poisson-like
+    * terms spread evenly (function words). The corpus statistic behind
+    * stopword-list induction and keyword weighting. VMR is computed
+    * from three integer sums (N, Σtf, Σtf²) in one fixed IEEE order,
+    * so both engines produce bit-identical doubles.
+    *
+    * Scale shape: one (doc, term) tf aggregate, one term-key rollup of
+    * (df, Σtf, Σtf²) — both map-side combined; the top-20 rank runs
+    * over the df-filtered vocabulary only. */
+  private val t41 = QDef(
+    "t41_term_burstiness",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS s1,
+      |              CAST(SUM(tf * tf) AS BIGINT) AS s2
+      |       FROM tf GROUP BY term),
+      |v AS (
+      |  SELECT term, df, s1,
+      |    ((CAST(s2 AS DOUBLE) / n.n_docs) -
+      |     (CAST(s1 AS DOUBLE) / n.n_docs) * (CAST(s1 AS DOUBLE) / n.n_docs)) /
+      |      (CAST(s1 AS DOUBLE) / n.n_docs) AS vmr
+      |  FROM st CROSS JOIN n WHERE df >= 50),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY vmr DESC, term) AS rnk FROM v)
+      |SELECT CAST(rnk AS INTEGER) AS rnk, term, df, s1 AS total_tf, vmr
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val W = org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val st = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("s1"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .filter(col("df") >= 50)
+    val mean = col("s1").cast("double") / col("n_docs")
+    st.crossJoin(broadcast(n))
+      .withColumn("vmr",
+        ((col("s2").cast("double") / col("n_docs")) - mean * mean) / mean)
+      .withColumn("rnk", row_number().over(W.orderBy(col("vmr").desc, col("term"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk").cast("int").as("rnk"), col("term"), col("df"),
+        col("s1").as("total_tf"), col("vmr"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Collocation mining by doc-level lift: for every pair of the 20
+    * highest-df non-stopword terms, the observed-over-expected
+    * co-occurrence ratio lift = N·df_ab / (df_a·df_b) — PMI's argument
+    * without the log (ln is monotone; ratios stay bit-equal across
+    * engines, the t37 rule). The collocation table a phrase-mining or
+    * tokenizer-merge pipeline reads.
+    *
+    * Scale shape: per-doc distinct term sets are filtered against the
+    * broadcast 20-term list BEFORE any pairing, so the pair explode is
+    * bounded by C(20,2) per document; pair counts are one map-side
+    * combined aggregate. The corpus is never doc×doc and the vocab
+    * rank runs over grouped counts only. */
+  private val t42 = QDef(
+    "t42_collocation_lift",
+    s"""WITH tk AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |df AS (SELECT term, COUNT(*) AS df FROM tk GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |top AS (SELECT term, df FROM (
+       |          SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+       |          FROM df WHERE term NOT IN $sqlStops) WHERE r <= 20),
+       |ft AS (SELECT tk.doc_id, tk.term FROM tk JOIN top USING (term)),
+       |pr AS (SELECT a.term AS a, b.term AS b, COUNT(*) AS df_ab
+       |       FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+       |       GROUP BY a.term, b.term)
+       |SELECT pr.a, pr.b, ta.df AS df_a, tb.df AS df_b, pr.df_ab,
+       |  CAST(n.n_docs * pr.df_ab AS DOUBLE) / CAST(ta.df * tb.df AS DOUBLE) AS lift
+       |FROM pr JOIN top ta ON pr.a = ta.term JOIN top tb ON pr.b = tb.term
+       |CROSS JOIN n ORDER BY pr.a, pr.b""".stripMargin) { (s, d) =>
+    val W = org.apache.spark.sql.expressions.Window
+    val stopArr = array(stopwords.map(lit): _*)
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    val df = tk.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val top = df.filter(!array_contains(stopArr, col("term")))
+      .withColumn("r", row_number().over(W.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") <= 20)
+      .select(col("term"), col("df"))
+    val ft = tk.join(broadcast(top.select(col("term"))), Seq("term"))
+    val pr = ft.select(col("doc_id"), col("term").as("a"))
+      .join(ft.select(col("doc_id"), col("term").as("b")), Seq("doc_id"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("df_ab"))
+    pr.join(broadcast(top.select(col("term").as("a"), col("df").as("df_a"))), Seq("a"))
+      .join(broadcast(top.select(col("term").as("b"), col("df").as("df_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("df_a"), col("df_b"), col("df_ab"),
+        ((col("n_docs") * col("df_ab")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")).as("lift"))
+      .orderBy(col("a"), col("b"))
   }
 }

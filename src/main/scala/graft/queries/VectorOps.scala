@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26)
+    v26, v27)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1716,5 +1716,93 @@ object VectorOps {
         (col("n_after").cast("double") / col("total").cast("double"))
           .as("share_after"))
       .orderBy(col("list_label"))
+  }
+
+  /** Metadata-filtered ANN audit: per probe, the TRUE label-filtered
+    * top-5 (predicate pushed BEFORE ranking — the filter lands in the
+    * join condition, so only same-label candidates are ever scored)
+    * versus the post-filter approach every naive stack ships first
+    * (unfiltered top-20, then keep label matches, take 5), with the
+    * recall the post-filter variant achieves. The standard filtered-
+    * search design question; this query is the measurement that decides
+    * between the two plans.
+    *
+    * Scale shape: both retrievers are one broadcast-probe corpus scan
+    * into the two-level [[TopK]] aggregate; the pre-filter variant
+    * scans strictly fewer rows (the label predicate prunes before any
+    * scoring). The comparison join touches ≤25 rows per probe. */
+  private val v27 = QDef(
+    "v27_filtered_knn",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+       |      FROM e WHERE vec_id < 10),
+       |prr AS (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+       |  FROM (SELECT q.q_id, c.vec_id,
+       |          ${sqlDot("q.q_emb", "c.embedding")} /
+       |            (sqrt(${sqlDot("q.q_emb", "q.q_emb")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+       |        FROM q JOIN e c ON c.label = q.q_label AND c.vec_id <> q.q_id)),
+       |pre AS (SELECT q_id, vec_id FROM prr WHERE r <= 5),
+       |unr AS (
+       |  SELECT q_id, vec_id, lab_match,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+       |  FROM (SELECT q.q_id, c.vec_id,
+       |          CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS lab_match,
+       |          ${sqlDot("q.q_emb", "c.embedding")} /
+       |            (sqrt(${sqlDot("q.q_emb", "q.q_emb")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+       |        FROM q JOIN e c ON c.vec_id <> q.q_id)),
+       |post AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY r) AS rr
+       |    FROM unr WHERE r <= 20 AND lab_match = 1) WHERE rr <= 5),
+       |hit AS (SELECT pre.q_id, COUNT(*) AS n_hit
+       |        FROM pre JOIN post ON pre.q_id = post.q_id AND pre.vec_id = post.vec_id
+       |        GROUP BY pre.q_id),
+       |cnt AS (
+       |  SELECT q.q_id, q.q_label,
+       |    (SELECT COUNT(*) FROM pre WHERE pre.q_id = q.q_id) AS n_true,
+       |    (SELECT COUNT(*) FROM post WHERE post.q_id = q.q_id) AS n_post
+       |  FROM q)
+       |SELECT cnt.q_id, CAST(cnt.q_label AS INTEGER) AS label,
+       |  cnt.n_true, cnt.n_post, COALESCE(hit.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / CAST(cnt.n_true AS DOUBLE) AS recall
+       |FROM cnt LEFT JOIN hit ON cnt.q_id = hit.q_id
+       |ORDER BY cnt.q_id""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    def sim = dot("emb", "q_emb") / (norm("q_emb") * norm("emb"))
+    val preCand = e.join(broadcast(probes),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+    val pre = TopK.topK(preCand, Seq("q_id"), col("sim"), col("vec_id"), 5,
+        asc = false)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val unCand = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+    val un20 = TopK.topK(unCand, Seq("q_id"), col("sim"), col("vec_id"), 20,
+      asc = false,
+      extra = when(col("label") === col("q_label"), 1L).otherwise(0L))
+    val wPost = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val post = un20.filter(col("extra") === 1)
+      .withColumn("rr", row_number().over(wPost))
+      .filter(col("rr") <= 5)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val hit = pre.join(post, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val nTrue = pre.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+    val nPost = post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post"))
+    probes.select(col("q_id"), col("q_label"))
+      .join(nTrue, Seq("q_id"), "left")
+      .join(nPost, Seq("q_id"), "left")
+      .join(hit, Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label").cast("int").as("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
+      .orderBy(col("q_id"))
   }
 }

@@ -698,6 +698,36 @@ class PlanQualitySpec extends GraftSuite {
       s"v26 shuffled a join that should broadcast:\n$p")
   }
 
+  test("t41: burstiness is two map-side-combined aggregates over term keys") {
+    val p = planOf("t41_term_burstiness")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"t41 aggregates lost their map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t41 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("t42: collocation pairs filter against the broadcast vocab before pairing") {
+    val p = planOf("t42_collocation_lift")
+    assert(p.contains("BroadcastExchange"), s"t42 vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t42 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("d19: containment rides the gram-key inverted index, never all-pairs") {
+    val p = planOf("d19_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d19 planned unbounded pair work:\n$p")
+  }
+
+  test("v27: both retrievers broadcast probes into two-level TopK aggregates") {
+    val p = planOf("v27_filtered_knn")
+    assert(p.contains("BroadcastExchange"), s"v27 probes not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"v27 lost the two-level TopK aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v27 planned a non-broadcast cartesian:\n$p")
+  }
+
   test("v25: labels assign via broadcast centroids, aggregate on (list, term)") {
     val p = planOf("v25_cluster_labels")
     assert(p.contains("BroadcastExchange"), s"v25 centroids not broadcast:\n$p")
