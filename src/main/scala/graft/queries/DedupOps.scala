@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1195,5 +1195,80 @@ object DedupOps {
       .select(col("src"), col("dst"), col("inter"), col("n_src"),
         col("n_dst"), col("containment"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Lexical-vs-semantic dedup agreement matrix: do the MinHash/Jaccard
+    * pairs (d01's exact-verified ≥0.5 set) and the embedding near-dup
+    * pairs (v04's IVF-list-blocked cosine >0.3 set, doc_id ≡ vec_id)
+    * find the same duplicates? The confusion counts (both /
+    * lexical_only / semantic_only) are the calibration a pipeline reads
+    * before deciding which dedup pass to run first — and whether one
+    * can be dropped.
+    *
+    * Scale shape: both pair sets are already bucket-blocked (LSH bands;
+    * IVF lists) and therefore bounded; the agreement join is a key join
+    * of two small pair tables. Nothing here is ever corpus×corpus. */
+  private val d20 = {
+    def eCos(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    QDef(
+      "d20_dedup_agreement",
+      "WITH " + oracleShingleCte + s""",
+        |ev AS (SELECT vec_id, embedding FROM embeddings),
+        |ec AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |       WHERE vec_id BETWEEN 100 AND 107),
+        |easg AS (
+        |  SELECT ev.vec_id, ec.c_id, ev.embedding,
+        |    ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+        |      ${eCos("ev.embedding", "ec.c_emb")} /
+        |        (sqrt(${eCos("ev.embedding", "ev.embedding")}) * sqrt(${eCos("ec.c_emb", "ec.c_emb")})) DESC,
+        |      ec.c_id) AS cr
+        |  FROM ev JOIN ec ON true),
+        |eassign AS (SELECT vec_id, c_id AS list_id, embedding FROM easg WHERE cr = 1),
+        |sem AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM eassign a JOIN eassign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE ${eCos("a.embedding", "b.embedding")} /
+        |          (sqrt(${eCos("a.embedding", "a.embedding")}) * sqrt(${eCos("b.embedding", "b.embedding")})) > 0.3),
+        |m AS (
+        |  SELECT CASE WHEN vp.a IS NOT NULL AND sem.a IS NOT NULL THEN 'both'
+        |              WHEN vp.a IS NOT NULL THEN 'lexical_only'
+        |              ELSE 'semantic_only' END AS category
+        |  FROM vp FULL JOIN sem ON vp.a = sem.a AND vp.b = sem.b)
+        |SELECT category, COUNT(*) AS n_pairs FROM m
+        |GROUP BY category ORDER BY category""".stripMargin) { (s, d) =>
+      graft.functions.SketchFunctions.registerAll(s)
+      val W = org.apache.spark.sql.expressions.Window
+      def dotE(a: String, b: String) = expr(s"dot_fold($a, $b)")
+      def cosE(a: String, b: String) =
+        dotE(a, b) / (sqrt(dotE(a, a)) * sqrt(dotE(b, b)))
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val ec = ev.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val wA = W.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+      val assign = ev.crossJoin(broadcast(ec))
+        .withColumn("csim", cosE("emb", "c_emb"))
+        .withColumn("cr", row_number().over(wA)).filter(col("cr") === 1)
+        .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+        .repartition(col("list_id"))
+      val sem = assign
+        .select(col("list_id"), col("vec_id").as("a"), col("emb").as("emb_a"))
+        .hint("shuffle_hash")
+        .join(assign.select(col("list_id"), col("vec_id").as("b"),
+          col("emb").as("emb_b")), Seq("list_id"))
+        .where(col("a") < col("b"))
+        .filter(cosE("emb_a", "emb_b") > 0.3)
+        .select(col("a"), col("b"), lit(1).as("sm"))
+      val lex = lshVerifiedPairs(s, d)
+        .select(col("a"), col("b"), lit(1).as("lx"))
+      lex.join(sem, Seq("a", "b"), "full_outer")
+        .withColumn("category",
+          when(col("lx").isNotNull && col("sm").isNotNull, "both")
+            .when(col("lx").isNotNull, "lexical_only")
+            .otherwise("semantic_only"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("category"))
+    }
   }
 }

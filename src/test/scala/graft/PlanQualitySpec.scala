@@ -719,6 +719,14 @@ class PlanQualitySpec extends GraftSuite {
       s"d19 planned unbounded pair work:\n$p")
   }
 
+  test("d20: agreement joins two bucket-blocked pair sets, never the corpus") {
+    val p = planOf("d20_dedup_agreement")
+    assert(!p.contains("CartesianProduct"),
+      s"d20 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"d20 lost the broadcast centroid assignment:\n$p")
+  }
+
   test("v27: both retrievers broadcast probes into two-level TopK aggregates") {
     val p = planOf("v27_filtered_knn")
     assert(p.contains("BroadcastExchange"), s"v27 probes not broadcast:\n$p")

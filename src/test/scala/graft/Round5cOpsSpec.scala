@@ -102,6 +102,43 @@ class Round5cOpsSpec extends GraftSuite {
     assert(dups.forall(r => got.exists(o => o._1 == r._2 && o._2 == r._1)))
   }
 
+  test("d20: dedup agreement equals brute-force lexical + semantic replays") {
+    // lexical: all-pairs exact Jaccard >= 0.5 over word-3-gram shingles
+    // (d01's LSH set is oracle-proven equal to this brute-force set)
+    val sh = docs.map { case (id, text) =>
+      val tk = toks(text)
+      id -> (if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+             else Set(text))
+    }
+    val lex = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = sa.count(sb.contains)
+      union = sa.size + sb.size - inter if union > 0
+      j = inter.toDouble / union.toDouble if j >= 0.5
+    } yield (a, b)).toSet
+    // semantic: IVF-list-blocked cosine > 0.3 (v04's set)
+    val cents = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
+    val assign = vecs.map { case (id, _, v) =>
+      id -> cents.map(c => (c._1, cos(v, c._3)))
+        .sortBy { case (cid, sim) => (-sim, cid) }.head._1
+    }.toMap
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val aseq = assign.toSeq
+    val sem = (for {
+      (a, la) <- aseq; (b, lb) <- aseq
+      if a < b && la == lb && cos(byId(a), byId(b)) > 0.3
+    } yield (a, b)).toSet
+    val expected = Seq(
+      "both" -> (lex & sem).size.toLong,
+      "lexical_only" -> (lex -- sem).size.toLong,
+      "semantic_only" -> (sem -- lex).size.toLong,
+    ).filter(_._2 > 0).sortBy(_._1)
+
+    val got = SparkEntry.queries("d20_dedup_agreement")(spark, sf)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got == expected)
+  }
+
   test("v27: filtered-ANN recall equals a pre/post-filter replay") {
     val probes = vecs.filter(_._1 < 10)
     val expected = probes.sortBy(_._1).map { case (qId, qLabel, qEmb) =>
