@@ -23,7 +23,8 @@ import graft.util.Det._
 object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
-    q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52)
+    q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
+    q53)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1062,5 +1063,50 @@ object Events {
         col("r_q").cast("int").as("r_q"), col("f_q").cast("int").as("f_q"),
         col("m_q").cast("int").as("m_q"), col("segment"))
       .orderBy(col("user_id"))
+  }
+
+  /** k-anonymity audit over behavioral quasi-identifiers: each user's
+    * signature is their sorted distinct event-type set plus two
+    * generalized bands (activity = n_events div 20, hour-coverage =
+    * distinct hours div 6 — generalization is exactly how k-anonymity
+    * coarsens attributes); k is the number of users sharing a
+    * signature. The release-risk histogram (how many signatures/users
+    * sit at each k, with the k < 5 re-identification flag) is the
+    * privacy gate run before publishing event-derived features —
+    * Sweeney's k-anonymity applied to behavioral traces.
+    *
+    * Scale shape: events collapse to one user-key distinct-set
+    * aggregate (map-side combined), then a signature-key count, then a
+    * k-key histogram — three shuffles over strictly shrinking data.
+    * The signature is a sorted distinct set, so Spark's unordered
+    * collect_set and DuckDB's unordered list() agree deterministically
+    * after sort. */
+  private val q53 = QDef(
+    "q53_k_anonymity",
+    """WITH sig AS (
+      |  SELECT user_id,
+      |    array_to_string(list_sort(list_distinct(list(event_type))), ',')
+      |      || '|' || CAST(COUNT(*) // 20 AS VARCHAR)
+      |      || '|' || CAST(COUNT(DISTINCT hour(ts)) // 6 AS VARCHAR) AS sig
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT sig, COUNT(*) AS k FROM sig GROUP BY sig)
+      |SELECT k, COUNT(*) AS n_signatures,
+      |  CAST(k * COUNT(*) AS BIGINT) AS n_users,
+      |  k < 5 AS at_risk
+      |FROM g GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+    val sig = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"),
+        countDistinct(hour(col("ts"))).as("nh"))
+      .select(concat(col("types"),
+        lit("|"), expr("n div 20").cast("string"),
+        lit("|"), expr("nh div 6").cast("string")).as("sig"))
+    sig.groupBy(col("sig")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_signatures"))
+      .select(col("k"), col("n_signatures"),
+        (col("k") * col("n_signatures")).as("n_users"),
+        (col("k") < 5).as("at_risk"))
+      .orderBy(col("k"))
   }
 }

@@ -689,6 +689,13 @@ class PlanQualitySpec extends GraftSuite {
       s"q52 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("q53: k-anonymity is three shrinking key aggregates, no pair work") {
+    val p = planOf("q53_k_anonymity")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"q53 aggregates lost their map-side combine:\n$p")
+    assert(!p.contains("Join"), s"q53 planned a join:\n$p")
+  }
+
   test("v26: split assigns via broadcast centroids/seeds, no pair work") {
     val p = planOf("v26_hot_list_split")
     assert(p.contains("BroadcastExchange"), s"v26 seeds not broadcast:\n$p")

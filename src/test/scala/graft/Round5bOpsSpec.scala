@@ -122,6 +122,28 @@ class Round5bOpsSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("q53: k-anonymity histogram equals a quasi-identifier replay") {
+    import org.apache.spark.sql.functions.{col, hour}
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), hour(col("ts")).as("hr"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val sigs = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      val types = g.map(_._2).distinct.sorted.mkString(",")
+      s"$types|${g.size / 20}|${g.map(_._3).distinct.size / 6}"
+    }
+    val expected = sigs.groupBy(identity).values.map(_.size.toLong).toSeq
+      .groupBy(identity).toSeq.map { case (k, g) =>
+        (k, g.size.toLong, k * g.size, k < 5)
+      }.sortBy(_._1)
+
+    val got = SparkEntry.queries("q53_k_anonymity")(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got == expected)
+    // every user is accounted for exactly once across the histogram
+    assert(got.map(_._3).sum == rows.map(_._1).distinct.size)
+  }
+
   test("v26: hot-list split equals a quantizer + 2-means-step replay") {
     val cents = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
     val assign = vecs.map { case (id, v) =>
