@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27)
+    v26, v27, v28)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1803,6 +1803,112 @@ object VectorOps {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_true").cast("double")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Retrieval-quality eval of the LSH retriever against brute-force
+    * ground truth (the BEIR-style per-query scorecard): ground truth is
+    * the exact-cosine top-5 (v01), the system under test is v03's
+    * hyperplane-bucket retriever extended to top-20; per probe, the
+    * bucket candidate count, the rank of the first relevant hit, its
+    * reciprocal (MRR's addend — an exact integer ratio, no mean taken
+    * so no float-sum ordering), and recall@5/@20 intersections. The
+    * scorecard a pipeline reads before trading brute-force cost for a
+    * bucketed index.
+    *
+    * Scale shape: ground truth and system are each one broadcast-probe
+    * corpus scan into the two-level [[TopK]] aggregate (the LSH side
+    * scans only same-bucket rows); the eval join touches ≤25 rows per
+    * probe. */
+  private val v28 = QDef(
+    "v28_retrieval_eval", {
+      val hpLit = hpGrid.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
+      def hdot(emb: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * h.v[i]))"
+      s"""WITH hpm AS (
+         |  SELECT p, list_transform(($hpLit)[p + 1],
+         |           k -> CAST(k - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS v
+         |  FROM range(0, 8) t(p)),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |b AS (
+         |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${hdot("e.embedding")} > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, hpm h GROUP BY e.vec_id),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id)),
+         |gtp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${sqlDot("q.embedding", "c.embedding")} /
+         |        (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) DESC,
+         |      c.vec_id) AS rank
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |gt AS (SELECT q_id, vec_id FROM gtp WHERE rank <= 5),
+         |lp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${sqlDot("q.embedding", "c.embedding")} /
+         |        (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) DESC,
+         |      c.vec_id) AS rank
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10
+         |    AND c.vec_id <> q.vec_id),
+         |nc AS (SELECT q.vec_id AS q_id, COUNT(*) AS n_cand
+         |       FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10
+         |         AND c.vec_id <> q.vec_id GROUP BY q.vec_id),
+         |l20 AS (SELECT q_id, vec_id, rank FROM lp WHERE rank <= 20),
+         |rel AS (SELECT l20.q_id, l20.vec_id, l20.rank
+         |        FROM l20 JOIN gt ON l20.q_id = gt.q_id AND l20.vec_id = gt.vec_id),
+         |agg AS (
+         |  SELECT q_id, MIN(rank) AS first_rel_rank,
+         |    CAST(COUNT(*) FILTER (WHERE rank <= 5) AS BIGINT) AS n_rel5,
+         |    COUNT(*) AS n_rel20
+         |  FROM rel GROUP BY q_id),
+         |q AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 10)
+         |SELECT q.q_id, COALESCE(nc.n_cand, 0) AS n_cand,
+         |  CAST(agg.first_rel_rank AS INTEGER) AS first_rel_rank,
+         |  COALESCE(1.0 / CAST(agg.first_rel_rank AS DOUBLE), 0.0) AS rr,
+         |  COALESCE(agg.n_rel5, 0) AS n_rel5, COALESCE(agg.n_rel20, 0) AS n_rel20
+         |FROM q LEFT JOIN agg ON q.q_id = agg.q_id
+         |LEFT JOIN nc ON q.q_id = nc.q_id
+         |ORDER BY q.q_id""".stripMargin
+    }) { (s, d) =>
+    val bucket = (0 until 8).map { p =>
+      when(dot("emb", s"array(${hp(p).map(v => s"${v}D").mkString(",")})") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = embeddings(s, d)
+    def sim = dot("emb", "q_emb") / (norm("q_emb") * norm("emb"))
+    // ground truth: exact-cosine top-5 over the full corpus
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val gt = TopK.topK(
+        e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+          .withColumn("sim", sim),
+        Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"))
+    // system under test: hyperplane-bucket candidates, top-20
+    val eb = e.withColumn("bucket", bucket)
+    val bProbes = eb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+    val cand = eb.join(broadcast(bProbes), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+    val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val l20 = TopK.topK(cand.withColumn("sim", sim),
+        Seq("q_id"), col("sim"), col("vec_id"), 20, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"), col("rank"))
+    val agg = l20.join(gt, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id"))
+      .agg(min(col("rank")).as("first_rel_rank"),
+        sum(when(col("rank") <= 5, 1L).otherwise(0L)).as("n_rel5"),
+        count(lit(1)).as("n_rel20"))
+    probes.select(col("q_id"))
+      .join(agg, Seq("q_id"), "left")
+      .join(nc, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("first_rel_rank").cast("int").as("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0))
+          .as("rr"),
+        coalesce(col("n_rel5"), lit(0L)).as("n_rel5"),
+        coalesce(col("n_rel20"), lit(0L)).as("n_rel20"))
       .orderBy(col("q_id"))
   }
 }

@@ -743,6 +743,15 @@ class PlanQualitySpec extends GraftSuite {
       s"v27 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("v28: eval rides two broadcast-probe TopK scans; LSH side bucket-joined") {
+    val p = planOf("v28_retrieval_eval")
+    assert(p.contains("BroadcastExchange"), s"v28 probes not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"v28 lost the two-level TopK aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v28 planned a non-broadcast cartesian:\n$p")
+  }
+
   test("v25: labels assign via broadcast centroids, aggregate on (list, term)") {
     val p = planOf("v25_cluster_labels")
     assert(p.contains("BroadcastExchange"), s"v25 centroids not broadcast:\n$p")

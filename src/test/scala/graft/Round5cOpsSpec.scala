@@ -139,6 +139,39 @@ class Round5cOpsSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("v28: retrieval eval equals a brute + hyperplane-bucket replay") {
+    val hp: Array[Array[Double]] = Array.tabulate(8, 64) { (p, i) =>
+      (Math.floorMod(graft.functions.SketchKernels.mix(p * 64L + i + 1L), 2001L)
+        - 1000L).toDouble / 1000.0
+    }
+    def bucketOf(v: Array[Double]): Long =
+      (0 until 8).map(p => if (dot(v, hp(p)) > 0) 1L << p else 0L).sum
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val buckets = vecs.map(v => v._1 -> bucketOf(v._3)).toMap
+    val probes = vecs.filter(_._1 < 10).sortBy(_._1)
+    val expected = probes.map { case (qId, _, qEmb) =>
+      val gt = vecs.filter(_._1 != qId)
+        .map { case (id, _, v) => (id, cos(qEmb, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val cand = vecs.filter(v => v._1 != qId && buckets(v._1) == buckets(qId))
+      val l20 = cand.map { case (id, _, v) => (id, cos(qEmb, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1) }
+      val rel = l20.filter(r => gt.contains(r._1))
+      val first = rel.map(_._2).minOption
+      (qId, cand.size.toLong, first,
+        first.map(r => 1.0 / r.toDouble).getOrElse(0.0),
+        rel.count(_._2 <= 5).toLong, rel.size.toLong)
+    }
+
+    val got = SparkEntry.queries("v28_retrieval_eval")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+  }
+
   test("v27: filtered-ANN recall equals a pre/post-filter replay") {
     val probes = vecs.filter(_._1 < 10)
     val expected = probes.sortBy(_._1).map { case (qId, qLabel, qEmb) =>
