@@ -24,7 +24,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53)
+    q53, q54)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1108,5 +1108,47 @@ object Events {
         (col("k") * col("n_signatures")).as("n_users"),
         (col("k") < 5).as("at_risk"))
       .orderBy(col("k"))
+  }
+
+  /** Hop-window (sliding) event rates — the window-TVF shape q19's
+    * tumble and q26's session don't cover: 2-hour windows hopping every
+    * hour, so each event lands in exactly two windows. Batch semantics
+    * identical to Structured Streaming's `window(ts, '2 hours',
+    * '1 hour')`: the window explode is a constant ×(size/hop) blow-up
+    * keyed by window start, then one map-side-combined aggregate —
+    * window keys are epoch-hour integers, so both engines bucket
+    * identically with zero timezone/format ambiguity.
+    *
+    * Scale shape: explode factor is size/hop (2 here) — a constant
+    * row multiplier before a key aggregate, the same cost model the
+    * streaming engine pays; no windows ever materialize per-user
+    * state. */
+  private val q54 = QDef(
+    "q54_hop_window_rates",
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(ts) // 3600000000 AS hr FROM events),
+       |x AS (
+       |  SELECT event_type, value, hr - f.i AS win_start_hr
+       |  FROM e, unnest(range(0, 2)) AS f(i) WHERE hr - f.i >= 0),
+       |a AS (
+       |  SELECT win_start_hr, event_type, COUNT(*) AS n,
+       |    ${sqlDsum("value")} AS total_value
+       |  FROM x GROUP BY win_start_hr, event_type)
+       |SELECT CAST(win_start_hr AS BIGINT) AS win_start_hr, event_type, n,
+       |  total_value, CAST(n AS DOUBLE) / 2.0 AS per_hour_rate
+       |FROM a ORDER BY win_start_hr, event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+    e.select(col("event_type"), col("value"), col("hr"),
+        explode(sequence(lit(0), lit(1))).as("i"))
+      .withColumn("win_start_hr", col("hr") - col("i"))
+      .filter(col("win_start_hr") >= 0)
+      .groupBy(col("win_start_hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("win_start_hr"), col("event_type"), col("n"),
+        col("total_value"),
+        (col("n").cast("double") / lit(2.0)).as("per_hour_rate"))
+      .orderBy(col("win_start_hr"), col("event_type"))
   }
 }

@@ -696,6 +696,14 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("Join"), s"q53 planned a join:\n$p")
   }
 
+  test("q54: hop windows are a constant explode into one key aggregate") {
+    val p = planOf("q54_hop_window_rates")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"q54 aggregate lost its map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      s"q54 planned a join or per-row window:\n$p")
+  }
+
   test("v26: split assigns via broadcast centroids/seeds, no pair work") {
     val p = planOf("v26_hot_list_split")
     assert(p.contains("BroadcastExchange"), s"v26 seeds not broadcast:\n$p")

@@ -144,6 +144,31 @@ class Round5bOpsSpec extends GraftSuite {
     assert(got.map(_._3).sum == rows.map(_._1).distinct.size)
   }
 
+  test("q54: hop-window rates equal a two-hop explode replay") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expected = rows.flatMap { case (t, v, us) =>
+      val hr = us / 3600000000L
+      Seq((hr, t, v), (hr - 1, t, v))
+    }.filter(_._1 >= 0).groupBy(r => (r._1, r._2)).toSeq.map {
+      case ((hr, t), g) =>
+        val total = g.map(r => new JBD(r._3).setScale(6, RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue()
+        (hr, t, g.size.toLong, total, g.size.toLong.toDouble / 2.0)
+    }.sortBy(r => (r._1, r._2))
+
+    val got = SparkEntry.queries("q54_hop_window_rates")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // each event contributes to exactly two windows
+    assert(got.map(_._3).sum == 2L * rows.size)
+  }
+
   test("v26: hot-list split equals a quantizer + 2-means-step replay") {
     val cents = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
     val assign = vecs.map { case (id, v) =>

@@ -595,4 +595,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists(_._5), "fixture should contain contaminated docs")
     } finally query.stop()
   }
+
+  test("hop window: streaming window(2h,1h) equals the batch hop explode (q54 semantics)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // events spread across 4 hours so most land in two overlapping windows
+    val rows = Seq(0L, 30L, 70L, 119L, 125L, 180L, 230L)
+      .zipWithIndex.map { case (m, i) => EventIn(1L, ts(m), (i + 1).toDouble) }
+    val sent = EventIn(99L, ts(60 * 24 * 30), 0.0)
+
+    val mem = MemoryStream[EventIn]
+    val agg = mem.toDS().toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(expr("unix_micros(w.start) div 3600000000").as("win_start_hr"),
+        col("n"), col("total"))
+    val query = agg.writeStream.format("memory")
+      .queryName("hop_out").outputMode("append").start()
+    try {
+      mem.addData(rows: _*); query.processAllAvailable()
+      mem.addData(sent); query.processAllAvailable()
+      mem.addData(EventIn(99L, ts(60 * 24 * 60), 0.0)); query.processAllAvailable()
+
+      val batch = rows.toDF()
+        .select(col("value"), expr("unix_micros(ts) div 3600000000").as("hr"),
+          explode(sequence(lit(0), lit(1))).as("i"))
+        .withColumn("win_start_hr", col("hr") - col("i"))
+        .groupBy(col("win_start_hr"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .as[(Long, Long, Double)].collect().toSet
+      // drop the sentinels' own windows: keep only the fixture hour range
+      val maxHr = batch.map(_._1).max
+      val got = spark.table("hop_out")
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(_._1 <= maxHr)
+      assert(got == batch && batch.nonEmpty,
+        s"stream ${got.size} windows vs batch ${batch.size}")
+    } finally query.stop()
+  }
 }
