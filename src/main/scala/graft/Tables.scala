@@ -34,18 +34,21 @@ object Tables {
     *    raw long nanos (legacy conf) and convert with integer division —
     *    a double-rounded division would lose sub-microsecond precision
     *    on ~1.7e18 nano values.
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
-    *    TIMESTAMP_NTZ; cast to TimestampType (identity on the stored
-    *    micros under the session's UTC zone, matching how DuckDB reads
-    *    the same naive values).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): with NTZ inference
+    *    Spark would read TIMESTAMP_NTZ, and any cast to TimestampType
+    *    shifts by the SESSION zone — correct only under UTC sessions.
+    *    Disabling `inferTimestampNTZ` restores the legacy read: the
+    *    stored micros land verbatim as UTC-epoch `TimestampType`,
+    *    matching DuckDB's naive read in every session zone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
+      case TimestampNTZType => // unreachable with inference off; kept as belt
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -1213,21 +1213,14 @@ object DedupOps {
       s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     QDef(
       "d20_dedup_agreement",
-      "WITH " + oracleShingleCte + s""",
-        |ev AS (SELECT vec_id, embedding FROM embeddings),
-        |ec AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |       WHERE vec_id BETWEEN 100 AND 107),
-        |easg AS (
-        |  SELECT ev.vec_id, ec.c_id, ev.embedding,
-        |    ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
-        |      ${eCos("ev.embedding", "ec.c_emb")} /
-        |        (sqrt(${eCos("ev.embedding", "ev.embedding")}) * sqrt(${eCos("ec.c_emb", "ec.c_emb")})) DESC,
-        |      ec.c_id) AS cr
-        |  FROM ev JOIN ec ON true),
-        |eassign AS (SELECT vec_id, c_id AS list_id, embedding FROM easg WHERE cr = 1),
+      // the shingle CTEs (t, p, vp) compose with VectorOps' shared IVF
+      // quantizer CTEs (e, c, asgr, assign) — ONE quantizer definition,
+      // so this stays v04's pair set by construction
+      "WITH " + oracleShingleCte + ",\n" +
+        VectorOps.sqlIvfCtes.stripPrefix("WITH ") + s""",
         |sem AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM eassign a JOIN eassign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
         |  WHERE ${eCos("a.embedding", "b.embedding")} /
         |          (sqrt(${eCos("a.embedding", "a.embedding")}) * sqrt(${eCos("b.embedding", "b.embedding")})) > 0.3),
         |m AS (
@@ -1238,19 +1231,10 @@ object DedupOps {
         |SELECT category, COUNT(*) AS n_pairs FROM m
         |GROUP BY category ORDER BY category""".stripMargin) { (s, d) =>
       graft.functions.SketchFunctions.registerAll(s)
-      val W = org.apache.spark.sql.expressions.Window
       def dotE(a: String, b: String) = expr(s"dot_fold($a, $b)")
       def cosE(a: String, b: String) =
         dotE(a, b) / (sqrt(dotE(a, a)) * sqrt(dotE(b, b)))
-      val ev = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val ec = ev.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-      val wA = W.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-      val assign = ev.crossJoin(broadcast(ec))
-        .withColumn("csim", cosE("emb", "c_emb"))
-        .withColumn("cr", row_number().over(wA)).filter(col("cr") === 1)
-        .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+      val assign = VectorOps.ivfAssign(VectorOps.embeddings(s, d))
         .repartition(col("list_id"))
       val sem = assign
         .select(col("list_id"), col("vec_id").as("a"), col("emb").as("emb_a"))

@@ -38,7 +38,7 @@ object VectorOps {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def embeddings(s: SparkSession, d: String): DataFrame = {
+  private[queries] def embeddings(s: SparkSession, d: String): DataFrame = {
     graft.functions.SketchFunctions.registerAll(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
@@ -98,25 +98,40 @@ object VectorOps {
   private val hp: Array[Array[Double]] =
     hpGrid.map(_.map(k => (k - 1000L).toDouble / 1000.0))
 
+  /** Shared hyperplane-LSH oracle prefix (v03 and its v28 scorecard —
+    * one definition so the eval always measures exactly v03's
+    * retriever): `eb` = (vec_id, embedding, bucket). */
+  private val sqlLshCtes: String = {
+    val hpLit = hpGrid.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
+    def hdot(emb: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * h.v[i]))"
+    s"""hpm AS (
+       |  SELECT p, list_transform(($hpLit)[p + 1],
+       |           k -> CAST(k - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS v
+       |  FROM range(0, 8) t(p)),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (
+       |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${hdot("e.embedding")} > 0
+       |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, hpm h GROUP BY e.vec_id),
+       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id))""".stripMargin
+  }
+
+  /** Spark mirror of [[sqlLshCtes]]'s bucket: the 8-bit hyperplane sign
+    * fold, literals codegen-folded. */
+  private def lshBucket: Column =
+    (0 until 8).map { p =>
+      when(dot("emb", s"array(${hp(p).map(v => s"${v}D").mkString(",")})") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Random-hyperplane LSH (Charikar 2002) ANN: 8-bit signs of dots
     * with fixed pseudo-random hyperplanes → bucket equi-join → exact
     * cosine re-rank within bucket. The scale path: replaces the full
     * scan with a shuffle on the bucket key. */
   private val v03 = QDef(
-    "v03_knn_lsh", {
-      val hpLit = hpGrid.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
-      def hdot(emb: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * h.v[i]))"
-      s"""WITH hpm AS (
-         |  SELECT p, list_transform(($hpLit)[p + 1],
-         |           k -> CAST(k - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS v
-         |  FROM range(0, 8) t(p)),
-         |e AS (SELECT vec_id, embedding FROM embeddings),
-         |b AS (
-         |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${hdot("e.embedding")} > 0
-         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM e, hpm h GROUP BY e.vec_id),
-         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id)),
+    "v03_knn_lsh",
+    s"""WITH $sqlLshCtes,
          |p AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket,
          |    ${sqlDot("q.embedding", "c.embedding")} /
@@ -124,13 +139,8 @@ object VectorOps {
          |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM p)
          |SELECT q_id, vec_id, sim, rank, bucket FROM r WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin
-    }) { (s, d) =>
-    val bucket = (0 until 8).map { p =>
-      when(dot("emb", s"array(${hp(p).map(v => s"${v}D").mkString(",")})") > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val e = embeddings(s, d).withColumn("bucket", bucket)
+         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d).withColumn("bucket", lshBucket)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
     val cand = e.join(broadcast(probes), Seq("bucket"))
@@ -147,7 +157,7 @@ object VectorOps {
     * embeddings of 8 fixed vec_ids (100-107) — data-derived and
     * deterministic, so the DuckDB oracle replicates the assignment
     * bit-exactly. Returns (vec_id, list_id, emb). */
-  private def ivfAssign(e: DataFrame): DataFrame = {
+  private[queries] def ivfAssign(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
@@ -160,7 +170,7 @@ object VectorOps {
 
   /** DuckDB mirror of [[ivfAssign]] — CTE prefix shared by v04/v05/v06
     * oracle SQL (`assign` = vec_id, list_id, embedding). */
-  private val sqlIvfCtes =
+  private[queries] val sqlIvfCtes =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
        |      WHERE vec_id BETWEEN 100 AND 107),
@@ -1801,8 +1811,11 @@ object VectorOps {
         coalesce(col("n_true"), lit(0L)).as("n_true"),
         coalesce(col("n_post"), lit(0L)).as("n_post"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        // denominator coalesced too: a probe whose label has no other
+        // members gives 0.0/0.0 = NaN on BOTH engines (DuckDB's scalar
+        // subquery yields 0, not NULL), keeping the hash compare exact
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_true").cast("double")).as("recall"))
+          coalesce(col("n_true"), lit(0L)).cast("double")).as("recall"))
       .orderBy(col("q_id"))
   }
 
@@ -1821,20 +1834,8 @@ object VectorOps {
     * scans only same-bucket rows); the eval join touches ≤25 rows per
     * probe. */
   private val v28 = QDef(
-    "v28_retrieval_eval", {
-      val hpLit = hpGrid.map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]")
-      def hdot(emb: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * h.v[i]))"
-      s"""WITH hpm AS (
-         |  SELECT p, list_transform(($hpLit)[p + 1],
-         |           k -> CAST(k - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS v
-         |  FROM range(0, 8) t(p)),
-         |e AS (SELECT vec_id, embedding FROM embeddings),
-         |b AS (
-         |  SELECT e.vec_id, CAST(SUM(CASE WHEN ${hdot("e.embedding")} > 0
-         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM e, hpm h GROUP BY e.vec_id),
-         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM e JOIN b USING (vec_id)),
+    "v28_retrieval_eval",
+    s"""WITH $sqlLshCtes,
          |gtp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1869,12 +1870,7 @@ object VectorOps {
          |  COALESCE(agg.n_rel5, 0) AS n_rel5, COALESCE(agg.n_rel20, 0) AS n_rel20
          |FROM q LEFT JOIN agg ON q.q_id = agg.q_id
          |LEFT JOIN nc ON q.q_id = nc.q_id
-         |ORDER BY q.q_id""".stripMargin
-    }) { (s, d) =>
-    val bucket = (0 until 8).map { p =>
-      when(dot("emb", s"array(${hp(p).map(v => s"${v}D").mkString(",")})") > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+         |ORDER BY q.q_id""".stripMargin) { (s, d) =>
     val e = embeddings(s, d)
     def sim = dot("emb", "q_emb") / (norm("q_emb") * norm("emb"))
     // ground truth: exact-cosine top-5 over the full corpus
@@ -1885,8 +1881,8 @@ object VectorOps {
           .withColumn("sim", sim),
         Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
       .select(col("q_id"), col("id").as("vec_id"))
-    // system under test: hyperplane-bucket candidates, top-20
-    val eb = e.withColumn("bucket", bucket)
+    // system under test: v03's retriever (shared lshBucket), top-20
+    val eb = e.withColumn("bucket", lshBucket)
     val bProbes = eb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
     val cand = eb.join(broadcast(bProbes), Seq("bucket"))

@@ -642,8 +642,13 @@ class PlanQualitySpec extends GraftSuite {
 
   test("t38: stratified sample windows partition by language, never globally") {
     val p = planOf("t38_stratified_sample")
-    assert(!"Window.*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined &&
-      !p.contains("Window [n_chars"),
+    // formatted Window nodes print `Arguments: [funcs], [partitions],
+    // [order]` — a global window has an empty middle list
+    val winArgs = p.linesIterator.toSeq.sliding(2).collect {
+      case Seq(h, a) if h.matches("""\(\d+\) Window.*""") => a
+    }.toSeq
+    assert(winArgs.nonEmpty, s"t38 plan has no Window nodes to audit:\n$p")
+    assert(winArgs.forall(a => !a.contains("], [], [")),
       s"t38 planned a global (unpartitioned) window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"t38 planned pair work:\n$p")
