@@ -18,7 +18,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12)
+    sp09, sp10, sp11, sp12, sp13)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -567,5 +567,49 @@ object Spatial {
         (ratio >= 1.25).as("hot"),
         (ratio <= 0.75).as("cold"))
       .orderBy(col("cell_id"))
+  }
+
+  /** Hexagonal-grid hotspots (the H3/Uber binning shape — hexagons have
+    * uniform neighbor distance, unlike sp01's squares): customers bin
+    * to pointy-top axial hex coordinates via the standard fractional
+    * axial transform + cube rounding. Every step is engine-identical
+    * IEEE arithmetic — the SAME SQL text runs on Spark and DuckDB
+    * (rounding is written as floor(v + 0.5) explicitly, because the
+    * engines' round() tie policies differ), so the oracle matches
+    * bit-exactly.
+    *
+    * Scale shape: per-row expression work into one map-side-combined
+    * (q, r) aggregate — sp01's cost model on a better lattice. */
+  private val sp13 = {
+    // one template, two engines: identical text ⇒ identical IEEE ops
+    def hexSql(table: String, key: String): String = {
+      val x = ptX(key); val y = ptY(key)
+      s"""WITH f AS (
+         |  SELECT (sqrt(3.0) / 3.0 * ($x) - ($y) / 3.0) / 5.0 AS qf,
+         |         (2.0 * ($y) / 3.0) / 5.0 AS rf
+         |  FROM $table),
+         |c AS (SELECT qf, rf, -qf - rf AS yf FROM f),
+         |r0 AS (
+         |  SELECT qf, rf, yf,
+         |    floor(qf + 0.5) AS rq, floor(yf + 0.5) AS ry, floor(rf + 0.5) AS rr
+         |  FROM c),
+         |d AS (
+         |  SELECT *, abs(rq - qf) AS dq, abs(ry - yf) AS dy, abs(rr - rf) AS dr
+         |  FROM r0),
+         |h AS (
+         |  SELECT
+         |    CAST(CASE WHEN dq > dy AND dq > dr THEN -ry - rr ELSE rq END AS BIGINT) AS hex_q,
+         |    CAST(CASE WHEN NOT (dq > dy AND dq > dr) AND NOT (dy > dr) THEN -rq - ry ELSE rr END AS BIGINT) AS hex_r
+         |  FROM d),
+         |g AS (SELECT hex_q, hex_r, COUNT(*) AS n FROM h GROUP BY hex_q, hex_r)
+         |SELECT hex_q, hex_r, n,
+         |  5.0 * (sqrt(3.0) * (CAST(hex_q AS DOUBLE) + CAST(hex_r AS DOUBLE) / 2.0)) AS center_x,
+         |  5.0 * (1.5 * CAST(hex_r AS DOUBLE)) AS center_y
+         |FROM g ORDER BY hex_q, hex_r""".stripMargin
+    }
+    QDef("sp13_hex_hotspots", hexSql("customer", "c_custkey")) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(hexSql("customer", "c_custkey"))
+    }
   }
 }

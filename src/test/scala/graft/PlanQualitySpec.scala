@@ -756,6 +756,13 @@ class PlanQualitySpec extends GraftSuite {
       s"v27 planned a non-broadcast cartesian:\n$p")
   }
 
+  test("sp13: hex binning is per-row expression work into one key aggregate") {
+    val p = planOf("sp13_hex_hotspots")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"sp13 aggregate lost its map-side combine:\n$p")
+    assert(!p.contains("Join"), s"sp13 planned a join:\n$p")
+  }
+
   test("v28: eval rides two broadcast-probe TopK scans; LSH side bucket-joined") {
     val p = planOf("v28_retrieval_eval")
     assert(p.contains("BroadcastExchange"), s"v28 probes not broadcast:\n$p")

@@ -139,6 +139,39 @@ class Round5cOpsSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("sp13: hex binning equals an axial cube-rounding replay") {
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().toSeq.map(_.getLong(0))
+    def hexOf(key: Long): (Long, Long) = {
+      val x = ((key * 48271) % 10007) % 100 + 0.5
+      val y = ((key * 69621) % 10007) % 100 + 0.5
+      val qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / 5.0
+      val rf = (2.0 * y / 3.0) / 5.0
+      val yf = -qf - rf
+      val (rq, ry, rr) =
+        (math.floor(qf + 0.5), math.floor(yf + 0.5), math.floor(rf + 0.5))
+      val (dq, dy, dr) =
+        (math.abs(rq - qf), math.abs(ry - yf), math.abs(rr - rf))
+      val hq = if (dq > dy && dq > dr) -ry - rr else rq
+      val hr = if (!(dq > dy && dq > dr) && !(dy > dr)) -rq - ry else rr
+      (hq.toLong, hr.toLong)
+    }
+    val expected = keys.map(hexOf).groupBy(identity).toSeq.map {
+      case ((q, r), g) =>
+        (q, r, g.size.toLong,
+          5.0 * (math.sqrt(3.0) * (q.toDouble + r.toDouble / 2.0)),
+          5.0 * (1.5 * r.toDouble))
+    }.sortBy(t => (t._1, t._2))
+
+    val got = SparkEntry.queries("sp13_hex_hotspots")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // every customer lands in exactly one hexagon
+    assert(got.map(_._3).sum == keys.size.toLong)
+  }
+
   test("v28: retrieval eval equals a brute + hyperplane-bucket replay") {
     val hp: Array[Array[Double]] = Array.tabulate(8, 64) { (p, i) =>
       (Math.floorMod(graft.functions.SketchKernels.mix(p * 64L + i + 1L), 2001L)
