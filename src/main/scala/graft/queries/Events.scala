@@ -24,7 +24,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54)
+    q53, q54, q55, q56, q57)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1150,5 +1150,194 @@ object Events {
         col("total_value"),
         (col("n").cast("double") / lit(2.0)).as("per_hour_rate"))
       .orderBy(col("win_start_hr"), col("event_type"))
+  }
+
+  /** A/B experiment readout — the two-proportion z-test every growth
+    * team runs: users are assigned to arms by the first hex digit of
+    * md5(user_id) (deterministic, reproducible, balanced — the
+    * hash-based traffic split production experiment systems use),
+    * conversion = the user has at least one purchase event; the card
+    * reports per-arm sizes/conversions/rates, absolute lift, and the
+    * pooled-variance z statistic. Every input is an integer count; the
+    * float chain is a fixed sequence of IEEE divisions and one sqrt,
+    * identical in both engines.
+    *
+    * Scale shape: events collapse to ONE map-side-combined user
+    * aggregate, then a 2-row arm aggregate, then single-row arithmetic —
+    * nothing downstream of the first aggregate depends on event volume. */
+  private val q55 = QDef(
+    "q55_ab_test_card",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') AS arm_a,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS n_b,
+      |    SUM(CASE WHEN arm_a THEN conv ELSE 0 END) AS conv_a,
+      |    SUM(CASE WHEN arm_a THEN 0 ELSE conv END) AS conv_b
+      |  FROM u)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+      |  CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0) AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) AS rate_b,
+      |  (CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)) -
+      |    (CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0)) AS lift,
+      |  ((CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)) -
+      |   (CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0))) /
+      |    NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0.0) AS z_score
+      |FROM a""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("arm_a",
+        substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    val a = u.agg(
+      sum(when(col("arm_a"), 1).otherwise(0)).as("n_a"),
+      sum(when(col("arm_a"), 0).otherwise(1)).as("n_b"),
+      sum(when(col("arm_a"), col("conv")).otherwise(0)).as("conv_a"),
+      sum(when(col("arm_a"), 0).otherwise(col("conv"))).as("conv_b"))
+    // NULLIF guards: a degenerate corpus (empty arm, all-or-none
+    // conversion → zero pooled variance) yields NULL, never an ANSI
+    // divide-by-zero — mirrored exactly in the oracle SQL
+    val rateA = col("conv_a").cast("double") / nullif(col("n_a"), lit(0))
+    val rateB = col("conv_b").cast("double") / nullif(col("n_b"), lit(0))
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / nullif(col("n_a"), lit(0)) +
+        lit(1.0) / nullif(col("n_b"), lit(0))))
+    a.select(
+      col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+      col("conv_a").cast("long").as("conv_a"),
+      col("conv_b").cast("long").as("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      (rateA - rateB).as("lift"),
+      ((rateA - rateB) / nullif(se, lit(0.0))).as("z_score"))
+  }
+
+  /** DAU / WAU stickiness — the daily-engagement ratio every product
+    * dashboard leads with: per epoch-day, distinct daily actives, the
+    * trailing-7-day distinct actives, and DAU/WAU. The trailing
+    * distinct is NOT a per-day window scan: each (day, user) pair
+    * explodes into the ≤7 future days whose week it belongs to (q54's
+    * constant-factor hop trick), and WAU is then one plain distinct
+    * aggregate — the streaming-compatible shape, no distinct-in-window.
+    *
+    * Scale shape: events collapse to distinct (day, user) pairs first
+    * (map-side combined), the explode is a constant ×7 on that already
+    * tiny table, and every aggregate is keyed by day — nothing is
+    * user×user or day×day. Integer counts, ONE IEEE division. */
+  private val q57 = QDef(
+    "q57_dau_wau_stickiness",
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_num, user_id
+      |  FROM events),
+      |dau AS (SELECT day_num, COUNT(*) AS dau FROM du GROUP BY day_num),
+      |wx AS (
+      |  SELECT DISTINCT du.day_num + f.i AS day_num, du.user_id
+      |  FROM du, unnest(range(0, 7)) AS f(i)),
+      |wau AS (SELECT day_num, COUNT(*) AS wau FROM wx GROUP BY day_num)
+      |SELECT d.day_num AS day_num, d.dau AS dau, w.wau AS wau,
+      |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+      |FROM dau d JOIN wau w ON d.day_num = w.day_num
+      |ORDER BY day_num""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day_num")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"), col("day_num"))
+      .select((col("day_num") + col("i")).as("day_num"), col("user_id"))
+      .distinct()
+      .groupBy(col("day_num")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day_num"))
+      .select(col("day_num"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy(col("day_num"))
+  }
+
+  /** User-concentration card — Gini coefficient and top-share of the
+    * per-user event-count distribution (the "how heavy-tailed is our
+    * traffic" readout behind rate limiting and whale analysis). The
+    * Gini over sorted counts ((2·Σ rᵢxᵢ − (U+1)·ΣX) / (U·ΣX)) is
+    * computed WITHOUT ranking individual users: within a tie group of
+    * equal count n (cnt users, `off` users below), Σ rᵢxᵢ collapses to
+    * n·(off·cnt + cnt·(cnt+1)/2) in closed form — so the only window
+    * runs over DISTINCT count values. Top-k shares slice the same tiny
+    * table by cumulative count, taking tie-group fractions exactly.
+    * Everything is BIGINT until the three final divisions.
+    *
+    * Scale shape: one map-side-combined user aggregate, one count-value
+    * aggregate, one window over distinct count values (bounded by the
+    * count distribution's support, not by users) — the t19/t17 "windows
+    * over grouped rows only" discipline. */
+  private val q56 = QDef(
+    "q56_user_concentration",
+    """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |g AS (SELECT n, COUNT(*) AS cnt FROM u GROUP BY n),
+      |w AS (
+      |  SELECT n, cnt,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY n
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+      |    COALESCE(SUM(cnt) OVER (ORDER BY n DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      |  FROM g),
+      |t AS (
+      |  SELECT
+      |    SUM(cnt) AS n_users, SUM(n * cnt) AS n_events,
+      |    SUM(n * (off * cnt + cnt * (cnt + 1) // 2)) AS srx
+      |  FROM w),
+      |tk AS (
+      |  SELECT
+      |    SUM(n * LEAST(cnt, GREATEST((SELECT SUM(cnt) FROM w) // 10 - above, 0)))
+      |      AS top10_events,
+      |    SUM(n * LEAST(cnt, GREATEST((SELECT SUM(cnt) FROM w) // 100 - above, 0)))
+      |      AS top1_events
+      |  FROM w)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(2 * srx - (n_users + 1) * n_events AS DOUBLE) /
+      |    CAST(n_users * n_events AS DOUBLE) AS gini,
+      |  CAST(top10_events AS DOUBLE) / n_events AS top10_share,
+      |  CAST(top1_events AS DOUBLE) / n_events AS top1_share
+      |FROM t CROSS JOIN tk""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val g = u.groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+    val asc = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = g.select(col("n"), col("cnt"),
+      coalesce(sum(col("cnt")).over(asc), lit(0L)).as("off"),
+      coalesce(sum(col("cnt")).over(desc), lit(0L)).as("above"))
+    val t = w.agg(
+      sum(col("cnt")).as("n_users"),
+      sum(col("n") * col("cnt")).as("n_events"),
+      sum(col("n") * (col("off") * col("cnt") +
+        expr("cnt * (cnt + 1) div 2"))).as("srx"))
+    // tie-group fractional take for the top-k cut: k = U div 10 (div 100)
+    val tk = w.crossJoin(broadcast(t.select(col("n_users"))))
+      .agg(
+        sum(col("n") * least(col("cnt"),
+          greatest(expr("n_users div 10") - col("above"), lit(0L)))).as("top10_events"),
+        sum(col("n") * least(col("cnt"),
+          greatest(expr("n_users div 100") - col("above"), lit(0L)))).as("top1_events"))
+    t.crossJoin(broadcast(tk)).select(
+      col("n_users").cast("long").as("n_users"),
+      col("n_events").cast("long").as("n_events"),
+      ((lit(2) * col("srx") - (col("n_users") + 1) * col("n_events")).cast("double") /
+        (col("n_users") * col("n_events")).cast("double")).as("gini"),
+      (col("top10_events").cast("double") / col("n_events")).as("top10_share"),
+      (col("top1_events").cast("double") / col("n_events")).as("top1_share"))
   }
 }

@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -381,5 +381,56 @@ object Multimedia {
         (coalesce(col("n_cuts"), lit(0L)) + 1).as("n_shots"),
         coalesce(col("max_dist"), lit(0)).as("max_dist"))
       .orderBy(col("media_id"))
+  }
+
+  /** Media-integrity audit — the corrupt-download triage every media
+    * ingest runs before decode: a deterministic transport fault is
+    * planted (every 17th media's payload truncated to half), then each
+    * payload's ACTUAL byte length is checked against the container
+    * header's declared size; the per-kind report (media count, corrupt
+    * count, expected/lost bytes, corruption rate) decides re-fetch vs
+    * drop. The Spark side really slices BINARY columns (substring over
+    * BinaryType) and measures real payload bytes — swapping the stub
+    * fault for a real header parser changes one expression.
+    *
+    * Scale shape: per-row binary expression work into one
+    * map-side-combined kind aggregate (≤3 rows out); integer sums,
+    * ONE IEEE division. */
+  private val mm08 = QDef(
+    "mm08_media_integrity",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS declared,
+       |    CASE WHEN doc_id % 17 = 0
+       |         THEN CAST(octet_length(encode(text)) // 2 AS BIGINT)
+       |         ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS actual
+       |  FROM documents)
+       |SELECT kind, COUNT(*) AS n_media,
+       |  CAST(SUM(CASE WHEN actual < declared THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_corrupt,
+       |  CAST(SUM(declared) AS BIGINT) AS bytes_declared,
+       |  CAST(SUM(declared - actual) AS BIGINT) AS bytes_lost,
+       |  CAST(SUM(CASE WHEN actual < declared THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    COUNT(*) AS corrupt_rate
+       |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+    val m = Multimodal.attachPayload(Tables.documents(s, d))
+      // planted transport fault: truncate every 17th payload to half —
+      // a REAL binary slice, the stub stand-in for a failed download
+      .withColumn("wire",
+        when(col("media_id") % 17 === 0,
+          expr("substring(payload, 1, cast(length(payload) div 2 as int))"))
+          .otherwise(col("payload")))
+      .select(col("meta.kind").as("kind"),
+        length(col("payload")).cast("long").as("declared"),
+        length(col("wire")).cast("long").as("actual"))
+    m.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("actual") < col("declared"), 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(col("declared")).as("bytes_declared"),
+        sum(col("declared") - col("actual")).as("bytes_lost"),
+        (sum(when(col("actual") < col("declared"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("corrupt_rate"))
+      .orderBy(col("kind"))
   }
 }

@@ -20,7 +20,8 @@ object TextOps {
   def defs: Seq[QDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+      t43, t44)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2111,5 +2112,131 @@ object TextOps {
         ((col("n_docs") * col("df_ab")).cast("double") /
           (col("df_a") * col("df_b")).cast("double")).as("lift"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Source-affinity matrix — cosine similarity between per-source term
+    * profiles over the corpus' top-50 non-stopword vocabulary (the
+    * "which crawls look alike" triage behind source-level dedup order
+    * d17 and mixing weights t18: near-identical profiles suggest one
+    * crawl mirrors another). Profiles are integer term-frequency
+    * vectors; dot products and squared norms stay BIGINT, and the only
+    * float work is cos = dot / (sqrt(na)·sqrt(nb)) — two exact integer→
+    * double conversions, two IEEE sqrts, one multiply, one divide, in a
+    * pinned order (norms multiplied separately so na·nb can never
+    * overflow BIGINT at corpus scale).
+    *
+    * Scale shape: one (source, term) map-side-combined tf aggregate,
+    * vocab rank over grouped term counts only, then all pair work runs
+    * on the sources×50 profile table — bounded by the source count,
+    * never by corpus volume. Source pairs sharing no vocab term still
+    * appear (cos 0) via the norms-table pair frame. */
+  private val t43 = QDef(
+    "t43_source_affinity",
+    s"""WITH tf0 AS (
+       |  SELECT source,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |ctf AS (SELECT term, COUNT(*) AS ctf FROM tf0
+       |        WHERE term NOT IN $sqlStops GROUP BY term),
+       |top AS (SELECT term FROM (
+       |          SELECT term, ROW_NUMBER() OVER (ORDER BY ctf DESC, term) AS r
+       |          FROM ctf) WHERE r <= 50),
+       |prof AS (SELECT source, term, COUNT(*) AS tf FROM tf0
+       |         JOIN top USING (term) GROUP BY source, term),
+       |nrm AS (SELECT source, SUM(tf * tf) AS n2 FROM prof GROUP BY source),
+       |dots AS (SELECT a.source AS src_a, b.source AS src_b,
+       |           SUM(a.tf * b.tf) AS dot
+       |         FROM prof a JOIN prof b
+       |           ON a.term = b.term AND a.source < b.source
+       |         GROUP BY a.source, b.source)
+       |SELECT na.source AS src_a, nb.source AS src_b,
+       |  CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+       |  CAST(COALESCE(d.dot, 0) AS DOUBLE) /
+       |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+       |FROM nrm na JOIN nrm nb ON na.source < nb.source
+       |LEFT JOIN dots d ON d.src_a = na.source AND d.src_b = nb.source
+       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val W = org.apache.spark.sql.expressions.Window
+    val stopArr = array(stopwords.map(lit): _*)
+    val tf0 = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val top = tf0.filter(!array_contains(stopArr, col("term")))
+      .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      .withColumn("r", row_number().over(W.orderBy(col("ctf").desc, col("term"))))
+      .filter(col("r") <= 50)
+      .select(col("term"))
+    val prof = tf0.join(broadcast(top), Seq("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nrm = prof.groupBy(col("source"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = prof.select(col("term"), col("source").as("src_a"), col("tf").as("tf_a"))
+      .join(prof.select(col("term"), col("source").as("src_b"), col("tf").as("tf_b")),
+        Seq("term"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    broadcast(nrm.select(col("source").as("src_a"), col("n2").as("na")))
+      .join(nrm.select(col("source").as("src_b"), col("n2").as("nb")),
+        col("src_a") < col("src_b"))
+      .join(dots, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("dot"), lit(0L)).as("dot"),
+        (coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos_sim"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Character-class / encoding audit — the charset-sanity filter run
+    * right after ingest (mojibake, binary-in-text, shouty boilerplate
+    * and number dumps all show up here before any tokenizer sees them):
+    * per document, counts of uppercase / digit / space / non-ASCII
+    * characters (each a regexp strip-and-measure — per-row codegen'd
+    * expression work), their ratios over the char length, and a keep
+    * flag (mostly-ASCII and not digit- or caps-dominated). One IEEE
+    * division per ratio; NULLIF guards the empty document.
+    *
+    * Scale shape: zero shuffles beyond the output sort — the t40
+    * "pure per-row expression work" family. */
+  private val t44 = QDef(
+    "t44_charset_audit",
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+      |  CAST(length(regexp_replace(text, '[\x01-\x7f]', '', 'g')) AS BIGINT) AS n_nonascii,
+      |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) /
+      |    NULLIF(length(text), 0) AS upper_ratio,
+      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+      |    NULLIF(length(text), 0) AS digit_ratio,
+      |  CAST(length(regexp_replace(text, '[\x01-\x7f]', '', 'g')) AS DOUBLE) /
+      |    NULLIF(length(text), 0) AS nonascii_ratio,
+      |  (CAST(length(regexp_replace(text, '[\x01-\x7f]', '', 'g')) AS DOUBLE) /
+      |     NULLIF(length(text), 0) <= 0.1
+      |   AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+      |     NULLIF(length(text), 0) <= 0.3
+      |   AND CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) /
+      |     NULLIF(length(text), 0) <= 0.3) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def cnt(pattern: String) =
+      length(regexp_replace(col("text"), pattern, "")).cast("long")
+    val nChars = nullif(length(col("text")), lit(0))
+    def ratio(c: org.apache.spark.sql.Column) = c.cast("double") / nChars
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      cnt("[^A-Z]").as("n_upper"),
+      cnt("[^0-9]").as("n_digit"),
+      cnt("[^ ]").as("n_space"),
+      cnt("[\\x01-\\x7f]").as("n_nonascii"),
+      ratio(cnt("[^A-Z]")).as("upper_ratio"),
+      ratio(cnt("[^0-9]")).as("digit_ratio"),
+      ratio(cnt("[\\x01-\\x7f]")).as("nonascii_ratio"),
+      (ratio(cnt("[\\x01-\\x7f]")) <= 0.1 &&
+        ratio(cnt("[^0-9]")) <= 0.3 &&
+        ratio(cnt("[^A-Z]")) <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28)
+    v26, v27, v28, v29)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1906,5 +1906,50 @@ object VectorOps {
         coalesce(col("n_rel5"), lit(0L)).as("n_rel5"),
         coalesce(col("n_rel20"), lit(0L)).as("n_rel20"))
       .orderBy(col("q_id"))
+  }
+
+  /** Embedding isotropy audit (Ethayarajh 2019 / Mu 2018 shape): the
+    * corpus' MEAN PAIRWISE COSINE — an O(n²) statistic — computed from
+    * ONE linear aggregate via the identity Σ_{i≠j} cos(uᵢ,uⱼ) =
+    * ‖Σuᵢ‖² − n over unit-normalized vectors: per-dimension sums s_d
+    * are decimal-exact (Det.dsum), then ‖Σu‖² = Σ_d s_d² collapses 64
+    * rows. The card (mean raw norm, anisotropy = ‖mean u‖, mean
+    * pairwise cosine) is the "is this embedding space collapsing?"
+    * gate run before cosine-threshold dedup (v04/v11) — a high mean
+    * cosine inflates every similarity and silently over-deletes.
+    *
+    * Scale shape: two corpus scans, both map-side-combined aggregates
+    * (a 2-number stats row and a 64-row per-dimension sum); NOTHING is
+    * pairwise, the window-free plan is volume-independent past the
+    * scans — the textbook case for sufficient-statistics rewrites at
+    * 100 TB. */
+  private val v29 = QDef(
+    "v29_isotropy_audit",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |st AS (SELECT COUNT(*) AS n, ${sqlDsum("nrm")} AS sum_norm FROM e),
+       |x AS (
+       |  SELECT t.di AS dim, CAST(embedding[t.di] AS DOUBLE) / nrm AS u
+       |  FROM e, unnest(range(1, 65)) AS t(di)),
+       |sd AS (SELECT dim, ${sqlDsum("u")} AS s FROM x GROUP BY dim),
+       |s2 AS (SELECT ${sqlDsum("s * s")} AS s2 FROM sd)
+       |SELECT n, sum_norm / n AS mean_norm,
+       |  sqrt(s2) / n AS anisotropy,
+       |  (s2 - n) / CAST(n * (n - 1) AS DOUBLE) AS mean_pairwise_cos
+       |FROM st CROSS JOIN s2""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d).withColumn("nrm", norm("emb"))
+    val st = e.agg(count(lit(1)).as("n"), dsum(col("nrm")).as("sum_norm"))
+    val sd = e.select(posexplode(col("emb")).as(Seq("dim", "v")), col("nrm"))
+      .select(col("dim"), (col("v") / col("nrm")).as("u"))
+      .groupBy(col("dim")).agg(dsum(col("u")).as("s"))
+    val s2 = sd.agg(dsum(col("s") * col("s")).as("s2"))
+    st.crossJoin(broadcast(s2)).select(
+      col("n"),
+      (col("sum_norm") / col("n")).as("mean_norm"),
+      (sqrt(col("s2")) / col("n")).as("anisotropy"),
+      ((col("s2") - col("n")) / (col("n") * (col("n") - 1)).cast("double"))
+        .as("mean_pairwise_cos"))
   }
 }

@@ -780,4 +780,62 @@ class PlanQualitySpec extends GraftSuite {
     assert(p.contains("partial_count") || p.contains("partial"),
       s"v25 term counts lost their map-side combine:\n$p")
   }
+
+  test("q55: A/B card collapses events to one user aggregate, no window") {
+    val p = planOf("q55_ab_test_card")
+    assert(p.contains("partial"), s"q55 user aggregate lost map-side combine:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"q55 planned a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q55 planned a cartesian:\n$p")
+  }
+
+  test("q56: Gini windows run over distinct count values only") {
+    val df = SparkEntry.queries("q56_user_concentration")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the only window inputs are the (n, cnt) grouped rows — the window
+    // must sit ABOVE both aggregates (events never reach a window)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"q56 lost its distinct-value window:\n$plan")
+    assert(plan.substring(winIdx).contains("Aggregate"),
+      s"q56 window not above the count-value aggregate:\n$plan")
+  }
+
+  test("t43: affinity filters against the broadcast vocab; pairs are profile-sized") {
+    val p = planOf("t43_source_affinity")
+    assert(p.contains("BroadcastExchange"), s"t43 vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t43 planned a non-broadcast cartesian:\n$p")
+  }
+
+  test("v29: isotropy is two map-side-combined aggregates, nothing pairwise") {
+    val p = planOf("v29_isotropy_audit")
+    assert(p.contains("partial"), s"v29 aggregates lost map-side combine:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"v29 planned a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"v29 planned pairwise work:\n$p")
+  }
+
+  test("q57: stickiness is distinct pairs + constant explode, day-keyed only") {
+    val p = planOf("q57_dau_wau_stickiness")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+      s"q57 planned a window/cartesian:\n$p")
+    // only the two event columns the query needs are read
+    assert(p.contains("user_id") && !p.contains("props"),
+      s"q57 column pruning failed:\n$p")
+  }
+
+  test("t44: charset audit is pure per-row expression work") {
+    val p = planOf("t44_charset_audit")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      s"t44 planned a join/window:\n$p")
+    assert(!p.contains("HashAggregate"), s"t44 planned an aggregate:\n$p")
+  }
+
+  test("mm08: integrity is binary expression work into one kind aggregate") {
+    val p = planOf("mm08_media_integrity")
+    assert(p.contains("partial"), s"mm08 aggregate lost map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      s"mm08 planned a join/window:\n$p")
+  }
 }

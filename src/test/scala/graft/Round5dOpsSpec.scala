@@ -1,0 +1,194 @@
+package graft
+
+import java.math.{BigDecimal => JBD, MathContext}
+import java.security.MessageDigest
+
+/** Single-node replays for the fourth round-5 batch: the A/B-test card
+  * (q55), the user-concentration Gini card (q56), the source-affinity
+  * matrix (t43), and the embedding-isotropy audit (v29). Each test
+  * recomputes the full expected answer in plain Scala — every IEEE
+  * operation in the same order as the Spark expression — and compares
+  * exactly.
+  */
+class Round5dOpsSpec extends GraftSuite {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Mirror of Det.dsum: round each addend to 6 decimals (HALF_UP, the
+    * Spark decimal-cast policy), sum exactly, back to double. */
+  private def dsum(xs: Iterable[Double]): Double =
+    xs.foldLeft(JBD.ZERO)((acc, x) =>
+      acc.add(new JBD(x, MathContext.UNLIMITED)
+        .setScale(6, java.math.RoundingMode.HALF_UP))).doubleValue
+
+  private lazy val events: Seq[(Long, String)] =
+    Tables.events(spark, sf).select("user_id", "event_type")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def toks(text: String): Seq[String] =
+    text.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private val stop = Set("the", "a", "of", "and", "to", "in")
+
+  test("q55: A/B card equals a per-user hash-split replay") {
+    val perUser = events.groupBy(_._1).toSeq.map { case (u, g) =>
+      val armA = "01234567".contains(md5hex(u.toString).charAt(0))
+      val conv = if (g.exists(_._2 == "purchase")) 1L else 0L
+      (armA, conv)
+    }
+    val nA = perUser.count(_._1).toLong
+    val nB = perUser.size - nA
+    val cA = perUser.filter(_._1).map(_._2).sum
+    val cB = perUser.filterNot(_._1).map(_._2).sum
+    val rateA = cA.toDouble / nA
+    val rateB = cB.toDouble / nB
+    val pooled = (cA + cB).toDouble / (nA + nB)
+    val se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / nA + 1.0 / nB))
+    // zero pooled variance (the sf0.001 fixture: every user converts)
+    // degrades to a NULL z, mirroring the query's NULLIF guard
+    val z = if (se == 0.0) None else Some((rateA - rateB) / se)
+    val got = SparkEntry.queries("q55_ab_test_card")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(got == Seq((nA, nB, cA, cB, rateA, rateB, rateA - rateB, z)))
+    // the hash split is roughly balanced (within 3σ of a fair coin)
+    assert(math.abs(nA - nB) < 3 * math.sqrt((nA + nB).toDouble))
+  }
+
+  test("q56: Gini card equals an explicit sorted-rank replay") {
+    val counts = events.groupBy(_._1).map(_._2.size.toLong).toSeq.sorted
+    val u = counts.size.toLong
+    val total = counts.sum
+    val srx = counts.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2 * srx - (u + 1) * total).toDouble / (u * total).toDouble
+    val top10 = counts.reverse.take((u / 10).toInt).sum
+    val top1 = counts.reverse.take((u / 100).toInt).sum
+    val got = SparkEntry.queries("q56_user_concentration")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == Seq((u, total, gini,
+      top10.toDouble / total, top1.toDouble / total)))
+    // a count distribution with any spread has positive concentration
+    assert(got.head._3 >= 0.0 && got.head._3 < 1.0)
+  }
+
+  test("t43: source affinity equals an integer-profile cosine replay") {
+    val termCounts = docs.flatMap(d => toks(d._3)).filterNot(stop)
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val vocab = termCounts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(50).map(_._1).toSet
+    val prof = docs.flatMap(d => toks(d._3).filter(vocab).map((d._2, _)))
+      .groupBy(identity).map { case ((src, t), g) => ((src, t), g.size.toLong) }
+    val bySrc = prof.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.map { case ((_, t), c) => (t, c) }.toMap }
+    val norms = bySrc.map { case (s, m) => s -> m.values.map(c => c * c).sum }
+    val sources = norms.keys.toSeq.sorted
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+      dot = bySrc(a).map { case (t, c) => c * bySrc(b).getOrElse(t, 0L) }.sum
+    } yield (a, b, dot,
+      dot.toDouble / (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble))))
+      .sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("t43_source_affinity")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // cosines are valid similarities
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("v29: isotropy card equals the sufficient-statistics identity") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val n = vecs.size.toLong
+    val nrms = vecs.map(v => math.sqrt(dot(v._2, v._2)))
+    val meanNorm = dsum(nrms) / n
+    val dims = vecs.head._2.length
+    val sd = (0 until dims).map(d =>
+      dsum(vecs.zip(nrms).map { case ((_, v), nr) => v(d) / nr }))
+    val s2 = dsum(sd.map(s => s * s))
+    val aniso = math.sqrt(s2) / n
+    val mpc = (s2 - n) / (n * (n - 1)).toDouble
+    val got = SparkEntry.queries("v29_isotropy_audit")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got == Seq((n, meanNorm, aniso, mpc)))
+    // sanity: the identity's mean pairwise cosine is a real cosine average
+    assert(mpc > -1.0 && mpc < 1.0)
+  }
+
+  test("q57: DAU/WAU equals an explicit trailing-7-day distinct replay") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val du = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = du.map(_._1).distinct.sorted
+    val expected = days.map { d =>
+      val dau = du.count(_._1 == d).toLong
+      val wau = du.filter(p => p._1 >= d - 6 && p._1 <= d)
+        .map(_._2).distinct.size.toLong
+      (d, dau, wau, dau.toDouble / wau)
+    }
+    val got = SparkEntry.queries("q57_dau_wau_stickiness")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // DAU never exceeds WAU
+    assert(got.forall(r => r._2 <= r._3 && r._4 <= 1.0))
+  }
+
+  test("t44: charset audit equals a per-character class replay") {
+    val expected = docs.sortBy(_._1).map { case (id, _, text) =>
+      val n = text.length.toLong
+      val up = text.count(c => c >= 'A' && c <= 'Z').toLong
+      val dig = text.count(c => c >= '0' && c <= '9').toLong
+      val sp = text.count(_ == ' ').toLong
+      val na = text.count(c => c < 1 || c > 127).toLong
+      def ratio(c: Long) = c.toDouble / n
+      (id, n, up, dig, sp, na, ratio(up), ratio(dig), ratio(na),
+        ratio(na) <= 0.1 && ratio(dig) <= 0.3 && ratio(up) <= 0.3)
+    }
+    val got = SparkEntry.queries("t44_charset_audit")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getBoolean(9)))
+    assert(got == expected)
+  }
+
+  test("mm08: integrity report equals a planted-truncation replay") {
+    val kinds = Map(0L -> "image", 1L -> "audio", 2L -> "video")
+    val perDoc = docs.map { case (id, _, text) =>
+      val declared = text.getBytes("UTF-8").length.toLong
+      val actual = if (id % 17 == 0) declared / 2 else declared
+      (kinds(id % 3), declared, actual)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.map { case (k, g) =>
+      val nCorrupt = g.count(r => r._3 < r._2).toLong
+      (k, g.size.toLong, nCorrupt, g.map(_._2).sum,
+        g.map(r => r._2 - r._3).sum, nCorrupt.toDouble / g.size)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("mm08_media_integrity")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // the planted fault actually fired somewhere
+    assert(got.map(_._3).sum > 0)
+  }
+}
