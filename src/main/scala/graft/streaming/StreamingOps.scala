@@ -744,6 +744,58 @@ object StreamingOps {
       .select(explode(expr(graft.queries.TextOps.gram8E)).as("h"))
       .distinct()
 
+  /** One day's engagement snapshot (q57's output + update generation). */
+  final case class StickinessOut(
+      day_num: Long, dau: Long, wau: Long, stickiness: Double, gen: Long)
+
+  /** STREAMING DAU/WAU stickiness — batch q57's incremental face: each
+    * event fans out to the ≤7 future days whose trailing week it
+    * belongs to (the SAME constant ×7 explode the batch query uses, so
+    * batch and stream cannot drift), and per-day keyed state holds the
+    * exact distinct-user sets (DAU members + trailing-week members).
+    * Every micro-batch re-emits the touched days' current
+    * (dau, wau, dau/wau) — the live engagement dashboard readout; a
+    * day emits only once it has daily actives, matching the batch
+    * inner join. Once the stream drains, the latest-gen snapshot per
+    * day equals the oracle-verified batch q57 bit-for-bit — counts are
+    * integers and the ratio is the same single IEEE division
+    * (StreamingSpec asserts it).
+    *
+    * State shape: two user-id sets per OBSERVED day — exact distinct
+    * needs membership (any user may re-appear); the ×7 fan-out
+    * duplicates a user into ≤7 day keys exactly like the batch
+    * explode. At scale, expire closed days with an event-time timeout
+    * and swap the sets for HLL/theta sketches where approximate
+    * actives are acceptable — the day-keyed geometry stays. */
+  def stickiness(events: Dataset[EventIn]): Dataset[StickinessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .flatMap { e =>
+        val day = usOf(e.ts) / DayUs
+        (0 to 6).map(i => (day + i, e.user_id, i == 0))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: Long, it: Iterator[(Long, Long, Boolean)],
+            state: GroupState[(Set[Long], Set[Long], Long)]) =>
+          val (dau0, wau0, gen) =
+            state.getOption.getOrElse((Set.empty[Long], Set.empty[Long], 0L))
+          var dau = dau0
+          var wau = wau0
+          it.foreach { case (_, u, origin) =>
+            wau += u
+            if (origin) dau += u
+          }
+          state.update((dau, wau, gen + 1))
+          if (dau.isEmpty) Iterator.empty
+          else Iterator.single(StickinessOut(day, dau.size.toLong,
+            wau.size.toLong, dau.size.toDouble / wau.size, gen + 1))
+      }
+  }
+
+  private val DayUs = 86400000000L
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

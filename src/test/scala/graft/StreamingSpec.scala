@@ -634,4 +634,39 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${got.size} windows vs batch ${batch.size}")
     } finally query.stop()
   }
+
+  test("stickiness: drained day snapshots equal batch q57 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.StickinessOut
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(2), EventIn(r.getLong(0), r.getTimestamp(1), 0.0)))
+      .sortBy(_._1).map(_._2)
+    val mem = MemoryStream[EventIn]
+    val out = StreamingOps.stickiness(mem.toDS())
+    val query = out.writeStream.format("memory")
+      .queryName("stickiness_out").outputMode("update").start()
+    try {
+      val (b1, rest) = events.splitAt(events.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      // consumer-side drain: max-gen snapshot per day
+      val all = spark.table("stickiness_out").as[StickinessOut].collect()
+      val lastGen = all.groupBy(_.day_num)
+        .map { case (d, rs) => d -> rs.map(_.gen).max }
+      val merged = all.filter(r => r.gen == lastGen(r.day_num))
+        .map(r => (r.day_num, r.dau, r.wau, r.stickiness)).toSeq.sorted
+      // batch truth: the oracle-verified q57 on the same scale factor
+      val batch = SparkEntry.queries("q57_dau_wau_stickiness")(spark, sf)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+      assert(merged == batch && batch.nonEmpty,
+        s"stream ${merged.size} days vs batch ${batch.size}")
+    } finally query.stop()
+  }
 }
