@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46)
+    q40, q46, q58)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -603,5 +603,55 @@ object Relational {
         ((col("n_ab") * col("n_orders")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** Order-fulfilment SLA report — per order priority, the ship-delay
+    * distribution (days from order date to each lineitem's ship date):
+    * counts, exact interpolated P50/P90, max, and the >90-day late
+    * rate. The operational latency card q45/t35 compute for events and
+    * tokens, applied to the TPC-H order lifecycle. Delay is INTEGER
+    * epoch-day arithmetic (micros div 86400000000), so percentile
+    * inputs are identical in both engines; `percentile` ≡
+    * `quantile_cont` bit-exact (the q45 rule), and the late rate is
+    * ONE division of exact counts.
+    *
+    * Scale shape: one orderkey equi-join (orders side prunes to two
+    * columns before the shuffle), then one 5-group aggregate; exact
+    * per-group percentile state is bounded by group row counts — at
+    * 100 TB swap in approx_percentile like every latency SLA does. */
+  private val q58 = QDef(
+    "q58_ship_sla",
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    (epoch_us(l.l_shipdate) // 86400000000) -
+      |      (epoch_us(o.o_orderdate) // 86400000000) AS delay_days
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      |SELECT priority, COUNT(*) AS n_lineitems,
+      |  quantile_cont(delay_days, 0.5) AS p50_days,
+      |  quantile_cont(delay_days, 0.9) AS p90_days,
+      |  MAX(delay_days) AS max_days,
+      |  CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    COUNT(*) AS late_rate
+      |FROM j GROUP BY priority ORDER BY priority""".stripMargin) { (s, d) =>
+    // the date columns must land as UTC-epoch TimestampType in EVERY
+    // session (unix_micros rejects the NTZ type a fresh session would
+    // infer) — same normalization Tables.events applies
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("od"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("sd"))
+    o.join(l, Seq("o_orderkey"))
+      .select(col("priority"), (col("sd") - col("od")).as("delay_days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        expr("percentile(delay_days, 0.5D)").as("p50_days"),
+        expr("percentile(delay_days, 0.9D)").as("p90_days"),
+        max(col("delay_days")).as("max_days"),
+        (sum(when(col("delay_days") > 90, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("late_rate"))
+      .orderBy(col("priority"))
   }
 }

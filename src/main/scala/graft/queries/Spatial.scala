@@ -18,7 +18,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13)
+    sp09, sp10, sp11, sp12, sp13, sp14)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -611,5 +611,69 @@ object Spatial {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       s.sql(hexSql("customer", "c_custkey"))
     }
+  }
+
+  /** Clark-Evans nearest-neighbor index — the point-pattern randomness
+    * test (CE = observed mean NN distance / expected 0.5/√density
+    * under complete spatial randomness; <1 clustered, >1 dispersed)
+    * a geo-analytics stack runs before trusting hotspot readouts.
+    * NN distances come from the bounded-radius grid dwithin self-join
+    * (sp06's shape — the radius is the explicit cost knob; points with
+    * no neighbor inside it are counted out as isolated, and the oracle
+    * applies the identical bound). Distances are IEEE sqrt over
+    * integer-derived coordinates — bit-equal in both engines; the mean
+    * is a decimal-exact sum with one division.
+    *
+    * Scale shape: pair work is the grid join's (bounded cell
+    * occupancy × radius), per-point MIN and the 2-number summary are
+    * map-side-combined key aggregates — no all-pairs anywhere on the
+    * engine side (the oracle's theta-join is the quadratic one). */
+  private val sp14 = QDef(
+    "sp14_clark_evans", {
+      def dist(ak: String, bk: String) =
+        s"""sqrt(((${ptX(ak)}) - (${ptX(bk)})) * ((${ptX(ak)}) - (${ptX(bk)}))
+           |   + ((${ptY(ak)}) - (${ptY(bk)})) * ((${ptY(ak)}) - (${ptY(bk)})))""".stripMargin
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM customer),
+         |p AS (
+         |  SELECT a.c_custkey AS a, MIN(${dist("a.c_custkey", "b.c_custkey")}) AS nn
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey <> b.c_custkey
+         |   AND ${dist("a.c_custkey", "b.c_custkey")} <= 12.0
+         |  GROUP BY a.c_custkey),
+         |s AS (SELECT COUNT(*) AS n_nb,
+         |        CAST(SUM(CAST(nn AS DECIMAL(30,6))) AS DOUBLE) AS sum_nn
+         |      FROM p)
+         |SELECT CAST(n.n AS BIGINT) AS n_points,
+         |  CAST(s.n_nb AS BIGINT) AS n_with_neighbor,
+         |  CAST(n.n - s.n_nb AS BIGINT) AS n_isolated,
+         |  s.sum_nn / s.n_nb AS mean_nn_dist,
+         |  0.5 / sqrt(CAST(n.n AS DOUBLE) / 10000.0) AS expected_nn_dist,
+         |  (s.sum_nn / s.n_nb) / (0.5 / sqrt(CAST(n.n AS DOUBLE) / 10000.0))
+         |    AS ce_index,
+         |  (s.sum_nn / s.n_nb) < (0.5 / sqrt(CAST(n.n AS DOUBLE) / 10000.0))
+         |    AS clustered
+         |FROM n CROSS JOIN s""".stripMargin
+    }) { (s, d) =>
+    import graft.util.Det.dsum
+    val pts = customerPoints(s, d)
+    val a = pts.select(col("c_custkey").as("a"), col("c_pt").as("a_pt"))
+    val b = pts.select(col("c_custkey").as("b"), col("c_pt").as("b_pt"))
+    val nn = SpatialJoin.grid(a, b, "a_pt", "b_pt", "st_dwithin",
+        distance = 12.0, cells = 64)
+      .where(col("a") =!= col("b"))
+      .withColumn("dist", expr("st_distance(a_pt, b_pt)"))
+      .groupBy(col("a")).agg(min(col("dist")).as("nn"))
+    val n = pts.agg(count(lit(1)).as("n"))
+    val su = nn.agg(count(lit(1)).as("n_nb"), dsum(col("nn")).as("sum_nn"))
+    val meanNn = col("sum_nn") / col("n_nb")
+    val expNn = lit(0.5) / sqrt(col("n").cast("double") / lit(10000.0))
+    n.crossJoin(broadcast(su)).select(
+      col("n").as("n_points"),
+      col("n_nb").as("n_with_neighbor"),
+      (col("n") - col("n_nb")).as("n_isolated"),
+      meanNn.as("mean_nn_dist"),
+      expNn.as("expected_nn_dist"),
+      (meanNn / expNn).as("ce_index"),
+      (meanNn < expNn).as("clustered"))
   }
 }

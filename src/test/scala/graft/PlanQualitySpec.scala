@@ -838,4 +838,24 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("Join") && !p.contains("WindowExec"),
       s"mm08 planned a join/window:\n$p")
   }
+
+  test("q58: SLA report is one pruned equi-join into a 5-group aggregate") {
+    val p = planOf("q58_ship_sla")
+    assert(!p.contains("CartesianProduct"), s"q58 planned a cartesian:\n$p")
+    assert(p.contains("partial"), s"q58 aggregate lost its map-side partials:\n$p")
+    // only the needed order/lineitem columns cross the join
+    assert(!p.contains("o_totalprice") && !p.contains("l_extendedprice"),
+      s"q58 column pruning failed:\n$p")
+  }
+
+  test("sp14: NN distances ride the grid equi-join, never all-pairs") {
+    val p = planOf("sp14_clark_evans")
+    assert(!p.contains("CartesianProduct"),
+      s"sp14 planned a cartesian:\n$p")
+    // the pair stage is a cell-key equi-join (the only nested loop is
+    // the final single-row-broadcast summary cross, the q52 pattern)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"sp14 lost the grid equi-join:\n$p")
+  }
 }

@@ -191,4 +191,66 @@ class Round5dOpsSpec extends GraftSuite {
     // the planted fault actually fired somewhere
     assert(got.map(_._3).sum > 0)
   }
+
+  test("q58: ship SLA equals a join + R-7 percentile replay") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("od"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val delays = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("sd"))
+      .collect().map { r =>
+        val (pri, od) = o(r.getLong(0))
+        (pri, r.getLong(1) - od)
+      }
+    def q(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b))
+    val expected = delays.groupBy(_._1).map { case (pri, g) =>
+      val xs = g.map(_._2.toDouble).sorted
+      val late = g.count(_._2 > 90).toLong
+      pri -> ((xs.length.toLong, q(xs, 0.5), q(xs, 0.9), g.map(_._2).max,
+        late.toDouble / xs.length))
+    }
+    val got = SparkEntry.queries("q58_ship_sla")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, p50, p90, mx, rate) = expected(r.getString(0))
+      assert(r.getLong(1) == n && close(r.getDouble(2), p50) &&
+        close(r.getDouble(3), p90) && r.getLong(4) == mx &&
+        r.getDouble(5) == rate, r.getString(0))
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getLong(4))
+    }
+  }
+
+  test("sp14: Clark-Evans card equals a brute-force bounded-NN replay") {
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    def x(k: Long) = ((k * 48271) % 10007) % 100 + 0.5
+    def y(k: Long) = ((k * 69621) % 10007) % 100 + 0.5
+    def dist(a: Long, b: Long): Double = {
+      val dx = x(a) - x(b); val dy = y(a) - y(b)
+      math.sqrt(dx * dx + dy * dy)
+    }
+    val nn = keys.flatMap { a =>
+      val ds = keys.filter(b => b != a).map(dist(a, _)).filter(_ <= 12.0)
+      if (ds.isEmpty) None else Some(ds.min)
+    }
+    val n = keys.length.toLong
+    val meanNn = dsum(nn) / nn.length
+    val expNn = 0.5 / math.sqrt(n.toDouble / 10000.0)
+    val got = SparkEntry.queries("sp14_clark_evans")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got == Seq((n, nn.length.toLong, n - nn.length, meanNn, expNn,
+      meanNn / expNn, meanNn < expNn)))
+  }
 }
