@@ -143,7 +143,11 @@ object GraftSqlParser {
   def rewriteCreateExternal(sql: String): Option[String] = sql match {
     case CreateExternal(name, cols, fmt, path) =>
       val colSpec = Option(cols).getOrElse("")
-      Some(s"CREATE TABLE $name $colSpec USING ${fmt.toLowerCase} LOCATION '$path'")
+      // AVRO routes to the in-repo DataSource V2 (sources/GraftAvro) —
+      // this Spark build ships no spark-avro module
+      val using =
+        if (fmt.equalsIgnoreCase("avro")) "`graft-avro`" else fmt.toLowerCase
+      Some(s"CREATE TABLE $name $colSpec USING $using LOCATION '$path'")
     case _ => None
   }
 

@@ -68,6 +68,31 @@ class AvroSourceSpec extends GraftSuite {
         .collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("every supported type round-trips, nulls included") {
+    val dir = tmpDir("types")
+    val in = spark.range(0, 100).select(
+      col("id"),
+      (col("id") % 3 === 0).as("flag"),
+      col("id").cast("int").as("i32"),
+      (col("id") * 1.5f).cast("float").as("f32"),
+      (col("id") * 2.5).as("f64"),
+      concat(lit("s"), col("id")).as("str"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"),
+      to_date(lit("2024-01-01")).as("d"),
+      when(col("id") % 5 === 0, lit(null).cast("timestamp"))
+        .otherwise(timestamp_micros(col("id") * 1000001L)).as("ts"))
+    in.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      in.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // binary needs a value compare (Array[Byte] equality is by ref)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), col("flag"), col("i32"), col("f32"), col("f64"),
+      col("str"), hex(col("bin")).as("binhex"), col("d"),
+      unix_micros(col("ts")).as("us")).collect().map(_.toSeq).toSet
+    assert(key(back) == key(in))
+  }
+
   test("multi-task writes land one committed container per partition") {
     val dir = tmpDir("multi")
     Tables.documents(spark, sf).repartition(3)

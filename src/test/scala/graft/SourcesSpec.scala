@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * `df.write`, external tables mount via CREATE TABLE USING, and the
   * scans keep their scale properties (filter pushdown, column pruning,
   * partition pruning) — asserted on the physical plans, not assumed.
-  * (No spark-avro module ships in this container; Avro is the one
-  * reference format not covered.)
+  * (No spark-avro module ships in this container; Avro is covered by
+  * the in-repo `graft-avro` DataSource V2 — see AvroSourceSpec — and
+  * mounts through the same STORED AS syntax below.)
   */
 class SourcesSpec extends GraftSuite {
   import SparkTestBase.spark.implicits._
@@ -178,5 +179,16 @@ class SourcesSpec extends GraftSuite {
     assert(spark.table("ext_mounted").count() == 6)
     assert(spark.sql("SELECT sum(par) FROM ext_mounted").as[Long].head() == 3L)
     spark.sql("DROP TABLE IF EXISTS ext_mounted")
+  }
+
+  test("CREATE EXTERNAL TABLE ... STORED AS AVRO mounts through graft-avro") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-avro").toString
+    spark.range(8).select(col("id"), (col("id") % 2).as("par"))
+      .write.format("graft-avro").mode("append").save(s"$dir/data")
+    spark.sql("DROP TABLE IF EXISTS ext_avro")
+    spark.sql(s"CREATE EXTERNAL TABLE ext_avro STORED AS AVRO LOCATION '$dir/data'")
+    assert(spark.table("ext_avro").count() == 8)
+    assert(spark.sql("SELECT sum(par) FROM ext_avro").as[Long].head() == 4L)
+    spark.sql("DROP TABLE IF EXISTS ext_avro")
   }
 }
