@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -81,9 +81,16 @@ object DedupOps {
     * d01's scaladoc for the LSH design notes). Returns the exact
     * verified (a, b, jaccard) pairs, unordered. */
   private def lshVerifiedPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    lshVerifiedPairsOf(s, Tables.documents(s, d))
+
+  /** [[lshVerifiedPairs]] over an arbitrary (doc_id, text) frame — the
+    * survivors of an upstream filter stage (d21's funnel), an
+    * incremental shard, etc. */
+  private def lshVerifiedPairsOf(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
     graft.functions.SketchFunctions.registerAll(s)
-    val t = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
+    val t = docs.select(col("doc_id"), expr(shE).as("sh"))
     val banded = t
       .select(col("doc_id"), posexplode(expr(
         bind("minhash_sig(sh)", "sg")(sg =>
@@ -1254,5 +1261,139 @@ object DedupOps {
         .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("category"))
     }
+  }
+
+  /** End-to-end corpus-build attrition funnel — the whole cleaning
+    * pipeline composed into one report: ingested → charset gate
+    * (t44's rule) → Gopher quality gate (t07's rule) → corpus-global
+    * exact dedup (keep-min-doc_id per md5 digest) → near-dup collapse
+    * (the d01 LSH-verified ≥0.5-Jaccard pairs among SURVIVORS, d06's
+    * min-label components, d15's keep-longest canonical rule). Each
+    * stage filters the previous stage's survivors, and the report is
+    * the (stage, docs, tokens) funnel a data lead signs off on before
+    * a training run — the number every pipeline paper quotes.
+    *
+    * Scale shape: the gates are per-row expression work; exact dedup
+    * shuffles constant-width digests; the near-dup stage inherits
+    * d01/d06/d15's posture (band-key shuffles, O(diameter) label
+    * rounds, component-key argmax) but runs on the FILTERED corpus —
+    * composing the stages in this order is itself the scale lesson
+    * (cheap gates shrink the expensive sketch stage's input). The
+    * DuckDB oracle replays all five stages, with the usual brute-force
+    * all-pairs stand-in for the candidate stage (quadratic on the
+    * ORACLE side only → sf0.1 skip list). */
+  private val d21 = QDef(
+    "d21_corpus_funnel",
+    "WITH RECURSIVE base AS (\n" +
+      """  SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_up,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig,
+        |    length(regexp_replace(text, '[\x01-\x7f]', '', 'g')) AS n_na,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> regexp_matches(x, '[#%$@]'))) AS n_symbol,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> regexp_matches(x, '\p{L}'))) AS n_alpha,
+        |    len(list_filter(regexp_split_to_array(text, '\n'), l -> l LIKE '...%')) AS n_ellipsis,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT * FROM base
+        |  WHERE CAST(n_na AS DOUBLE) / NULLIF(n_chars, 0) <= 0.1
+        |    AND CAST(n_dig AS DOUBLE) / NULLIF(n_chars, 0) <= 0.3
+        |    AND CAST(n_up AS DOUBLE) / NULLIF(n_chars, 0) <= 0.3),
+        |c3 AS (
+        |  SELECT * FROM c2
+        |  WHERE (n_tok >= 30 AND n_tok <= 50000)
+        |    AND (n_tok > 0 AND CAST(n_nonspace AS DOUBLE) / n_tok >= 2.0
+        |                   AND CAST(n_nonspace AS DOUBLE) / n_tok <= 12.0)
+        |    AND (n_tok > 0 AND CAST(n_symbol AS DOUBLE) / n_tok < 0.5)
+        |    AND (n_lines = 0 OR CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3)
+        |    AND (n_tok > 0 AND CAST(n_alpha AS DOUBLE) / n_tok >= 0.6)),
+        |c4 AS (
+        |  SELECT * FROM c3
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM c3 GROUP BY md5(text))),
+        |""".stripMargin +
+      oracleShingleCte.replace("FROM documents", "FROM c4") + ",\n" +
+      """e AS (SELECT a AS src, b AS dst FROM vp
+        |       UNION SELECT b AS src, a AS dst FROM vp),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |ac AS (
+        |  SELECT c4.doc_id, coalesce(comp.component, c4.doc_id) AS component
+        |  FROM c4 LEFT JOIN comp ON comp.doc_id = c4.doc_id),
+        |pick AS (
+        |  SELECT ac.component, MIN({'neg_tok': -c4.n_tok, 'doc_id': ac.doc_id}) AS best
+        |  FROM ac JOIN c4 ON c4.doc_id = ac.doc_id GROUP BY ac.component),
+        |c5 AS (
+        |  SELECT c4.* FROM c4 JOIN ac ON ac.doc_id = c4.doc_id
+        |  JOIN pick ON pick.component = ac.component
+        |  WHERE c4.doc_id = struct_extract(pick.best, 'doc_id'))
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'ingested' AS stage, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM base
+        |  UNION ALL SELECT 2, 'charset', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM c2
+        |  UNION ALL SELECT 3, 'quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM c3
+        |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM c4
+        |  UNION ALL SELECT 5, 'near_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM c5
+        |) ORDER BY stage_idx""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.Column
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      size(expr(toksE)).cast("long").as("n_tok"))
+    // stage 2: charset gate — t44's keep rule verbatim
+    def cnt(p: String) = length(regexp_replace(col("text"), p, "")).cast("long")
+    val nChars = nullif(length(col("text")), lit(0))
+    def ratio(c: Column) = c.cast("double") / nChars
+    val c2 = base.filter(ratio(cnt("[\\x01-\\x7f]")) <= 0.1 &&
+      ratio(cnt("[^0-9]")) <= 0.3 && ratio(cnt("[^A-Z]")) <= 0.3)
+    // stage 3: Gopher gate — t07's keep rule verbatim
+    val meanLen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")
+    val nSym = size(filter(expr(toksE), t => t.rlike("[#%$@]")))
+    val nAlpha = size(filter(expr(toksE), t => t.rlike("\\p{L}")))
+    val nEll = size(filter(split(col("text"), "\n"), l => l.startsWith("...")))
+    val nLines = size(split(col("text"), "\n"))
+    val c3 = c2.filter(
+      (col("n_tok") >= 30 && col("n_tok") <= 50000) &&
+        (col("n_tok") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
+        (col("n_tok") > 0 && nSym.cast("double") / col("n_tok") < 0.5) &&
+        (nLines === 0 || nEll.cast("double") / nLines <= 0.3) &&
+        (col("n_tok") > 0 && nAlpha.cast("double") / col("n_tok") >= 0.6))
+    // stage 4: exact dedup — keep min doc_id per text digest
+    val keepers = c3.groupBy(md5(col("text")).as("dg"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val c4 = c3.join(keepers, Seq("doc_id"), "left_semi").persistTracked()
+    // stage 5: near-dup collapse among survivors (d01 pairs → d06
+    // components → d15 canonical keep)
+    val pairs = lshVerifiedPairsOf(s, c4.select(col("doc_id"), col("text")))
+      .select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val labels = graft.operators.Components.minLabel(
+      edges, edges.select(col("src").as("v")))
+    val ac = c4.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    val pick = ac.join(c4.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(min(struct((-col("n_tok")).as("neg_tok"), col("doc_id").as("doc_id")))
+        .as("best"))
+    val c5ids = ac.join(pick, Seq("component"))
+      .filter(col("doc_id") === col("best.doc_id")).select(col("doc_id"))
+    val c5 = c4.join(c5ids, Seq("doc_id"), "left_semi")
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(1, "ingested", base)
+      .unionAll(stage(2, "charset", c2))
+      .unionAll(stage(3, "quality", c3))
+      .unionAll(stage(4, "exact_dedup", c4))
+      .unionAll(stage(5, "near_dedup", c5))
+      .orderBy(col("stage_idx"))
   }
 }

@@ -848,6 +848,13 @@ class PlanQualitySpec extends GraftSuite {
       s"q58 column pruning failed:\n$p")
   }
 
+  test("d21: funnel gates shrink the corpus before the sketch stage; no cartesian") {
+    val df = SparkEntry.queries("d21_corpus_funnel")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"d21 planned a cartesian:\n$p")
+    graft.util.Persist.releaseAll()
+  }
+
   test("sp14: NN distances ride the grid equi-join, never all-pairs") {
     val p = planOf("sp14_clark_evans")
     assert(!p.contains("CartesianProduct"),

@@ -253,4 +253,67 @@ class Round5dOpsSpec extends GraftSuite {
     assert(got == Seq((n, nn.length.toLong, n - nn.length, meanNn, expNn,
       meanNn / expNn, meanNn < expNn)))
   }
+
+  test("d21: corpus funnel equals a five-stage single-node replay") {
+    val all = docs.map { case (id, _, text) => (id, text) }
+    def nTok(t: String) = toks(t).size
+    def charsetKeep(t: String): Boolean = {
+      val n = t.length
+      n > 0 && {
+        t.count(c => c < 1 || c > 127).toDouble / n <= 0.1 &&
+        t.count(c => c >= '0' && c <= '9').toDouble / n <= 0.3 &&
+        t.count(c => c >= 'A' && c <= 'Z').toDouble / n <= 0.3
+      }
+    }
+    def gopherKeep(t: String): Boolean = {
+      val tk = toks(t); val n = tk.size
+      val lines = t.split("\n", -1)
+      n >= 30 && n <= 50000 &&
+        { val m = t.count(_ != ' ').toDouble / n; m >= 2.0 && m <= 12.0 } &&
+        tk.count(_.exists("#%$@".contains(_))).toDouble / n < 0.5 &&
+        lines.count(_.startsWith("...")).toDouble / lines.length <= 0.3 &&
+        tk.count(_.exists(_.isLetter)).toDouble / n >= 0.6
+    }
+    val c2 = all.filter(d => charsetKeep(d._2))
+    val c3 = c2.filter(d => gopherKeep(d._2))
+    val c4 = c3.groupBy(_._2).toSeq.map { case (_, g) => g.minBy(_._1) }
+      .sortBy(_._1)
+    // near-dup: brute-force exact-Jaccard >= 0.5 over word-3-gram sets
+    // (oracle-proven equal to the engine's LSH candidate set)
+    val sh = c4.map { case (id, t) =>
+      val tk = toks(t)
+      id -> (if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+             else Set(t))
+    }
+    val pairs = for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = sa.count(sb.contains)
+      uni = sa.size + sb.size - inter
+      if uni > 0 && inter.toDouble / uni >= 0.5
+    } yield (a, b)
+    // union-find → components → keep longest (ties to min doc_id)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byComp = c4.groupBy { case (id, _) => find(id) }
+    val c5 = byComp.values.toSeq
+      .map(_.minBy { case (id, t) => (-nTok(t).toLong, id) }).sortBy(_._1)
+    def stageRow(i: Int, name: String, g: Seq[(Long, String)]) =
+      (i, name, g.size.toLong, g.map(d => nTok(d._2).toLong).sum)
+    val expected = Seq(stageRow(1, "ingested", all), stageRow(2, "charset", c2),
+      stageRow(3, "quality", c3), stageRow(4, "exact_dedup", c4),
+      stageRow(5, "near_dedup", c5))
+    val got = SparkEntry.queries("d21_corpus_funnel")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    // the funnel only ever shrinks
+    assert(got.sliding(2).forall(w => w(1)._3 <= w(0)._3))
+  }
 }
