@@ -93,6 +93,12 @@ class AvroSourceSpec extends GraftSuite {
     assert(key(back) == key(in))
   }
 
+  test("reading a fresh (empty) directory yields an empty frame, not an error") {
+    val dir = tmpDir("empty")
+    val df = spark.read.format("graft-avro").load(dir)
+    assert(df.schema.isEmpty && df.count() == 0)
+  }
+
   test("multi-task writes land one committed container per partition") {
     val dir = tmpDir("multi")
     Tables.documents(spark, sf).repartition(3)

@@ -15,10 +15,14 @@ class DeterminismSpec extends GraftSuite {
   // order-sensitive shapes: decimal sums (q01/q43/sp12), two-level
   // TopK (q43/v19), min-label propagation + histogram (d16), windows
   // over aggregates (q44/t33), covered-position collect_set (t30)
+  // round-5 additions: v29 pushes decimal sums through a posexplode
+  // fan-out; d21 chains every order-sensitive stage (digest dedup,
+  // label propagation, struct-min canonical pick) into one result
   private val names = Seq(
     "q01_pricing_summary", "q43_type_top_users", "q44_cusum_changepoint",
     "t30_dup_span_removal", "t33_source_novelty", "d16_dedup_impact",
-    "sp12_revenue_hotspots", "v19_pq_recall_audit")
+    "sp12_revenue_hotspots", "v19_pq_recall_audit", "v29_isotropy_audit",
+    "d21_corpus_funnel")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
