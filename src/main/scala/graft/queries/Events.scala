@@ -24,7 +24,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57)
+    q53, q54, q55, q56, q57, q59)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1263,6 +1263,42 @@ object Events {
       .select(col("day_num"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
       .orderBy(col("day_num"))
+  }
+
+  /** SCD Type-2 history materialization — q41's latest-wins upsert kept
+    * the CURRENT row per key; this builds the full slowly-changing-
+    * dimension table warehouses keep instead: every version of each
+    * (user, event_type) key becomes a row with its validity interval
+    * [valid_from, valid_to) (half-open, `valid_to` = next version's
+    * start, NULL while current), a per-key version ordinal, and the
+    * is_current flag — the standard "as of any past instant" dimension
+    * without a mutable store. Tie order inside a key is pinned by
+    * (ts, event_id) in both engines.
+    *
+    * Scale shape: ONE key-partitioned window pass (lead + row_number
+    * over the same ordering share a single sort), partition width = a
+    * key's version count — the q20/q37/q41 posture; no joins, no
+    * driver state. */
+  private val q59 = QDef(
+    "q59_scd2_history",
+    """SELECT user_id, event_type, value,
+      |  epoch_us(ts) AS valid_from_us,
+      |  LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+      |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+      |  (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type
+      |             ORDER BY ts, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("event_type"), col("version"))
   }
 
   /** User-concentration card — Gini coefficient and top-share of the

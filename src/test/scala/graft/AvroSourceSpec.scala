@@ -93,6 +93,26 @@ class AvroSourceSpec extends GraftSuite {
     assert(key(back) == key(in))
   }
 
+  test("extreme values survive: NaN/±Inf/-0.0, Long.Min, unicode, empty bytes") {
+    val dir = tmpDir("extreme")
+    val in = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST('NaN' AS DOUBLE), 'plain', x''),
+        |  (2L, CAST('Infinity' AS DOUBLE), '', x'00ff'),
+        |  (3L, CAST('-Infinity' AS DOUBLE), 'ünïcødé 試験 🚀', x'deadbeef'),
+        |  (4L, -0.0D, 'tab\tnewline\n', x'01'),
+        |  (-9223372036854775808L, 1.7976931348623157E308D, 'max', x'ff')
+        |AS t(id, d, s, b)""".stripMargin)
+    in.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    // compare doubles by BITS (NaN != NaN, -0.0 == 0.0 under ==)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        r.getString(2), r.getAs[Array[Byte]](3).toSeq)).toSet
+    assert(key(back) == key(in))
+  }
+
   test("reading a fresh (empty) directory yields an empty frame, not an error") {
     val dir = tmpDir("empty")
     val df = spark.read.format("graft-avro").load(dir)

@@ -855,6 +855,13 @@ class PlanQualitySpec extends GraftSuite {
     graft.util.Persist.releaseAll()
   }
 
+  test("q59: SCD2 history is one key-partitioned window pass, no join") {
+    val p = planOf("q59_scd2_history")
+    assert(!p.contains("Join"), s"q59 planned a join:\n$p")
+    // lead + row_number share one window spec → a single Window node
+    assert(p.split("\\) Window").length == 2, s"q59 planned extra windows:\n$p")
+  }
+
   test("sp14: NN distances ride the grid equi-join, never all-pairs") {
     val p = planOf("sp14_clark_evans")
     assert(!p.contains("CartesianProduct"),

@@ -254,6 +254,39 @@ class Round5dOpsSpec extends GraftSuite {
       meanNn / expNn, meanNn < expNn)))
   }
 
+  test("q59: SCD2 history equals a per-key chronological scan replay") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((u, t), g) =>
+      val sorted = g.sortBy(r => (r._4, r._5))
+      sorted.zipWithIndex.map { case (r, i) =>
+        val next = if (i + 1 < sorted.size) Some(sorted(i + 1)._4) else None
+        (u, t, r._3, r._4, next, i + 1, next.isEmpty)
+      }
+    }.sortBy(r => (r._1, r._2, r._6))
+    val got = SparkEntry.queries("q59_scd2_history")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getInt(5), r.getBoolean(6)))
+    assert(got == expected)
+    // validity intervals tile each key's timeline: exactly one current
+    // version per key, and consecutive intervals abut
+    val byKey = got.groupBy(r => (r._1, r._2))
+    assert(byKey.values.forall(_.count(_._7) == 1))
+    assert(byKey.values.forall { vs =>
+      vs.sortBy(_._6).sliding(2).forall {
+        case Seq(a, b) => a._5.contains(b._4)
+        case _         => true
+      }
+    })
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
