@@ -796,6 +796,63 @@ object StreamingOps {
 
   private val DayUs = 86400000000L
 
+  /** One SCD2 version row (q59's output + update generation). */
+  final case class Scd2Out(
+      user_id: Long, event_type: String, value: Double,
+      valid_from_us: Long, valid_to_us: Option[Long], version: Int,
+      is_current: Boolean)
+
+  /** STREAMING SCD Type-2 maintenance — batch q59's incremental face,
+    * and the shape a CDC sink actually runs: each arriving version for
+    * a (user, event_type) key CLOSES the previous current row (its
+    * half-open validity interval gets its end, is_current drops) and
+    * opens a new current one; both rows are emitted every transition,
+    * so a downstream merge keyed on (key, version) maintains the exact
+    * SCD2 table q59 materializes in batch (StreamingSpec asserts
+    * bit parity after a drain). Out-of-order events within a
+    * micro-batch sort before folding; state is ONE row per live key
+    * (last version's value/start/ordinal) — O(keys), not O(history).
+    *
+    * Late events older than a key's current version would need a
+    * retro-split of an already-closed interval — a warehouse MERGE,
+    * not stream state; they are emitted with version = -1 for a
+    * dead-letter/repair path rather than silently misfiled. */
+  def scd2(events: Dataset[TypedValuedEventIn]): Dataset[Scd2Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[TypedValuedEventIn],
+            state: GroupState[(Double, Long, Long, Int)]) =>
+          val out = Seq.newBuilder[Scd2Out]
+          var cur = state.getOption // (value, from_us, event_id, version)
+          it.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            val us = usOf(e.ts)
+            cur match {
+              case Some((_, from, eid, _))
+                  if us < from || (us == from && e.event_id < eid) =>
+                // late arrival behind the current version: repair path
+                out += Scd2Out(key._1, key._2, e.value, us, None, -1, false)
+              case _ =>
+                cur.foreach { case (v, from, _, ver) =>
+                  out += Scd2Out(key._1, key._2, v, from, Some(us), ver, false)
+                }
+                val ver = cur.map(_._4).getOrElse(0) + 1
+                cur = Some((e.value, us, e.event_id, ver))
+                out += Scd2Out(key._1, key._2, e.value, us, None, ver, true)
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** An event carrying type + value (the scd2 wire shape). */
+  final case class TypedValuedEventIn(
+      user_id: Long, event_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp)
+
   private def usOf(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }

@@ -635,6 +635,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("scd2: merged version emissions equal batch q59 bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{Scd2Out, TypedValuedEventIn}
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => TypedValuedEventIn(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getTimestamp(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[TypedValuedEventIn]
+    val out = StreamingOps.scd2(mem.toDS())
+    val query = out.writeStream.format("memory")
+      .queryName("scd2_out").outputMode("update").start()
+    try {
+      val (b1, rest) = events.splitAt(events.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      // downstream merge: latest emission per (key, version) wins
+      val all = spark.table("scd2_out").as[Scd2Out].collect()
+      assert(!all.exists(_.version == -1), "no late repairs expected in-order")
+      val merged = all.zipWithIndex
+        .groupBy(r => (r._1.user_id, r._1.event_type, r._1.version))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }.toSeq
+        .map(r => (r.user_id, r.event_type, r.value, r.valid_from_us,
+          r.valid_to_us, r.version, r.is_current))
+        .sortBy(r => (r._1, r._2, r._6))
+      val batch = SparkEntry.queries("q59_scd2_history")(spark, sf)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5), r.getBoolean(6)))
+      assert(merged == batch && batch.nonEmpty,
+        s"stream ${merged.size} versions vs batch ${batch.size}")
+    } finally query.stop()
+  }
+
   test("stickiness: drained day snapshots equal batch q57 bit-for-bit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
