@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29)
+    v26, v27, v28, v29, v30)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -1951,5 +1951,54 @@ object VectorOps {
       (sqrt(col("s2")) / col("n")).as("anisotropy"),
       ((col("s2") - col("n")) / (col("n") * (col("n") - 1)).cast("double"))
         .as("mean_pairwise_cos"))
+  }
+
+  /** Embedding-cluster language purity — the first operator JOINING the
+    * text and vector modalities on the shared id space (embedding i is
+    * document i's vector): per IVF quantizer list, the member count,
+    * dominant document language with its share (purity), and the
+    * language spread. High purity means the embedding space already
+    * separates languages — per-language dedup thresholds (t27, v04) can
+    * then be set per list; low purity on one list is the mixed-cluster
+    * smell that triggers v26's split or v07's retrain.
+    *
+    * Scale shape: one broadcast-centroid assignment scan (shared
+    * [[ivfAssign]]), one id-key equi-join carrying only (id, lang),
+    * then aggregates over (list, lang) rows — bounded by K×|langs|;
+    * the dominant language is a struct-MIN argmax (O(1) state, ties to
+    * the lexicographically first language in both engines). */
+  private val v30 = QDef(
+    "v30_cluster_purity",
+    s"""$sqlIvfCtes,
+       |mem AS (
+       |  SELECT a.list_id, d.lang
+       |  FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+       |lc AS (SELECT list_id, lang, COUNT(*) AS n FROM mem GROUP BY list_id, lang),
+       |li AS (SELECT list_id, COUNT(*) AS n_langs, SUM(n) AS n_members
+       |       FROM lc GROUP BY list_id),
+       |tp AS (SELECT list_id, MIN({'neg_n': -n, 'lang': lang}) AS best
+       |       FROM lc GROUP BY list_id)
+       |SELECT li.list_id, CAST(li.n_members AS BIGINT) AS n_members,
+       |  CAST(li.n_langs AS BIGINT) AS n_langs,
+       |  struct_extract(tp.best, 'lang') AS top_lang,
+       |  CAST(-struct_extract(tp.best, 'neg_n') AS BIGINT) AS top_n,
+       |  CAST(-struct_extract(tp.best, 'neg_n') AS DOUBLE) / li.n_members
+       |    AS purity
+       |FROM li JOIN tp USING (list_id) ORDER BY list_id""".stripMargin) { (s, d) =>
+    val assign = ivfAssign(embeddings(s, d)).select(col("vec_id"), col("list_id"))
+    val m = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(assign.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    val c = m.groupBy(col("list_id"), col("lang")).agg(count(lit(1)).as("n"))
+    val l = c.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("n")).as("n_members"))
+    val top = c.groupBy(col("list_id"))
+      .agg(min(struct((-col("n")).as("neg_n"), col("lang").as("lang")))
+        .as("best"))
+    l.join(top, Seq("list_id"))
+      .select(col("list_id"), col("n_members"), col("n_langs"),
+        col("best.lang").as("top_lang"),
+        (-col("best.neg_n")).as("top_n"),
+        ((-col("best.neg_n")).cast("double") / col("n_members")).as("purity"))
+      .orderBy(col("list_id"))
   }
 }

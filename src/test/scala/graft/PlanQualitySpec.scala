@@ -855,6 +855,14 @@ class PlanQualitySpec extends GraftSuite {
     graft.util.Persist.releaseAll()
   }
 
+  test("v30: purity assigns via broadcast centroids, joins on the id key") {
+    val p = planOf("v30_cluster_purity")
+    assert(p.contains("BroadcastExchange"), s"v30 centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"v30 planned a non-broadcast cartesian:\n$p")
+    assert(p.contains("partial"), s"v30 counts lost their map-side combine:\n$p")
+  }
+
   test("q59: SCD2 history is one key-partitioned window pass, no join") {
     val p = planOf("q59_scd2_history")
     assert(!p.contains("Join"), s"q59 planned a join:\n$p")

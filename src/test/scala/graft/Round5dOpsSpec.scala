@@ -287,6 +287,43 @@ class Round5dOpsSpec extends GraftSuite {
     })
   }
 
+  test("v30: cluster purity equals a quantizer + language-count replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vecs.filter(v => v._1 >= 100 && v._1 <= 107)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map(c => (c._1, cos(v, c._2)))
+        .sortBy { case (cid, sim) => (-sim, cid) }.head._1
+    }.toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val byList = langs.filter(d => assign.contains(d._1))
+      .groupBy(d => assign(d._1))
+    val expected = byList.toSeq.map { case (list, ds) =>
+      val counts = ds.groupBy(_._2).map { case (l, g) => (l, g.size.toLong) }
+      val (topLang, topN) = counts.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (list, ds.size.toLong, counts.size.toLong, topLang, topN,
+        topN.toDouble / ds.size)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("v30_cluster_purity")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // purity is a share; every member is counted somewhere
+    assert(got.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+    assert(got.map(_._2).sum == langs.count(d => assign.contains(d._1)))
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
