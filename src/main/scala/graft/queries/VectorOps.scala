@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30)
+    v26, v27, v28, v29, v30, v31)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2000,5 +2000,66 @@ object VectorOps {
         (-col("best.neg_n")).as("top_n"),
         ((-col("best.neg_n")).cast("double") / col("n_members")).as("purity"))
       .orderBy(col("list_id"))
+  }
+
+  /** Document-length vs embedding-CONCENTRATION correlation — the
+    * representation diagnostic "do longer documents get more diffuse
+    * embeddings?": y is the inverse participation ratio Σeᵢ⁴ (for the
+    * fixture's unit vectors ∈ [1/64, 1]; high = mass on few
+    * dimensions), x the token count, and the card reports Pearson r
+    * from sufficient statistics only: n, Σx, Σx² stay BIGINT; Σy, Σy²,
+    * Σxy are decimal-exact sums — ONE joined corpus scan, a single-row
+    * card, a fixed IEEE chain for r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·
+    * √(nΣy²−(Σy)²)) — v29's rewrite discipline applied to covariance.
+    * (The L2 norm would be the natural y, but the fixture's vectors are
+    * unit-normalized — zero variance after decimal rounding — so the
+    * card correlates against concentration instead; a degenerate side
+    * still yields NULL via NULLIF, never a divide error.)
+    *
+    * Scale shape: one id-key equi-join carrying (id, x) against
+    * (id, y), one map-side-combined global aggregate; nothing
+    * pairwise, nothing windowed. */
+  private val v31 = QDef(
+    "v31_length_ipr_corr",
+    s"""WITH dx AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS x
+       |  FROM documents),
+       |vy AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) *
+       |           (CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS y
+       |  FROM embeddings),
+       |j AS (SELECT dx.x, vy.y FROM dx JOIN vy ON vy.vec_id = dx.doc_id),
+       |st AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    ${sqlDsum("y")} AS sy, ${sqlDsum("y * y")} AS syy,
+       |    ${sqlDsum("x * y")} AS sxy
+       |  FROM j)
+       |SELECT n, sx, sy, sxy,
+       |  (n * sxy - sx * sy) /
+       |    NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |           sqrt(n * syy - sy * sy), 0.0) AS pearson_r
+       |FROM st""".stripMargin) { (s, d) =>
+    val dx = Tables.documents(s, d).select(col("doc_id"),
+      size(expr("filter(split(text, '\\\\s+'), x -> x != '')")).cast("long").as("x"))
+    val vy = embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, v) -> a + (v * v) * (v * v))")
+          .as("y"))
+    val j = dx.join(vy, Seq("doc_id"))
+    val st = j.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      dsum(col("y")).as("sy"), dsum(col("y") * col("y")).as("syy"),
+      dsum(col("x") * col("y")).as("sxy"))
+    st.select(col("n"), col("sx"), col("sy"), col("sxy"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")),
+          lit(0.0)))
+        .as("pearson_r"))
   }
 }

@@ -324,6 +324,37 @@ class Round5dOpsSpec extends GraftSuite {
     assert(got.map(_._2).sum == langs.count(d => assign.contains(d._1)))
   }
 
+  test("v31: length-IPR correlation equals a sufficient-statistics replay") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def ipr(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += (a(i) * a(i)) * (a(i) * a(i)); i += 1 }
+      s
+    }
+    val ys = vecs.map { case (id, v) => id -> ipr(v) }.toMap
+    val xs = docs.map { case (id, _, t) => id -> toks(t).size.toLong }.toMap
+    val joined = xs.keys.toSeq.filter(ys.contains)
+      .map(id => (xs(id), ys(id)))
+    val n = joined.size.toLong
+    val sx = joined.map(_._1).sum
+    val sxx = joined.map(p => p._1 * p._1).sum
+    val sy = dsum(joined.map(_._2))
+    val syy = dsum(joined.map(p => p._2 * p._2))
+    val sxy = dsum(joined.map(p => p._1 * p._2))
+    val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+      math.sqrt(n * syy - sy * sy)
+    val r = if (den == 0.0) None else Some((n * sxy - sx * sy) / den)
+    val got = SparkEntry.queries("v31_length_ipr_corr")(spark, sf)
+      .collect().toSeq
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getDouble(3),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4))))
+    assert(got == Seq((n, sx, sy, sxy, r)))
+    assert(got.head._5.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
