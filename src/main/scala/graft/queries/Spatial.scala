@@ -634,11 +634,12 @@ object Spatial {
         s"""sqrt(((${ptX(ak)}) - (${ptX(bk)})) * ((${ptX(ak)}) - (${ptX(bk)}))
            |   + ((${ptY(ak)}) - (${ptY(bk)})) * ((${ptY(ak)}) - (${ptY(bk)})))""".stripMargin
       s"""WITH n AS (SELECT COUNT(*) AS n FROM customer),
+         |rad AS (SELECT 2.5 / sqrt(COUNT(*) / 10000.0) AS r FROM customer),
          |p AS (
          |  SELECT a.c_custkey AS a, MIN(${dist("a.c_custkey", "b.c_custkey")}) AS nn
-         |  FROM customer a JOIN customer b
-         |    ON a.c_custkey <> b.c_custkey
-         |   AND ${dist("a.c_custkey", "b.c_custkey")} <= 12.0
+         |  FROM customer a JOIN customer b ON a.c_custkey <> b.c_custkey
+         |  CROSS JOIN rad
+         |  WHERE ${dist("a.c_custkey", "b.c_custkey")} <= rad.r
          |  GROUP BY a.c_custkey),
          |s AS (SELECT COUNT(*) AS n_nb,
          |        CAST(SUM(CAST(nn AS DECIMAL(30,6))) AS DOUBLE) AS sum_nn
@@ -656,10 +657,15 @@ object Spatial {
     }) { (s, d) =>
     import graft.util.Det.dsum
     val pts = customerPoints(s, d)
+    // search radius = 5x the CSR-expected NN distance (P[isolated] ~
+    // e^-19.6 under CSR), derived from the same count in both engines
+    // like sp07's eps — density-scaled so in-radius pair work stays
+    // ~20 neighbors/point at EVERY scale factor
+    val radius = 2.5 / math.sqrt(Tables.customer(s, d).count() / 10000.0)
     val a = pts.select(col("c_custkey").as("a"), col("c_pt").as("a_pt"))
     val b = pts.select(col("c_custkey").as("b"), col("c_pt").as("b_pt"))
     val nn = SpatialJoin.grid(a, b, "a_pt", "b_pt", "st_dwithin",
-        distance = 12.0, cells = 64)
+        distance = radius, cells = 64)
       .where(col("a") =!= col("b"))
       .withColumn("dist", expr("st_distance(a_pt, b_pt)"))
       .groupBy(col("a")).agg(min(col("dist")).as("nn"))

@@ -21,7 +21,7 @@ object TextOps {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44)
+      t43, t44, t45)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2238,5 +2238,112 @@ object TextOps {
         ratio(cnt("[^0-9]")) <= 0.3 &&
         ratio(cnt("[^A-Z]")) <= 0.3).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Ingest-batch quality drift — the "is this dump worse than the
+    * last one" monitor: documents bucketed into fixed-width ingest
+    * batches (doc_id div 100 — arrival order in the fixture), and per
+    * batch: volume, Gopher keep rate (t07's rule), the exact-dup rate
+    * AGAINST EARLIER BATCHES ONLY (first-owner min-batch per md5
+    * digest — re-crawled content shows up here, not in-batch dups),
+    * and the new-vocabulary share (terms whose first-owner batch is
+    * this one — t33's novelty per batch: a collapsing share means the
+    * source stopped buying vocabulary). Integer counts, one IEEE
+    * division per ratio.
+    *
+    * Scale shape: per-row rule work, then digest-key and term-key
+    * first-owner aggregates (map-side combined, O(1) state) joined
+    * back on those same keys; windows nowhere. */
+  private val t45 = QDef(
+    "t45_batch_drift",
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id // 100 AS batch_id, md5(text) AS dg,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+       |    length(replace(text, ' ', '')) AS n_nonspace,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> regexp_matches(x, '[#%$$@]'))) AS n_symbol,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> regexp_matches(x, '\\p{L}'))) AS n_alpha,
+       |    len(list_filter(regexp_split_to_array(text, '\n'), l -> l LIKE '...%')) AS n_ellipsis,
+       |    len(regexp_split_to_array(text, '\n')) AS n_lines
+       |  FROM documents),
+       |k AS (
+       |  SELECT batch_id, dg, n_tok,
+       |    ((n_tok >= 30 AND n_tok <= 50000)
+       |      AND (n_tok > 0 AND CAST(n_nonspace AS DOUBLE) / n_tok >= 2.0
+       |                     AND CAST(n_nonspace AS DOUBLE) / n_tok <= 12.0)
+       |      AND (n_tok > 0 AND CAST(n_symbol AS DOUBLE) / n_tok < 0.5)
+       |      AND (n_lines = 0 OR CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3)
+       |      AND (n_tok > 0 AND CAST(n_alpha AS DOUBLE) / n_tok >= 0.6)) AS keep
+       |  FROM base),
+       |fd AS (SELECT dg, MIN(batch_id) AS first_b FROM base GROUP BY dg),
+       |tkx AS (
+       |  SELECT DISTINCT doc_id // 100 AS batch_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+       |  FROM documents),
+       |ft AS (SELECT term, MIN(batch_id) AS first_t FROM tkx GROUP BY term),
+       |bt AS (
+       |  SELECT tkx.batch_id, COUNT(*) AS n_terms,
+       |    SUM(CASE WHEN ft.first_t = tkx.batch_id THEN 1 ELSE 0 END) AS n_new
+       |  FROM tkx JOIN ft USING (term) GROUP BY tkx.batch_id),
+       |bd AS (
+       |  SELECT k.batch_id, COUNT(*) AS n_docs,
+       |    CAST(SUM(k.n_tok) AS BIGINT) AS n_tokens,
+       |    SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS n_keep,
+       |    SUM(CASE WHEN fd.first_b < k.batch_id THEN 1 ELSE 0 END) AS n_dup
+       |  FROM k JOIN fd ON fd.dg = k.dg GROUP BY k.batch_id)
+       |SELECT bd.batch_id, bd.n_docs, bd.n_tokens,
+       |  CAST(bd.n_keep AS DOUBLE) / bd.n_docs AS keep_rate,
+       |  CAST(bd.n_dup AS DOUBLE) / bd.n_docs AS dup_rate,
+       |  CAST(bt.n_terms AS BIGINT) AS n_terms,
+       |  CAST(bt.n_new AS BIGINT) AS n_new_terms,
+       |  CAST(bt.n_new AS DOUBLE) / bt.n_terms AS new_term_share
+       |FROM bd JOIN bt USING (batch_id) ORDER BY batch_id""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .withColumn("batch_id", expr("doc_id div 100"))
+      .withColumn("dg", md5(col("text")))
+      .withColumn("n_tok", size(toks))
+      .withColumn("n_nonspace", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_symbol", size(filter(toks, t => t.rlike("[#%$@]"))))
+      .withColumn("n_alpha", size(filter(toks, t => t.rlike("\\p{L}"))))
+      .withColumn("n_ellipsis",
+        size(filter(split(col("text"), "\n"), l => l.startsWith("..."))))
+      .withColumn("n_lines", size(split(col("text"), "\n")))
+    val meanLen = col("n_nonspace").cast("double") / col("n_tok")
+    val k = base.select(col("batch_id"), col("dg"), col("n_tok"),
+      ((col("n_tok") >= 30 && col("n_tok") <= 50000) &&
+        (col("n_tok") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
+        (col("n_tok") > 0 &&
+          col("n_symbol").cast("double") / col("n_tok") < 0.5) &&
+        (col("n_lines") === 0 ||
+          col("n_ellipsis").cast("double") / col("n_lines") <= 0.3) &&
+        (col("n_tok") > 0 &&
+          col("n_alpha").cast("double") / col("n_tok") >= 0.6)).as("keep"))
+    val fd = base.groupBy(col("dg")).agg(min(col("batch_id")).as("first_b"))
+    val tkx = Tables.documents(s, d)
+      .select(expr("doc_id div 100").as("batch_id"),
+        explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val ft = tkx.groupBy(col("term")).agg(min(col("batch_id")).as("first_t"))
+    val bt = tkx.join(ft, Seq("term"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("first_t") === col("batch_id"), 1L).otherwise(0L))
+          .as("n_new"))
+    val bd = k.join(fd, Seq("dg"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("first_b") < col("batch_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+    bd.join(bt, Seq("batch_id"))
+      .select(col("batch_id"), col("n_docs"), col("n_tokens"),
+        (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
+        col("n_terms"), col("n_new").as("n_new_terms"),
+        (col("n_new").cast("double") / col("n_terms")).as("new_term_share"))
+      .orderBy(col("batch_id"))
   }
 }

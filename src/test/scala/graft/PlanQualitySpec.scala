@@ -848,6 +848,13 @@ class PlanQualitySpec extends GraftSuite {
       s"q58 column pruning failed:\n$p")
   }
 
+  test("t45: drift rides digest/term first-owner aggregates, no window") {
+    val p = planOf("t45_batch_drift")
+    assert(p.contains("partial"), s"t45 lost its map-side combines:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+      s"t45 planned a window/cartesian:\n$p")
+  }
+
   test("d21: funnel gates shrink the corpus before the sketch stage; no cartesian") {
     val df = SparkEntry.queries("d21_corpus_funnel")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -239,8 +239,9 @@ class Round5dOpsSpec extends GraftSuite {
       val dx = x(a) - x(b); val dy = y(a) - y(b)
       math.sqrt(dx * dx + dy * dy)
     }
+    val radius = 2.5 / math.sqrt(keys.length / 10000.0)
     val nn = keys.flatMap { a =>
-      val ds = keys.filter(b => b != a).map(dist(a, _)).filter(_ <= 12.0)
+      val ds = keys.filter(b => b != a).map(dist(a, _)).filter(_ <= radius)
       if (ds.isEmpty) None else Some(ds.min)
     }
     val n = keys.length.toLong
@@ -353,6 +354,40 @@ class Round5dOpsSpec extends GraftSuite {
         if (row.isNullAt(4)) None else Some(row.getDouble(4))))
     assert(got == Seq((n, sx, sy, sxy, r)))
     assert(got.head._5.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("t45: batch drift equals a first-owner replay per ingest batch") {
+    def gopherKeep(t: String): Boolean = {
+      val tk = toks(t); val n = tk.size
+      val lines = t.split("\n", -1)
+      n >= 30 && n <= 50000 &&
+        { val m = t.count(_ != ' ').toDouble / n; m >= 2.0 && m <= 12.0 } &&
+        tk.count(_.exists("#%$@".contains(_))).toDouble / n < 0.5 &&
+        lines.count(_.startsWith("...")).toDouble / lines.length <= 0.3 &&
+        tk.count(_.exists(_.isLetter)).toDouble / n >= 0.6
+    }
+    val byBatch = docs.map { case (id, _, t) => (id / 100, id, t) }
+    val firstB = byBatch.groupBy(_._3).map { case (t, g) => t -> g.map(_._1).min }
+    val termFirst = byBatch.flatMap { case (b, _, t) => toks(t).distinct.map(_ -> b) }
+      .groupBy(_._1).map { case (term, g) => term -> g.map(_._2).min }
+    val expected = byBatch.groupBy(_._1).toSeq.map { case (b, g) =>
+      val nDocs = g.size.toLong
+      val nTokens = g.map(d => toks(d._3).size.toLong).sum
+      val nKeep = g.count(d => gopherKeep(d._3)).toLong
+      val nDup = g.count(d => firstB(d._3) < b).toLong
+      val terms = g.flatMap(d => toks(d._3)).distinct
+      val nTerms = terms.size.toLong
+      val nNew = terms.count(t => termFirst(t) == b).toLong
+      (b, nDocs, nTokens, nKeep.toDouble / nDocs, nDup.toDouble / nDocs,
+        nTerms, nNew, nNew.toDouble / nTerms)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("t45_batch_drift")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got == expected)
+    // batch 0 owns all of its vocabulary by definition
+    assert(got.head._8 == 1.0 && got.head._5 == 0.0)
   }
 
   test("d21: corpus funnel equals a five-stage single-node replay") {
