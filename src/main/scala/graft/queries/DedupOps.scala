@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -247,23 +247,26 @@ object DedupOps {
 
   /** Language ID by stopword-profile scoring (n-gram-free heuristic;
     * deterministic argmax with alphabetical tie-break). */
-  private val d04 = QDef(
-    "d04_langid", {
-      val scores = profiles.map { case (lg, ws) =>
-        val set = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), t -> list_contains($set, t))) AS s_$lg"
-      }.mkString(",\n    ")
-      val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
-      val caseArm = profiles.map { case (lg, _) =>
-        s"WHEN s_$lg = $best THEN '$lg'" }.mkString("\n    ")
-      s"""WITH t AS (SELECT doc_id, lang,
-         |    $scores
-         |  FROM documents)
-         |SELECT doc_id, lang,
-         |  CASE $caseArm END AS pred_lang,
-         |  (CASE $caseArm END = lang) AS hit
-         |FROM t ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  /** DuckDB CTE `lp` = (doc_id, lang, pred_lang) — d04's stopword-
+    * profile classifier, shared with the d22 eval card so the evaluated
+    * model IS the deployed one. */
+  private val sqlLangPredCte: String = {
+    val scores = profiles.map { case (lg, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), t -> list_contains($set, t))) AS s_$lg"
+    }.mkString(",\n    ")
+    val best = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val caseArm = profiles.map { case (lg, _) =>
+      s"WHEN s_$lg = $best THEN '$lg'" }.mkString("\n    ")
+    s"""lpt AS (SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents),
+       |lp AS (SELECT doc_id, lang, CASE $caseArm END AS pred_lang FROM lpt)""".stripMargin
+  }
+
+  /** (doc_id, lang, pred_lang) — the Spark side of [[sqlLangPredCte]]. */
+  private def langPred(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val withScores = profiles.foldLeft(
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))) {
       case (df, (lg, ws)) =>
@@ -272,15 +275,22 @@ object DedupOps {
           expr(s"size(filter($toksE, t -> array_contains($set, t)))"))
     }
     val best = greatest(profiles.map(p => col(s"s_${p._1}")): _*)
+    // foldRight builds WHEN de ... WHEN zh with first-match-wins on the
+    // OUTERMOST when — mirror the SQL CASE order (alphabetical).
     val pred = profiles.foldRight(lit(null).cast("string")) {
       case ((lg, _), acc) => when(col(s"s_$lg") === best, lit(lg)).otherwise(acc)
     }
-    // foldRight builds WHEN de ... WHEN zh with first-match-wins on the
-    // OUTERMOST when — mirror the SQL CASE order (alphabetical).
-    withScores
-      .withColumn("pred_lang", pred)
+    withScores.withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+  }
+
+  private val d04 = QDef(
+    "d04_langid",
+    s"""WITH $sqlLangPredCte
+       |SELECT doc_id, lang, pred_lang, (pred_lang = lang) AS hit
+       |FROM lp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    langPred(s, d)
       .withColumn("hit", col("pred_lang") === col("lang"))
-      .select(col("doc_id"), col("lang"), col("pred_lang"), col("hit"))
       .orderBy(col("doc_id"))
   }
 
@@ -1395,5 +1405,56 @@ object DedupOps {
       .unionAll(stage(4, "exact_dedup", c4))
       .unionAll(stage(5, "near_dedup", c5))
       .orderBy(col("stage_idx"))
+  }
+
+  /** Language-ID evaluation card — d04's classifier scored against the
+    * corpus' ground-truth `lang` labels: per language, support and the
+    * confusion counts (tp / fp / fn), then precision, recall, and F1 —
+    * the model card a pipeline publishes before trusting per-language
+    * gates (t27, t36, d04 downstream). The evaluated predictor IS the
+    * deployed one: both engines build it from the same shared
+    * stopword-profile definition, so the eval can never drift from the
+    * classifier. NULLIF keeps zero-support / zero-prediction languages
+    * at NULL metrics instead of an ANSI divide error; the F1 chain
+    * (2·p·r)/(p+r) is order-pinned in both engines.
+    *
+    * Scale shape: per-row classification (the d04 expression), then
+    * two label-keyed count aggregates joined on the language key —
+    * |langs|-bounded output, no windows, nothing pairwise. */
+  private val d22 = QDef(
+    "d22_langid_eval",
+    s"""WITH $sqlLangPredCte,
+       |act AS (
+       |  SELECT lang, COUNT(*) AS support,
+       |    SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS tp
+       |  FROM lp GROUP BY lang),
+       |prd AS (SELECT pred_lang, COUNT(*) AS n_pred FROM lp GROUP BY pred_lang)
+       |SELECT act.lang, CAST(act.support AS BIGINT) AS support,
+       |  CAST(act.tp AS BIGINT) AS tp,
+       |  CAST(COALESCE(prd.n_pred, 0) - act.tp AS BIGINT) AS fp,
+       |  CAST(act.support - act.tp AS BIGINT) AS fn,
+       |  CAST(act.tp AS DOUBLE) / NULLIF(COALESCE(prd.n_pred, 0), 0) AS precision,
+       |  CAST(act.tp AS DOUBLE) / NULLIF(act.support, 0) AS recall,
+       |  2.0 * (CAST(act.tp AS DOUBLE) / NULLIF(COALESCE(prd.n_pred, 0), 0))
+       |      * (CAST(act.tp AS DOUBLE) / NULLIF(act.support, 0)) /
+       |    NULLIF((CAST(act.tp AS DOUBLE) / NULLIF(COALESCE(prd.n_pred, 0), 0))
+       |         + (CAST(act.tp AS DOUBLE) / NULLIF(act.support, 0)), 0.0) AS f1
+       |FROM act LEFT JOIN prd ON prd.pred_lang = act.lang
+       |ORDER BY act.lang""".stripMargin) { (s, d) =>
+    val lp = langPred(s, d).persistTracked()
+    val act = lp.groupBy(col("lang"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("tp"))
+    val prd = lp.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_pred"))
+    val p = col("tp").cast("double") /
+      nullif(coalesce(col("n_pred"), lit(0L)), lit(0L))
+    val r = col("tp").cast("double") / nullif(col("support"), lit(0L))
+    act.join(prd, col("pred_lang") === col("lang"), "left")
+      .select(col("lang"), col("support"), col("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - col("tp")).as("fp"),
+        (col("support") - col("tp")).as("fn"),
+        p.as("precision"), r.as("recall"),
+        (lit(2.0) * p * r / nullif(p + r, lit(0.0))).as("f1"))
+      .orderBy(col("lang"))
   }
 }

@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31)
+    v26, v27, v28, v29, v30, v31, v32)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2061,5 +2061,66 @@ object VectorOps {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")),
           lit(0.0)))
         .as("pearson_r"))
+  }
+
+  /** Label-separation card — v29's sufficient-statistics identity
+    * applied PER LABEL: for each label, the mean pairwise cosine WITHIN
+    * the label ((‖Σuₗ‖² − nₗ)/(nₗ(nₗ−1))) and the mean cosine AGAINST
+    * every other label's members (Σ_d sₗ·(T−sₗ) / (nₗ(N−nₗ)), where T
+    * is the global per-dimension sum — cross-label pair sums are dot
+    * products of per-label sum vectors, so the O(n²) statistic again
+    * costs one linear aggregate). separation = intra − inter is the
+    * "are labels actually clusters?" gate before label-stratified
+    * dedup (v27) or cluster-purity conclusions (v30).
+    *
+    * Scale shape: one corpus scan into a (label, dim) decimal-sum
+    * table (map-side combined, K×64 rows), everything after runs on
+    * that table; nothing pairwise, no windows. */
+  private val v32 = QDef(
+    "v32_label_separation",
+    s"""WITH e AS (
+       |  SELECT label, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT label, t.di AS dim, CAST(embedding[t.di] AS DOUBLE) / nrm AS u
+       |  FROM e, unnest(range(1, 65)) AS t(di)),
+       |sd AS (SELECT label, dim, ${sqlDsum("u")} AS s
+       |       FROM x GROUP BY label, dim),
+       |td AS (SELECT dim, ${sqlDsum("s")} AS t FROM sd GROUP BY dim),
+       |nl AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+       |agg AS (
+       |  SELECT sd.label, ${sqlDsum("sd.s * sd.s")} AS s2,
+       |    ${sqlDsum("sd.s * (td.t - sd.s)")} AS cross_sum
+       |  FROM sd JOIN td USING (dim) GROUP BY sd.label),
+       |tot AS (SELECT SUM(n) AS nt FROM nl)
+       |SELECT nl.label, CAST(nl.n AS BIGINT) AS n,
+       |  (agg.s2 - nl.n) / NULLIF(CAST(nl.n * (nl.n - 1) AS DOUBLE), 0.0) AS mean_intra_cos,
+       |  agg.cross_sum / NULLIF(CAST(nl.n * (tot.nt - nl.n) AS DOUBLE), 0.0) AS mean_inter_cos,
+       |  ((agg.s2 - nl.n) / NULLIF(CAST(nl.n * (nl.n - 1) AS DOUBLE), 0.0)) -
+       |    (agg.cross_sum / NULLIF(CAST(nl.n * (tot.nt - nl.n) AS DOUBLE), 0.0)) AS separation
+       |FROM nl JOIN agg USING (label) CROSS JOIN tot
+       |ORDER BY nl.label""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d).withColumn("nrm", norm("emb"))
+    val sd = e.select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")),
+        col("nrm"))
+      .select(col("label"), col("dim"), (col("v") / col("nrm")).as("u"))
+      .groupBy(col("label"), col("dim")).agg(dsum(col("u")).as("s"))
+    val td = sd.groupBy(col("dim")).agg(dsum(col("s")).as("t"))
+    val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val agg = sd.join(td, Seq("dim"))
+      .groupBy(col("label"))
+      .agg(dsum(col("s") * col("s")).as("s2"),
+        dsum(col("s") * (col("t") - col("s"))).as("cross_sum"))
+    val tot = nl.agg(sum(col("n")).as("nt"))
+    val intra = (col("s2") - col("n")) /
+      nullif((col("n") * (col("n") - 1)).cast("double"), lit(0.0))
+    val inter = col("cross_sum") /
+      nullif((col("n") * (col("nt") - col("n"))).cast("double"), lit(0.0))
+    nl.join(agg, Seq("label")).crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        intra.as("mean_intra_cos"), inter.as("mean_inter_cos"),
+        (intra - inter).as("separation"))
+      .orderBy(col("label"))
   }
 }

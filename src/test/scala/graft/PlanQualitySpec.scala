@@ -855,6 +855,21 @@ class PlanQualitySpec extends GraftSuite {
       s"t45 planned a window/cartesian:\n$p")
   }
 
+  test("d22: langid eval is two label-keyed rollups of the shared predictor") {
+    val df = SparkEntry.queries("d22_langid_eval")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"),
+      s"d22 planned a cartesian/window:\n$p")
+    graft.util.Persist.releaseAll()
+  }
+
+  test("v32: separation runs on the (label, dim) sum table, nothing pairwise") {
+    val p = planOf("v32_label_separation")
+    assert(p.contains("partial"), s"v32 lost its map-side combines:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec"),
+      s"v32 planned pairwise/window work:\n$p")
+  }
+
   test("d21: funnel gates shrink the corpus before the sketch stage; no cartesian") {
     val df = SparkEntry.queries("d21_corpus_funnel")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

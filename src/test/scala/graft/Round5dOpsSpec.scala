@@ -390,6 +390,74 @@ class Round5dOpsSpec extends GraftSuite {
     assert(got.head._8 == 1.0 && got.head._5 == 0.0)
   }
 
+  test("d22: langid eval equals a confusion rollup of oracle-verified d04") {
+    val lp = SparkEntry.queries("d04_langid")(spark, sf)
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+    val langs = lp.map(_._1).distinct.sorted
+    val expected = langs.map { l =>
+      val support = lp.count(_._1 == l).toLong
+      val tp = lp.count(p => p._1 == l && p._2 == l).toLong
+      val nPred = lp.count(_._2 == l).toLong
+      // a never-predicted language has NULL precision/F1 (NULLIF guard)
+      val p = if (nPred == 0) None else Some(tp.toDouble / nPred)
+      val r = tp.toDouble / support
+      val f1 = p.flatMap(pv =>
+        if (pv + r == 0.0) None else Some(2.0 * pv * r / (pv + r)))
+      (l, support, tp, nPred - tp, support - tp, p, r, f1)
+    }
+    val got = SparkEntry.queries("d22_langid_eval")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(got == expected)
+    // the classifier is better than chance overall
+    val (tpSum, n) = (got.map(_._3).sum.toDouble, lp.size.toDouble)
+    assert(tpSum / n > 1.0 / langs.size)
+  }
+
+  test("v32: label separation equals a per-label sufficient-stats replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect().toSeq
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val dims = vecs.head._2.length
+    val units = vecs.map { case (l, v) =>
+      val nr = math.sqrt(dot(v, v)); (l, v.map(_ / nr))
+    }
+    val labels = units.map(_._1).distinct.sorted
+    val sByLabel = labels.map { l =>
+      l -> (0 until dims).map(d2 =>
+        dsum(units.filter(_._1 == l).map(_._2(d2)))).toArray
+    }.toMap
+    val t = (0 until dims).map(d2 => dsum(labels.map(l => sByLabel(l)(d2))))
+    val nTot = units.size.toLong
+    val expected = labels.map { l =>
+      val sArr = sByLabel(l)
+      val n = units.count(_._1 == l).toLong
+      val s2 = dsum(sArr.map(v => v * v))
+      val cross = dsum(sArr.zip(t).map { case (sv, tv) => sv * (tv - sv) })
+      val intra = (s2 - n) / (n * (n - 1)).toDouble
+      val inter = cross / (n * (nTot - n)).toDouble
+      (l, n, intra, inter, intra - inter)
+    }
+    val got = SparkEntry.queries("v32_label_separation")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // the statistics are genuine cosine means (the fixture's labels turn
+    // out NOT to be embedding clusters — separation ≈ 0 — which is
+    // exactly what this card is for detecting)
+    assert(got.forall(r => r._3.abs <= 1.0 && r._4.abs <= 1.0))
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
