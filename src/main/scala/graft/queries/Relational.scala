@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58)
+    q40, q46, q58, q60)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -653,5 +653,84 @@ object Relational {
         (sum(when(col("delay_days") > 90, 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("late_rate"))
       .orderBy(col("priority"))
+  }
+
+  /** Referential-integrity audit — the data-quality checks a warehouse
+    * runs after every load (dbt tests / Deequ constraints, as one
+    * query): orphan lineitems (fact rows whose order key resolves to
+    * no dimension row), childless orders, duplicate primary keys on
+    * both tables, and NULL foreign keys; one row per check with its
+    * violation count and pass flag. Everything is an anti-join or a
+    * keyed count — the shapes Catalyst already optimizes — and the
+    * union of five one-row aggregates.
+    *
+    * Scale shape: two key anti-joins + two key count-distinct-style
+    * aggregates over strictly keyed data; no windows, nothing
+    * pairwise. */
+  private val q60 = QDef(
+    "q60_integrity_audit",
+    """WITH checks AS (
+      |  SELECT 1 AS check_idx, 'orphan_lineitems' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE l.l_orderkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_bad,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_total
+      |  UNION ALL
+      |  SELECT 2, 'childless_orders',
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                       WHERE l.l_orderkey = o.o_orderkey)),
+      |    (SELECT COUNT(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 3, 'dup_order_keys',
+      |    (SELECT COALESCE(SUM(c - 1), 0) FROM
+      |      (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+      |     WHERE c > 1),
+      |    (SELECT COUNT(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 4, 'dup_line_keys',
+      |    (SELECT COALESCE(SUM(c - 1), 0) FROM
+      |      (SELECT COUNT(*) AS c FROM lineitem
+      |       GROUP BY l_orderkey, l_linenumber) g
+      |     WHERE c > 1),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 5, 'null_fk',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+      |    (SELECT COUNT(*) FROM lineitem))
+      |SELECT check_idx, check_name, CAST(n_bad AS BIGINT) AS n_bad,
+      |  CAST(n_total AS BIGINT) AS n_total, n_bad = 0 AS ok
+      |FROM checks ORDER BY check_idx""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+    val nL = l.agg(count(lit(1)).as("n_total"))
+    val nO = o.agg(count(lit(1)).as("n_total"))
+    def card(idx: Int, name: String, bad: DataFrame, tot: DataFrame) =
+      bad.crossJoin(broadcast(tot))
+        .select(lit(idx).as("check_idx"), lit(name).as("check_name"),
+          col("n_bad"), col("n_total"))
+    val orphans = l.where(col("l_orderkey").isNotNull)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val childless = o
+      .join(l, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    val dupO = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
+    val dupL = l.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
+    val nullFk = l.where(col("l_orderkey").isNull)
+      .agg(count(lit(1)).as("n_bad"))
+    card(1, "orphan_lineitems", orphans, nL)
+      .unionAll(card(2, "childless_orders", childless, nO))
+      .unionAll(card(3, "dup_order_keys", dupO, nO))
+      .unionAll(card(4, "dup_line_keys", dupL, nL))
+      .unionAll(card(5, "null_fk", nullFk, nL))
+      .withColumn("ok", col("n_bad") === 0)
+      .orderBy(col("check_idx"))
   }
 }

@@ -458,6 +458,30 @@ class Round5dOpsSpec extends GraftSuite {
     assert(got.forall(r => r._3.abs <= 1.0 && r._4.abs <= 1.0))
   }
 
+  test("q60: integrity audit equals a key-set replay") {
+    val oKeys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    val lKeys = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val oSet = oKeys.toSet
+    val lOrderSet = lKeys.map(_._1).toSet
+    val nO = oKeys.size.toLong
+    val nL = lKeys.size.toLong
+    def dups(xs: Seq[_]): Long = (xs.size - xs.distinct.size).toLong
+    val expected = Seq(
+      (1, "orphan_lineitems", lKeys.count(k => !oSet(k._1)).toLong, nL),
+      (2, "childless_orders", oKeys.count(k => !lOrderSet(k)).toLong, nO),
+      (3, "dup_order_keys", dups(oKeys), nO),
+      (4, "dup_line_keys", dups(lKeys), nL),
+      (5, "null_fk", 0L, nL)
+    ).map(r => (r._1, r._2, r._3, r._4, r._3 == 0))
+    val got = SparkEntry.queries("q60_integrity_audit")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got == expected)
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
