@@ -796,6 +796,49 @@ object StreamingOps {
 
   private val DayUs = 86400000000L
 
+  /** STREAMING corpus-build gate — the ingest-time face of the d21
+    * funnel's cheap stages: arriving documents pass the charset gate
+    * (t44's rule) and the Gopher quality gate (t07's rule) as
+    * STATELESS per-row expression work, then corpus-global exact dedup
+    * keeps each text digest's first arrival within the watermark
+    * (t04's streaming shape). What flows out is the cleaned, deduped
+    * stream a near-dup batch pass (d21 stage 5) or an indexer consumes
+    * — gates run where the data lands, so the expensive stages only
+    * ever see survivors. First-arrival-wins matches the batch
+    * min-doc_id rule whenever arrival follows doc_id order; the kept
+    * DIGEST set is identical regardless (the segmentDedup caveat).
+    * State: one row per distinct surviving digest, TTL-bounded by the
+    * watermark. */
+  def corpusGate(docs: Dataset[DocIn],
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    def cnt(p: String) =
+      length(regexp_replace(col("text"), p, "")).cast("long")
+    val nChars = nullif(length(col("text")), lit(0))
+    def ratio(c: org.apache.spark.sql.Column) = c.cast("double") / nChars
+    val charsetKeep = ratio(cnt("[\\x01-\\x7f]")) <= 0.1 &&
+      ratio(cnt("[^0-9]")) <= 0.3 && ratio(cnt("[^A-Z]")) <= 0.3
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val meanLen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")
+    val nSym = size(filter(toks, t => t.rlike("[#%$@]")))
+    val nAlpha = size(filter(toks, t => t.rlike("\\p{L}")))
+    val nEll = size(filter(split(col("text"), "\n"), l => l.startsWith("...")))
+    val nLines = size(split(col("text"), "\n"))
+    val gopherKeep = (col("n_tok") >= 30 && col("n_tok") <= 50000) &&
+      (col("n_tok") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
+      (col("n_tok") > 0 && nSym.cast("double") / col("n_tok") < 0.5) &&
+      (nLines === 0 || nEll.cast("double") / nLines <= 0.3) &&
+      (col("n_tok") > 0 && nAlpha.cast("double") / col("n_tok") >= 0.6)
+    docs.toDF()
+      .withColumn("n_tok", size(toks).cast("long"))
+      .filter(charsetKeep)
+      .filter(gopherKeep)
+      .withColumn("dg", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("dg"))
+      .select(col("doc_id"), col("ts"), col("dg"), col("n_tok"))
+  }
+
   /** One SCD2 version row (q59's output + update generation). */
   final case class Scd2Out(
       user_id: Long, event_type: String, value: Double,

@@ -635,6 +635,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("corpusGate: streamed survivors equal the batch funnel's exact-dedup stage") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.DocIn
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // arrival follows doc_id order, so first-arrival-wins dedup equals
+    // the batch min-doc_id rule exactly
+    val wire = docs.map { case (id, t) => DocIn(id, t, ts(id)) }
+    val mem = MemoryStream[DocIn]
+    val out = StreamingOps.corpusGate(mem.toDS())
+    val query = out.writeStream.format("memory")
+      .queryName("gate_out").outputMode("append").start()
+    try {
+      val (b1, rest) = wire.splitAt(wire.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+      mem.addData(DocIn(-1L, "sentinel", ts(60 * 24 * 30)))
+      query.processAllAvailable()
+      val streamed = spark.table("gate_out")
+        .select("doc_id").as[Long].collect().toSet - (-1L)
+      // batch truth: charset gate -> gopher gate -> keep min doc_id per text
+      def toks(t: String) = t.split("\\s+").toSeq.filter(_.nonEmpty)
+      def charset(t: String) = t.nonEmpty && {
+        val n = t.length
+        t.count(c => c < 1 || c > 127).toDouble / n <= 0.1 &&
+        t.count(c => c >= '0' && c <= '9').toDouble / n <= 0.3 &&
+        t.count(c => c >= 'A' && c <= 'Z').toDouble / n <= 0.3
+      }
+      def gopher(t: String) = {
+        val tk = toks(t); val n = tk.size
+        val lines = t.split("\n", -1)
+        n >= 30 && n <= 50000 &&
+          { val m = t.count(_ != ' ').toDouble / n; m >= 2.0 && m <= 12.0 } &&
+          tk.count(_.exists("#%$@".contains(_))).toDouble / n < 0.5 &&
+          lines.count(_.startsWith("...")).toDouble / lines.length <= 0.3 &&
+          tk.count(_.exists(_.isLetter)).toDouble / n >= 0.6
+      }
+      val batch = docs.filter(d => charset(d._2) && gopher(d._2))
+        .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"stream ${streamed.size} kept vs batch ${batch.size}")
+    } finally query.stop()
+  }
+
   test("scd2: merged version emissions equal batch q59 bit-for-bit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
