@@ -22,7 +22,7 @@ class DeterminismSpec extends GraftSuite {
     "q01_pricing_summary", "q43_type_top_users", "q44_cusum_changepoint",
     "t30_dup_span_removal", "t33_source_novelty", "d16_dedup_impact",
     "sp12_revenue_hotspots", "v19_pq_recall_audit", "v29_isotropy_audit",
-    "d21_corpus_funnel")
+    "d21_corpus_funnel", "v32_label_separation", "d22_langid_eval")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
