@@ -24,7 +24,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q59)
+    q53, q54, q55, q56, q57, q59, q61)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1299,6 +1299,47 @@ object Events {
         row_number().over(w).as("version"))
       .withColumn("is_current", col("valid_to_us").isNull)
       .orderBy(col("user_id"), col("event_type"), col("version"))
+  }
+
+  /** Weekday × hour traffic heatmap — the 7×24 seasonality profile
+    * behind q42's hour-only baseline (staffing, maintenance-window
+    * placement, and the prior for weekday-aware anomaly gates). Day of
+    * week comes from EPOCH-DAY ARITHMETIC ((day+3) mod 7, 0 = Monday —
+    * 1970-01-01 was a Thursday), NOT from the engines' dayofweek()
+    * functions, whose numbering conventions differ; hours are epoch-
+    * hour mod 24. Every cell carries its exact count, decimal-exact
+    * value sum, share of total (one division), and an is_peak flag
+    * from a window over the ≤168 grouped cells.
+    *
+    * Scale shape: one map-side-combined (dow, hour) aggregate; the
+    * only window scans the 168-row cell table. */
+  private val q61 = QDef(
+    "q61_weekday_hour_heatmap",
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+       |    (epoch_us(ts) // 3600000000) % 24 AS hod, value
+       |  FROM events),
+       |c AS (
+       |  SELECT dow, hod, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |  FROM e GROUP BY dow, hod),
+       |t AS (SELECT SUM(n) AS nt, MAX(n) AS mx FROM c)
+       |SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hod AS BIGINT) AS hod,
+       |  c.n, c.total_value,
+       |  CAST(c.n AS DOUBLE) / t.nt AS share,
+       |  c.n = t.mx AS is_peak
+       |FROM c CROSS JOIN t ORDER BY dow, hod""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(expr("(unix_micros(ts) div 86400000000 + 3) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        col("value"))
+    val c = e.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val t = c.agg(sum(col("n")).as("nt"), max(col("n")).as("mx"))
+    c.crossJoin(broadcast(t))
+      .select(col("dow"), col("hod"), col("n"), col("total_value"),
+        (col("n").cast("double") / col("nt")).as("share"),
+        (col("n") === col("mx")).as("is_peak"))
+      .orderBy(col("dow"), col("hod"))
   }
 
   /** User-concentration card — Gini coefficient and top-share of the

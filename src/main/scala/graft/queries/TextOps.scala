@@ -21,7 +21,7 @@ object TextOps {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45)
+      t43, t44, t45, t46)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2345,5 +2345,47 @@ object TextOps {
         col("n_terms"), col("n_new").as("n_new_terms"),
         (col("n_new").cast("double") / col("n_terms")).as("new_term_share"))
       .orderBy(col("batch_id"))
+  }
+
+  /** Zipf octave-ratio card — the rank-frequency power-law check
+    * (f(r) ∝ r^-α ⇒ f(r)/f(2r) ≈ 2^α) WITHOUT the cross-engine ln()
+    * hazard: at each rank octave r ∈ {1,2,4,8,16,32}, report f(r),
+    * f(2r), and their ratio — a flat ratio ≈ 2 across octaves is the
+    * Zipf signature natural corpora show; synthetic or template-heavy
+    * corpora bend it, which is the drift this card watches for
+    * alongside t39's Heaps curve. Integer frequencies, one IEEE
+    * division per octave (the t37 pre-log rule: a monotone transform
+    * of a report statistic is presentation, not information).
+    *
+    * Scale shape: one map-side-combined term count; the rank pass is a
+    * row_number over GROUPED vocabulary counts (the t41 exemption) cut
+    * to 64 rows before the 6-row self-join on the doubled rank. */
+  private val t46 = QDef(
+    "t46_zipf_octaves",
+    """WITH tf AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |c AS (SELECT term, COUNT(*) AS f FROM tf GROUP BY term),
+      |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk FROM c)
+      |SELECT CAST(a.rnk AS BIGINT) AS rank, a.f AS freq,
+      |  b.f AS freq_2x,
+      |  CAST(a.f AS DOUBLE) / b.f AS octave_ratio
+      |FROM r a JOIN r b ON b.rnk = 2 * a.rnk
+      |WHERE a.rnk IN (1, 2, 4, 8, 16, 32)
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val W = org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val r = c.withColumn("rnk",
+        row_number().over(W.orderBy(col("f").desc, col("term"))))
+      .filter(col("rnk") <= 64)
+      .select(col("rnk").cast("long").as("rnk"), col("f"))
+    r.filter(col("rnk").isin(1L, 2L, 4L, 8L, 16L, 32L))
+      .join(r.select(col("rnk").as("rnk2"), col("f").as("freq_2x")),
+        col("rnk2") === lit(2L) * col("rnk"))
+      .select(col("rnk").as("rank"), col("f").as("freq"), col("freq_2x"),
+        (col("f").cast("double") / col("freq_2x")).as("octave_ratio"))
+      .orderBy(col("rank"))
   }
 }

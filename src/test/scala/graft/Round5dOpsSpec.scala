@@ -482,6 +482,47 @@ class Round5dOpsSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("q61: heatmap equals an epoch-day dow/hod replay") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts)").as("us"), col("value"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = rows.groupBy { case (us, _) =>
+      ((us / 86400000000L + 3) % 7, (us / 3600000000L) % 24)
+    }
+    val nt = rows.size.toLong
+    val mx = cells.values.map(_.size).max
+    val expected = cells.toSeq.map { case ((dow, hod), g) =>
+      (dow, hod, g.size.toLong, dsum(g.map(_._2)),
+        g.size.toDouble / nt, g.size == mx)
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q61_weekday_hour_heatmap")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got == expected)
+    assert(got.map(_._3).sum == nt && got.count(_._6) >= 1)
+  }
+
+  test("t46: Zipf octaves equal a ranked-frequency replay") {
+    val freqs = docs.flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    val expected = Seq(1, 2, 4, 8, 16, 32).flatMap { r =>
+      if (2 * r <= freqs.size) {
+        val f = freqs(r - 1)._2
+        val f2 = freqs(2 * r - 1)._2
+        Some((r.toLong, f, f2, f.toDouble / f2))
+      } else None
+    }
+    val got = SparkEntry.queries("t46_zipf_octaves")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // frequencies are non-increasing in rank: every octave ratio >= 1
+    assert(got.forall(_._4 >= 1.0))
+  }
+
   test("d21: corpus funnel equals a five-stage single-node replay") {
     val all = docs.map { case (id, _, text) => (id, text) }
     def nTok(t: String) = toks(t).size
