@@ -40,10 +40,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // Transaction keywords acknowledged as no-ops, never executed
     // (reference handler.rs:43-67 / :108-127).
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlan(
-      rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
-        .orElse(rewriteCreateExternal(sqlText))
-        .getOrElse(eraseUnsupportedCasts(sqlText))))
+    else rewrite(delegate.parsePlan(preprocess(sqlText)))
   }
 
   // the default implementation drops the parameter context, which
@@ -52,10 +49,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlanWithParameters(
-      rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
-        .orElse(rewriteCreateExternal(sqlText))
-        .getOrElse(eraseUnsupportedCasts(sqlText)), ctx))
+    else rewrite(delegate.parsePlanWithParameters(preprocess(sqlText), ctx))
+  }
+
+  /** Text-level compatibility rewrites applied before the real parser:
+    * DataFusion file statements, PG `DISTINCT ON`, `QUALIFY`, and
+    * catalog-cast erasure, in that order. */
+  private def preprocess(sqlText: String): String = {
+    val base = rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
+      .orElse(rewriteCreateExternal(sqlText))
+      .getOrElse(sqlText)
+    val sel = rewriteDistinctOn(base).orElse(rewriteQualify(base))
+      .getOrElse(base)
+    eraseUnsupportedCasts(sel)
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -171,6 +177,199 @@ object GraftSqlParser {
         })
       Some(s"INSERT INTO $table SELECT * FROM $format.`$path`")
     case _ => None
+  }
+
+  /** Minimal SQL text scanner: finds keywords at paren depth 0 outside
+    * '...', "..." and `...` quoting, so rewrites never touch string
+    * literals or subqueries. */
+  private[plans] object SqlText {
+    private def identChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+
+    /** Position just past a quoted run starting at `i` (s(i) is the
+      * opening quote). Doubled quotes inside '...' are the PG escape. */
+    def skipQuoted(s: String, i: Int): Int = {
+      val q = s.charAt(i)
+      var j = i + 1
+      while (j < s.length) {
+        if (s.charAt(j) == q) {
+          if (q == '\'' && j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+          else return j + 1
+        } else j += 1
+      }
+      s.length
+    }
+
+    /** Index just past the parenthesis matching the one at `open`. */
+    def matchingParen(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' | '"' | '`' => i = skipQuoted(s, i)
+          case '(' => depth += 1; i += 1
+          case ')' =>
+            depth -= 1; i += 1
+            if (depth == 0) return i
+          case _ => i += 1
+        }
+      }
+      -1
+    }
+
+    /** True when the (single- or multi-word, space-separated) keyword
+      * `kw` matches at position `i` of lowercase text `lower`, word-
+      * bounded on both sides; returns the end index, or -1. */
+    private def keywordAt(lower: String, i: Int, kw: String): Int = {
+      if (i > 0 && identChar(lower.charAt(i - 1))) return -1
+      var pos = i
+      val words = kw.split(' ')
+      var w = 0
+      while (w < words.length) {
+        val word = words(w)
+        if (!lower.startsWith(word, pos)) return -1
+        pos += word.length
+        if (w < words.length - 1) {
+          var sp = 0
+          while (pos < lower.length && lower.charAt(pos).isWhitespace) {
+            pos += 1; sp += 1
+          }
+          if (sp == 0) return -1
+        }
+        w += 1
+      }
+      if (pos < lower.length && identChar(lower.charAt(pos))) -1 else pos
+    }
+
+    /** First top-level occurrence of `kw` at or after `from`; -1 if
+      * absent. */
+    def indexOfTopLevel(s: String, kw: String, from: Int): Int = {
+      val lower = s.toLowerCase
+      var i = math.max(from, 0)
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' | '"' | '`' => i = skipQuoted(s, i)
+          case '(' => i = math.max(matchingParen(s, i), i + 1)
+          case _ =>
+            if (keywordAt(lower, i, kw) >= 0) return i
+            i += 1
+        }
+      }
+      -1
+    }
+
+    def containsTopLevel(s: String, kw: String): Boolean =
+      indexOfTopLevel(s, kw, 0) >= 0
+
+    /** Split on top-level commas (outside parens and quotes). */
+    def splitTopLevel(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var start = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' | '"' | '`' => i = skipQuoted(s, i)
+          case '(' => i = math.max(matchingParen(s, i), i + 1)
+          case ',' => out += s.substring(start, i); start = i + 1; i += 1
+          case _ => i += 1
+        }
+      }
+      out += s.substring(start)
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  private val DistinctOnPrefix = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+
+  /** PostgreSQL `SELECT DISTINCT ON (keys) sel FROM ... ORDER BY ord`
+    * (the reference accepts it through DataFusion's PG dialect) →
+    * first-row-per-key via a ranking window:
+    * `SELECT * EXCEPT(rn) FROM (SELECT sel, row_number() OVER
+    * (PARTITION BY keys ORDER BY ord) rn FROM ...) WHERE rn = 1`.
+    * Distributed shape: one hash shuffle on the keys, no global sort.
+    * Top-level statements only; absent ORDER BY falls back to the keys
+    * themselves (PG then picks an arbitrary row — here a deterministic
+    * one). */
+  def rewriteDistinctOn(sql: String): Option[String] = {
+    val s = sql.trim.stripSuffix(";")
+    DistinctOnPrefix.findPrefixMatchOf(s).flatMap { m =>
+      val open = m.end - 1
+      val close = SqlText.matchingParen(s, open)
+      if (close < 0) return None
+      val keys = s.substring(open + 1, close - 1).trim
+      val fromIdx = SqlText.indexOfTopLevel(s, "from", close)
+      if (fromIdx < 0) return None
+      val selList = s.substring(close, fromIdx).trim
+      val orderIdx = SqlText.indexOfTopLevel(s, "order by", fromIdx)
+      val limitIdx = SqlText.indexOfTopLevel(s, "limit", fromIdx)
+      val offsetIdx = SqlText.indexOfTopLevel(s, "offset", fromIdx)
+      val tailIdx = Seq(limitIdx, offsetIdx).filter(_ >= 0)
+        .reduceOption(_ min _).getOrElse(s.length)
+      val bodyEnd = if (orderIdx >= 0) orderIdx else tailIdx
+      val body = s.substring(fromIdx, bodyEnd).trim
+      val ord =
+        if (orderIdx >= 0)
+          s.substring(s.toLowerCase.indexOf("by", orderIdx) + 2, tailIdx).trim
+        else keys
+      // The outer row order follows PG: results come out ordered by the
+      // ORDER BY, whose leading terms PG requires to be the DISTINCT ON
+      // keys. Those terms may reference base columns absent from the
+      // select list, so each is carried through the subquery as a hidden
+      // column (with its ASC/DESC/NULLS modifier re-applied outside).
+      val DirSuffix =
+        "(?is)\\s+(ASC|DESC)?\\s*(NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+      val nKeys = SqlText.splitTopLevel(keys).size
+      val ordTerms = SqlText.splitTopLevel(ord).take(nKeys).map { t =>
+        val dir = DirSuffix.findFirstIn(t).map(_.trim).getOrElse("")
+        val expr = DirSuffix.replaceAllIn(t, "")
+        (expr, dir)
+      }
+      val hidden = ordTerms.zipWithIndex
+        .map { case ((e, _), i) => s"($e) AS __graft_k$i" }
+      val outerOrder =
+        if (orderIdx >= 0)
+          " ORDER BY " + ordTerms.zipWithIndex
+            .map { case ((_, d), i) => s"__graft_k$i $d".trim }.mkString(", ")
+        else ""
+      val outerTail =
+        if (tailIdx < s.length) " " + s.substring(tailIdx).trim else ""
+      val dropCols =
+        ("__graft_don" +: ordTerms.indices.map(i => s"__graft_k$i")).mkString(", ")
+      Some(
+        s"""SELECT * EXCEPT($dropCols) FROM (
+           |SELECT $selList, ${hidden.mkString(", ")}, row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __graft_don
+           |$body) __graft_don_t WHERE __graft_don = 1$outerOrder$outerTail""".stripMargin)
+    }
+  }
+
+  /** DuckDB/BigQuery-style `QUALIFY` (filter on window results without a
+    * subquery): the predicate either references select-list aliases —
+    * then it becomes a plain outer `WHERE` over the original query as a
+    * subquery — or contains inline `OVER` windows — then it is hoisted
+    * into the select list as a boolean column evaluated in window scope
+    * and filtered outside. Top-level statements only. */
+  def rewriteQualify(sql: String): Option[String] = {
+    val s = sql.trim.stripSuffix(";")
+    if (!s.toLowerCase.matches("(?s)^\\s*select\\b.*")) return None
+    val qIdx = SqlText.indexOfTopLevel(s, "qualify", 0)
+    if (qIdx < 0) return None
+    val head = s.substring(0, qIdx).trim
+    val after = s.substring(qIdx + "qualify".length)
+    val tailIdx = Seq("order by", "limit", "offset", "window")
+      .map(SqlText.indexOfTopLevel(after, _, 0)).filter(_ >= 0)
+      .reduceOption(_ min _).getOrElse(after.length)
+    val pred = after.substring(0, tailIdx).trim
+    val tail =
+      if (tailIdx < after.length) " " + after.substring(tailIdx).trim else ""
+    if (pred.isEmpty) return None
+    if (SqlText.containsTopLevel(pred, "over")) {
+      val fromIdx = SqlText.indexOfTopLevel(head, "from", 0)
+      if (fromIdx < 0) return None
+      val aug = head.substring(0, fromIdx) + s", ($pred) AS __graft_q " +
+        head.substring(fromIdx)
+      Some(s"SELECT * EXCEPT(__graft_q) FROM (\n$aug) __graft_q_t WHERE __graft_q$tail")
+    } else
+      Some(s"SELECT * FROM (\n$head) __graft_q_t WHERE $pred$tail")
   }
 
   /** DataFusion-style `COPY ... TO 'file'` → Spark's

@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60)
+    q40, q46, q58, q60, q62, q63)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -732,5 +732,44 @@ object Relational {
       .unionAll(card(5, "null_fk", nullFk, nL))
       .withColumn("ok", col("n_bad") === 0)
       .orderBy(col("check_idx"))
+  }
+
+  /** PostgreSQL `DISTINCT ON`: latest event per user. Exercises the
+    * GraftSqlParser text rewrite (plans/GraftExtensions.scala) — the
+    * PG-dialect surface the reference exposes through DataFusion. The
+    * rewritten plan is one hash shuffle on the key + a ranking window,
+    * no global sort. The oracle runs the *same* statement: DuckDB
+    * implements DISTINCT ON natively, so the rewrite is checked against
+    * an independent engine's semantics. */
+  private val q62 = QDef(
+    "q62_distinct_on_latest",
+    """SELECT DISTINCT ON (user_id) user_id, ts, event_type, value
+      |FROM events
+      |ORDER BY user_id, ts DESC, event_id DESC""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT DISTINCT ON (user_id) user_id, ts, event_type, value
+      |FROM events
+      |ORDER BY user_id, ts DESC, event_id DESC""".stripMargin)
+  }
+
+  /** `QUALIFY` (DuckDB/BigQuery dialect): top-3 orders per customer
+    * filtered on a window alias without a subquery. Same parser-rewrite
+    * surface as q62; DuckDB evaluates the identical statement natively
+    * as the oracle. */
+  private val q63 = QDef(
+    "q63_qualify_top_orders",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |FROM orders
+      |QUALIFY rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |FROM orders
+      |QUALIFY rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin)
   }
 }
