@@ -11,7 +11,7 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * against DuckDB on the driver fixtures. */
 object JoinOps {
 
-  def defs: Seq[QDef] = Seq(q30, q31)
+  def defs: Seq[QDef] = Seq(q30, q31, q64)
 
   /** AS-OF join over the events stream: for each purchase, the user's
     * latest preceding view (the attribution lookup). Views are
@@ -62,5 +62,69 @@ object JoinOps {
     RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", binWidth = 50.0)
       .select(col("c_custkey"), col("p_partkey"))
       .orderBy(col("c_custkey"), col("p_partkey"))
+  }
+
+  /** Entity resolution by the sorted-neighborhood method (Hernandez &
+    * Stolfo 1995): rank records by a sort key, compare only records
+    * within a fixed window w of each other — O(N·w) comparisons instead
+    * of per-block quadratic pair work. Distributed shape: the global
+    * rank is a range partition + per-partition offsets (the only
+    * unpartitioned window reads the P-row partition-count table), and
+    * the windowed pairing is a plain equi-join on rank+delta, so the
+    * shuffle carries rank keys — never the cross product. The verify
+    * stage (Levenshtein + field features) runs on the O(N·w) candidate
+    * set only. w and the similarity threshold are the recall knobs. */
+  private val q64 = QDef(
+    "q64_entity_resolution",
+    """WITH r AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      |    ROW_NUMBER() OVER (ORDER BY c_name) AS rk
+      |  FROM customer)
+      |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+      |  a.c_mktsegment = b.c_mktsegment AS same_segment,
+      |  abs(a.c_acctbal - b.c_acctbal) AS bal_gap,
+      |  CAST((3 - levenshtein(a.c_name, b.c_name)) * 10
+      |    + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 5 ELSE 0 END
+      |    AS BIGINT) AS score
+      |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val w = org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, d)
+    // scale-safe global rank: range partition on the sort key, then
+    // offset(partition) + local row_number — the unpartitioned window
+    // below touches only the P-row per-partition count table
+    val ranged = c.repartitionByRange(8, col("c_name"))
+      .withColumn("pid", spark_partition_id()).persistTracked()
+    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(w.orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("off"))
+    val rk = ranged.join(broadcast(offs), "pid")
+      .withColumn("rk", col("off") +
+        row_number().over(w.partitionBy(col("pid"))
+          .orderBy(col("c_name"), col("c_custkey"))))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("rk"))
+      .persistTracked()
+    val probes = rk
+      .withColumn("d", explode(expr("sequence(1, 5)")))
+      .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("c_acctbal").as("a_bal"), col("c_mktsegment").as("a_seg"),
+        (col("rk") + col("d")).as("b_rk"))
+    val build = rk.select(col("rk").as("b_rk"), col("c_custkey").as("b_key"),
+      col("c_name").as("b_name"), col("c_acctbal").as("b_bal"),
+      col("c_mktsegment").as("b_seg"))
+    probes.join(build, "b_rk")
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .where(col("lev") <= 2)
+      .select(col("a_key"), col("b_key"), col("lev").cast("long").as("lev"),
+        (col("a_seg") === col("b_seg")).as("same_segment"),
+        abs(col("a_bal") - col("b_bal")).as("bal_gap"),
+        ((lit(3) - col("lev")) * 10 +
+          when(col("a_seg") === col("b_seg"), 5).otherwise(0))
+          .cast("long").as("score"))
+      .orderBy(col("a_key"), col("b_key"))
   }
 }
