@@ -18,7 +18,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13, sp14)
+    sp09, sp10, sp11, sp12, sp13, sp14, sp15)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -681,5 +681,54 @@ object Spatial {
       expNn.as("expected_nn_dist"),
       (meanNn / expNn).as("ce_index"),
       (meanNn < expNn).as("clustered"))
+  }
+
+  /** Geofence enter/exit detection: assign each event position to a
+    * named fence polygon (priority-ordered point-in-polygon through the
+    * registered ST_* surface), then emit zone-change transitions per
+    * user via a user-keyed LAG — the trajectory-to-geofence-event
+    * pipeline (fleet tracking, store-visit attribution). Distributed
+    * shape: the zoning pass is per-row expression work against three
+    * broadcast-constant envelopes (no join), and the sequencing window
+    * is user-keyed — no global sort, no pair work. The oracle replays
+    * the interior tests arithmetically (coordinates sit on half-integer
+    * offsets, never on a fence edge, so interior-vs-boundary semantics
+    * cannot diverge). */
+  private val sp15 = QDef(
+    "sp15_geofence_transitions",
+    s"""WITH pos AS (
+       |  SELECT user_id, ts, event_id,
+       |    ${ptX("event_id")} AS x, ${ptY("event_id")} AS y
+       |  FROM events),
+       |zoned AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN x > 0 AND x < 40 AND y > 0 AND y < 40 THEN 'A'
+       |         WHEN x > 50 AND x < 100 AND y > 50 AND y < 100 THEN 'B'
+       |         WHEN x > 20 AND x < 45 AND y > 60 AND y < 95 THEN 'C'
+       |         ELSE 'out' END AS zone
+       |  FROM pos),
+       |seq AS (
+       |  SELECT user_id, event_id, zone,
+       |    LAG(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM zoned)
+       |SELECT user_id, event_id, prev AS from_zone, zone AS to_zone
+       |FROM seq WHERE prev IS NOT NULL AND prev <> zone
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr(s"st_makepoint(${ptX("event_id")}, ${ptY("event_id")})").as("pt"))
+      .withColumn("zone",
+        when(expr("st_within(pt, st_makeenvelope(0D, 0D, 40D, 40D))"), "A")
+          .when(expr("st_within(pt, st_makeenvelope(50D, 50D, 100D, 100D))"), "B")
+          .when(expr("st_within(pt, st_makeenvelope(20D, 60D, 45D, 95D))"), "C")
+          .otherwise("out"))
+      .withColumn("prev", lag(col("zone"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") =!= col("zone"))
+      .select(col("user_id"), col("event_id"),
+        col("prev").as("from_zone"), col("zone").as("to_zone"))
+      .orderBy(col("user_id"), col("event_id"))
   }
 }
