@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32)
+    v26, v27, v28, v29, v30, v31, v32, v33)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2122,5 +2122,63 @@ object VectorOps {
         intra.as("mean_intra_cos"), inter.as("mean_inter_cos"),
         (intra - inter).as("separation"))
       .orderBy(col("label"))
+  }
+
+  /** Top principal direction of the embedding matrix by DISTRIBUTED
+    * power iteration (two rounds of v <- M\u1d40M v, normalized between
+    * rounds) — the building block behind PCA whitening, anisotropy
+    * correction (all-but-the-top), and spectral ev_share monitoring of
+    * an embedding corpus. Nothing ever materializes the Gram matrix:
+    * each round is two key-equi shuffles over the exploded (vec_id,
+    * dim, v) table — dot products t_i = <e_i, v> as a vec_id-keyed
+    * aggregate, then the update w_j = \u03a3_i e_ij t_i as a dim-keyed
+    * aggregate — with the 64-row direction vector broadcast back. All
+    * reductions are decimal-exact (order-independent), so two engines
+    * agree bit-for-bit. Output: the unit loading per dimension, the
+    * Rayleigh eigenvalue estimate, and its share of total variance
+    * (trace). Rounds scale as O(log(gap)); at 100 TB each round is two
+    * map-side-combined shuffles of constant-width rows. */
+  private val v33 = QDef(
+    "v33_power_iteration",
+    s"""WITH ex AS (
+       |  SELECT vec_id, t.di AS dim, CAST(embedding[t.di] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, 65)) AS t(di)),
+       |t1 AS (SELECT vec_id, ${sqlDsum("v")} AS t FROM ex GROUP BY vec_id),
+       |w1 AS (SELECT dim, ${sqlDsum("v * t")} AS w
+       |       FROM ex JOIN t1 USING (vec_id) GROUP BY dim),
+       |n1 AS (SELECT ${sqlDsum("w * w")} AS ww FROM w1),
+       |v1 AS (SELECT dim, w / sqrt(ww) AS u FROM w1 CROSS JOIN n1),
+       |t2 AS (SELECT vec_id, ${sqlDsum("v * u")} AS t
+       |       FROM ex JOIN v1 USING (dim) GROUP BY vec_id),
+       |w2 AS (SELECT dim, ${sqlDsum("v * t")} AS w2
+       |       FROM ex JOIN t2 USING (vec_id) GROUP BY dim),
+       |n2 AS (SELECT ${sqlDsum("w2 * w2")} AS ww2 FROM w2),
+       |tr AS (SELECT ${sqlDsum("v * v")} AS tr FROM ex)
+       |SELECT CAST(dim AS BIGINT) AS dim, w2 / sqrt(ww2) AS loading,
+       |  sqrt(ww2) AS lambda, sqrt(ww2) / tr AS ev_share
+       |FROM w2 CROSS JOIN n2 CROSS JOIN tr ORDER BY dim""".stripMargin) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val ex = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"), col("v"))
+      .persistTracked()
+    val t1 = ex.groupBy(col("vec_id")).agg(dsum(col("v")).as("t"))
+    val w1 = ex.join(t1, "vec_id")
+      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w"))
+    val n1 = w1.agg(dsum(col("w") * col("w")).as("ww"))
+    val v1 = w1.crossJoin(broadcast(n1))
+      .select(col("dim"), (col("w") / sqrt(col("ww"))).as("u"))
+    val t2 = ex.join(broadcast(v1), "dim")
+      .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
+    val w2 = ex.join(t2, "vec_id")
+      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w2"))
+    val n2 = w2.agg(dsum(col("w2") * col("w2")).as("ww2"))
+    val tr = ex.agg(dsum(col("v") * col("v")).as("tr"))
+    w2.crossJoin(broadcast(n2)).crossJoin(broadcast(tr))
+      .select(col("dim").cast("long").as("dim"),
+        (col("w2") / sqrt(col("ww2"))).as("loading"),
+        sqrt(col("ww2")).as("lambda"),
+        (sqrt(col("ww2")) / col("tr")).as("ev_share"))
+      .orderBy(col("dim"))
   }
 }
