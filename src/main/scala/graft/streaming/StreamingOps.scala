@@ -612,6 +612,82 @@ object StreamingOps {
     * bound it at scale with more shards, or swap in the
     * [[graft.functions.HeavyHittersAgg]] sketch when approximate
     * ranking is acceptable. */
+  /** A valued typed event on the attribution wire. */
+  final case class AttrEventIn(user_id: Long, event_id: Long,
+      event_type: String, value: Double, ts: java.sql.Timestamp)
+
+  /** One attributed purchase (q49's pre-aggregation row). */
+  final case class AttributionOut(user_id: Long, event_id: Long, us: Long,
+      touch_type: String, value: Double)
+
+  /** A buffered not-yet-final event. */
+  final case class AttrPending(us: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Attribution state: the finalized-prefix last touch + the buffer of
+    * events still inside the watermark horizon. */
+  final case class AttrState(lastTouchType: String, lastTouchUs: Long,
+      pending: Vector[AttrPending])
+
+  /** Streaming last-touch attribution — the incremental face of batch
+    * q49's purchase-level stage: each purchase is credited to the
+    * user's most recent preceding non-purchase event within the
+    * lookback window, else 'none'. Events buffer per user until the
+    * watermark passes them, then finalize in (us, event_id) order —
+    * exactly the batch window's frame and tiebreak — so stream output
+    * equals the batch rows bit-for-bit regardless of micro-batch
+    * boundaries or intra-batch arrival order.
+    *
+    * State per user is one (type, us) touch cursor plus the
+    * watermark-bounded pending buffer — constant-ish per key, sharded
+    * across state stores; nothing global, no reprocessing. The
+    * aggregation step (attributed value by touch type) is a plain
+    * downstream groupBy either engine can run. */
+  def lastTouchAttribution(events: Dataset[AttrEventIn],
+      lookbackUs: Long = 604800000000L,
+      watermarkDelay: String = "2 hours"): Dataset[AttributionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[AttrEventIn], state: GroupState[AttrState]) =>
+          val prev = state.getOption.getOrElse(
+            AttrState(null, Long.MinValue, Vector.empty))
+          var pending = prev.pending
+          it.foreach { e =>
+            pending :+= AttrPending(usOf(e.ts), e.event_id, e.event_type, e.value)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, rest) = pending.partition(_.us < wmUs)
+          var touchType = prev.lastTouchType
+          var touchUs = prev.lastTouchUs
+          val out = Vector.newBuilder[AttributionOut]
+          done.sortBy(p => (p.us, p.event_id)).foreach { p =>
+            if (p.event_type == "purchase") {
+              val credited =
+                if (touchUs != Long.MinValue && p.us - touchUs <= lookbackUs)
+                  touchType
+                else "none"
+              out += AttributionOut(userId, p.event_id, p.us, credited, p.value)
+            } else { touchType = p.event_type; touchUs = p.us }
+          }
+          if (rest.isEmpty && touchUs == Long.MinValue && touchType == null) {
+            state.remove()
+          } else {
+            state.update(AttrState(touchType, touchUs, rest))
+            if (rest.nonEmpty) {
+              val wantedMs = rest.iterator.map(_.us).min / 1000L + 1
+              state.setTimeoutTimestamp(
+                math.max(wantedMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   def leaderboard(events: Dataset[ValuedEventIn], k: Int,
       shards: Int = 8): Dataset[LeaderboardOut] = {
     val spark = events.sparkSession

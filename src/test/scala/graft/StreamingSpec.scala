@@ -756,4 +756,57 @@ class StreamingSpec extends AnyFunSuite {
         s"stream ${merged.size} days vs batch ${batch.size}")
     } finally query.stop()
   }
+
+  test("lastTouchAttribution: stream equals batch q49 purchase rows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{AttrEventIn, AttributionOut}
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = "/root/testdata/sf0.001"
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[AttrEventIn].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[AttrEventIn]
+    val out = StreamingOps.lastTouchAttribution(mem.toDS(), watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("attr_out").outputMode("append").start()
+    try {
+      val (a, b) = evts.splitAt(evts.length / 2)
+      mem.addData(a.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(AttrEventIn(99L, -1L, "zz_sentinel", 0.0,
+        new Timestamp(evts.last.ts.getTime + 72L * 3600 * 1000)))
+      query.processAllAvailable()
+      val got = spark.table("attr_out")
+        .filter(col("user_id") =!= 99L)
+        .as[AttributionOut].collect().toSet
+
+      // batch oracle: q49's purchase-level stage (the rows its GROUP BY
+      // then aggregates), same window frame and (us, event_id) tiebreak
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val batch = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("touch_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .withColumn("touch_us",
+          last(when(col("event_type") =!= "purchase", col("us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"),
+          when(col("touch_us").isNotNull &&
+            col("us") - col("touch_us") <= 604800000000L,
+            col("touch_type")).otherwise("none").as("touch_type"),
+          col("value"))
+        .as[AttributionOut].collect().toSet
+      assert(got.nonEmpty && got == batch,
+        s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+      assert(got.exists(_.touch_type != "none"), "some purchases must attribute")
+    } finally query.stop()
+  }
 }
