@@ -902,4 +902,38 @@ class PlanQualitySpec extends GraftSuite {
       p.contains("BroadcastHashJoin"),
       s"sp14 lost the grid equi-join:\n$p")
   }
+
+  test("q62: DISTINCT ON rewrites to a key-partitioned ranking window") {
+    val p = planOf("q62_distinct_on_latest")
+    assert(p.contains("Window"), s"q62 lost the ranking window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q62 planned join work:\n$p")
+    // the partition spec keys the window on user_id, so no global sort
+    // precedes the filter (the only Sort is the final presentation order)
+    assert(p.contains("user_id"), s"q62 window lost its key:\n$p")
+  }
+
+  test("q64: SNM pairing is an equi-join on rank+delta, never a cross product") {
+    val p = planOf("q64_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q64 planned pair work:\n$p")
+    assert(p.contains("b_rk"), s"q64 lost the rank-key join:\n$p")
+  }
+
+  test("sp15: geofence zoning is per-row expression work + a user-keyed lag") {
+    val p = planOf("sp15_geofence_transitions")
+    assert(!p.contains("Join"), s"sp15 planned a join:\n$p")
+    assert(p.contains("Window"), s"sp15 lost the lag window:\n$p")
+  }
+
+  test("v33: power iteration is key-joined aggregates, the Gram matrix never forms") {
+    val p = planOf("v33_power_iteration")
+    // broadcast crossJoins against the 1-row norm/trace aggregates are
+    // fine (BroadcastNestedLoopJoin over one row); a CartesianProduct
+    // between data-sized sides is not
+    assert(!p.contains("CartesianProduct"), s"v33 planned pairwise work:\n$p")
+    assert(p.contains("partial"), s"v33 aggregates lost map-side combine:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"v33 planned a window:\n$p")
+  }
 }
