@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.util.Det._
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
 /** Oracle-checked driver entries for the composed join operators
   * (AsOfJoin, RangeJoin) — the operators themselves are spec-tested
@@ -11,7 +12,7 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * against DuckDB on the driver fixtures. */
 object JoinOps {
 
-  def defs: Seq[QDef] = Seq(q30, q31, q64)
+  def defs: Seq[QDef] = Seq(q30, q31, q64, q65)
 
   /** AS-OF join over the events stream: for each purchase, the user's
     * latest preceding view (the attribution lookup). Views are
@@ -126,5 +127,28 @@ object JoinOps {
           when(col("a_seg") === col("b_seg"), 5).otherwise(0))
           .cast("long").as("score"))
       .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** The skew-salted join serving a driver-checked query: events (the
+    * skewed fact — one hot user dominates a shuffle partition at scale)
+    * join the customer dimension through [[SkewJoin.salted]], which
+    * spreads each probe key over 8 salt buckets and replicates the
+    * build side 8x, then roll up to segment totals. The salt never
+    * reaches the result, so the oracle is the plain join formulation —
+    * proving the rewrite is semantics-preserving end-to-end, not just
+    * spec-level. */
+  private val q65 = QDef(
+    "q65_skew_salted_join",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val probe = Tables.events(s, d).select(col("user_id"), col("value"))
+    val build = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewJoin.salted(probe, build, Seq("user_id"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
 import graft.operators.SpatialJoin
+import graft.util.Det.{dsum, sqlDsum}
 import graft.util.Persist.Syntax
 import graft.spatial.SpatialFunctions
 
@@ -18,7 +19,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13, sp14, sp15)
+    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -730,5 +731,67 @@ object Spatial {
       .select(col("user_id"), col("event_id"),
         col("prev").as("from_zone"), col("zone").as("to_zone"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Areal-weighted interpolation (the GIS re-aggregation primitive):
+    * cell-level statistics transfer onto overlapping, non-nested target
+    * zones weighted by intersection area / cell area — census-tract to
+    * service-area reweighting. The Spark side computes the weights with
+    * the real geometry surface (ST_Intersection + ST_Area through the
+    * broadcast R-tree join); the oracle replays them as axis-aligned
+    * overlap arithmetic. Integer-valued rectangle coordinates make the
+    * shoelace area exact, so both formulations agree bit-for-bit.
+    * Distributed shape: per-cell stats are one grouped aggregate over
+    * the point table; the zone table (constant, 3 rows) broadcasts;
+    * weighting is per-joined-row expression work into a zone-keyed
+    * aggregate. No pair work beyond cells x matching zones. */
+  private val sp16 = QDef(
+    "sp16_areal_interpolation",
+    s"""WITH pts AS (
+       |  SELECT c_custkey, c_acctbal,
+       |    ${ptX("c_custkey")} AS x, ${ptY("c_custkey")} AS y
+       |  FROM customer),
+       |cells AS (
+       |  SELECT CAST(FLOOR(x / 10) AS BIGINT) AS cx,
+       |         CAST(FLOOR(y / 10) AS BIGINT) AS cy,
+       |         COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS bal
+       |  FROM pts GROUP BY 1, 2),
+       |zones AS (
+       |  SELECT CAST(zid AS BIGINT) AS zone_id, zx1, zy1, zx2, zy2
+       |  FROM (VALUES (1, 10.0, 10.0, 35.0, 30.0),
+       |               (2, 30.0, 25.0, 70.0, 55.0),
+       |               (3, 60.0, 50.0, 95.0, 90.0)) AS z(zid, zx1, zy1, zx2, zy2)),
+       |ov AS (
+       |  SELECT zone_id, n_cust, bal,
+       |    GREATEST(0.0, LEAST(cx * 10 + 10, zx2) - GREATEST(cx * 10, zx1))
+       |    * GREATEST(0.0, LEAST(cy * 10 + 10, zy2) - GREATEST(cy * 10, zy1))
+       |    / 100.0 AS w
+       |  FROM cells CROSS JOIN zones)
+       |SELECT zone_id, ${sqlDsum("n_cust * w")} AS est_customers,
+       |  ${sqlDsum("bal * w")} AS est_balance
+       |FROM ov WHERE w > 0 GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+    SpatialFunctions.registerAll(s)
+    val pts = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"),
+      expr(ptX("c_custkey")).as("x"), expr(ptY("c_custkey")).as("y"))
+    val cells = pts
+      .groupBy(floor(col("x") / 10).cast("long").as("cx"),
+        floor(col("y") / 10).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+      .withColumn("cell", expr(
+        "st_makeenvelope(cast(cx * 10 as double), cast(cy * 10 as double), " +
+          "cast(cx * 10 + 10 as double), cast(cy * 10 + 10 as double))"))
+    val zones = s.createDataFrame(Seq(
+      (1L, 10.0, 10.0, 35.0, 30.0),
+      (2L, 30.0, 25.0, 70.0, 55.0),
+      (3L, 60.0, 50.0, 95.0, 90.0)))
+      .toDF("zone_id", "zx1", "zy1", "zx2", "zy2")
+      .withColumn("zone", expr("st_makeenvelope(zx1, zy1, zx2, zy2)"))
+    SpatialJoin.broadcastJoin(cells, zones, "cell", "zone", "st_intersects")
+      .withColumn("w", expr("st_area(st_intersection(cell, zone)) / st_area(cell)"))
+      .where(col("w") > 0)
+      .groupBy(col("zone_id"))
+      .agg(dsum(col("n_cust") * col("w")).as("est_customers"),
+        dsum(col("bal") * col("w")).as("est_balance"))
+      .orderBy(col("zone_id"))
   }
 }
