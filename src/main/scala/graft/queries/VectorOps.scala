@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32, v33)
+    v26, v27, v28, v29, v30, v31, v32, v33, v34)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2181,4 +2181,70 @@ object VectorOps {
         (sqrt(col("ww2")) / col("tr")).as("ev_share"))
       .orderBy(col("dim"))
   }
+
+  /** Deterministic k-means++ style seeding by FURTHEST-FIRST traversal
+    * (the maxmin variant of Arthur & Vassilvitskii 2007 — Gonzalez
+    * 1985): seed 0 is the max-norm vector, each next seed the corpus
+    * argmax of the min squared distance to the chosen seeds. The init
+    * step ahead of v07's Lloyd rounds, made reproducible (no sampling)
+    * so an oracle can replay it. Each round is ONE corpus scan against
+    * the broadcast seed set — distances via the codegen'd dot_fold
+    * kernel, the argmax a distributed top-1 (per-partition candidates,
+    * driver merges k rows of 64 doubles — bounded state, the AnnIndex
+    * probe-list discipline). At 100 TB: k scans, no shuffle beyond the
+    * top-1 reduction. Ties break to the smallest vec_id in both
+    * engines. */
+  private val v34 = QDef(
+    "v34_kmeanspp_seeds", {
+      def d2(sa: String): String =
+        s"e.n2 - 2 * ${sqlDot("e.embedding", s"$sa.embedding")} + $sa.n2"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${sqlDot("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |s0 AS (SELECT vec_id, embedding, n2 FROM e ORDER BY n2 DESC, vec_id LIMIT 1),
+         |s1 AS (SELECT e.vec_id, e.embedding, e.n2, ${d2("s0")} AS d2
+         |       FROM e CROSS JOIN s0 ORDER BY d2 DESC, e.vec_id LIMIT 1),
+         |s2 AS (SELECT e.vec_id, e.embedding, e.n2,
+         |         LEAST(${d2("s0")}, ${d2("s1")}) AS d2
+         |       FROM e CROSS JOIN s0 CROSS JOIN s1
+         |       ORDER BY d2 DESC, e.vec_id LIMIT 1),
+         |s3 AS (SELECT e.vec_id, e.n2,
+         |         LEAST(${d2("s0")}, ${d2("s1")}, ${d2("s2")}) AS d2
+         |       FROM e CROSS JOIN s0 CROSS JOIN s1 CROSS JOIN s2
+         |       ORDER BY d2 DESC, e.vec_id LIMIT 1)
+         |SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id, n2 AS d2 FROM s0
+         |UNION ALL SELECT CAST(1 AS BIGINT), vec_id, d2 FROM s1
+         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d2 FROM s2
+         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d2 FROM s3
+         |ORDER BY seed_rank""".stripMargin
+    }) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("emb"),
+        expr("dot_fold(emb, emb)").as("n2"))
+      .persistTracked()
+    // (vec_id, emb, n2) of the current seed set — k rows on the driver
+    var seeds = Vector.empty[(Long, Seq[Double], Double)]
+    val first = e.orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .collect()(0)
+    seeds :+= ((first.getLong(0), first.getSeq[Double](1), first.getDouble(2)))
+    var out = Vector((0L, seeds(0)._1, seeds(0)._3))
+    (1 to 3).foreach { r =>
+      val dists = seeds.map { case (_, emb, n2) =>
+        col("n2") - lit(2.0) * expr(s"dot_fold(emb, ${litArr(emb)})") + lit(n2)
+      }
+      val minD2 = dists.reduce((a, b) => least(a, b))
+      val next = e.withColumn("d2", minD2)
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()(0)
+      seeds :+= ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+      out :+= ((r.toLong, next.getLong(0), next.getDouble(3)))
+    }
+    import s.implicits._
+    out.toDF("seed_rank", "vec_id", "d2").orderBy(col("seed_rank"))
+  }
+
+  /** SQL array literal for a broadcast seed vector. */
+  private def litArr(v: Seq[Double]): String =
+    v.mkString("array(", "D, ", "D)")
 }
