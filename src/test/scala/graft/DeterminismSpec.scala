@@ -18,11 +18,17 @@ class DeterminismSpec extends GraftSuite {
   // round-5 additions: v29 pushes decimal sums through a posexplode
   // fan-out; d21 chains every order-sensitive stage (digest dedup,
   // label propagation, struct-min canonical pick) into one result
+  // this session's additions: q62 (ranking-window rewrite ties), q64
+  // (range-partitioned global rank must not depend on the partition
+  // count), v33 (decimal sums through two M'Mv rounds), v34 (top-1
+  // argmax ties under reshuffle), sp16 (weighted decimal sums)
   private val names = Seq(
     "q01_pricing_summary", "q43_type_top_users", "q44_cusum_changepoint",
     "t30_dup_span_removal", "t33_source_novelty", "d16_dedup_impact",
     "sp12_revenue_hotspots", "v19_pq_recall_audit", "v29_isotropy_audit",
-    "d21_corpus_funnel", "v32_label_separation", "d22_langid_eval")
+    "d21_corpus_funnel", "v32_label_separation", "d22_langid_eval",
+    "q62_distinct_on_latest", "q64_entity_resolution",
+    "v33_power_iteration", "v34_kmeanspp_seeds", "sp16_areal_interpolation")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
