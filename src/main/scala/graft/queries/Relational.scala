@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -771,5 +771,122 @@ object Relational {
       |FROM orders
       |QUALIFY rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin)
+  }
+
+  /** TPC-H Q7 shape — bilateral volume shipping: revenue flowing
+    * between two nations (supplier side vs customer side) by ship
+    * year. A 6-way join where Catalyst broadcasts all four dimension
+    * sides (supplier, customer, nation x2) and the only real shuffle
+    * is lineitem-to-orders; the nation filter prunes before the join.
+    * Reference surface: DataFusion multi-way join planning (SURVEY
+    * §2.B "Joins"). */
+  private val q66 = QDef(
+    "q66_volume_shipping",
+    s"""WITH flows AS (
+       |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       |    l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS volume
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       |     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+       |SELECT supp_nation, cust_nation, l_year,
+       |  ${sqlDsum("volume")} AS revenue
+       |FROM flows GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val sn = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val cn = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(dsum(col("volume")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — national market share: the share of EUROPE
+    * customers' order volume supplied by NATION_3, per order year.
+    * Conditional-sum over a 7-way join (region gates the customer
+    * nation); both sums are decimal-exact, divided once. */
+  private val q67 = QDef(
+    "q67_market_share",
+    s"""WITH vols AS (
+       |  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       |    l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS volume,
+       |    sn.n_name AS supp_nation
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE r.r_name = 'EUROPE')
+       |SELECT o_year,
+       |  ${sqlDsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.0 AS DOUBLE) END")}
+       |    / ${sqlDsum("volume")} AS mkt_share
+       |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+    val cn = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region")))
+    val sn = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(s, d)), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .where(col("r_name") === "EUROPE")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))) / dsum(col("volume"))).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10 shape — returned-item customer ranking: top 20
+    * customers by returned revenue in a one-year window. Top-k over a
+    * grouped aggregate (TakeOrderedAndProject — per-partition top-20
+    * then a 20-row merge, no global sort), ties broken on the key. */
+  private val q68 = QDef(
+    "q68_returned_items",
+    s"""SELECT c.c_custkey, c.c_name, n.n_name,
+       |  ${sqlDsum("l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)")} AS revenue
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY c.c_custkey, c.c_name, n.n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .where(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
   }
 }
