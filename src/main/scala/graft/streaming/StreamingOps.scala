@@ -612,6 +612,71 @@ object StreamingOps {
     * bound it at scale with more shards, or swap in the
     * [[graft.functions.HeavyHittersAgg]] sketch when approximate
     * ranking is acceptable. */
+  /** One zone-change event (sp15's output shape). */
+  final case class GeofenceOut(user_id: Long, event_id: Long,
+      from_zone: String, to_zone: String)
+
+  /** A buffered not-yet-final position fix. */
+  final case class GeoPending(us: Long, event_id: Long)
+
+  /** Geofence state: the finalized-prefix zone + the watermark-bounded
+    * buffer. */
+  final case class GeoState(lastZone: String, pending: Vector[GeoPending])
+
+  /** Streaming geofence enter/exit detection — the incremental face of
+    * batch sp15: positions derive from the event id (the fixture's
+    * deterministic coordinate synthesis), zones are the same three
+    * priority-ordered fences, and a per-user cursor emits a transition
+    * whenever the finalized zone changes. Events buffer inside the
+    * watermark horizon and finalize in (us, event_id) order — sp15's
+    * window order — so stream output equals the batch query exactly.
+    * State per user: one zone string + the bounded buffer. */
+  def geofenceTransitions(events: Dataset[TypedEventIn],
+      watermarkDelay: String = "2 hours"): Dataset[GeofenceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def zoneOf(eventId: Long): String = {
+      val x = ((eventId * 48271L) % 10007L) % 100L + 0.5
+      val y = ((eventId * 69621L) % 10007L) % 100L + 0.5
+      if (x > 0 && x < 40 && y > 0 && y < 40) "A"
+      else if (x > 50 && x < 100 && y > 50 && y < 100) "B"
+      else if (x > 20 && x < 45 && y > 60 && y < 95) "C"
+      else "out"
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[TypedEventIn], state: GroupState[GeoState]) =>
+          val prev = state.getOption.getOrElse(GeoState(null, Vector.empty))
+          var pending = prev.pending
+          it.foreach(e => pending :+= GeoPending(usOf(e.ts), e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, rest) = pending.partition(_.us < wmUs)
+          var zone = prev.lastZone
+          val out = Vector.newBuilder[GeofenceOut]
+          done.sortBy(p => (p.us, p.event_id)).foreach { p =>
+            val z = zoneOf(p.event_id)
+            if (zone != null && zone != z)
+              out += GeofenceOut(userId, p.event_id, zone, z)
+            zone = z
+          }
+          if (rest.isEmpty && zone == null) {
+            state.remove()
+          } else {
+            state.update(GeoState(zone, rest))
+            if (rest.nonEmpty) {
+              val wantedMs = rest.iterator.map(_.us).min / 1000L + 1
+              state.setTimeoutTimestamp(
+                math.max(wantedMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** A valued typed event on the attribution wire. */
   final case class AttrEventIn(user_id: Long, event_id: Long,
       event_type: String, value: Double, ts: java.sql.Timestamp)

@@ -809,4 +809,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists(_.touch_type != "none"), "some purchases must attribute")
     } finally query.stop()
   }
+
+  test("geofenceTransitions: stream equals batch sp15 exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{TypedEventIn, GeofenceOut}
+    val sfDir = "/root/testdata/sf0.001"
+    val evts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[TypedEventIn].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[TypedEventIn]
+    val out = StreamingOps.geofenceTransitions(mem.toDS(), watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("geo_out").outputMode("append").start()
+    try {
+      val (a, b) = evts.splitAt(evts.length / 2)
+      mem.addData(a.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(TypedEventIn(99L, -1L, "zz_sentinel",
+        new Timestamp(evts.last.ts.getTime + 72L * 3600 * 1000)))
+      query.processAllAvailable()
+      val got = spark.table("geo_out")
+        .filter(col("user_id") =!= 99L)
+        .as[GeofenceOut].collect().toSet
+      val batch = SparkEntry.queries("sp15_geofence_transitions")(spark, sfDir)
+        .select("user_id", "event_id", "from_zone", "to_zone")
+        .as[GeofenceOut].collect().toSet
+      assert(got.nonEmpty && got == batch,
+        s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+    } finally query.stop()
+  }
 }
