@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32, v33, v34)
+    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2158,22 +2158,8 @@ object VectorOps {
        |  sqrt(ww2) AS lambda, sqrt(ww2) / tr AS ev_share
        |FROM w2 CROSS JOIN n2 CROSS JOIN tr ORDER BY dim""".stripMargin) { (s, d) =>
     import graft.util.Persist.Syntax
-    val ex = embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim0", "v")))
-      .select(col("vec_id"), (col("dim0") + 1).as("dim"), col("v"))
-      .persistTracked()
-    val t1 = ex.groupBy(col("vec_id")).agg(dsum(col("v")).as("t"))
-    val w1 = ex.join(t1, "vec_id")
-      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w"))
-    val n1 = w1.agg(dsum(col("w") * col("w")).as("ww"))
-    val v1 = w1.crossJoin(broadcast(n1))
-      .select(col("dim"), (col("w") / sqrt(col("ww"))).as("u"))
-    val t2 = ex.join(broadcast(v1), "dim")
-      .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
-    val w2 = ex.join(t2, "vec_id")
-      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w2"))
-    val n2 = w2.agg(dsum(col("w2") * col("w2")).as("ww2"))
-    val tr = ex.agg(dsum(col("v") * col("v")).as("tr"))
+    val ex = explodedEmb(s, d).persistTracked()
+    val (w2, n2, tr) = powerStages(ex)
     w2.crossJoin(broadcast(n2)).crossJoin(broadcast(tr))
       .select(col("dim").cast("long").as("dim"),
         (col("w2") / sqrt(col("ww2"))).as("loading"),
@@ -2247,4 +2233,110 @@ object VectorOps {
   /** SQL array literal for a broadcast seed vector. */
   private def litArr(v: Seq[Double]): String =
     v.mkString("array(", "D, ", "D)")
+
+  /** The exploded (vec_id, dim, v) long form of the embedding table —
+    * the representation both spectral operators (v33/v35) run on. */
+  private def explodedEmb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"), col("v"))
+
+  /** Two power-iteration rounds over the exploded table; returns the
+    * un-normalized second-round direction (dim, w2), its squared norm
+    * (ww2), and the corpus trace (tr) — all decimal-exact. */
+  private def powerStages(ex: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val t1 = ex.groupBy(col("vec_id")).agg(dsum(col("v")).as("t"))
+    val w1 = ex.join(t1, "vec_id")
+      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w"))
+    val n1 = w1.agg(dsum(col("w") * col("w")).as("ww"))
+    val v1 = w1.crossJoin(broadcast(n1))
+      .select(col("dim"), (col("w") / sqrt(col("ww"))).as("u"))
+    val t2 = ex.join(broadcast(v1), "dim")
+      .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
+    val w2 = ex.join(t2, "vec_id")
+      .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w2"))
+    val n2 = w2.agg(dsum(col("w2") * col("w2")).as("ww2"))
+    val tr = ex.agg(dsum(col("v") * col("v")).as("tr"))
+    (w2, n2, tr)
+  }
+
+  /** The v33/v35 shared oracle prefix: exploded table + both power
+    * rounds as CTE bodies (composed into each query's WITH clause). */
+  private def sqlPowerCtes: String =
+    s"""ex AS (
+       |  SELECT vec_id, t.di AS dim, CAST(embedding[t.di] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, 65)) AS t(di)),
+       |t1 AS (SELECT vec_id, ${sqlDsum("v")} AS t FROM ex GROUP BY vec_id),
+       |w1 AS (SELECT dim, ${sqlDsum("v * t")} AS w
+       |       FROM ex JOIN t1 USING (vec_id) GROUP BY dim),
+       |n1 AS (SELECT ${sqlDsum("w * w")} AS ww FROM w1),
+       |v1 AS (SELECT dim, w / sqrt(ww) AS u FROM w1 CROSS JOIN n1),
+       |t2 AS (SELECT vec_id, ${sqlDsum("v * u")} AS t
+       |       FROM ex JOIN v1 USING (dim) GROUP BY vec_id),
+       |w2 AS (SELECT dim, ${sqlDsum("v * t")} AS w2
+       |       FROM ex JOIN t2 USING (vec_id) GROUP BY dim),
+       |n2 AS (SELECT ${sqlDsum("w2 * w2")} AS ww2 FROM w2),
+       |tr AS (SELECT ${sqlDsum("v * v")} AS tr FROM ex)""".stripMargin
+
+  /** All-but-the-top correction audit (Mu & Viswanath 2018): project
+    * out v33's top principal direction from every embedding, then
+    * re-measure v29's anisotropy on the corrected, re-unit-normalized
+    * vectors — the one-row card that tells whether removing the common
+    * direction actually restored isotropy (and how much energy it
+    * carried). Every stage is the same decimal-exact key-joined
+    * aggregate shape as v33: the projection coefficient is a
+    * vec_id-keyed dot against the broadcast 64-row direction, the
+    * correction is per-row expression work, the audits are dim-keyed
+    * sums — the corpus streams through twice, nothing pairwise. */
+  private val v35 = QDef(
+    "v35_all_but_the_top",
+    s"""WITH $sqlPowerCtes,
+       |vdir AS (SELECT dim, w2 / sqrt(ww2) AS u FROM w2 CROSS JOIN n2),
+       |proj AS (SELECT vec_id, ${sqlDsum("v * u")} AS t
+       |         FROM ex JOIN vdir USING (dim) GROUP BY vec_id),
+       |corr AS (SELECT ex.vec_id, ex.dim, ex.v - proj.t * vdir.u AS cv
+       |         FROM ex JOIN proj USING (vec_id) JOIN vdir USING (dim)),
+       |nrm0 AS (SELECT vec_id, sqrt(${sqlDsum("v * v")}) AS nr
+       |         FROM ex GROUP BY vec_id),
+       |nrm1 AS (SELECT vec_id, sqrt(${sqlDsum("cv * cv")}) AS nr
+       |         FROM corr GROUP BY vec_id),
+       |ub AS (SELECT dim, ${sqlDsum("v / nr")} AS sb
+       |       FROM ex JOIN nrm0 USING (vec_id) WHERE nr > 0 GROUP BY dim),
+       |ua AS (SELECT dim, ${sqlDsum("cv / nr")} AS sa
+       |       FROM corr JOIN nrm1 USING (vec_id) WHERE nr > 0 GROUP BY dim),
+       |sb2 AS (SELECT ${sqlDsum("sb * sb")} AS sq FROM ub),
+       |sa2 AS (SELECT ${sqlDsum("sa * sa")} AS sq FROM ua),
+       |cnt AS (SELECT COUNT(*) AS n FROM embeddings)
+       |SELECT n, sqrt(ww2) / tr AS lambda_share,
+       |  sqrt(sb2.sq) / n AS aniso_before,
+       |  sqrt(sa2.sq) / n AS aniso_after
+       |FROM cnt CROSS JOIN n2 CROSS JOIN tr CROSS JOIN sb2 CROSS JOIN sa2""".stripMargin) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val ex = explodedEmb(s, d).persistTracked()
+    val (w2, n2, tr) = powerStages(ex)
+    val vdir = w2.crossJoin(broadcast(n2))
+      .select(col("dim"), (col("w2") / sqrt(col("ww2"))).as("u"))
+    val proj = ex.join(broadcast(vdir), "dim")
+      .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
+    val corr = ex.join(proj, "vec_id").join(broadcast(vdir), "dim")
+      .select(col("vec_id"), col("dim"),
+        (col("v") - col("t") * col("u")).as("cv"))
+      .persistTracked()
+    val nrm0 = ex.groupBy(col("vec_id"))
+      .agg(sqrt(dsum(col("v") * col("v"))).as("nr"))
+    val nrm1 = corr.groupBy(col("vec_id"))
+      .agg(sqrt(dsum(col("cv") * col("cv"))).as("nr"))
+    val ub = ex.join(nrm0, "vec_id").where(col("nr") > 0)
+      .groupBy(col("dim")).agg(dsum(col("v") / col("nr")).as("sb"))
+    val ua = corr.join(nrm1, "vec_id").where(col("nr") > 0)
+      .groupBy(col("dim")).agg(dsum(col("cv") / col("nr")).as("sa"))
+    val sb2 = ub.agg(dsum(col("sb") * col("sb")).as("sq_b"))
+    val sa2 = ua.agg(dsum(col("sa") * col("sa")).as("sq_a"))
+    val cnt = embeddings(s, d).agg(count(lit(1)).as("n"))
+    cnt.crossJoin(broadcast(n2)).crossJoin(broadcast(tr))
+      .crossJoin(broadcast(sb2)).crossJoin(broadcast(sa2))
+      .select(col("n"), (sqrt(col("ww2")) / col("tr")).as("lambda_share"),
+        (sqrt(col("sq_b")) / col("n")).as("aniso_before"),
+        (sqrt(col("sq_a")) / col("n")).as("aniso_after"))
+  }
 }
