@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63, q66, q67, q68)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -888,5 +888,40 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+  }
+
+  /** TPC-H Q18 shape — large-quantity orders: customers whose orders
+    * exceed a total-quantity threshold, found via a semi-join against a
+    * HAVING-filtered aggregate subquery (the aggregate runs ONCE over
+    * lineitem with map-side combine; the qualifying keys then gate the
+    * detail join). Decimal-exact quantity sums; top-50 by total price
+    * with a key tiebreak. */
+  private val q69 = QDef(
+    "q69_large_quantity_orders",
+    s"""WITH big AS (
+       |  SELECT l_orderkey FROM lineitem
+       |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 250)
+       |SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       |  ${sqlDsum("l.l_quantity")} AS total_qty
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qty"))
+      .where(col("qty") > 250)
+      .select(col("l_orderkey").as("big_key"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("big_key"), "left_semi")
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
   }
 }
