@@ -28,7 +28,8 @@ class DeterminismSpec extends GraftSuite {
     "sp12_revenue_hotspots", "v19_pq_recall_audit", "v29_isotropy_audit",
     "d21_corpus_funnel", "v32_label_separation", "d22_langid_eval",
     "q62_distinct_on_latest", "q64_entity_resolution",
-    "v33_power_iteration", "v34_kmeanspp_seeds", "sp16_areal_interpolation")
+    "v33_power_iteration", "v34_kmeanspp_seeds", "sp16_areal_interpolation",
+    "v35_all_but_the_top", "q67_market_share")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)

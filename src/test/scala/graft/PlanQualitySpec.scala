@@ -936,4 +936,16 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window ("),
       s"v33 planned a window:\n$p")
   }
+
+  test("q66: dimension sides broadcast, the only real shuffle is fact-to-orders") {
+    val p = planOf("q66_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), s"q66 lost its broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q66 planned a cartesian:\n$p")
+  }
+
+  test("q69: qualifying keys gate the detail join through a semi join") {
+    val p = planOf("q69_large_quantity_orders")
+    assert(p.toLowerCase.contains("leftsemi"), s"q69 lost the semi join:\n$p")
+    assert(p.contains("partial"), s"q69 aggregates lost map-side combine:\n$p")
+  }
 }
