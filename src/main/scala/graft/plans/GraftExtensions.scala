@@ -59,8 +59,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     val base = rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
       .orElse(rewriteCreateExternal(sqlText))
       .getOrElse(sqlText)
-    val sel = rewriteDistinctOn(base).orElse(rewriteQualify(base))
-      .getOrElse(base)
+    val st = rewriteSimilarTo(base).getOrElse(base)
+    val sel = rewriteDistinctOn(st).orElse(rewriteQualify(st))
+      .getOrElse(st)
     eraseUnsupportedCasts(sel)
   }
 
@@ -277,6 +278,60 @@ object GraftSqlParser {
       out += s.substring(start)
       out.result().map(_.trim).filter(_.nonEmpty)
     }
+  }
+
+  // `expr SIMILAR TO 'pattern'` — the SQL-standard pattern operator PG
+  // (and DuckDB, and the reference through DataFusion's PG dialect)
+  // accept; Spark has no syntax for it, so the operator + literal are
+  // rewritten in place to RLIKE with the pattern translated to a Java
+  // regex. Only the operator and its literal move — the left operand
+  // stays untouched, which makes the text rewrite safe for any
+  // expression shape.
+  private val SimilarTo =
+    "(?is)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+('(?:[^']|'')*')".r
+
+  /** Translate a SQL `SIMILAR TO` pattern to a Java regex: `%` → `.*`,
+    * `_` → `.`; `.` `^` `$` (regex-special but SIMILAR-TO-literal) get
+    * escaped; `| * + ? { } ( ) [ ]` keep their shared meaning;
+    * character classes pass through untranslated. */
+  private[plans] def similarToRegex(pat: String): String = {
+    val out = new StringBuilder("^(?:")
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      c match {
+        case '\\' if i + 1 < pat.length => // explicit escape: keep pair
+          out.append('\\').append(pat.charAt(i + 1)); i += 1
+        case '[' if !inClass => inClass = true; out.append('[')
+        case ']' if inClass  => inClass = false; out.append(']')
+        case _ if inClass    => out.append(c)
+        case '%'             => out.append(".*")
+        case '_'             => out.append('.')
+        case '.' | '^' | '$' => out.append('\\').append(c)
+        case _               => out.append(c)
+      }
+      i += 1
+    }
+    out.append(")$").toString
+  }
+
+  /** Rewrite every `[NOT] SIMILAR TO '<pattern>'` into
+    * `[NOT] RLIKE '<translated regex>'`. Returns None when the text
+    * contains no SIMILAR TO (the common case — zero-cost). */
+  def rewriteSimilarTo(sql: String): Option[String] = {
+    if (!sql.toLowerCase.contains("similar")) return None
+    var hit = false
+    val out = SimilarTo.replaceAllIn(sql, m => {
+      hit = true
+      val neg = Option(m.group(1)).map(_ => "NOT ").getOrElse("")
+      val quoted = m.group(2)
+      val pat = quoted.substring(1, quoted.length - 1).replace("''", "'")
+      val regex = similarToRegex(pat)
+      val lit = "'" + regex.replace("\\", "\\\\").replace("'", "''") + "'"
+      java.util.regex.Matcher.quoteReplacement(s"${neg}RLIKE $lit")
+    })
+    if (hit) Some(out) else None
   }
 
   private val DistinctOnPrefix = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(".r

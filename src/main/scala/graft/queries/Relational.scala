@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -923,5 +923,24 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(50)
+  }
+
+  /** PG `SIMILAR TO` through the parser rewrite (GraftSqlParser
+    * translates the SQL-standard pattern to RLIKE): language whitelist
+    * plus a content pattern over documents. The oracle expresses the
+    * SAME semantics via DuckDB's regexp_full_match (DuckDB's own
+    * SIMILAR TO takes a raw regex, not the SQL pattern language, so the
+    * translated-regex formulation IS the cross-engine ground truth). */
+  private val q70 = QDef(
+    "q70_similar_to",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE regexp_full_match(lang, '(en|de|fr)')
+      |  AND regexp_full_match(text, '.*(join|merge).*')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT doc_id, lang, source FROM documents
+      |WHERE lang SIMILAR TO '(en|de|fr)'
+      |  AND text SIMILAR TO '%(join|merge)%'
+      |ORDER BY doc_id""".stripMargin)
   }
 }

