@@ -19,7 +19,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16)
+    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16, sp17)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -793,5 +793,53 @@ object Spatial {
       .agg(dsum(col("n_cust") * col("w")).as("est_customers"),
         dsum(col("bal") * col("w")).as("est_balance"))
       .orderBy(col("zone_id"))
+  }
+
+  /** Trajectory stay-point detection (Li/Zheng GPS-log mining): a stay
+    * point is a maximal run of consecutive position fixes inside the
+    * same coarse cell with enough fixes and enough dwell time — the
+    * step that turns raw pings into visits before any POI join.
+    * Gaps-and-islands per user: LAG flags cell changes, a running sum
+    * numbers the runs, one grouped aggregate per (user, run) keeps
+    * (n_fixes >= 3, dwell >= 30 min) runs. All windows user-keyed, all
+    * arithmetic integer — no global sort, no pair work, oracle replays
+    * it exactly. */
+  private val sp17 = QDef(
+    "sp17_stay_points",
+    s"""WITH pos AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    CAST(FLOOR((${ptX("event_id")}) / 20) * 5
+       |       + FLOOR((${ptY("event_id")}) / 20) AS BIGINT) AS cell
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN cell = LAG(cell) OVER w THEN 0 ELSE 1 END AS brk
+       |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |runs AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, cell,
+       |  COUNT(*) AS n_fixes, MIN(us) AS start_us, MAX(us) AS end_us,
+       |  MAX(us) - MIN(us) AS dwell_us
+       |FROM runs GROUP BY user_id, run_id, cell
+       |HAVING COUNT(*) >= 3 AND MAX(us) - MIN(us) >= 1800000000
+       |ORDER BY user_id, run_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pos = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (floor(expr(ptX("event_id")) / 20) * 5 +
+        floor(expr(ptY("event_id")) / 20)).cast("long").as("cell"))
+    pos
+      .withColumn("brk",
+        when(col("cell") === lag(col("cell"), 1).over(w), 0).otherwise(1))
+      .withColumn("run_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id").cast("long").as("run_id"), col("cell"))
+      .agg(count(lit(1)).as("n_fixes"), min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("dwell_us"))
+      .where(col("n_fixes") >= 3 && col("dwell_us") >= 1800000000L)
+      .orderBy(col("user_id"), col("run_id"))
   }
 }
