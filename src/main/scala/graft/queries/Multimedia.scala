@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -432,5 +432,54 @@ object Multimedia {
         (sum(when(col("actual") < col("declared"), 1L).otherwise(0L))
           .cast("double") / count(lit(1))).as("corrupt_rate"))
       .orderBy(col("kind"))
+  }
+
+  /** Audio gain-normalization audit — the loudness pass before ASR or
+    * feature extraction: per audio payload, the PCM peak, mean-square
+    * energy, the integer gain (x1000) that would normalize the peak to
+    * full scale, the would-clip sample count at a fixed 2x gain, and a
+    * not-silence keep flag. The pre-log rule: no dB anywhere — peaks,
+    * energies and the gain are integers, mean-square is one final
+    * division. All per-row codegen'd byte folds over the decoded
+    * payload into a single media-keyed aggregate — no shuffle beyond
+    * the output sort at any corpus size. */
+  private val mm09 = QDef(
+    "mm09_gain_audit",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |b AS (
+      |  SELECT media_id, n,
+      |    CAST(('0x' || substring(ph, CAST(f.i AS INTEGER) * 2 + 1, 2)) AS BIGINT) - 128 AS s
+      |  FROM m, unnest(range(0, n)) AS f(i)),
+      |st AS (
+      |  SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+      |    CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+      |    CAST(SUM(s * s) AS BIGINT) AS sumsq,
+      |    CAST(SUM(CASE WHEN ABS(s) * 2 > 127 THEN 1 ELSE 0 END) AS BIGINT) AS clip_at_2x
+      |  FROM b GROUP BY media_id)
+      |SELECT media_id, n_samples, peak,
+      |  CAST(sumsq AS DOUBLE) / n_samples AS mean_square,
+      |  CAST(CASE WHEN peak = 0 THEN NULL ELSE 127000 // peak END AS BIGINT) AS gain_x1000,
+      |  clip_at_2x, peak >= 8 AS keep
+      |FROM st ORDER BY media_id""".stripMargin) { (s, d) =>
+    def sB = "(cast(conv(substring(ph, i * 2 + 1, 2), 16, 10) as bigint) - 128)"
+    val st = Multimodal.attachPayload(Tables.documents(s, d))
+      .where(col("meta.kind") === "audio")
+      .select(col("media_id"), hex(col("payload")).as("ph"),
+        length(col("payload")).cast("long").as("n_samples"))
+      .withColumn("peak", expr(
+        s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> greatest(a, abs($sB)))"))
+      .withColumn("sumsq", expr(
+        s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + $sB * $sB)"))
+      .withColumn("clip_at_2x", expr(
+        s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + CASE WHEN abs($sB) * 2 > 127 THEN 1L ELSE 0L END)"))
+    st.select(col("media_id"), col("n_samples"), col("peak"),
+      (col("sumsq").cast("double") / col("n_samples")).as("mean_square"),
+      when(col("peak") === 0, lit(null))
+        .otherwise(expr("127000 div peak")).cast("long").as("gain_x1000"),
+      col("clip_at_2x"), (col("peak") >= 8).as("keep"))
+      .orderBy(col("media_id"))
   }
 }
