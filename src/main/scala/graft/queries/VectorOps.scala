@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35)
+    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2338,5 +2338,85 @@ object VectorOps {
       .select(col("n"), (sqrt(col("ww2")) / col("tr")).as("lambda_share"),
         (sqrt(col("sq_b")) / col("n")).as("aniso_before"),
         (sqrt(col("sq_a")) / col("n")).as("aniso_after"))
+  }
+
+  /** Pseudo-relevance feedback retrieval (Rocchio): round 1 is v01\u0027s
+    * exact-cosine top-5; the query vector then moves toward the
+    * centroid of its top hits (q\u0027 = q + 0.75 * mean(top5)) and round 2
+    * re-retrieves with the updated vector, flagging which results the
+    * feedback round already had. The classic recall-boosting loop a
+    * retrieval stack runs when no labeled relevance exists. All
+    * round-2 linear algebra runs on the EXPLODED (id, dim, value)
+    * table — feedback centroids are (q_id, dim)-keyed decimal sums,
+    * query-candidate dots are dim-joined then (q_id, vec_id)-keyed
+    * sums — so nothing depends on per-partition order and the corpus
+    * never pairs with itself; the probe set (10 rows) bounds every
+    * broadcast. */
+  private val v36 = QDef(
+    "v36_rocchio_prf", {
+      val r1 =
+        s"""e AS (SELECT vec_id, embedding FROM embeddings),
+           |p1 AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |    ${sqlDot("q.embedding", "c.embedding")} /
+           |      (sqrt(${sqlDot("q.embedding", "q.embedding")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim
+           |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM p1),
+           |top1 AS (SELECT q_id, vec_id FROM r1 WHERE rank <= 5)""".stripMargin
+      s"""WITH $r1,
+         |ex AS (
+         |  SELECT vec_id, t.di AS dim, CAST(embedding[t.di] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, 65)) AS t(di)),
+         |fb AS (
+         |  SELECT top1.q_id, ex.dim, ${sqlDsum("ex.v")} / 5 AS m
+         |  FROM top1 JOIN ex ON top1.vec_id = ex.vec_id
+         |  GROUP BY top1.q_id, ex.dim),
+         |q2 AS (
+         |  SELECT fb.q_id, fb.dim, qx.v + CAST(0.75 AS DOUBLE) * fb.m AS u
+         |  FROM fb JOIN ex qx ON qx.vec_id = fb.q_id AND qx.dim = fb.dim),
+         |qn AS (SELECT q_id, sqrt(${sqlDsum("u * u")}) AS qnrm FROM q2 GROUP BY q_id),
+         |cn AS (SELECT vec_id, sqrt(${sqlDsum("v * v")}) AS cnrm FROM ex GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q2.q_id, ex.vec_id, ${sqlDsum("ex.v * q2.u")} AS dp
+         |  FROM ex JOIN q2 ON ex.dim = q2.dim AND ex.vec_id <> q2.q_id
+         |  GROUP BY q2.q_id, ex.vec_id),
+         |p2 AS (
+         |  SELECT d.q_id, d.vec_id, d.dp / (qn.qnrm * cn.cnrm) AS sim2
+         |  FROM dots d JOIN qn ON d.q_id = qn.q_id JOIN cn ON d.vec_id = cn.vec_id),
+         |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim2 DESC, vec_id) AS rank FROM p2)
+         |SELECT r2.q_id, r2.vec_id, r2.sim2, r2.rank,
+         |  EXISTS(SELECT 1 FROM top1 WHERE top1.q_id = r2.q_id AND top1.vec_id = r2.vec_id) AS in_r1
+         |FROM r2 WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val e = embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cand1 = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
+    val top1 = TopK.topK(cand1, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id")).persistTracked()
+    val ex = explodedEmb(s, d).persistTracked()
+    val fb = top1.join(ex, "vec_id")
+      .groupBy(col("q_id"), col("dim")).agg((dsum(col("v")) / 5).as("m"))
+    val q2 = fb.join(
+        ex.select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv")),
+        Seq("q_id", "dim"))
+      .select(col("q_id"), col("dim"),
+        (col("qv") + lit(0.75) * col("m")).as("u")).persistTracked()
+    val qn = q2.groupBy(col("q_id")).agg(sqrt(dsum(col("u") * col("u"))).as("qnrm"))
+    val cn = ex.groupBy(col("vec_id")).agg(sqrt(dsum(col("v") * col("v"))).as("cnrm"))
+    val dots = ex.join(broadcast(q2), Seq("dim"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(dsum(col("v") * col("u")).as("dp"))
+    val p2 = dots.join(broadcast(qn), "q_id").join(cn, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        (col("dp") / (col("qnrm") * col("cnrm"))).as("sim2"))
+    TopK.topK(p2, Seq("q_id"), col("sim2"), col("vec_id"), 5, asc = false)
+      .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim2"), col("rank"))
+      .join(top1.withColumn("in_r1", lit(true)), Seq("q_id", "vec_id"), "left")
+      .withColumn("in_r1", coalesce(col("in_r1"), lit(false)))
+      .orderBy(col("q_id"), col("rank"))
   }
 }
