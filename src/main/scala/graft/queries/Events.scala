@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.operators.RangeJoin
 import graft.util.Persist.Syntax
 import graft.util.Det._
 
@@ -24,7 +25,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q59, q61)
+    q53, q54, q55, q56, q57, q59, q61, q71)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1416,5 +1417,68 @@ object Events {
         (col("n_users") * col("n_events")).cast("double")).as("gini"),
       (col("top10_events").cast("double") / col("n_events")).as("top10_share"),
       (col("top1_events").cast("double") / col("n_events")).as("top1_share"))
+  }
+
+  /** Linear multi-touch attribution — q49's equal-credit counterpart:
+    * every non-purchase touch strictly preceding a purchase (by the
+    * (us, event_id) row order) within the 7-day lookback shares the
+    * purchase value equally; untouched purchases fall in the 'none'
+    * bucket at full value. The touch-to-purchase pairing runs through
+    * [[RangeJoin.pointInInterval]] on a composite (user, second) axis
+    * — user_id * 4e9 + seconds stays under 2^53 so the double bin
+    * arithmetic is exact, the 7-day lookback never crosses a user
+    * boundary, and the bin prefilter is conservative (second-floored)
+    * with the exact microsecond refine applied after — one bin-key
+    * shuffle, never a per-user cross product. */
+  private val q71 = QDef(
+    "q71_linear_attribution",
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+       |p AS (SELECT user_id, event_id AS p_id, us AS p_us, value FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, us AS t_us, event_type AS t_type
+       |      FROM e WHERE event_type <> 'purchase'),
+       |pairs AS (
+       |  SELECT p.p_id, p.value, t.t_type
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |   AND (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+       |   AND p.p_us - t.t_us <= 604800000000),
+       |cnt AS (SELECT p_id, COUNT(*) AS n FROM pairs GROUP BY p_id),
+       |credit AS (
+       |  SELECT pairs.t_type AS touch_type, pairs.value / cnt.n AS credit
+       |  FROM pairs JOIN cnt USING (p_id)
+       |  UNION ALL
+       |  SELECT 'none', p.value FROM p
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.p_id = p.p_id))
+       |SELECT touch_type, COUNT(*) AS n_credits,
+       |  ${sqlDsum("credit")} AS attributed_value
+       |FROM credit GROUP BY touch_type ORDER BY touch_type""".stripMargin) { (s, d) =>
+    val OffSec = 4000000000L // per-user offset on the seconds axis; composite stays < 2^53
+    val Look = 604800000000L
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("us").as("p_us"), col("value"))
+      .withColumn("lo", col("p_user") * OffSec + ((col("p_us") - Look).cast("long") / 1000000L).cast("long"))
+      .withColumn("hi", col("p_user") * OffSec + (col("p_us") / 1000000L).cast("long"))
+    val t = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("us").as("t_us"), col("event_type").as("t_type"))
+      .withColumn("x", col("t_user") * OffSec + (col("t_us") / 1000000L).cast("long"))
+    val pairs = RangeJoin.pointInInterval(
+        t, p.drop("p_user"), "x", "lo", "hi", binWidth = 604800.0)
+      .where((col("t_us") < col("p_us") ||
+          (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+        col("p_us") - col("t_us") <= Look)
+      .select(col("p_id"), col("value"), col("t_type"))
+      .persistTracked()
+    val cnt = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("n"))
+    val credit = pairs.join(cnt, "p_id")
+      .select(col("t_type").as("touch_type"), (col("value") / col("n")).as("credit"))
+      .unionAll(
+        p.join(pairs.select("p_id").distinct(), Seq("p_id"), "left_anti")
+          .select(lit("none").as("touch_type"), col("value").as("credit")))
+    credit.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), dsum(col("credit")).as("attributed_value"))
+      .orderBy(col("touch_type"))
   }
 }
