@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1456,5 +1456,49 @@ object DedupOps {
         p.as("precision"), r.as("recall"),
         (lit(2.0) * p * r / nullif(p + r, lit(0.0))).as("f1"))
       .orderBy(col("lang"))
+  }
+
+  /** Dedup threshold-sensitivity sweep — the card a data team reads
+    * before fixing the near-dup cutoff: for each candidate Jaccard
+    * threshold, how many verified pairs survive, how many documents
+    * they touch, and how many the keep-smallest-id policy would drop
+    * (non-transitive estimate: a doc is dropped when it is the larger
+    * side of any surviving pair; the transitive answer is d06+d15\u0027s
+    * job). One pass over d01\u0027s verified pairs crossed with the 5-row
+    * threshold table — the sweep costs one extra broadcast, not five
+    * re-runs of the sketch stage. Quadratic ORACLE only (the brute
+    * all-pairs ground truth d01 already carries), so it joins the
+    * sf0.1 oracle skip family. */
+  private val d23 = QDef(
+    "d23_threshold_sweep",
+    "WITH " + oracleShingleCte + """,
+      |thr AS (SELECT CAST(v.t AS DOUBLE) AS thr
+      |        FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)),
+      |k AS (SELECT thr, a, b FROM vp CROSS JOIN thr WHERE jaccard >= thr),
+      |m AS (SELECT thr, COUNT(*) AS n_pairs, COUNT(DISTINCT b) AS n_removed
+      |      FROM k GROUP BY thr),
+      |docs AS (SELECT thr, COUNT(DISTINCT u.dd) AS n_docs
+      |         FROM k, unnest([k.a, k.b]) AS u(dd) GROUP BY thr)
+      |SELECT thr.thr, COALESCE(m.n_pairs, 0) AS n_pairs,
+      |  COALESCE(docs.n_docs, 0) AS n_docs,
+      |  COALESCE(m.n_removed, 0) AS n_removed
+      |FROM thr LEFT JOIN m ON thr.thr = m.thr
+      |LEFT JOIN docs ON thr.thr = docs.thr
+      |ORDER BY thr.thr""".stripMargin) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val pairs = lshVerifiedPairs(s, d).persistTracked()
+    val thr = broadcast(s.createDataFrame(
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(Tuple1(_))).toDF("thr"))
+    val k = pairs.crossJoin(thr).where(col("jaccard") >= col("thr"))
+      .persistTracked()
+    val m = k.groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b")).as("n_removed"))
+    val docs = k.select(col("thr"), explode(array(col("a"), col("b"))).as("dd"))
+      .groupBy(col("thr")).agg(countDistinct(col("dd")).as("n_docs"))
+    thr.join(m, Seq("thr"), "left").join(docs, Seq("thr"), "left")
+      .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("thr"))
   }
 }
