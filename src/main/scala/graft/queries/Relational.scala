@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -942,5 +942,32 @@ object Relational {
       |WHERE lang SIMILAR TO '(en|de|fr)'
       |  AND text SIMILAR TO '%(join|merge)%'
       |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** SQL-standard FILTER clause over aggregates — one-pass conditional
+    * aggregation (the engine-side replacement for N filtered
+    * subqueries): per nation, order counts and decimal-exact revenue
+    * split by status/priority predicates, plus a filtered distinct
+    * count, all in a single hash aggregate. Both engines parse the
+    * identical statement. */
+  private val q72 = QDef(
+    "q72_filtered_aggregates",
+    s"""SELECT c_nationkey,
+       |  COUNT(*) AS n_orders,
+       |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS n_big_spenders,
+       |  ${sqlDsum("o_totalprice")} AS revenue,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql(s"""SELECT c_nationkey,
+       |  COUNT(*) AS n_orders,
+       |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) AS n_big_spenders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 }
