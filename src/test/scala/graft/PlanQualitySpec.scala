@@ -948,4 +948,18 @@ class PlanQualitySpec extends GraftSuite {
     assert(p.toLowerCase.contains("leftsemi"), s"q69 lost the semi join:\n$p")
     assert(p.contains("partial"), s"q69 aggregates lost map-side combine:\n$p")
   }
+
+  test("no registered query plans a CartesianProduct") {
+    // blanket scale guarantee: a CartesianProduct between data-sized
+    // sides is never acceptable; 1-row broadcast crossJoins plan as
+    // BroadcastNestedLoopJoin and are allowed
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = try planOf(name) catch { case e: Throwable => s"ERROR: $e" }
+      if (p.contains("CartesianProduct") || p.startsWith("ERROR"))
+        Some(name -> p.linesIterator.take(3).mkString(" | "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian/failed plans: ${offenders.map(_._1).mkString(", ")}\n${offenders.take(2)}")
+  }
 }
