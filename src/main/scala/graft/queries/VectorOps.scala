@@ -2294,16 +2294,21 @@ object VectorOps {
        |vdir AS (SELECT dim, w2 / sqrt(ww2) AS u FROM w2 CROSS JOIN n2),
        |proj AS (SELECT vec_id, ${sqlDsum("v * u")} AS t
        |         FROM ex JOIN vdir USING (dim) GROUP BY vec_id),
-       |corr AS (SELECT ex.vec_id, ex.dim, ex.v - proj.t * vdir.u AS cv
-       |         FROM ex JOIN proj USING (vec_id) JOIN vdir USING (dim)),
-       |nrm0 AS (SELECT vec_id, sqrt(${sqlDsum("v * v")}) AS nr
-       |         FROM ex GROUP BY vec_id),
-       |nrm1 AS (SELECT vec_id, sqrt(${sqlDsum("cv * cv")}) AS nr
-       |         FROM corr GROUP BY vec_id),
-       |ub AS (SELECT dim, ${sqlDsum("v / nr")} AS sb
-       |       FROM ex JOIN nrm0 USING (vec_id) WHERE nr > 0 GROUP BY dim),
-       |ua AS (SELECT dim, ${sqlDsum("cv / nr")} AS sa
-       |       FROM corr JOIN nrm1 USING (vec_id) WHERE nr > 0 GROUP BY dim),
+       |-- the corrected vector never materializes: with u unit,
+       |-- ||e - t*u||^2 = ||e||^2 - t^2 exactly, and the per-dim sum of
+       |-- corrected unit vectors is S_j - u_j * beta with
+       |-- S_j = sum_i v_ij/nr1_i and beta = sum_i t_i/nr1_i
+       |nrm AS (SELECT vec_id, sqrt(${sqlDsum("v * v")}) AS nr0 FROM ex GROUP BY vec_id),
+       |alpha AS (SELECT proj.vec_id, proj.t,
+       |            sqrt(nrm.nr0 * nrm.nr0 - proj.t * proj.t) AS nr1
+       |          FROM proj JOIN nrm USING (vec_id)),
+       |ub AS (SELECT dim, ${sqlDsum("v / nr0")} AS sb
+       |       FROM ex JOIN nrm USING (vec_id) WHERE nr0 > 0 GROUP BY dim),
+       |svec AS (SELECT dim, ${sqlDsum("ex.v / alpha.nr1")} AS sj
+       |         FROM ex JOIN alpha USING (vec_id) WHERE alpha.nr1 > 0 GROUP BY dim),
+       |beta AS (SELECT ${sqlDsum("t / nr1")} AS b FROM alpha WHERE nr1 > 0),
+       |ua AS (SELECT svec.dim, svec.sj - vdir.u * beta.b AS sa
+       |       FROM svec JOIN vdir USING (dim) CROSS JOIN beta),
        |sb2 AS (SELECT ${sqlDsum("sb * sb")} AS sq FROM ub),
        |sa2 AS (SELECT ${sqlDsum("sa * sa")} AS sq FROM ua),
        |cnt AS (SELECT COUNT(*) AS n FROM embeddings)
@@ -2318,18 +2323,22 @@ object VectorOps {
       .select(col("dim"), (col("w2") / sqrt(col("ww2"))).as("u"))
     val proj = ex.join(broadcast(vdir), "dim")
       .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
-    val corr = ex.join(proj, "vec_id").join(broadcast(vdir), "dim")
-      .select(col("vec_id"), col("dim"),
-        (col("v") - col("t") * col("u")).as("cv"))
+    // ||e - t*u||^2 = ||e||^2 - t^2 (u unit) — the corrected vectors
+    // never materialize; their per-dim unit sums are S_j - u_j * beta
+    val nrm = ex.groupBy(col("vec_id"))
+      .agg(sqrt(dsum(col("v") * col("v"))).as("nr0"))
+    val alpha = proj.join(nrm, "vec_id")
+      .select(col("vec_id"), col("t"),
+        sqrt(col("nr0") * col("nr0") - col("t") * col("t")).as("nr1"))
       .persistTracked()
-    val nrm0 = ex.groupBy(col("vec_id"))
-      .agg(sqrt(dsum(col("v") * col("v"))).as("nr"))
-    val nrm1 = corr.groupBy(col("vec_id"))
-      .agg(sqrt(dsum(col("cv") * col("cv"))).as("nr"))
-    val ub = ex.join(nrm0, "vec_id").where(col("nr") > 0)
-      .groupBy(col("dim")).agg(dsum(col("v") / col("nr")).as("sb"))
-    val ua = corr.join(nrm1, "vec_id").where(col("nr") > 0)
-      .groupBy(col("dim")).agg(dsum(col("cv") / col("nr")).as("sa"))
+    val ub = ex.join(nrm, "vec_id").where(col("nr0") > 0)
+      .groupBy(col("dim")).agg(dsum(col("v") / col("nr0")).as("sb"))
+    val svec = ex.join(alpha, "vec_id").where(col("nr1") > 0)
+      .groupBy(col("dim")).agg(dsum(col("v") / col("nr1")).as("sj"))
+    val beta = alpha.where(col("nr1") > 0)
+      .agg(dsum(col("t") / col("nr1")).as("b"))
+    val ua = svec.join(broadcast(vdir), "dim").crossJoin(broadcast(beta))
+      .select(col("dim"), (col("sj") - col("u") * col("b")).as("sa"))
     val sb2 = ub.agg(dsum(col("sb") * col("sb")).as("sq_b"))
     val sa2 = ua.agg(dsum(col("sa") * col("sa")).as("sq_a"))
     val cnt = embeddings(s, d).agg(count(lit(1)).as("n"))
