@@ -12,7 +12,7 @@ import graft.operators.Multimodal
   * MultimodalSpec instead. */
 object Multimedia {
 
-  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
+  def defs: Seq[QDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10)
 
   private val kindSql =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
@@ -480,6 +480,60 @@ object Multimedia {
       when(col("peak") === 0, lit(null))
         .otherwise(expr("127000 div peak")).cast("long").as("gain_x1000"),
       col("clip_at_2x"), (col("peak") >= 8).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  /** ViT patchification plan — the budgeting pass before a vision
+    * encoder: per image, the 16x16 patch grid after mm03\u0027s 224-fit
+    * resize, right/bottom padding needed to tile exactly, token count
+    * (patches + CLS), and the patch-embedding byte budget. Pure
+    * dimension arithmetic over the decoded metadata (integer-exact,
+    * per-row expression work, no joins). */
+  private val mm10 = QDef(
+    "mm10_patch_plan",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |d AS (
+       |  SELECT media_id,
+       |    CAST(256 + n % 256 AS BIGINT) AS width,
+       |    CAST(256 + (n // 7) % 256 AS BIGINT) AS height
+       |  FROM m),
+       |r AS (
+       |  SELECT *, least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height) AS scale
+       |  FROM d),
+       |o AS (
+       |  SELECT media_id, width, height,
+       |    greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+       |    greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h
+       |  FROM r)
+       |SELECT media_id, out_w, out_h,
+       |  (out_w + 15) // 16 AS patches_x, (out_h + 15) // 16 AS patches_y,
+       |  ((out_w + 15) // 16) * 16 - out_w AS pad_x,
+       |  ((out_h + 15) // 16) * 16 - out_h AS pad_y,
+       |  ((out_w + 15) // 16) * ((out_h + 15) // 16) + 1 AS n_tokens,
+       |  ((out_w + 15) // 16) * ((out_h + 15) // 16) * 16 * 16 * 3 AS patch_bytes
+       |FROM o ORDER BY media_id""".stripMargin) { (s, d) =>
+    val px = (c: org.apache.spark.sql.Column) => ((c + 15) / 16).cast("long")
+    Multimodal.attachPayload(Tables.documents(s, d))
+      .where(col("meta.kind") === "image")
+      .select(col("media_id"),
+        (lit(256) + length(col("payload")) % 256).cast("long").as("width"),
+        (lit(256) + (length(col("payload")).cast("long") / 7).cast("long") % 256)
+          .cast("long").as("height"))
+      .withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(lit(1L), floor(col("width") * col("scale")).cast("long")).as("out_w"),
+        greatest(lit(1L), floor(col("height") * col("scale")).cast("long")).as("out_h"))
+      .select(col("media_id"), col("out_w"), col("out_h"),
+        expr("(out_w + 15) div 16").as("patches_x"),
+        expr("(out_h + 15) div 16").as("patches_y"),
+        (expr("(out_w + 15) div 16") * 16 - col("out_w")).as("pad_x"),
+        (expr("(out_h + 15) div 16") * 16 - col("out_h")).as("pad_y"),
+        (expr("(out_w + 15) div 16") * expr("(out_h + 15) div 16") + 1).as("n_tokens"),
+        (expr("(out_w + 15) div 16") * expr("(out_h + 15) div 16") * 16 * 16 * 3).as("patch_bytes"))
       .orderBy(col("media_id"))
   }
 }

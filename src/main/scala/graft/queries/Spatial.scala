@@ -19,7 +19,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16, sp17)
+    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16, sp17, sp18)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -841,5 +841,57 @@ object Spatial {
         (max(col("us")) - min(col("us"))).as("dwell_us"))
       .where(col("n_fixes") >= 3 && col("dwell_us") >= 1800000000L)
       .orderBy(col("user_id"), col("run_id"))
+  }
+
+  /** Origin-destination flow matrix — the transport-planning rollup of
+    * sp15\u0027s geofence transitions: per (from_zone, to_zone) pair, the
+    * transition count, distinct moving users, and the flow\u0027s share of
+    * all transitions. Demonstrates the trajectory pipeline composing:
+    * zoning (expression work) -> transitions (user-keyed lag) -> one
+    * (from, to)-keyed aggregate over \u22644x4 cells. */
+  private val sp18 = QDef(
+    "sp18_od_matrix",
+    s"""WITH pos AS (
+       |  SELECT user_id, ts, event_id,
+       |    ${ptX("event_id")} AS x, ${ptY("event_id")} AS y
+       |  FROM events),
+       |zoned AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN x > 0 AND x < 40 AND y > 0 AND y < 40 THEN 'A'
+       |         WHEN x > 50 AND x < 100 AND y > 50 AND y < 100 THEN 'B'
+       |         WHEN x > 20 AND x < 45 AND y > 60 AND y < 95 THEN 'C'
+       |         ELSE 'out' END AS zone
+       |  FROM pos),
+       |seq AS (
+       |  SELECT user_id, zone,
+       |    LAG(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM zoned),
+       |tr AS (SELECT user_id, prev AS from_zone, zone AS to_zone FROM seq
+       |       WHERE prev IS NOT NULL AND prev <> zone)
+       |SELECT from_zone, to_zone, COUNT(*) AS n_transitions,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+       |FROM tr GROUP BY from_zone, to_zone
+       |ORDER BY from_zone, to_zone""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    SpatialFunctions.registerAll(s)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr(s"st_makepoint(${ptX("event_id")}, ${ptY("event_id")})").as("pt"))
+      .withColumn("zone",
+        when(expr("st_within(pt, st_makeenvelope(0D, 0D, 40D, 40D))"), "A")
+          .when(expr("st_within(pt, st_makeenvelope(50D, 50D, 100D, 100D))"), "B")
+          .when(expr("st_within(pt, st_makeenvelope(20D, 60D, 45D, 95D))"), "C")
+          .otherwise("out"))
+      .withColumn("prev", lag(col("zone"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") =!= col("zone"))
+      .groupBy(col("prev").as("from_zone"), col("zone").as("to_zone"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("share",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(Window.partitionBy()))
+      .orderBy(col("from_zone"), col("to_zone"))
   }
 }
