@@ -29,7 +29,8 @@ class DeterminismSpec extends GraftSuite {
     "d21_corpus_funnel", "v32_label_separation", "d22_langid_eval",
     "q62_distinct_on_latest", "q64_entity_resolution",
     "v33_power_iteration", "v34_kmeanspp_seeds", "sp16_areal_interpolation",
-    "v35_all_but_the_top", "q67_market_share")
+    "v35_all_but_the_top", "q67_market_share", "q71_linear_attribution",
+    "v36_rocchio_prf", "d23_threshold_sweep")
 
   private def run(name: String, parts: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
