@@ -22,7 +22,7 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -969,5 +969,58 @@ object Relational {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** ANALYZE-style column statistics card — what a catalog stats
+    * collector (DataFusion's ANALYZE, Spark's ANALYZE TABLE ... FOR
+    * COLUMNS) materializes per column: row/non-null/exact-NDV counts,
+    * numeric min/max (timestamps as epoch micros — exact in doubles),
+    * and mean string length for text columns. ONE scan: every
+    * per-column statistic computes in a single multi-distinct hash
+    * aggregate (Catalyst expands for the distincts), then the 1-row
+    * frame unpivots to the 6-row card. The oracle takes six scans —
+    * the single-pass shape is the Spark-side point. */
+  private val q73 = QDef(
+    "q73_column_stats", {
+      def row(col: String, minmax: String, avglen: String) =
+        s"""SELECT '$col' AS col, COUNT(*) AS n_rows,
+           |  COUNT($col) AS n_nonnull, COUNT(DISTINCT $col) AS ndv,
+           |  $minmax, $avglen FROM orders""".stripMargin
+      Seq(
+        row("o_orderkey", "CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num", "CAST(NULL AS DOUBLE) AS avg_len"),
+        row("o_custkey", "CAST(MIN(o_custkey) AS DOUBLE) AS min_num, CAST(MAX(o_custkey) AS DOUBLE) AS max_num", "CAST(NULL AS DOUBLE) AS avg_len"),
+        row("o_orderstatus", "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num", s"${sqlDsum("length(o_orderstatus)")} / COUNT(o_orderstatus) AS avg_len"),
+        row("o_totalprice", "MIN(o_totalprice) AS min_num, MAX(o_totalprice) AS max_num", "CAST(NULL AS DOUBLE) AS avg_len"),
+        row("o_orderdate", "CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS min_num, CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS max_num", "CAST(NULL AS DOUBLE) AS avg_len"),
+        row("o_orderpriority", "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num", s"${sqlDsum("length(o_orderpriority)")} / COUNT(o_orderpriority) AS avg_len"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    }) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val one = o.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderkey")).as("nn_okey"), countDistinct(col("o_orderkey")).as("ndv_okey"),
+      min(col("o_orderkey")).cast("double").as("min_okey"), max(col("o_orderkey")).cast("double").as("max_okey"),
+      count(col("o_custkey")).as("nn_ckey"), countDistinct(col("o_custkey")).as("ndv_ckey"),
+      min(col("o_custkey")).cast("double").as("min_ckey"), max(col("o_custkey")).cast("double").as("max_ckey"),
+      count(col("o_orderstatus")).as("nn_st"), countDistinct(col("o_orderstatus")).as("ndv_st"),
+      (dsum(length(col("o_orderstatus"))) / count(col("o_orderstatus"))).as("len_st"),
+      count(col("o_totalprice")).as("nn_tp"), countDistinct(col("o_totalprice")).as("ndv_tp"),
+      min(col("o_totalprice")).as("min_tp"), max(col("o_totalprice")).as("max_tp"),
+      count(col("o_orderdate")).as("nn_od"), countDistinct(col("o_orderdate")).as("ndv_od"),
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double").as("min_od"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double").as("max_od"),
+      count(col("o_orderpriority")).as("nn_pr"), countDistinct(col("o_orderpriority")).as("ndv_pr"),
+      (dsum(length(col("o_orderpriority"))) / count(col("o_orderpriority"))).as("len_pr"))
+    one.selectExpr("n_rows", s"""stack(6,
+      |  'o_orderkey', nn_okey, ndv_okey, min_okey, max_okey, CAST(NULL AS DOUBLE),
+      |  'o_custkey', nn_ckey, ndv_ckey, min_ckey, max_ckey, CAST(NULL AS DOUBLE),
+      |  'o_orderstatus', nn_st, ndv_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), len_st,
+      |  'o_totalprice', nn_tp, ndv_tp, min_tp, max_tp, CAST(NULL AS DOUBLE),
+      |  'o_orderdate', nn_od, ndv_od, min_od, max_od, CAST(NULL AS DOUBLE),
+      |  'o_orderpriority', nn_pr, ndv_pr, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), len_pr
+      |) AS (col, n_nonnull, ndv, min_num, max_num, avg_len)""".stripMargin)
+      .select(col("col"), col("n_rows"), col("n_nonnull"), col("ndv"),
+        col("min_num"), col("max_num"), col("avg_len"))
+      .orderBy(col("col"))
   }
 }

@@ -21,7 +21,7 @@ object TextOps {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46)
+      t43, t44, t45, t46, t47)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2388,4 +2388,53 @@ object TextOps {
         (col("f").cast("double") / col("freq_2x")).as("octave_ratio"))
       .orderBy(col("rank"))
   }
+
+  /** Code-vs-prose signal — the corpus gate that routes documents to a
+    * code pipeline (different tokenizer, different dedup granularity)
+    * instead of the prose one: per doc, the code-symbol character
+    * ratio ({}();=<>[] stripped-and-measured, the t44 pattern), digit
+    * ratio, query-keyword token density, and the routing flag. Integer
+    * counts with single final divisions; per-row expression work, no
+    * joins. */
+  private val t47 = QDef(
+    "t47_code_signal",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[{}();=<>\\[\\]]', '', 'g')) AS n_sym,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> x IN ('join', 'filter', 'scan', 'hash', 'merge', 'query'))) AS n_kw
+       |  FROM documents)
+       |SELECT doc_id, n_chars, CAST(n_sym AS BIGINT) AS n_sym,
+       |  CAST(n_digit AS BIGINT) AS n_digit, CAST(n_kw AS BIGINT) AS n_kw,
+       |  CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio,
+       |  CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+       |  CAST(n_kw AS DOUBLE) / n_tok AS kw_density,
+       |  CAST(n_sym AS DOUBLE) / n_chars > 0.01
+       |    OR CAST(n_kw AS DOUBLE) / n_tok > CAST(0.3 AS DOUBLE) AS is_codey
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{}();=<>\\[\\]]", "")))
+          .cast("long").as("n_sym"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_intersect_count_helper(col("text"))).cast("long").as("n_kw"))
+      .select(col("doc_id"), col("n_chars"), col("n_sym"), col("n_digit"), col("n_kw"),
+        (col("n_sym").cast("double") / col("n_chars")).as("sym_ratio"),
+        (col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
+        (col("n_kw").cast("double") / col("n_tok")).as("kw_density"),
+        ((col("n_sym").cast("double") / col("n_chars")) > 0.01 ||
+          (col("n_kw").cast("double") / col("n_tok")) > 0.3).as("is_codey"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens of `text` matching the code-keyword set (t47 helper). */
+  private def array_intersect_count_helper(text: Column): Column =
+    filter(tokens(text), t => t.isin("join", "filter", "scan", "hash", "merge", "query"))
 }
