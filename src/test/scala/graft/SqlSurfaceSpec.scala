@@ -136,4 +136,34 @@ class SqlSurfaceSpec extends GraftSuite {
     val r = spark.sql("SELECT 'don''t' SIMILAR TO 'don''t' AS r").head.getBoolean(0)
     assert(r)
   }
+
+  test("scanner edges: subqueries with ORDER BY/LIMIT inside FROM survive") {
+    events
+    // the inner ORDER BY/LIMIT sit inside parens — the top-level
+    // scanner must not mistake them for the outer query's tail
+    val got = spark.sql(
+      """SELECT DISTINCT ON (event_type) event_type, value
+        |FROM (SELECT event_type, value FROM events ORDER BY value DESC LIMIT 100) t
+        |ORDER BY event_type, value DESC""".stripMargin)
+    val n = events.select("event_type").distinct().count()
+    assert(got.count() <= n && got.count() > 0)
+    // QUALIFY after a parenthesized subquery
+    val q = spark.sql(
+      """SELECT event_type, COUNT(*) AS n
+        |FROM (SELECT * FROM events LIMIT 500) t
+        |GROUP BY event_type
+        |QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, event_type) = 1""".stripMargin)
+    assert(q.count() == 1)
+  }
+
+  test("scanner edges: literals containing keywords inside the query") {
+    events
+    val got = spark.sql(
+      """SELECT DISTINCT ON (event_type) event_type, 'order by limit from' AS s
+        |FROM events ORDER BY event_type""".stripMargin)
+    assert(got.head.getString(1) == "order by limit from")
+    // class passthrough: [%] stays a literal percent inside the class
+    val r2 = spark.sql("SELECT '5%' SIMILAR TO '_[%]' AS r").head.getBoolean(0)
+    assert(r2)
+  }
 }
