@@ -25,7 +25,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q59, q61, q71)
+    q53, q54, q55, q56, q57, q59, q61, q71, q74)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1480,5 +1480,41 @@ object Events {
     credit.groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_credits"), dsum(col("credit")).as("attributed_value"))
       .orderBy(col("touch_type"))
+  }
+
+  /** Cross-engine datetime battery — the calendar functions a PG user
+    * expects, restricted to the forms whose semantics actually agree
+    * across engines (EXTRACT fields, ISO week, month/week truncation,
+    * last-day-of-month; day-of-week stays EPOCH-DAY ARITHMETIC because
+    * the engines' dayofweek() numbering conventions differ — the q61
+    * rule). Truncated instants are compared as epoch microseconds, not
+    * rendered strings. Pure per-row expression work. */
+  private val q74 = QDef(
+    "q74_datetime_suite",
+    """SELECT event_id,
+      |  CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
+      |  CAST(EXTRACT(QUARTER FROM ts) AS BIGINT) AS qtr,
+      |  CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS mth,
+      |  CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dom,
+      |  CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+      |  CAST(EXTRACT(WEEK FROM ts) AS BIGINT) AS iso_week,
+      |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow_monday0,
+      |  epoch_us(date_trunc('month', ts)) AS month_start_us,
+      |  epoch_us(date_trunc('week', ts)) AS week_start_us,
+      |  epoch_us(CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP)) AS month_end_us
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      year(col("ts")).cast("long").as("y"),
+      quarter(col("ts")).cast("long").as("qtr"),
+      month(col("ts")).cast("long").as("mth"),
+      dayofmonth(col("ts")).cast("long").as("dom"),
+      hour(col("ts")).cast("long").as("hr"),
+      weekofyear(col("ts")).cast("long").as("iso_week"),
+      ((unix_micros(col("ts").cast("timestamp")) / 86400000000L).cast("long") + 3)
+        .mod(7).as("dow_monday0"),
+      unix_micros(date_trunc("month", col("ts")).cast("timestamp")).as("month_start_us"),
+      unix_micros(date_trunc("week", col("ts")).cast("timestamp")).as("week_start_us"),
+      unix_micros(last_day(col("ts").cast("date")).cast("timestamp")).as("month_end_us"))
+      .orderBy(col("event_id"))
   }
 }
