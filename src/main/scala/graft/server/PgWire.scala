@@ -236,7 +236,20 @@ object PgWire {
       .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
     case d: java.sql.Date        => Some(d.toString)
     case s: scala.collection.Seq[_] =>
-      Some(s.map(e => encodeValue(e).getOrElse("NULL")).mkString("{", ",", "}"))
+      // PG array-literal element quoting: elements containing the
+      // delimiter, braces, quotes, backslashes or whitespace — plus
+      // empty strings and the literal word NULL — are double-quoted
+      // with backslash escapes (PostgreSQL arrays.html#ARRAYS-IO)
+      def elem(e: Any): String = encodeValue(e) match {
+        case None => "NULL"
+        case Some(t)
+            if t.isEmpty || t.equalsIgnoreCase("null") ||
+              t.exists(c => c == ',' || c == '{' || c == '}' ||
+                c == '"' || c == '\\' || c.isWhitespace) =>
+          "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case Some(t) => t
+      }
+      Some(s.map(elem).mkString("{", ",", "}"))
     case other                   => Some(other.toString)
   }
 }
