@@ -235,6 +235,22 @@ object PgWire {
     case t: java.time.Instant    => Some(java.time.LocalDateTime
       .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
     case d: java.sql.Date        => Some(d.toString)
+    // interval values arrive as java.time types; PG default style is
+    // "N year[s] N mon[s] N day[s] HH:MM:SS[.ffffff]"
+    case p: java.time.Period     =>
+      val parts = Seq(
+        (p.getYears, "year"), (p.getMonths, "mon"), (p.getDays, "day"))
+        .collect { case (n, u) if n != 0 => s"$n $u" + (if (n.abs != 1) "s" else "") }
+      Some(if (parts.isEmpty) "00:00:00" else parts.mkString(" "))
+    case d: java.time.Duration   =>
+      val neg = d.isNegative
+      val abs = d.abs
+      val days = abs.toDays
+      val rem = abs.minusDays(days)
+      val hms = f"${rem.toHours}%02d:${rem.toMinutesPart}%02d:${rem.toSecondsPart}%02d"
+      val frac = if (abs.getNano == 0) "" else f".${abs.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+      val dayPart = if (days != 0) s"$days day" + (if (days != 1) "s " else " ") else ""
+      Some((if (neg) "-" else "") + dayPart + hms + frac)
     case s: scala.collection.Seq[_] =>
       // PG array-literal element quoting: elements containing the
       // delimiter, braces, quotes, backslashes or whitespace — plus
