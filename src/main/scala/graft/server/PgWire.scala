@@ -235,6 +235,9 @@ object PgWire {
     case t: java.time.Instant    => Some(java.time.LocalDateTime
       .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
     case d: java.sql.Date        => Some(d.toString)
+    // NUMERIC never renders scientifically in PG text format
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
     // interval values arrive as java.time types; PG default style is
     // "N year[s] N mon[s] N day[s] HH:MM:SS[.ffffff]"
     case p: java.time.Period     =>
