@@ -227,6 +227,24 @@ object PgWire {
     buf.array()
   }
 
+  /** PG float text style from a Java shortest-roundtrip repr: plain
+    * notation while the decimal exponent sits in [-4, 15), otherwise
+    * normalized mantissa + `e(+|-)NN`; trailing `.0` trimmed. */
+  private[graft] def pgFloatText(shortest: String): String = {
+    if (shortest == "NaN" || shortest.endsWith("Infinity")) return shortest
+    val bd = new java.math.BigDecimal(shortest).stripTrailingZeros
+    if (bd.unscaledValue.signum == 0) return "0"
+    val e10 = bd.precision - bd.scale - 1
+    if (e10 >= 15 || e10 <= -5) {
+      val digits = bd.unscaledValue.abs.toString
+      val sign = if (bd.signum < 0) "-" else ""
+      val mant =
+        if (digits.length == 1) digits
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      f"$sign$mant%se${if (e10 >= 0) "+" else "-"}%s${e10.abs}%02d"
+    } else bd.toPlainString
+  }
+
   def encodeValue(v: Any): Option[String] = v match {
     case null                    => None
     case b: Boolean              => Some(if (b) "t" else "f")
@@ -238,6 +256,10 @@ object PgWire {
     // NUMERIC never renders scientifically in PG text format
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
+    // float8/float4: Java switches to scientific notation at 1e7, PG
+    // only at 1e15 (and at 1e-5 downward), with e+NN exponents
+    case d: Double               => Some(pgFloatText(java.lang.Double.toString(d)))
+    case f: Float                => Some(pgFloatText(java.lang.Float.toString(f)))
     // interval values arrive as java.time types; PG default style is
     // "N year[s] N mon[s] N day[s] HH:MM:SS[.ffffff]"
     case p: java.time.Period     =>
