@@ -21,7 +21,7 @@ object TextOps {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47)
+      t43, t44, t45, t46, t47, t48)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2437,4 +2437,42 @@ object TextOps {
   /** Tokens of `text` matching the code-keyword set (t47 helper). */
   private def array_intersect_count_helper(text: Column): Column =
     filter(tokens(text), t => t.isin("join", "filter", "scan", "hash", "merge", "query"))
+
+  /** Dedup capacity-planning card — the back-of-envelope a platform
+    * team runs before launching a corpus-wide dedup: from one corpus
+    * aggregate (doc/token/char counts), the projected shuffle payload
+    * of each method at this corpus size — exact-hash (digest+id),
+    * MinHash-LSH banding (16 bands x (band, bhash, id)), SimHash
+    * (fingerprint+id), and winnowing (fingerprints/doc from the
+    * window rule) — plus bytes-per-doc ratios. Pure integer arithmetic
+    * over a single scan; the card's point is that every method ships
+    * CONSTANT-WIDTH rows, never text (the repo's own shuffle
+    * discipline, quantified). */
+  private val t48 = QDef(
+    "t48_dedup_cost_card",
+    s"""WITH t AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT n_docs, n_tokens, n_chars,
+       |  n_docs * (16 + 8) AS exact_shuffle_bytes,
+       |  n_docs * 16 * (8 + 8 + 8) AS lsh_shuffle_bytes,
+       |  n_docs * (8 + 8) AS simhash_shuffle_bytes,
+       |  GREATEST(n_tokens - 4 * n_docs, n_docs) * (8 + 8) AS winnow_shuffle_bytes,
+       |  CAST(n_docs * 16 * 24 AS DOUBLE) / n_chars AS lsh_vs_text_ratio
+       |FROM t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs") * (16 + 8)).as("exact_shuffle_bytes"),
+        (col("n_docs") * 16 * (8 + 8 + 8)).as("lsh_shuffle_bytes"),
+        (col("n_docs") * (8 + 8)).as("simhash_shuffle_bytes"),
+        (greatest(col("n_tokens") - lit(4) * col("n_docs"), col("n_docs")) * (8 + 8))
+          .as("winnow_shuffle_bytes"),
+        ((col("n_docs") * 16 * 24).cast("double") / col("n_chars"))
+          .as("lsh_vs_text_ratio"))
+  }
 }

@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
+    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2427,5 +2427,37 @@ object VectorOps {
       .join(top1.withColumn("in_r1", lit(true)), Seq("q_id", "vec_id"), "left")
       .withColumn("in_r1", coalesce(col("in_r1"), lit(false)))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ANN shard-assignment plan — how a serving fleet splits the IVF
+    * lists across k shards: lists ranked by occupancy (heaviest first,
+    * id tiebreak) and dealt round-robin, the standard
+    * largest-first balancing heuristic; per shard, the list count,
+    * vector load, and the load share whose spread is the imbalance a
+    * router monitors. The rank window runs over the K-row list-size
+    * table (bounded by the quantizer, not the corpus). */
+  private val v37 = QDef(
+    "v37_shard_plan",
+    s"""$sqlIvfCtes,
+       |ls AS (SELECT list_id, COUNT(*) AS occ FROM assign GROUP BY list_id),
+       |rk AS (SELECT list_id, occ,
+       |         ROW_NUMBER() OVER (ORDER BY occ DESC, list_id) AS r
+       |       FROM ls),
+       |sh AS (SELECT CAST((r - 1) % 4 AS BIGINT) AS shard, occ FROM rk)
+       |SELECT shard, COUNT(*) AS n_lists, CAST(SUM(occ) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(occ) AS DOUBLE) / SUM(SUM(occ)) OVER () AS load_share
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ls = ivfAssign(embeddings(s, d)).groupBy(col("list_id"))
+      .agg(count(lit(1)).as("occ"))
+    val rk = ls.withColumn("r",
+      row_number().over(Window.orderBy(col("occ").desc, col("list_id"))))
+    rk.select((((col("r") - 1) % 4).cast("long")).as("shard"), col("occ"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("occ")).cast("long").as("n_vectors"))
+      .withColumn("load_share",
+        col("n_vectors").cast("double") /
+          sum(col("n_vectors")).over(Window.partitionBy()))
+      .orderBy(col("shard"))
   }
 }
