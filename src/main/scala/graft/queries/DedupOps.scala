@@ -26,7 +26,7 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -1500,5 +1500,82 @@ object DedupOps {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
       .orderBy(col("thr"))
+  }
+
+  /** k-core decomposition of the near-dup graph by BOUNDED-ROUND
+    * distributed peeling (Matula-Beck shape): each round drops every
+    * vertex with degree < k and the edges touching it; 5 rounds are the
+    * operator's definition (a fixed stage count — at 100 TB you run a
+    * budgeted number of peels, checkpointing between them, exactly like
+    * d08's unrolled power iterations). 2-cores separate cyclic dup
+    * clusters from tree-like chains; 3-cores isolate the densest
+    * template families that component size alone can't distinguish (a
+    * star of N docs is one component but has NO 2-core). Every round is
+    * a map-side-combined degree aggregate + two key-only semi-joins —
+    * integer set algebra, no geometry for sum-order drift. The oracle
+    * replays the identical 5 unrolled rounds; its quadratic half is the
+    * brute-force vp pair stage (the d-family oracle pattern). */
+  private val d24 = QDef(
+    "d24_kcore_decomposition", {
+      def rounds(k: Int): String =
+        (1 to 5).map { r =>
+          s"""k${k}d$r AS (SELECT src, COUNT(*) AS deg FROM k${k}e${r - 1} GROUP BY src),
+             |k${k}v$r AS (SELECT src FROM k${k}d$r WHERE deg >= $k),
+             |k${k}e$r AS (
+             |  SELECT e.src, e.dst FROM k${k}e${r - 1} e
+             |  JOIN k${k}v$r va ON e.src = va.src
+             |  JOIN k${k}v$r vb ON e.dst = vb.src)""".stripMargin
+        }.mkString(",\n")
+      "WITH " + oracleShingleCte + ",\n" +
+        s"""e AS (SELECT a AS src, b AS dst FROM vp
+           |       UNION SELECT b AS src, a AS dst FROM vp),
+           |k2e0 AS (SELECT src, dst FROM e),
+           |k3e0 AS (SELECT src, dst FROM e),
+           |${rounds(2)},
+           |${rounds(3)},
+           |deg0 AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src),
+           |deg2 AS (SELECT src, COUNT(*) AS deg FROM k2e5 GROUP BY src)
+           |SELECT d0.src AS doc_id, CAST(d0.degree AS BIGINT) AS degree,
+           |  (v2.src IS NOT NULL) AS in_2core,
+           |  (v3.src IS NOT NULL) AS in_3core,
+           |  CAST(COALESCE(deg2.deg, 0) AS BIGINT) AS core2_degree
+           |FROM deg0 d0
+           |LEFT JOIN k2v5 v2 ON d0.src = v2.src
+           |LEFT JOIN k3v5 v3 ON d0.src = v3.src
+           |LEFT JOIN deg2 ON d0.src = deg2.src
+           |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst").persistTracked()
+    // 5 unrolled peel rounds: degrees → survivors → edge restriction.
+    // Each round's edge set is persist-tracked so the next round (and
+    // the final degree readout) never recompute the whole prefix chain.
+    def peel(k: Int): (DataFrame, DataFrame) = {
+      var e = edges
+      var v: DataFrame = null
+      for (_ <- 1 to 5) {
+        v = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("src"))
+        e = graft.util.Persist.persistTracked(
+          e.join(v, Seq("src"), "left_semi")
+            .join(v.select(col("src").as("dst")), Seq("dst"), "left_semi"))
+      }
+      (v, e)
+    }
+    val (v2, e2) = peel(2)
+    val (v3, _) = peel(3)
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val deg2 = e2.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg0
+      .join(v2.withColumn("in2", lit(true)), Seq("src"), "left")
+      .join(v3.withColumn("in3", lit(true)).select(col("src"), col("in3")),
+        Seq("src"), "left")
+      .join(deg2, Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("degree").cast("long").as("degree"),
+        coalesce(col("in2"), lit(false)).as("in_2core"),
+        coalesce(col("in3"), lit(false)).as("in_3core"),
+        coalesce(col("deg"), lit(0L)).cast("long").as("core2_degree"))
+      .orderBy(col("doc_id"))
   }
 }

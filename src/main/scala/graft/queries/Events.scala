@@ -25,7 +25,7 @@ object Events {
 
   def defs: Seq[QDef] = Seq(q19, q20, q21, q22, q26, q32, q33, q34, q35, q36,
     q37, q38, q39, q41, q42, q43, q44, q45, q47, q48, q49, q50, q51, q52,
-    q53, q54, q55, q56, q57, q59, q61, q71, q74)
+    q53, q54, q55, q56, q57, q59, q61, q71, q74, q79, q80)
 
   /** Event-time RANGE window frames: per user, the trailing-1-hour
     * event count and value sum at every event (the "activity in the
@@ -1516,5 +1516,97 @@ object Events {
       unix_micros(date_trunc("week", col("ts")).cast("timestamp")).as("week_start_us"),
       unix_micros(last_day(col("ts").cast("date")).cast("timestamp")).as("month_end_us"))
       .orderBy(col("event_id"))
+  }
+
+  /** RFM customer segmentation with a SCALE-SAFE NTILE: per purchasing
+    * user, recency (days since last purchase, integer), frequency
+    * (purchase count) and monetary (decimal-exact value sum), each cut
+    * into quintiles. The canonical SQL is `NTILE(5) OVER (ORDER BY
+    * metric)` — ONE window partition holding every user, the classic
+    * scale killer. Here each quintile comes from [[graft.util.Rank]]:
+    * a range-partitioned global row number (the only unpartitioned
+    * window reads the P-row partition-count table) pushed through the
+    * closed-form NTILE bucket arithmetic; the oracle keeps native
+    * NTILE, proving the distributed form bucket-for-bucket identical.
+    * Ordering keys are total (metric, user_id), so ranks — and
+    * therefore buckets — are reshuffle-invariant. */
+  private val q79 = QDef(
+    "q79_rfm_segments",
+    s"""WITH p AS (
+       |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+       |    ${sqlDsum("value")} AS mon
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |ref AS (SELECT MAX(last_us) AS ref_us FROM p),
+       |m AS (
+       |  SELECT user_id, mon,
+       |    NTILE(5) OVER (ORDER BY (ref_us - last_us) // 86400000000, user_id) AS r_q,
+       |    NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+       |    NTILE(5) OVER (ORDER BY mon DESC, user_id) AS m_q
+       |  FROM p CROSS JOIN ref)
+       |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+       |  ${sqlDsum("mon")} AS seg_monetary
+       |FROM m GROUP BY r_q, f_q, m_q
+       |ORDER BY r_q, f_q, m_q""".stripMargin) { (s, d) =>
+    import graft.util.Rank
+    val p = graft.util.Persist.persistTracked(
+      Tables.events(s, d).where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"), dsum(col("value")).as("mon")))
+    val ref = p.agg(max(col("last_us")).as("ref_us"))
+    val nf = p.agg(count(lit(1)).as("n"))
+    val base = p.crossJoin(broadcast(ref))
+      .withColumn("rec_days", expr("(ref_us - last_us) div 86400000000"))
+    def quintile(sort: Seq[org.apache.spark.sql.Column], out: String) =
+      Rank.globalRowNumber(base, sort).crossJoin(broadcast(nf))
+        .select(col("user_id"), Rank.ntileOf(col("rk"), col("n"), 5).as(out))
+    val rq = quintile(Seq(col("rec_days"), col("user_id")), "r_q")
+    val fq = quintile(Seq(col("freq").desc, col("user_id")), "f_q")
+    val mq = quintile(Seq(col("mon").desc, col("user_id")), "m_q")
+    p.join(rq, "user_id").join(fq, "user_id").join(mq, "user_id")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), dsum(col("mon")).as("seg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Weekly retention cohort matrix — the activation/stickiness table
+    * every growth pipeline materializes: users cohort at their first
+    * active epoch-week (integer week index — no calendar/timezone
+    * dependence), each later active week contributes to
+    * (cohort, offset), and retention divides active users by cohort
+    * size. Integer counts throughout; the ONE double division is
+    * exactly rounded identically in both engines. Scale: one
+    * user-keyed aggregate (first week), one distinct over (user, week)
+    * — both map-side combined — and a broadcast of the per-cohort size
+    * table; nothing global. */
+  private val q80 = QDef(
+    "q80_retention_cohorts",
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+      |sz AS (SELECT cohort, COUNT(*) AS cohort_users FROM c GROUP BY cohort)
+      |SELECT c.cohort AS cohort_week, w.wk - c.cohort AS week_offset,
+      |  COUNT(*) AS active_users, sz.cohort_users,
+      |  CAST(COUNT(*) AS DOUBLE) / sz.cohort_users AS retention
+      |FROM w JOIN c ON w.user_id = c.user_id
+      |JOIN sz ON c.cohort = sz.cohort
+      |GROUP BY c.cohort, w.wk - c.cohort, sz.cohort_users
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val w = graft.util.Persist.persistTracked(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct())
+    val c = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val sz = c.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    w.join(c, "user_id")
+      .join(broadcast(sz), "cohort")
+      .groupBy(col("cohort").as("cohort_week"),
+        (col("wk") - col("cohort")).as("week_offset"), col("cohort_users"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
   }
 }

@@ -22,7 +22,8 @@ object Relational {
 
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
-    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73)
+    q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73,
+    q75, q76, q77, q78)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -1022,5 +1023,185 @@ object Relational {
       .select(col("col"), col("n_rows"), col("n_nonnull"), col("ndv"),
         col("min_num"), col("max_num"), col("avg_len"))
       .orderBy(col("col"))
+  }
+
+  /** TPC-H Q2 shape — correlated-MIN supplier selection: for each part
+    * of a brand, the supplier(s) whose line price equals the part's
+    * minimum (a correlated scalar aggregate subquery; reference
+    * inherits the decorrelation from DataFusion,
+    * src/core/src/datasource — here Catalyst's RewriteCorrelatedScalarSubquery
+    * turns it into an aggregate + join). IDENTICAL statement on both
+    * engines; the comparison is raw-value equality (no arithmetic), so
+    * double semantics can't diverge. Ties surface as extra rows and
+    * order out deterministically. */
+  private val q75 = QDef(
+    "q75_min_cost_supplier", {
+      val sql = """SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |  n.n_name, l.l_extendedprice AS best_price
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_brand = 'Brand#11'
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, s_suppkey, best_price""".stripMargin
+      sql
+    }) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql("""SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+      |  n.n_name, l.l_extendedprice AS best_price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_brand = 'Brand#11'
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey, s_suppkey, best_price""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape — top supplier by a revenue view: per-supplier
+    * decimal-exact revenue over a 3-month ship window, then the
+    * supplier(s) whose revenue equals the view's max (scalar subquery
+    * over the aggregate — the max is a 1-row broadcast, never a global
+    * sort). Revenue compares as DECIMAL (exact, associative), cast to
+    * double only in the output. */
+  private val q76 = QDef(
+    "q76_top_revenue_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1995-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,6)")).as("total_rev"))
+    import graft.util.Persist.Syntax
+    val r = rev.persistTracked()
+    val mx = r.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(r, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape — nested correlated-threshold semi-join:
+    * suppliers who shipped MORE than 3× their equal share of a red
+    * part's total quantity (per-(part,supp) sums vs a correlated
+    * per-part total+supplier-count: both aggregates run once,
+    * map-side combined; the comparison joins on the part key and the
+    * qualifying suppliers gate the supplier scan through a left-semi
+    * join — nothing quadratic, no row ever re-scanned). The threshold
+    * is RELATIVE (share × supplier count), so selectivity holds as
+    * per-part supplier counts grow with scale. Decimal sums cast to
+    * double for the comparison (correctly rounded identically in both
+    * engines; decimal×decimal would overflow Spark's 38-digit cap and
+    * silently round). */
+  private val q77 = QDef(
+    "q77_big_share_suppliers",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS supp_qty
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |pt AS (
+      |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS part_qty,
+      |    COUNT(DISTINCT l_suppkey) AS n_supps
+      |  FROM lineitem GROUP BY l_partkey),
+      |qualifying AS (
+      |  SELECT DISTINCT ps.l_suppkey
+      |  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      |  JOIN part p ON p.p_partkey = ps.l_partkey
+      |  WHERE p.p_name LIKE '%red%'
+      |    AND CAST(ps.supp_qty AS DOUBLE) * pt.n_supps
+      |      > CAST(pt.part_qty AS DOUBLE) * 3.0)
+      |SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM qualifying)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val redParts = Tables.part(s, d)
+      .where(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
+    val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("supp_qty"))
+    val pt = li.groupBy(col("l_partkey").as("pt_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("part_qty"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    val qualifying = ps
+      .join(pt, col("l_partkey") === col("pt_partkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .where(col("supp_qty").cast("double") * col("n_supps")
+        > col("part_qty").cast("double") * 3.0)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins: suppliers who
+    * were the ONLY late shipper on a multi-supplier finished order
+    * ("late" = shipped 60+ days after the order date — the fixture has
+    * no receipt/commit dates). Spark side: the per-order supplier
+    * flags reduce to ONE aggregate over lineitem (distinct suppliers,
+    * distinct late suppliers) joined back to the late lines — the
+    * EXISTS ("another supplier touched the order") and NOT EXISTS ("no
+    * OTHER supplier was late") become integer predicates on those
+    * counts instead of two more self-joins; the oracle keeps the
+    * textbook correlated form. Top 20 suppliers by waiting-order
+    * count, name tiebreak. */
+  private val q78 = QDef(
+    "q78_waiting_suppliers",
+    """WITH late AS (
+      |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |    AND EXISTS (
+      |      SELECT 1 FROM lineitem l2
+      |      WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |      WHERE l3.l_orderkey = l.l_orderkey AND l3.l_suppkey <> l.l_suppkey
+      |        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY))
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM late JOIN supplier s ON s.s_suppkey = late.l_suppkey
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val ords = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    // one aggregate replaces both correlated EXISTS probes: per order,
+    // how many distinct suppliers touched it / shipped late on it
+    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    val late = lines.where(col("is_late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val waiting = late.join(perOrder, col("l_orderkey") === col("ok"))
+      .where(col("n_supps") > 1 && col("n_late") === 1)
+    waiting.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 }

@@ -19,7 +19,7 @@ import graft.spatial.SpatialFunctions
 object Spatial {
 
   def defs: Seq[QDef] = Seq(sp01, sp02, sp03, sp04, sp05, sp06, sp07, sp08,
-    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16, sp17, sp18)
+    sp09, sp10, sp11, sp12, sp13, sp14, sp15, sp16, sp17, sp18, sp19)
 
   /** Deterministic coordinates in [0,100) + 0.5 (never on a cell edge). */
   private def ptX(key: String) = s"(($key * 48271) % 10007) % 100 + 0.5"
@@ -893,5 +893,66 @@ object Spatial {
         col("n_transitions").cast("double") /
           sum(col("n_transitions")).over(Window.partitionBy()))
       .orderBy(col("from_zone"), col("to_zone"))
+  }
+
+  /** Getis-Ord Gi* hotspot z-scores over the 10×10 revenue lattice —
+    * the formal local statistic behind sp12's ratio heuristics: per
+    * occupied cell, Gi* = (Σⱼwᵢⱼxⱼ − x̄Wᵢ) / (S·√((nWᵢ−Wᵢ²)/(n−1)))
+    * with binary 3×3 weights (self included), the study region = the
+    * occupied cells. |z| > 1.96 flags hot/cold at 95%. One template
+    * executed VERBATIM by both engines (the sp13 rule): every IEEE
+    * divide/multiply/sqrt runs in the same textual order, and the three
+    * aggregated sums (x, x², neighborhood x) go through the
+    * decimal-rounding pattern so shuffle order can't move a ulp.
+    * Every AGGREGATED quantity is an exact INTEGER (revenue cents per
+    * customer via floor(+0.5), cell value in whole revenue-thousands):
+    * summing rounded doubles is engine-divergent at ties (Spark's
+    * decimal cast rounds the exact binary expansion, DuckDB rounds a
+    * ×10⁶ double product — they disagree exactly at the .5 boundary a
+    * /10⁶ quotient can sit on), while BIGINT sums are associative and
+    * identical everywhere; doubles appear only in the FINAL formula
+    * over those integers, where +,−,×,÷,√ are correctly rounded in
+    * both engines. Scale: per-cell work after two keyed aggregates;
+    * the neighbor join is the 3×3 lattice equi-range join (≤9 partners
+    * per cell), the 1-row corpus stats broadcast. */
+  private val sp19 = {
+    def giSql(): String = {
+      val x = ptX("c_custkey"); val y = ptY("c_custkey")
+      s"""WITH rc AS (
+         |  SELECT o_custkey AS c,
+         |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY o_custkey),
+         |pc AS (
+         |  SELECT CAST(FLOOR(($x) / 10) AS BIGINT) AS gx,
+         |    CAST(FLOOR(($y) / 10) AS BIGINT) AS gy,
+         |    CAST(FLOOR(CAST(SUM(COALESCE(rc.cents, 0)) AS DOUBLE) / 100000.0) AS BIGINT) AS x
+         |  FROM customer LEFT JOIN rc ON c_custkey = rc.c
+         |  GROUP BY CAST(FLOOR(($x) / 10) AS BIGINT), CAST(FLOOR(($y) / 10) AS BIGINT)),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM pc),
+         |nbr AS (
+         |  SELECT a.gx, a.gy, CAST(SUM(b.x) AS BIGINT) AS wsum, COUNT(*) AS wi
+         |  FROM pc a JOIN pc b
+         |    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+         |  GROUP BY a.gx, a.gy),
+         |z AS (
+         |  SELECT CAST(c.gx * 10 + c.gy AS BIGINT) AS cell_id,
+         |    c.x AS cell_value_k, CAST(nbr.wi AS BIGINT) AS n_neighbors,
+         |    (CAST(nbr.wsum AS DOUBLE) - (CAST(stats.sx AS DOUBLE) / stats.n) * nbr.wi) /
+         |      (sqrt(CAST(stats.sxx AS DOUBLE) / stats.n - (CAST(stats.sx AS DOUBLE) / stats.n) * (CAST(stats.sx AS DOUBLE) / stats.n)) *
+         |       sqrt((CAST(stats.n AS DOUBLE) * nbr.wi - CAST(nbr.wi AS DOUBLE) * nbr.wi) / (stats.n - 1.0))) AS gi_star
+         |  FROM pc c JOIN nbr ON c.gx = nbr.gx AND c.gy = nbr.gy
+         |  CROSS JOIN stats)
+         |SELECT cell_id, cell_value_k, n_neighbors, gi_star,
+         |  gi_star > 1.96 AS hot, gi_star < -1.96 AS cold
+         |FROM z ORDER BY cell_id""".stripMargin
+    }
+    QDef("sp19_getis_ord_gi", giSql()) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(giSql())
+    }
   }
 }

@@ -21,7 +21,7 @@ object TextOps {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48)
+      t43, t44, t45, t46, t47, t48, t49, t50)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private def sqlStops = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
@@ -2474,5 +2474,93 @@ object TextOps {
           .as("winnow_shuffle_bytes"),
         ((col("n_docs") * 16 * 24).cast("double") / col("n_chars"))
           .as("lsh_vs_text_ratio"))
+  }
+
+  /** Source-level lexical diversity card — type-token ratio and hapax-
+    * legomenon share per source (t02 measures per-DOC diversity; the
+    * corpus-level vocabulary requires the real token-frequency
+    * aggregation and is the signal template-spam sources fail: huge
+    * token mass, tiny vocabulary, near-zero hapax share). Two
+    * map-side-combined hash aggregates — (source, token) counts, then
+    * the per-source rollup; integer counts until two final exact
+    * divisions. */
+  private val t49 = QDef(
+    "t49_lexical_diversity",
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS vocab,
+      |  COUNT(*) FILTER (WHERE c = 1) AS hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr,
+      |  CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) / COUNT(*) AS hapax_share
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("c") === 1, 1)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("vocab").cast("double") / col("n_tokens")).as("ttr"),
+        (col("hapax").cast("double") / col("vocab")).as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source token-length-distribution drift vs the corpus — a χ²
+    * statistic over the 11-bucket length histogram (1..10 chars, 11+).
+    * The distribution-shift monitor between crawl snapshots/sources
+    * that needs no logarithms (the pre-log rule: IEEE +,-,×,÷ are
+    * exactly rounded and engine-identical; ln is not). Expected counts
+    * e = corpus share × source mass use one division and one multiply
+    * in a fixed order; each χ² term is (o−e)²/e on bit-identical
+    * doubles; the 11-term sum goes through the decimal-rounding dsum so
+    * addition order can't matter. Zero-observation buckets contribute e
+    * (o=0), via the bucket×source frame completion — never dropped.
+    * Scale: per-row expression work + three tiny keyed aggregates; the
+    * 11-row corpus histogram broadcasts. */
+  private val t50 = QDef(
+    "t50_length_drift_chi2", {
+      val e = "(CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(ns AS DOUBLE)"
+      s"""WITH tok AS (
+       |  SELECT source,
+       |    least(len(unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))), 11) AS b
+       |  FROM documents),
+       |o AS (SELECT source, b, COUNT(*) AS o FROM tok GROUP BY source, b),
+       |cb AS (SELECT b, COUNT(*) AS cb FROM tok GROUP BY b),
+       |ns AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY source),
+       |nn AS (SELECT COUNT(*) AS nn FROM tok),
+       |grid AS (
+       |  SELECT ns.source, cb.b, ns.ns, cb.cb, nn.nn, COALESCE(o.o, 0) AS o
+       |  FROM ns CROSS JOIN cb CROSS JOIN nn
+       |  LEFT JOIN o ON o.source = ns.source AND o.b = cb.b)
+       |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+       |  ${graft.util.Det.sqlDsum(s"(o - $e) * (o - $e) / ($e)")} AS chi2
+       |FROM grid GROUP BY source, ns ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.util.Det.dsum
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("_t"))
+      .select(col("source"), least(length(col("_t")), lit(11)).as("b"))
+      .persistTracked()
+    val o = tok.groupBy(col("source"), col("b")).agg(count(lit(1)).as("o"))
+    val cb = tok.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nn = tok.agg(count(lit(1)).as("nn"))
+    val grid = ns.crossJoin(broadcast(cb)).crossJoin(broadcast(nn))
+      .join(o, Seq("source", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = (col("cb").cast("double") / col("nn").cast("double")) *
+      col("ns").cast("double")
+    grid
+      .withColumn("term", (col("o") - e) * (col("o") - e) / e)
+      .groupBy(col("source"), col("ns"))
+      .agg(dsum(col("term")).as("chi2"))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"), col("chi2"))
+      .orderBy(col("source"))
   }
 }

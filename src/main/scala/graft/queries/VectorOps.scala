@@ -24,7 +24,7 @@ object VectorOps {
 
   def defs: Seq[QDef] = Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10,
     v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25,
-    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
+    v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38)
 
   /** Left-fold double dot product of two array<double> columns — the
     * `dot_fold` codegen kernel, bit-identical to the
@@ -2459,5 +2459,52 @@ object VectorOps {
         col("n_vectors").cast("double") /
           sum(col("n_vectors")).over(Window.partitionBy()))
       .orderBy(col("shard"))
+  }
+
+  /** Approximate kNN-GRAPH construction — every corpus vector's top-3
+    * cosine neighbors among its LSH-bucket mates, with the mutual-edge
+    * flag (A in B's list AND B in A's). The kNN graph is the substrate
+    * for SemDeDup-style clustering, kNN-graph community detection, and
+    * HNSW ground layers; unlike v03's probe retrieval the JOIN IS
+    * SELF-SYMMETRIC, so the scale discipline is bucket-bounded pair
+    * work on both sides (candidates per vector ≤ bucket occupancy,
+    * never the corpus) and the per-vector top-3 is the two-level TopK
+    * aggregate. Mutuality is one key-only self-join of the 3N-row edge
+    * list. Oracle replays the identical hyperplane buckets (v03's
+    * integer-grid CTE) and window-ranks within bucket. */
+  private val v38 = QDef(
+    "v38_knn_graph",
+    s"""WITH $sqlLshCtes,
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |    ${sqlDot("a.embedding", "b.embedding")} /
+       |      (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank FROM p),
+       |g AS (SELECT vec_id, nb_id, sim, rank FROM r WHERE rank <= 3)
+       |SELECT g.vec_id, g.nb_id, g.sim, g.rank,
+       |  (m.vec_id IS NOT NULL) AS mutual
+       |FROM g LEFT JOIN g m ON m.vec_id = g.nb_id AND m.nb_id = g.vec_id
+       |ORDER BY g.vec_id, g.rank""".stripMargin) { (s, d) =>
+    import graft.util.Persist.Syntax
+    val e = embeddings(s, d).withColumn("bucket", lshBucket)
+    val left = e.select(col("bucket"), col("vec_id"), col("emb"))
+    val right = e.select(col("bucket"), col("vec_id").as("nb_id"),
+      col("emb").as("nb_emb"))
+    val cand = left.join(right, Seq("bucket"))
+      .where(col("vec_id") =!= col("nb_id"))
+      .withColumn("sim",
+        dot("emb", "nb_emb") / (norm("emb") * norm("nb_emb")))
+    val g = TopK.topK(cand, Seq("vec_id"), col("sim"), col("nb_id"), 3,
+        asc = false)
+      .select(col("vec_id"), col("id").as("nb_id"), col("ordv").as("sim"),
+        col("rank"))
+      .persistTracked()
+    val rev = g.select(col("nb_id").as("vec_id"), col("vec_id").as("nb_id"),
+      lit(true).as("mutual"))
+    g.join(rev, Seq("vec_id", "nb_id"), "left")
+      .select(col("vec_id"), col("nb_id"), col("sim"), col("rank"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+      .orderBy(col("vec_id"), col("rank"))
   }
 }

@@ -1,0 +1,56 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ROW_NUMBER — the distributed replacement for
+  * `row_number() OVER (ORDER BY ...)`, whose single unpartitioned
+  * window partition serializes the whole table through one task.
+  *
+  * Shape (same as q64's inline version, factored out): range-partition
+  * the rows on the sort key, count rows per partition, prefix-sum the
+  * P-row count table (the ONLY unpartitioned window — P rows, not N),
+  * broadcast the offsets back, and add a per-partition local
+  * row_number. Range partitioning guarantees partition i's keys all
+  * precede partition i+1's, so offset + local rank IS the global rank.
+  *
+  * The caller's sort columns must form a TOTAL order (append a unique
+  * tiebreak column) or the rank is nondeterministic under reshuffle.
+  */
+object Rank {
+
+  /** Adds column `rk` (1-based global BIGINT row number by `sort`).
+    * The returned frame is persist-tracked (two passes read it);
+    * consumers release via Persist.releaseAll(). */
+  def globalRowNumber(df: DataFrame, sort: Seq[Column],
+      numParts: Int = 8): DataFrame = {
+    val ranged = Persist.persistTracked(
+      df.repartitionByRange(numParts, sort: _*)
+        .withColumn("_pid", spark_partition_id()))
+    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        sum(col("_c")).over(Window.orderBy(col("_pid"))) - col("_c"))
+      .select(col("_pid"), col("_off"))
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn("rk", (col("_off") +
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(sort: _*)))
+        .cast("long"))
+      .drop("_pid", "_off")
+  }
+
+  /** SQL-standard NTILE(k) bucket from a 1-based global rank and the
+    * total row count, in closed-form integer arithmetic: the first
+    * n mod k buckets hold ceil(n/k) rows, the rest floor(n/k) — the
+    * same distribution NTILE produces in Spark and DuckDB, without any
+    * global window. */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long") // floor bucket size
+    val r = (n % k).cast("long")      // buckets that get one extra row
+    val big = (q + 1) * r             // rows covered by the larger buckets
+    // q = 0 (n < k) keeps every rank on the `big` branch, so the /q
+    // division below is never evaluated for it (CaseWhen short-circuits)
+    when(rank <= big, floor((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((rank - 1 - big) / q).cast("long") + 1)
+  }
+}
