@@ -187,6 +187,51 @@ object StreamingOps {
       .withColumn("maybe_dup", maybe)
   }
 
+  /** STREAMING token-length drift monitor — t50's incremental face:
+    * per watermark-finalized tumbling window, the 11-bucket token-
+    * length histogram of arriving documents is χ²-tested against a
+    * FIXED baseline distribution (bucket shares from a reference
+    * corpus, folded in as literals). ONE streaming aggregation: the
+    * histogram is 11 conditional counts inside the window group, and
+    * χ² is stateless per-row arithmetic on the finalized rows — no
+    * second stateful operator, so append mode emits exactly once per
+    * window. Alert at the χ²₁₀ 99% critical value (23.209). The scale
+    * shape matches the batch op: per-row expression work + one
+    * map-side-combined keyed aggregate. */
+  def lengthDriftMonitor(docs: Dataset[DocIn], baseline: Seq[Double],
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(baseline.length == 11 && math.abs(baseline.sum - 1.0) < 1e-9,
+      "baseline must be 11 bucket shares summing to 1")
+    val buckets = docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+      .select(col("ts"), least(length(col("tok")), lit(11)).as("b"))
+    val counts = (1 to 11).map(i =>
+      count(when(col("b") === i, 1)).as(s"c$i"))
+    val hist = buckets
+      .groupBy(window(col("ts"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val n = (1 to 11).map(i => col(s"c$i")).reduce(_ + _)
+    // fixed textual fold order ⇒ deterministic double sum; buckets the
+    // baseline gives zero mass are excluded from the statistic (their
+    // expected count is 0 — standard practice is collapsing them away)
+    val chi2 = (1 to 11).flatMap { i =>
+      val share = baseline(i - 1)
+      if (share == 0.0) None
+      else {
+        val e = lit(share) * col("n_tokens").cast("double")
+        Some((col(s"c$i") - e) * (col(s"c$i") - e) / e)
+      }
+    }.reduce(_ + _)
+    hist
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("chi2", chi2)
+      .select(col("window.start").as("window_start"), col("n_tokens"),
+        col("chi2"), (col("chi2") > 23.209).as("drifted"))
+  }
+
   /** Convenience: file-source stream over an events-shaped parquet
     * directory (schema required up front — streaming scans can't infer),
     * for deployments reading a landing zone. */

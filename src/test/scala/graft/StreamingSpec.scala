@@ -841,4 +841,43 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
     } finally query.stop()
   }
+
+  test("lengthDriftMonitor: stream equals the batch windowed chi2") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocIn
+    // token lengths 1..5 plus an 11+ monster; two 1-hour windows
+    val docs = Seq(
+      DocIn(1L, "a bb ccc dddd eeeee", ts(5)),
+      DocIn(2L, "a a bb bb ccc", ts(25)),
+      DocIn(3L, "dddd eeeee supercalifragilistic", ts(50)),
+      DocIn(4L, "a bb ccc", ts(70)),
+      DocIn(5L, "eeeee eeeee eeeee eeeee", ts(95)))
+    val driftSentinel = DocIn(99L, "x", ts(60 * 24))
+    val baseline = Seq(0.25, 0.2, 0.2, 0.15, 0.15, 0.0, 0.0, 0.0, 0.0, 0.0, 0.05)
+    val mem = MemoryStream[DocIn]
+    val out = StreamingOps.lengthDriftMonitor(mem.toDS(), baseline,
+      windowDur = "1 hour", watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("drift_out").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      query.processAllAvailable()
+      mem.addData(driftSentinel)
+      query.processAllAvailable()
+      val cutoff = ts(60 * 12).getTime
+      val got = spark.table("drift_out")
+        .as[(Timestamp, Long, Double, Boolean)].collect()
+        .filter(_._1.getTime < cutoff).toSet
+      // parity by construction: withWatermark is a no-op on batch
+      // Datasets, so the SAME operator runs as a plain aggregation
+      val batch = StreamingOps.lengthDriftMonitor(
+          (docs :+ driftSentinel).toDS(), baseline,
+          windowDur = "1 hour", watermarkDelay = "1 hour")
+        .as[(Timestamp, Long, Double, Boolean)].collect()
+        .filter(_._1.getTime < cutoff).toSet
+      assert(got.nonEmpty && got == batch,
+        s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+    } finally query.stop()
+  }
 }
