@@ -46,15 +46,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Outlier tripwire: any query >10x the run median is almost always a
+    // plan defect (exponential lineage, a rogue global window, a missed
+    // broadcast), not honest work — surface it loudly so the next d24
+    // can't land silently behind a green correctness row.
+    val times = results.map(_._2).sorted
+    val median = times(times.size / 2)
+    val outliers = results.filter(_._2 > 10 * median).sortBy(-_._2)
+    val slowest = results.sortBy(-_._2).take(5)
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     // The driver tail-captures only ~2.2 KB of stdout, so the full
     // per-query map goes to a sidecar file; stdout carries only short,
     // individually parseable lines (pointer + total).
     val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "BENCH_QUERIES.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(perQueryPath),
-      s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}\n"""
+      (s"""{"metric":"per_query","unit":"sec","sf":"$sfDir",""" +
+        s""""median":$median,"slowest":${jmap(slowest)},""" +
+        s""""outliers":${jmap(outliers)},"queries":$qs}\n""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"per_query","unit":"sec","file":"$perQueryPath","n":${results.size}}""")
+    println(s"""{"metric":"outliers","threshold":"10x_median","median":$median,"n":${outliers.size},"queries":${jmap(outliers.take(3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

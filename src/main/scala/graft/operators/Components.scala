@@ -64,4 +64,37 @@ object Components {
       s"($delta labels still changing); raise spark.graft.components.max_rounds")
     labels
   }
+
+  /** Bounded-round k-core peel (Matula-Beck shape): each round drops
+    * every vertex with out-degree < k and restricts the edge set to
+    * surviving endpoints. Runs a FIXED number of rounds — the budgeted
+    * stage count a 100 TB job plans around — and truncates lineage with
+    * `localCheckpoint(true)` after every round, exactly like
+    * [[minLabel]]. Without the truncation each round's plan embeds ~3
+    * copies of the previous round's (the survivor set feeds two
+    * semi-joins), so Catalyst analysis goes exponential in the round
+    * count while the executors idle; with it the per-round plan is
+    * constant-size.
+    *
+    * @param edges  (src, dst) rows; must contain BOTH orientations of
+    *               every undirected edge (degree is counted on src)
+    * @param k      minimum surviving degree
+    * @param rounds fixed peel-round budget
+    * @return (survivingVertices(src), survivingEdges(src, dst)) after
+    *         the final round
+    */
+  def kCorePeel(edges: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var v = e.select(col("src")).distinct()
+    for (_ <- 1 to rounds) {
+      v = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src"))
+        .localCheckpoint(true)
+      e = e.join(v, Seq("src"), "left_semi")
+        .join(v.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    (v, e)
+  }
 }

@@ -1548,23 +1548,14 @@ object DedupOps {
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").persistTracked()
-    // 5 unrolled peel rounds: degrees → survivors → edge restriction.
-    // Each round's edge set is persist-tracked so the next round (and
-    // the final degree readout) never recompute the whole prefix chain.
-    def peel(k: Int): (DataFrame, DataFrame) = {
-      var e = edges
-      var v: DataFrame = null
-      for (_ <- 1 to 5) {
-        v = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= k).select(col("src"))
-        e = graft.util.Persist.persistTracked(
-          e.join(v, Seq("src"), "left_semi")
-            .join(v.select(col("src").as("dst")), Seq("dst"), "left_semi"))
-      }
-      (v, e)
-    }
-    val (v2, e2) = peel(2)
-    val (v3, _) = peel(3)
+    // 5 peel rounds via the shared checkpointed-loop helper: persist
+    // alone does NOT truncate the logical plan, so the previous inline
+    // version's round n+1 embedded ~3 copies of round n's plan and
+    // Catalyst analysis went exponential (983 s at sf0.1, all driver
+    // time). Components.kCorePeel localCheckpoints each round's
+    // survivor + edge sets, keeping the per-round plan constant-size.
+    val (v2, e2) = graft.operators.Components.kCorePeel(edges, 2, 5)
+    val (v3, _) = graft.operators.Components.kCorePeel(edges, 3, 5)
     val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
     val deg2 = e2.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     deg0
