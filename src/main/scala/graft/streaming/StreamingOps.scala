@@ -195,9 +195,11 @@ object StreamingOps {
     * histogram is 11 conditional counts inside the window group, and
     * χ² is stateless per-row arithmetic on the finalized rows — no
     * second stateful operator, so append mode emits exactly once per
-    * window. Alert at the χ²₁₀ 99% critical value (23.209). The scale
-    * shape matches the batch op: per-row expression work + one
-    * map-side-combined keyed aggregate. */
+    * window. Zero-share baseline buckets are collapsed into their
+    * nearest nonzero neighbor; the alert fires at the 99% χ² critical
+    * value for df = (collapsed buckets − 1). The scale shape matches
+    * the batch op: per-row expression work + one map-side-combined
+    * keyed aggregate. */
   def lengthDriftMonitor(docs: Dataset[DocIn], baseline: Seq[Double],
       windowDur: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame = {
@@ -214,22 +216,33 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDur))
       .agg(counts.head, counts.tail: _*)
     val n = (1 to 11).map(i => col(s"c$i")).reduce(_ + _)
-    // fixed textual fold order ⇒ deterministic double sum; buckets the
-    // baseline gives zero mass are excluded from the statistic (their
-    // expected count is 0 — standard practice is collapsing them away)
-    val chi2 = (1 to 11).flatMap { i =>
-      val share = baseline(i - 1)
-      if (share == 0.0) None
-      else {
-        val e = lit(share) * col("n_tokens").cast("double")
-        Some((col(s"c$i") - e) * (col(s"c$i") - e) / e)
-      }
+    // Zero-share baseline buckets are COLLAPSED into the nearest
+    // nonzero bucket (standard χ² practice): their observed tokens then
+    // inflate that neighbor's term instead of silently vanishing, and
+    // the included observed mass sums to n exactly like the expected
+    // mass (previously zero-bucket tokens counted in n but not in any
+    // term, so expected > observed by construction).
+    val nonzero = (1 to 11).filter(i => baseline(i - 1) > 0.0)
+    require(nonzero.nonEmpty, "baseline must have a nonzero bucket")
+    def nearest(i: Int): Int =
+      nonzero.minBy(j => (math.abs(j - i), j)) // ties → lower index
+    val groups = (1 to 11).groupBy(nearest).toSeq.sortBy(_._1)
+    // fixed textual fold order ⇒ deterministic double sum
+    val chi2 = groups.map { case (j, members) =>
+      val obs = members.map(i => col(s"c$i")).reduce(_ + _)
+      val e = lit(baseline(j - 1)) * col("n_tokens").cast("double")
+      (obs - e) * (obs - e) / e
     }.reduce(_ + _)
+    // 99% critical values of χ² for df = 1..10 (df = collapsed buckets
+    // minus one; the old hard-coded 23.209 assumed df = 10 always)
+    val crit99 = Array(6.635, 9.210, 11.345, 13.277, 15.086,
+      16.812, 18.475, 20.090, 21.666, 23.209)
+    val crit = crit99(math.min(groups.size - 1, 10) - 1)
     hist
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("chi2", chi2)
       .select(col("window.start").as("window_start"), col("n_tokens"),
-        col("chi2"), (col("chi2") > 23.209).as("drifted"))
+        col("chi2"), (col("chi2") > crit).as("drifted"))
   }
 
   /** Convenience: file-source stream over an events-shaped parquet

@@ -21,22 +21,40 @@ import org.apache.spark.sql.functions._
 object Rank {
 
   /** Adds column `rk` (1-based global BIGINT row number by `sort`).
-    * The returned frame is persist-tracked (two passes read it);
-    * consumers release via Persist.releaseAll(). */
+    *
+    * The range-partitioned frame is `localCheckpoint`ed, not merely
+    * persisted: the offset table and the final join BOTH read partition
+    * ids, and a persisted-but-evicted frame could recompute with fresh
+    * range-boundary sampling, shifting `spark_partition_id` between the
+    * two passes and misaligning every offset. Checkpointing pins the
+    * partitioning for both reads.
+    *
+    * `numParts` defaults to the session's shuffle parallelism (a fixed
+    * small constant would cap the operator's scale); the internal
+    * helper columns are reserved-prefixed and rejected if the caller's
+    * frame already uses them. */
   def globalRowNumber(df: DataFrame, sort: Seq[Column],
-      numParts: Int = 8): DataFrame = {
-    val ranged = Persist.persistTracked(
-      df.repartitionByRange(numParts, sort: _*)
-        .withColumn("_pid", spark_partition_id()))
-    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .withColumn("_off",
-        sum(col("_c")).over(Window.orderBy(col("_pid"))) - col("_c"))
-      .select(col("_pid"), col("_off"))
-    ranged.join(broadcast(offs), "_pid")
-      .withColumn("rk", (col("_off") +
-        row_number().over(Window.partitionBy(col("_pid")).orderBy(sort: _*)))
+      numParts: Int = -1): DataFrame = {
+    val reserved = Seq("__graft_pid", "__graft_off", "rk")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"globalRowNumber reserves columns ${reserved.mkString(", ")}; " +
+      s"input already has ${clash.mkString(", ")}")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sort: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offs = ranged.groupBy(col("__graft_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("__graft_off",
+        sum(col("_c")).over(Window.orderBy(col("__graft_pid"))) - col("_c"))
+      .select(col("__graft_pid"), col("__graft_off"))
+    ranged.join(broadcast(offs), "__graft_pid")
+      .withColumn("rk", (col("__graft_off") +
+        row_number().over(
+          Window.partitionBy(col("__graft_pid")).orderBy(sort: _*)))
         .cast("long"))
-      .drop("_pid", "_off")
+      .drop("__graft_pid", "__graft_off")
   }
 
   /** SQL-standard NTILE(k) bucket from a 1-based global rank and the

@@ -131,6 +131,105 @@ class Round6OpsSpec extends GraftSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3))
   }
 
+  test("Components.kCorePeel equals a driver-side peel replay") {
+    // triangle {1,2,3} + pendant chain 3-4-5 + star hub 6 with leaves
+    // 7..10 + K4 {20,21,22,23}: exercises 2-core (triangle, K4), 3-core
+    // (K4 only), and tree-like periphery that must peel away
+    val undirected = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L), (6L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L))
+    val edges = spark.createDataFrame(
+      undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst")
+    def replay(k: Int): Set[Long] = {
+      var adj = undirected.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      for (_ <- 1 to 5) {
+        val deg = adj.groupBy(_._1).map { case (v, es) => v -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        adj = adj.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      adj.map(_._1).toSet
+    }
+    for (k <- Seq(2, 3)) {
+      val (v, e) = graft.operators.Components.kCorePeel(edges, k, 5)
+      val gotV = v.collect().map(_.getLong(0)).toSet
+      val want = replay(k)
+      assert(gotV == want, s"k=$k: got $gotV want $want")
+      // surviving edges connect only surviving vertices, both directions
+      val gotE = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotE.forall { case (a, b) => want(a) && want(b) && gotE((b, a)) })
+    }
+    assert(replay(3) == Set(20L, 21L, 22L, 23L)) // fixture sanity
+  }
+
+  test("Components.kTrussPeel equals a driver-side support replay") {
+    // K4 {20..23} (every edge support 2) + triangle with a pendant
+    // (1,2,3 + 3-4) + a 4-cycle {30..33} (2-core but ZERO triangles —
+    // the case that separates truss from core) + star hub 6
+    val undirected = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (30L, 33L),
+      (6L, 7L), (6L, 8L))
+    val edges = spark.createDataFrame(
+      undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst")
+    def replay(k: Int, rounds: Int): Set[(Long, Long)] = {
+      var u = undirected.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      for (_ <- 1 to rounds) {
+        val nbrs = u.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+        u = u.filter { case (a, b) =>
+          (nbrs(a) intersect nbrs(b)).size >= k - 2
+        }
+      }
+      u
+    }
+    val got = graft.operators.Components.kTrussPeel(edges, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = replay(3, 3)
+    assert(got == want, s"got $got want $want")
+    // fixture sanity: triangle + K4 survive, 4-cycle and trees peel away
+    assert(want == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L)))
+  }
+
+  test("Components.densestPeel density improves toward the densest cluster") {
+    // K5 {50..54} (density 2.0) + sparse periphery: chain 1-2-3-4 and
+    // star 6-(7,8,9); the peel must discard the periphery and land on
+    // the K5 as the best round
+    val k5 = for (a <- 50L to 54L; b <- (a + 1) to 54L) yield (a, b)
+    val undirected = k5 ++ Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (6L, 7L), (6L, 8L), (6L, 9L))
+    val u = spark.createDataFrame(undirected.map(identity)).toDF("lo", "hi")
+    val stats = graft.operators.Components.densestPeel(u, 6)
+    assert(stats.size == 7 && stats.head == ((0, 13L, 16L)))
+    val dens = stats.map { case (r, nv, ne) =>
+      (r, if (nv == 0) 0.0 else ne.toDouble / nv)
+    }
+    val best = dens.maxBy(_._2)
+    // the K5 alone has density 10/5 = 2.0; the full graph 16/13 ≈ 1.23
+    assert(best._2 == 2.0, s"peel should isolate the K5: $stats")
+    // driver-side replay of the integer keep rule
+    def replay(): Seq[(Int, Long, Long)] = {
+      var e = undirected.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val out = scala.collection.mutable.Buffer[(Int, Long, Long)]()
+      for (r <- 0 to 6) {
+        val vs = e.flatMap(p => Seq(p._1, p._2))
+        out += ((r, vs.size.toLong, e.size.toLong))
+        if (r < 6 && e.nonEmpty) {
+          val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).map { case (v, xs) => v -> xs.size }
+          val keep = deg.filter { case (_, dg) =>
+            dg.toLong * vs.size > 3L * e.size
+          }.keySet
+          e = e.filter(p => keep(p._1) && keep(p._2))
+        }
+      }
+      out.toSeq
+    }
+    assert(stats == replay(), s"got $stats want ${replay()}")
+  }
+
   test("v38: knn graph mutual flags are symmetric and ranks bounded") {
     val g = SparkEntry.queries("v38_knn_graph")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
