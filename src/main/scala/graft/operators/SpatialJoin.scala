@@ -58,11 +58,22 @@ object SpatialJoin {
       return gridInner(left, right, leftGeom, rightGeom, predicate, distance,
         cells, adaptive)
 
-    // row ids are stamped on the INPUTS and flow through both the inner
-    // pass and the anti-joins, so both executions see identical ids
-    // (monotonically_increasing_id is deterministic per scan layout)
-    val lId = left.withColumn("__lid", monotonically_increasing_id())
-    val rId = right.withColumn("__rid", monotonically_increasing_id())
+    // Row ids are CONTENT-DERIVED (two independently-seeded xxhash64
+    // over all columns → a 128-bit key), never positional: the id plan
+    // is evaluated twice (inner pass + anti-join), and a positional id
+    // (monotonically_increasing_id) silently diverges between the two
+    // evaluations under task retries or an AQE-coalesced re-scan,
+    // corrupting outer results. Content ids are identical under ANY
+    // re-execution. Byte-identical duplicate rows share an id, which is
+    // outer-join-safe: identical content ⇒ identical geometry ⇒
+    // identical match status, so the anti-join keeps or drops the whole
+    // duplicate group together, preserving multiplicity.
+    def contentId(df: DataFrame): Column = {
+      val cs = df.columns.map(col).toSeq
+      struct(xxhash64((lit(1) +: cs): _*), xxhash64((lit(2) +: cs): _*))
+    }
+    val lId = left.withColumn("__lid", contentId(left))
+    val rId = right.withColumn("__rid", contentId(right))
     val matched = gridInner(lId, rId, leftGeom, rightGeom, predicate,
       distance, cells, adaptive)
 
