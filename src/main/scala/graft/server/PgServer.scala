@@ -152,6 +152,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       // portals, and mid-execution portals awaiting further Execute
       // messages (portal suspension)
       val statements = mutable.Map[String, String]()
+      val stmtOids = mutable.Map[String, Seq[Int]]() // Parse-declared param type oids
       val portals = mutable.Map[String, Portal]()
       val openPortals = mutable.Map[String, OpenPortal]()
 
@@ -173,11 +174,16 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             }
             out.readyForQuery(); out.flush()
           case 'P' => // Parse: name, query, param type oids
-            val parts = PgWire.cstrings(m.body)
-            statements(parts.head) = parts(1)
+            val pbuf = java.nio.ByteBuffer.wrap(m.body)
+            val sname = readCstr(pbuf)
+            statements(sname) = readCstr(pbuf)
+            // declared parameter oids drive binary-format Bind decode
+            val nOids = if (pbuf.remaining() >= 2) pbuf.getShort.toInt else 0
+            stmtOids(sname) = Seq.fill(nOids)(pbuf.getInt)
             out.parseComplete()
           case 'B' => // Bind: portal, stmt, param formats+values, result formats
-            val (portal, stmt, args, resultFormats) = parseBind(m.body)
+            val (portal, stmt, args, resultFormats) =
+              parseBind(m.body, s => stmtOids.getOrElse(s, Nil))
             portals(portal) = Portal(statements.getOrElse(stmt, ""), args, resultFormats)
             openPortals.remove(portal)
             out.bindComplete()
@@ -199,7 +205,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           case 'C' => // Close
             val kind = m.body(0).toChar
             val name = new String(m.body, 1, m.body.length - 2, UTF_8)
-            if (kind == 'S') statements.remove(name)
+            if (kind == 'S') { statements.remove(name); stmtOids.remove(name) }
             else { portals.remove(name); openPortals.remove(name) }
             out.msg('3')(_ => ()) // CloseComplete
           case 'X' => open = false
@@ -265,13 +271,15 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     sb.toString
   }
 
-  private def parseBind(body: Array[Byte]): (String, String, Seq[Any], Seq[Int]) = {
+  private def parseBind(body: Array[Byte],
+      oidsOf: String => Seq[Int]): (String, String, Seq[Any], Seq[Int]) = {
     val buf = java.nio.ByteBuffer.wrap(body)
     val portal = readCstr(buf)
     val stmt = readCstr(buf)
     val nFormats = buf.getShort
     val formats = Seq.fill(nFormats.toInt)(buf.getShort)
     val nParams = buf.getShort
+    val oids = oidsOf(stmt)
     val args = (0 until nParams).map { i =>
       val len = buf.getInt
       if (len < 0) null
@@ -279,7 +287,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         val b = new Array[Byte](len)
         buf.get(b)
         val fmt = if (formats.isEmpty) 0 else formats(i % formats.size)
-        if (fmt == 0) new String(b, UTF_8) else b
+        if (fmt == 0) new String(b, UTF_8)
+        // binary param: decode via the Parse-declared oid (reference
+        // types.rs:24-70 accepts these bound types; oid 0/undeclared
+        // keeps raw bytes = bytea semantics)
+        else PgWire.decodeBinaryParam(if (i < oids.size) oids(i) else 0, b)
       }
     }
     val resultFormats =

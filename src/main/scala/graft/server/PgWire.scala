@@ -202,6 +202,66 @@ object PgWire {
     }
   }
 
+  /** Binary (format code 1) PARAMETER decodings — the inverse of
+    * [[encodeBinary]] for the bound-parameter oids the reference
+    * accepts (src/server/src/postgres/types.rs:24-70), including
+    * NUMERIC base-10000 groups and INTERVAL (micros, days, months;
+    * types/interval.rs:10-60). Pure day-time intervals come back as
+    * java.time.Duration and pure month intervals as java.time.Period
+    * (Spark's native DayTime/YearMonth literal types); mixed intervals
+    * use CalendarInterval. Unknown oids keep their raw bytes (bytea
+    * semantics), matching the text path's pass-through. */
+  def decodeBinaryParam(oid: Int, bytes: Array[Byte]): Any = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    oid match {
+      case 16           => bytes(0) != 0
+      case 21           => buf.getShort
+      case 23           => buf.getInt
+      case 20           => buf.getLong
+      case 700          => buf.getFloat
+      case 701          => buf.getDouble
+      case 25 | 1043 | 1042 | 19 => new String(bytes, UTF_8)
+      case 1700         => decodeNumericBinary(buf)
+      case 1082         => java.time.LocalDate.ofEpochDay(PgEpochDay + buf.getInt)
+      case 1114 =>
+        val us = PgEpochMicros + buf.getLong
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case 1184 =>
+        val us = PgEpochMicros + buf.getLong
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case 1186 =>
+        val micros = buf.getLong; val days = buf.getInt; val months = buf.getInt
+        if (months == 0 && days == 0)
+          java.time.Duration.of(micros, java.time.temporal.ChronoUnit.MICROS)
+        else if (micros == 0 && days == 0) java.time.Period.ofMonths(months)
+        else new org.apache.spark.unsafe.types.CalendarInterval(months, days, micros)
+      case _            => bytes
+    }
+  }
+
+  /** Inverse of [[numericBinary]]: ndigits/weight/sign/dscale header +
+    * base-10000 digit groups → BigDecimal. */
+  private def decodeNumericBinary(buf: java.nio.ByteBuffer): java.math.BigDecimal = {
+    val nd = buf.getShort.toInt
+    val weight = buf.getShort.toInt
+    val sign = buf.getShort & 0xFFFF
+    val dscale = buf.getShort.toInt
+    require(sign != 0xC000, "NUMERIC NaN has no Spark decimal value")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < nd) {
+      val d = buf.getShort & 0xFFFF
+      // digit group i carries weight (weight - i) in base 10000
+      acc = acc.add(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(d.toLong), -(weight - i) * 4))
+      i += 1
+    }
+    val scaled = acc.setScale(dscale)
+    if (sign == 0x4000) scaled.negate else scaled
+  }
+
   /** PG `numeric` binary: base-10000 digit groups with weight/sign/
     * dscale header. */
   private def numericBinary(bd0: java.math.BigDecimal): Array[Byte] = {
