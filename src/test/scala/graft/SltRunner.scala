@@ -19,6 +19,14 @@ import graft.spatial.Geo
   * decimal places with trailing zeros trimmed, NULL for nulls,
   * "(empty)" for empty strings, lowercase booleans.
   *
+  * Maintainer tooling mirrors the reference harness (README
+  * "Completion Mode", bin/sqllogictests.rs):
+  *   - `<slt:ignore>` wildcard markers in expected blocks skip volatile
+  *     fragments (util.rs:62-105 — whole-snapshot fragment matching,
+  *     leading text before the first fragment fails the match);
+  *   - [[complete]] regenerates every expected block from live results,
+  *     the `--complete` golden-update flow.
+  *
   * WKT-valued results get a geometry-semantic fallback compare
   * (normalized structure + relative 1e-9 coordinate tolerance): JTS and
   * the reference's geos/geo backends emit equivalent geometries with
@@ -26,12 +34,23 @@ import graft.spatial.Geo
   */
 object SltRunner {
 
-  final case class Case(line: Int, sql: String, rowsort: Boolean, expected: Seq[String])
+  final case class Case(line: Int, sql: String, rowsort: Boolean,
+      expected: Seq[String], expStart: Int = -1, expEnd: Int = -1)
   final case class Failure(c: Case, got: Seq[String], error: Option[String])
 
-  def parse(resource: String): Seq[Case] = {
-    val lines = Source.fromInputStream(
+  val IgnoreMarker = "<slt:ignore>"
+
+  def parse(resource: String): Seq[Case] =
+    parseLines(readResource(resource))
+
+  private def readResource(resource: String): Vector[String] =
+    Source.fromInputStream(
       getClass.getResourceAsStream(resource), "UTF-8").getLines().toVector
+
+  /** Parses `query` blocks, recording the raw line span of each
+    * expected block ([expStart, expEnd)) so [[complete]] can splice
+    * regenerated expectations back in place. */
+  def parseLines(lines: Vector[String]): Seq[Case] = {
     val cases = mutable.Buffer[Case]()
     var i = 0
     while (i < lines.length) {
@@ -43,30 +62,89 @@ object SltRunner {
         var j = start
         while (j < lines.length && lines(j).trim != "----") { sql += lines(j); j += 1 }
         j += 1 // skip ----
+        val expStart = j
         val expected = mutable.Buffer[String]()
         while (j < lines.length && lines(j).trim.nonEmpty) { expected += lines(j); j += 1 }
-        cases += Case(start, sql.mkString("\n"), rowsort, expected.toSeq)
+        cases += Case(start, sql.mkString("\n"), rowsort, expected.toSeq,
+          expStart, j)
         i = j
       } else i += 1
     }
     cases.toSeq
   }
 
+  /** Renders one query's result rows under the corpus normalization. */
+  private def resultLines(spark: SparkSession, c: Case): Seq[String] = {
+    val rows = spark.sql(c.sql).collect()
+    val raw = rows.map(r =>
+      (0 until r.length).map(k => render(r.get(k))).mkString(" ")).toSeq
+    if (c.rowsort) raw.sorted else raw
+  }
+
   def run(spark: SparkSession, resource: String): Seq[Failure] =
     parse(resource).flatMap { c =>
       try {
-        val rows = spark.sql(c.sql).collect()
-        val raw = rows.map(r =>
-          (0 until r.length).map(k => render(r.get(k))).mkString(" ")).toSeq
-        val (got, want) =
-          if (c.rowsort) (raw.sorted, c.expected.sorted) else (raw, c.expected)
-        val ok = got.size == want.size &&
-          got.zip(want).forall { case (g, e) => g == e || geomEq(g, e) }
+        val got = resultLines(spark, c)
+        val want = if (c.rowsort) c.expected.sorted else c.expected
+        val ok =
+          if (c.expected.exists(_.contains(IgnoreMarker)))
+            fragmentsMatch(got, want)
+          else got.size == want.size &&
+            got.zip(want).forall { case (g, e) => g == e || geomEq(g, e) }
         if (ok) None else Some(Failure(c, got, None))
       } catch {
         case e: Throwable => Some(Failure(c, Nil, Some(e.getMessage)))
       }
     }
+
+  /** `<slt:ignore>` wildcard matching on the WHOLE result snapshot
+    * (reference util.rs:77-105): split the expected snapshot on the
+    * marker, then require each literal fragment to appear in order in
+    * the actual snapshot; text before the FIRST fragment is not
+    * skippable (the marker is a wildcard, not a leading anchor). */
+  def fragmentsMatch(actual: Seq[String], expected: Seq[String]): Boolean = {
+    val actualSnap = actual.mkString("\n")
+    val expectedSnap = expected.mkString("\n")
+    val fragments = expectedSnap.split(java.util.regex.Pattern.quote(IgnoreMarker), -1)
+    var pos = 0
+    var first = true
+    for (frag <- fragments if frag.nonEmpty) {
+      val idx = actualSnap.indexOf(frag, pos)
+      if (idx < 0) return false
+      if (first && idx != 0) return false
+      first = false
+      pos = idx + frag.length
+    }
+    true
+  }
+
+  /** Completion mode (`--complete`): returns the corpus with every
+    * expected block replaced by the engine's live, normalized results.
+    * Blocks whose expectations carry `<slt:ignore>` markers are left
+    * untouched (regenerating them would overwrite the maintainer's
+    * wildcards with one volatile observation — the reference harness
+    * has the same hands-off rule for manually-curated blocks). */
+  def complete(spark: SparkSession, lines: Vector[String]): Vector[String] = {
+    val cases = parseLines(lines)
+    val out = mutable.Buffer[String]()
+    var i = 0
+    val byStart = cases.map(c => c.expStart -> c).toMap
+    while (i < lines.length) {
+      byStart.get(i) match {
+        case Some(c) if !c.expected.exists(_.contains(IgnoreMarker)) =>
+          out ++= resultLines(spark, c)
+          i = c.expEnd
+        case _ =>
+          out += lines(i)
+          i += 1
+      }
+    }
+    out.toVector
+  }
+
+  /** Completion mode over a classpath resource. */
+  def complete(spark: SparkSession, resource: String): Vector[String] =
+    complete(spark, readResource(resource))
 
   /** Reference normalization: conversion.rs float12 / NULL / (empty). */
   def render(v: Any): String = v match {

@@ -20,4 +20,74 @@ class SpatialSltSpec extends GraftSuite {
       fail(s"${failures.size}/93 slt queries failed:\n$msg")
     }
   }
+
+  test("completion mode round-trips the corpus") {
+    // the --complete golden-update flow (reference README "Completion
+    // Mode"): regenerating every expected block from live results must
+    // (a) produce a corpus the runner accepts with zero failures, and
+    // (b) agree with the checked-in expectations line by line — exactly
+    // or geometry-semantically (JTS vs geos ring rotation / last-ulp)
+    SpatialFunctions.registerAll(spark)
+    val original = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/spatial_udf.slt"), "UTF-8")
+      .getLines().toVector
+    val regenerated = SltRunner.complete(spark, original)
+    assert(regenerated.size == original.size,
+      s"completion changed the corpus shape: ${original.size} -> ${regenerated.size} lines")
+    val origCases = SltRunner.parseLines(original)
+    val regenCases = SltRunner.parseLines(regenerated)
+    assert(origCases.size == regenCases.size)
+    // every regenerated expectation must agree with the checked-in one
+    // under the corpus equality: exact, or geometry-equal for WKT lines
+    val diffs = origCases.zip(regenCases).flatMap { case (o, r) =>
+      val want = if (o.rowsort) o.expected.sorted else o.expected
+      val got = if (o.rowsort) r.expected.sorted else r.expected
+      if (want.size != got.size) Some(o.line -> s"row count ${want.size} vs ${got.size}")
+      else want.zip(got).collectFirst {
+        case (w, g) if w != g && !SltRunnerTestHook.geomEqPublic(g, w) =>
+          o.line -> s"'$w' vs '$g'"
+      }
+    }
+    assert(diffs.isEmpty,
+      s"completion diverged from golden on ${diffs.size} cases:\n" +
+        diffs.take(10).map { case (l, d) => s"  line $l: $d" }.mkString("\n"))
+  }
+
+  test("<slt:ignore> wildcard matches volatile fragments (reference util.rs semantics)") {
+    import SltRunner.fragmentsMatch
+    // marker skips a volatile middle fragment
+    assert(fragmentsMatch(
+      Seq("metrics=[output_rows=101, elapsed_compute=1.2ms, bytes=88]"),
+      Seq("metrics=[output_rows=101, elapsed_compute=<slt:ignore>, bytes=88]")))
+    // trailing marker skips the tail
+    assert(fragmentsMatch(Seq("foo bar baz"), Seq("foo <slt:ignore>")))
+    // multi-line snapshots: fragments must appear in order
+    assert(fragmentsMatch(Seq("a 1", "b 2", "c 3"),
+      Seq("a <slt:ignore>", "<slt:ignore>c 3")))
+    assert(!fragmentsMatch(Seq("c 3", "b 2"), Seq("b 2", "<slt:ignore>c 3")))
+    // reference edge case (util.rs:117-134): leading text before the
+    // first fragment is NOT skippable
+    assert(!fragmentsMatch(Seq("foo bar baz"), Seq("bar <slt:ignore>")))
+  }
+}
+
+/** Exposes the runner's geometry-tolerant equality to the round-trip
+  * audit without widening SltRunner's public surface. */
+private object SltRunnerTestHook {
+  def geomEqPublic(got: String, expected: String): Boolean = {
+    try {
+      val a = graft.spatial.Geo.fromEwkt(got)
+      val b = graft.spatial.Geo.fromEwkt(expected)
+      if (a == null || b == null) return false
+      a.getSRID == b.getSRID && {
+        a.normalize(); b.normalize()
+        a.getGeometryType == b.getGeometryType && {
+          val (ca, cb) = (a.getCoordinates, b.getCoordinates)
+          def relEq(x: Double, y: Double) =
+            math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+          ca.length == cb.length && ca.zip(cb).forall(p => relEq(p._1.x, p._2.x) && relEq(p._1.y, p._2.y))
+        }
+      }
+    } catch { case _: Throwable => false }
+  }
 }
