@@ -97,4 +97,75 @@ object Components {
     }
     (v, e)
   }
+
+  /** Bounded-round k-truss peel: each round computes per-edge SUPPORT
+    * (triangles containing the edge, = |N(u) ∩ N(v)|) with two key
+    * equi-joins on vertex ids, then drops edges with support < k-2.
+    * 3-trusses keep only edges embedded in at least one triangle —
+    * tighter than 2-cores (a long cycle is a 2-core but has no
+    * 3-truss). Same checkpointed-loop discipline as [[kCorePeel]]:
+    * constant-size per-round plan, shuffles keyed on vertices only.
+    *
+    * @param edges (src, dst) in BOTH orientations (like the other peels)
+    * @return surviving canonical undirected edges (lo, hi), lo < hi
+    */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var u = edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") < col("hi")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sym = u.select(col("lo").as("s"), col("hi").as("d"))
+        .union(u.select(col("hi").as("s"), col("lo").as("d")))
+      // wedge closure: edge (lo,hi) + shared neighbor d of both ends
+      val sup = u.as("e")
+        .join(sym.as("x"), col("x.s") === col("e.lo"))
+        .join(sym.as("y"),
+          col("y.s") === col("e.hi") && col("y.d") === col("x.d"))
+        .groupBy(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .agg(count(lit(1)).as("sup"))
+      // zero-support edges have no sup row: the semi-join drops them
+      u = u.join(sup.where(col("sup") >= k - 2), Seq("lo", "hi"), "left_semi")
+        .localCheckpoint(true)
+    }
+    u
+  }
+
+  /** Bounded-round densest-subgraph peel (Bahmani–Kumar–Vassilvitskii
+    * 2012, ε = 0.5): each round removes EVERY vertex whose degree is
+    * ≤ 2(1+ε)·ρ where ρ = |E|/|V| is the current undirected density —
+    * the keep test `deg · |V| > 3 · |E|` stays in exact integer
+    * arithmetic so replays are engine-identical. Returns per-round
+    * (round, nVertices, nEdges); the best-density round is a
+    * 1/(2(1+ε))-approximation of the densest subgraph. Only two scalar
+    * counts per round ever reach the driver; the vertex set is the
+    * endpoints of the surviving edges (isolated vertices contribute
+    * nothing to density).
+    */
+  def densestPeel(undirected: DataFrame, rounds: Int): Seq[(Int, Long, Long)] = {
+    var e = undirected.select(col("lo"), col("hi")).localCheckpoint(true)
+    val stats = scala.collection.mutable.Buffer[(Int, Long, Long)]()
+    for (r <- 0 to rounds) {
+      val ne = e.count()
+      val nv = e.select(col("lo").as("v"))
+        .union(e.select(col("hi").as("v"))).distinct().count()
+      stats += ((r, nv, ne))
+      if (r < rounds && ne > 0) {
+        val deg = e.select(col("lo").as("v"))
+          .union(e.select(col("hi").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") * nv > lit(3L) * ne).select(col("v"))
+          .localCheckpoint(true)
+        e = e.join(keep.select(col("v").as("lo")), Seq("lo"), "left_semi")
+          .join(keep.select(col("v").as("hi")), Seq("hi"), "left_semi")
+          .localCheckpoint(true)
+      } else if (ne == 0 && r < rounds) {
+        // graph exhausted: remaining rounds are all-empty
+        for (rr <- (r + 1) to rounds) stats += ((rr, 0L, 0L))
+        return stats.toSeq
+      }
+    }
+    stats.toSeq
+  }
 }
