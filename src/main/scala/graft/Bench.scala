@@ -55,7 +55,9 @@ object Bench {
     val outliers = results.filter(_._2 > 10 * median).sortBy(-_._2)
     val slowest = results.sortBy(-_._2).take(5)
     def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      xs.map { case (k, v) => s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     // The driver tail-captures only ~2.2 KB of stdout, so the full
     // per-query map goes to a sidecar file; stdout carries only short,
     // individually parseable lines (pointer + total).

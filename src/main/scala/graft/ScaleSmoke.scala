@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** Heaviest queries per BENCH_r05 tail (judge ask #8). */
+  /** Heaviest queries per the round-6 sf0.1 bench tail (judge ask #8;
+    * refresh from the BENCH_QUERIES sidecar when the tail shifts). */
   private val DefaultQueries = Seq(
-    "d08_pagerank_graph", "q50_funnel_conversion", "q39_peak_concurrency",
-    "d07_editdist_verify", "d21_corpus_funnel", "d01_minhash_lsh_pairs",
-    "v35_all_but_the_top", "d19_containment_pairs",
+    "d21_corpus_funnel", "d24_kcore_decomposition", "v35_all_but_the_top",
+    "q79_rfm_segments", "d08_pagerank_graph", "q46_part_affinity",
+    "sp07_dbscan_clusters", "v36_rocchio_prf", "d15_canonical_keep",
+    "d06_dedup_components",
+    // round-5 tail members kept for cross-round comparability
+    "q50_funnel_conversion", "q39_peak_concurrency", "d07_editdist_verify",
+    "d01_minhash_lsh_pairs", "d19_containment_pairs",
     "d13_sketch_calibration", "d12_leakfree_split")
 
   def main(args: Array[String]): Unit = {
@@ -58,16 +63,18 @@ object ScaleSmoke {
     }
     // warm both scan stacks before measuring
     spark.read.parquet(s"$outDir/documents.parquet").limit(5).count()
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = queries.map { q =>
       val tb = time(q, base)
       val ts = time(q, outDir)
       val ratio = ts / math.max(tb, 1e-3)
-      println(f"""{"query":"$q","base_s":$tb%.2f,"scaled_s":$ts%.2f,"ratio":$ratio%.2f}""")
+      println(s"""{"query":"$q","base_s":${d3(tb)},"scaled_s":${d3(ts)},"ratio":${d3(ratio)}}""")
       (q, tb, ts, ratio)
     }
     val flagged = rows.filter(_._4 > 3.0 * factor)
     val json = rows.map { case (q, tb, ts, r) =>
-      f""""$q":{"base_s":$tb%.3f,"scaled_s":$ts%.3f,"ratio":$r%.2f}"""
+      s""""$q":{"base_s":${d3(tb)},"scaled_s":${d3(ts)},"ratio":${d3(r)}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       (s"""{"factor":$factor,"base":"$base","flagged":[${
@@ -83,7 +90,7 @@ object ScaleSmoke {
     * the shape of one day at 10x traffic). */
   private def synthesize(spark: SparkSession, base: String, outDir: String,
       factor: Int): Unit = {
-    val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v2_$factor")
+    val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v3_$factor")
     if (java.nio.file.Files.exists(marker)) return // reuse prior synth
     val reps = spark.range(0, factor).toDF("rep")
     // ONE replica cross-join per table; every key domain gets its own
@@ -114,6 +121,32 @@ object ScaleSmoke {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     shifted(emb, "vec_id").drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // TPC-H fact/dim tables: every key DOMAIN gets one step shared by
+    // all tables referencing it, so foreign keys stay consistent across
+    // replicas (replica i's lineitem joins replica i's orders/parts)
+    def maxOf(table: String, key: String): Long =
+      spark.read.parquet(s"$base/$table.parquet")
+        .agg(max(col(key))).head.getLong(0) + 1L
+    val custStep = maxOf("customer", "c_custkey")
+    val orderStep = maxOf("orders", "o_orderkey")
+    val partStep = maxOf("part", "p_partkey")
+    val suppStep = maxOf("supplier", "s_suppkey")
+    def shiftKeys(table: String, keys: (String, Long)*): Unit = {
+      val df = spark.read.parquet(s"$base/$table.parquet")
+      keys.foldLeft(df.crossJoin(broadcast(reps))) { case (acc, (k, step)) =>
+        acc.withColumn(k, col(k) + col("rep") * step)
+      }.drop("rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    shiftKeys("customer", "c_custkey" -> custStep)
+    shiftKeys("orders", "o_orderkey" -> orderStep, "o_custkey" -> custStep)
+    shiftKeys("lineitem", "l_orderkey" -> orderStep,
+      "l_partkey" -> partStep, "l_suppkey" -> suppStep)
+    shiftKeys("part", "p_partkey" -> partStep)
+    shiftKeys("supplier", "s_suppkey" -> suppStep)
+    // fixed-size dims copy verbatim (25 nations / 5 regions at any SF)
+    for (t <- Seq("nation", "region"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     java.nio.file.Files.write(marker, Array.emptyByteArray)
   }
 }

@@ -23,4 +23,40 @@ class PreparedSpec extends GraftSuite {
       Seq(10))
     assert(df.head().getLong(0) == 10)
   }
+
+  test("NUMERIC binary codec round-trips through encode and decode") {
+    import graft.server.PgWire
+    import org.apache.spark.sql.types.DecimalType
+    // edge shapes: negatives, zero, sub-1 scales, >1 digit-group
+    // magnitudes, trailing zeros, the base-10000 group boundaries
+    val values = Seq("0", "1", "-1", "0.001", "-0.001", "123.45",
+      "-123.45", "9999", "10000", "10000.0001", "123456789.123456789",
+      "-99999999.99", "0.5000", "42000000000", "3.14159265358979")
+    for (s <- values) {
+      val v = new java.math.BigDecimal(s)
+      val bytes = PgWire.encodeBinary(v, DecimalType(38, 18)).get
+      val back = PgWire.decodeBinaryParam(1700, bytes)
+        .asInstanceOf[java.math.BigDecimal]
+      assert(back.compareTo(v) == 0, s"$s round-tripped to $back")
+    }
+  }
+
+  test("INTERVAL binary decode maps each shape to its Spark type") {
+    import graft.server.PgWire
+    def iv(micros: Long, days: Int, months: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putLong(micros).putInt(days).putInt(months).array()
+    }
+    assert(PgWire.decodeBinaryParam(1186, iv(90L * 60 * 1000000, 0, 0)) ==
+      java.time.Duration.ofMinutes(90))
+    assert(PgWire.decodeBinaryParam(1186, iv(0, 0, 14)) ==
+      java.time.Period.ofMonths(14))
+    val mixed = PgWire.decodeBinaryParam(1186, iv(3600000000L, 2, 1))
+      .asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+    assert(mixed.months == 1 && mixed.days == 2 &&
+      mixed.microseconds == 3600000000L)
+    // negative day-time interval (PG emits these for '-90 minutes')
+    assert(PgWire.decodeBinaryParam(1186, iv(-90L * 60 * 1000000, 0, 0)) ==
+      java.time.Duration.ofMinutes(-90))
+  }
 }
