@@ -23,7 +23,7 @@ object Relational {
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
     q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73,
-    q75, q76, q77, q78)
+    q75, q76, q77, q78, q81, q82)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -1203,5 +1203,97 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: weekly-averaged
+    * revenue from brand+type-filtered parts' lineitems whose quantity
+    * sits under 20% of that part's average quantity (the correlated AVG
+    * scalar subquery; Catalyst decorrelates it into a part-key
+    * aggregate + join). The average comparison runs ENTIRELY in exact
+    * decimal/integer arithmetic — `qty × 5 × cnt < Σqty` instead of
+    * `qty < 0.2 × Σqty/cnt` — so neither engine's double division or
+    * AVG merge order can flip a boundary row. Scale posture: the
+    * per-part aggregate is map-side combined on the scan, the filtered
+    * part keys are a broadcast semi-join, and only one shuffle (the
+    * part-key aggregate) touches the fact table. */
+  private val q81 = QDef(
+    "q81_small_qty_revenue",
+    """WITH pq AS (
+      |  SELECT l_partkey AS pq_partkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(15,6))) AS sum_qty,
+      |    CAST(5 * COUNT(*) AS DECIMAL(18,0)) AS five_cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pq ON pq.pq_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4' AND p.p_type = 'MEDIUM'
+      |  AND CAST(l.l_quantity AS DECIMAL(15,6)) * pq.five_cnt < pq.sum_qty""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val pq = li.groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(15,6)")).as("sum_qty"),
+        (lit(5) * count(lit(1))).cast("decimal(18,0)").as("five_cnt"))
+    val parts = Tables.part(s, d)
+      .where(col("p_brand") === "Brand#4" && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(pq, col("l_partkey") === col("pq_partkey"))
+      .where(col("l_quantity").cast("decimal(15,6)") * col("five_cnt")
+        < col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(30,6)"))
+        .cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape — churned-but-rich customers: per nation (standing
+    * in for Q22's phone country codes — the fixture carries no phone),
+    * count and total balance of customers in 7 target nations whose
+    * balance beats the positive-balance average and who placed NO order
+    * since 2000 (NOT EXISTS → anti-join; the fixture's customers all
+    * have SOME order, so the recency predicate is what keeps the
+    * anti-join non-vacuous). The above-average test is exact-decimal
+    * cross-multiplication (`bal × cnt > Σbal`), never a double mean.
+    * Scale posture: the threshold aggregate is one 1-row broadcast, the
+    * anti-join shuffles on the customer key only (date filter pushed to
+    * the orders scan), nation is a broadcast dim. */
+  private val q82 = QDef(
+    "q82_churned_rich_customers",
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS sum_bal,
+      |    COUNT(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n.n_name, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |CROSS JOIN pos
+      |WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |  AND CAST(c.c_acctbal AS DECIMAL(15,6)) * pos.cnt > pos.sum_bal
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n.n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val pos = cust.where(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(30,6)")).as("sum_bal"),
+        count(lit(1)).as("cnt"))
+    val recent = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust
+      .where(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .crossJoin(broadcast(pos))
+      .where(col("c_acctbal").cast("decimal(15,6)") * col("cnt")
+        > col("sum_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(30,6)")).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("n_name"))
   }
 }

@@ -997,4 +997,29 @@ class PlanQualitySpec extends GraftSuite {
       s"unbounded global windows in: ${offenders.map(_._1).mkString(", ")}\n" +
         offenders.take(3).mkString("\n"))
   }
+
+  test("q81: filtered part keys broadcast; one fact shuffle for the part-key agg") {
+    val p = planOf("q81_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part filter not broadcast:\n$p")
+    // the brand/type filter is pushed to the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#4)") &&
+      p.contains("EqualTo(p_type,MEDIUM)"),
+      s"part filter not pushed:\n$p")
+    // the per-part aggregate is partial-first (map-side combine)
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("q82: anti-join on custkey; threshold and nation broadcast; date pushed") {
+    val p = planOf("q82_churned_rich_customers")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti-join shape missing:\n$p")
+    // recency predicate reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed to orders scan:\n$p")
+    // the 1-row threshold is a broadcast nested-loop (never a shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"threshold not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }

@@ -270,4 +270,49 @@ class Round6OpsSpec extends GraftSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("q81: small-qty revenue equals a correlated-AVG replay") {
+    // textbook Q17 form: qty < 0.2 * avg(qty per part), revenue / 7 —
+    // replayed with exact rational arithmetic (qty*5*cnt < sumQty)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val parts = Tables.part(spark, sf)
+      .where(col("p_brand") === "Brand#4" && col("p_type") === "MEDIUM")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val byPart = li.groupBy(_._1)
+    val sumQty = byPart.map { case (k, v) => k -> v.map(_._2).sum }
+    val cnt = byPart.map { case (k, v) => k -> v.size }
+    val rev = li.filter { case (pk, qty, _) =>
+      parts.contains(pk) && qty * 5 * cnt(pk) < sumQty(pk)
+    }.map(_._3).sum
+    val want = rev / 7.0
+    val got = SparkEntry.queries("q81_small_qty_revenue")(spark, sf)
+      .head().getDouble(0)
+    graft.util.Persist.releaseAll()
+    assert(math.abs(got - want) < 1e-6 * math.max(1.0, math.abs(want)),
+      s"got $got want $want")
+  }
+
+  test("q82: churned-rich counts equal a threshold+recency replay") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val recent = Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val nations = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pos = cust.filter(_._3 > 0)
+    val (sumBal, n) = (pos.map(_._3).sum, pos.length)
+    val target = Set(1, 3, 5, 7, 9, 11, 13)
+    val want = cust.filter { case (ck, nk, bal) =>
+      target.contains(nk) && bal * n > sumBal && !recent.contains(ck)
+    }.groupBy(t => nations(t._2))
+      .map { case (nm, v) => nm -> v.length }
+    val got = SparkEntry.queries("q82_churned_rich_customers")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    graft.util.Persist.releaseAll()
+    assert(got == want, s"got $got want $want")
+  }
 }
