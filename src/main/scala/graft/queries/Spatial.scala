@@ -252,7 +252,7 @@ object Spatial {
     // border assignment all reread it (3 passes over one grid join)
     val nb = SpatialJoin.grid(pts("a_key", "a_pt"), pts("b_key", "b_pt"),
         "a_pt", "b_pt", "st_dwithin", distance = eps,
-        cells = graft.spatial.GraftConf.dbscanCells(s))
+        cells = graft.spatial.GraftConf.dbscanCells(s, n))
       .where(col("a_key") =!= col("b_key"))
       .select(col("a_key"), col("b_key"))
       .persistTracked()
@@ -662,11 +662,14 @@ object Spatial {
     // e^-19.6 under CSR), derived from the same count in both engines
     // like sp07's eps — density-scaled so in-radius pair work stays
     // ~20 neighbors/point at EVERY scale factor
-    val radius = 2.5 / math.sqrt(Tables.customer(s, d).count() / 10000.0)
+    val nPts = Tables.customer(s, d).count()
+    val radius = 2.5 / math.sqrt(nPts / 10000.0)
     val a = pts.select(col("c_custkey").as("a"), col("c_pt").as("a_pt"))
     val b = pts.select(col("c_custkey").as("b"), col("c_pt").as("b_pt"))
+    // cell count scales with N like sp07's (constant per-cell occupancy
+    // against the density-scaled radius)
     val nn = SpatialJoin.grid(a, b, "a_pt", "b_pt", "st_dwithin",
-        distance = radius, cells = 64)
+        distance = radius, cells = graft.spatial.GraftConf.dbscanCells(s, nPts))
       .where(col("a") =!= col("b"))
       .withColumn("dist", expr("st_distance(a_pt, b_pt)"))
       .groupBy(col("a")).agg(min(col("dist")).as("nn"))

@@ -52,10 +52,15 @@ object GraftConf {
   def dbscanMinPts(spark: SparkSession): Int =
     intConf(spark, "spark.graft.dbscan.min_pts", 5)
 
-  /** DBSCAN neighbor-join grid cell count (the skew/occupancy knob at
-    * scale — more cells = narrower dwithin self-join partitions) */
-  def dbscanCells(spark: SparkSession): Int =
-    intConf(spark, "spark.graft.dbscan.cells", 64)
+  /** DBSCAN neighbor-join grid cell count. Default derives from the
+    * input size so per-cell occupancy stays ~constant (~128 points):
+    * with the density-scaled eps (~1/√N) and cell width ~1/√cells,
+    * both the in-cell candidate cross-product AND the explode
+    * duplication stay O(1) per point at every scale factor. A fixed
+    * cell count would leave candidate pair work growing as N²/cells. */
+  def dbscanCells(spark: SparkSession, rows: Long): Int =
+    intConf(spark, "spark.graft.dbscan.cells",
+      math.max(64L, math.min(1L << 20, rows / 128)).toInt)
 
   private def intConf(spark: SparkSession, key: String, default: Int): Int =
     spark.conf.getOption(key).map(_.toInt).getOrElse(default)
