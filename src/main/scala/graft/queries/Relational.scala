@@ -23,7 +23,7 @@ object Relational {
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
     q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73,
-    q75, q76, q77, q78, q81, q82)
+    q75, q76, q77, q78, q81, q82, q83)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -1295,5 +1295,37 @@ object Relational {
         sum(col("c_acctbal").cast("decimal(30,6)")).cast("double")
           .as("totacctbal"))
       .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive join predicate (OR of brand/size/
+    * quantity conjunctions): the optimizer stress test for common-
+    * predicate extraction — Catalyst factors `p_brand IN (…)` and the
+    * quantity envelope out of the disjunction so BOTH scans still get a
+    * pushed filter, and the residual OR evaluates post-join. IDENTICAL
+    * statement on both engines (q75's pattern); revenue through the
+    * exact-decimal sum so the hash compare holds. */
+  private val q83 = QDef(
+    "q83_disjunctive_revenue", {
+      val sql = s"""SELECT COUNT(*) AS n_lines,
+        |  ${sqlDsum("l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)")} AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+      sql
+    }) { (s, d) =>
+    graft.Tables.registerViews(s, d)
+    s.sql(s"""SELECT COUNT(*) AS n_lines,
+      |  ${sqlDsum("l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)")} AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
   }
 }

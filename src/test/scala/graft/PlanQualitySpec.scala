@@ -1022,4 +1022,18 @@ class PlanQualitySpec extends GraftSuite {
       p.contains("BroadcastExchange"), s"threshold not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("q83: each side of the disjunctive predicate is pushed to its scan") {
+    val p = planOf("q83_disjunctive_revenue")
+    // lineitem scan gets the quantity-envelope disjunction...
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity disjunction not pushed to lineitem:\n$p")
+    // ...and the part scan the brand+size disjunction — neither side
+    // scans rows no OR-branch could accept
+    assert(p.contains("EqualTo(p_brand,Brand#4)") &&
+      p.contains("EqualTo(p_brand,Brand#19)"),
+      s"brand/size disjunction not pushed to part:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast:\n$p")
+  }
 }
