@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectPlannerStrategy(_ => SpatialJoinStrategy)
     graft.sources.Federation.tableFunctions.foreach(e.injectTableFunction)
+    // federation scans resolve against the session owning the query
+    // (never SparkSession.active — wrong under concurrent sessions)
+    e.injectResolutionRule(graft.sources.ResolveFederationScans.apply)
   }
 }
 

@@ -23,6 +23,60 @@ class FederationSpec extends GraftSuite {
       s"expected pushdown markers in:\n$physical")
   }
 
+  test("jdbc_scan with partition args plans an N-task range-partitioned read") {
+    val conn = DriverManager.getConnection("jdbc:derby:memory:fedpart;create=true")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE T2 (ID INT, V VARCHAR(10))")
+    st.execute("INSERT INTO T2 VALUES " +
+      (1 to 40).map(i => s"($i, 'v$i')").mkString(", "))
+    st.close(); conn.close()
+
+    val single = spark.sql(
+      "SELECT * FROM jdbc_scan('jdbc:derby:memory:fedpart', " +
+        "'org.apache.derby.iapi.jdbc.AutoloadedDriver', 'T2')")
+    val parted = spark.sql(
+      "SELECT * FROM jdbc_scan('jdbc:derby:memory:fedpart', " +
+        "'org.apache.derby.iapi.jdbc.AutoloadedDriver', 'T2', 'ID', 1, 40, 4)")
+    // the executed scan is 4 parallel range tasks, not one driver-choking task
+    assert(parted.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC range partitions, got ${parted.rdd.getNumPartitions}")
+    assert(single.rdd.getNumPartitions == 1)
+    // same results either way
+    assert(parted.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      single.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq)
+    assert(parted.count() == 40)
+  }
+
+  test("spark.graft.federation.* confs supply session-level partitioning") {
+    try {
+      spark.conf.set("spark.graft.federation.partition_column", "ID")
+      spark.conf.set("spark.graft.federation.lower_bound", "1")
+      spark.conf.set("spark.graft.federation.upper_bound", "40")
+      spark.conf.set("spark.graft.federation.num_partitions", "3")
+      val df = spark.sql(
+        "SELECT * FROM jdbc_scan('jdbc:derby:memory:fedpart', " +
+          "'org.apache.derby.iapi.jdbc.AutoloadedDriver', 'T2')")
+      assert(df.rdd.getNumPartitions == 3,
+        s"expected 3 conf-driven partitions, got ${df.rdd.getNumPartitions}")
+      assert(df.count() == 40)
+    } finally {
+      Seq("partition_column", "lower_bound", "upper_bound", "num_partitions")
+        .foreach(k => spark.conf.unset(s"spark.graft.federation.$k"))
+    }
+  }
+
+  test("partitioned reads keep filter pushdown on every task") {
+    val df = spark.sql(
+      "SELECT * FROM jdbc_scan('jdbc:derby:memory:fedpart', " +
+        "'org.apache.derby.iapi.jdbc.AutoloadedDriver', 'T2', 'ID', 1, 40, 4) " +
+        "WHERE ID > 35")
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 5)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") || physical.contains("Filter"),
+      s"expected pushdown markers in:\n$physical")
+  }
+
   test("named scans resolve, plan, and name the missing driver") {
     for ((fn, driver) <- Seq(
         ("postgres_scan('postgres://h:5432', 'db', 't')", "postgresql"),
