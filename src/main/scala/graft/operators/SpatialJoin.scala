@@ -67,9 +67,16 @@ object SpatialJoin {
     // re-execution. Byte-identical duplicate rows share an id, which is
     // outer-join-safe: identical content ⇒ identical geometry ⇒
     // identical match status, so the anti-join keeps or drops the whole
-    // duplicate group together, preserving multiplicity.
+    // duplicate group together, preserving multiplicity. Per-column
+    // null flags ride along because the hash fold SKIPS nulls: without
+    // them, rows differing only by shifting a value across same-typed
+    // columns with complementary nulls — e.g. (geom, null) vs
+    // (null, geom) — would fold identically under both seeds, and the
+    // two rows can have DIFFERENT match status (a null geometry never
+    // matches), so sharing an id silently drops or keeps the wrong row.
     def contentId(df: DataFrame): Column = {
-      val cs = df.columns.map(col).toSeq
+      val cs = df.columns.toSeq.flatMap(n =>
+        Seq(col(n), isnull(col(n)).cast("int")))
       struct(xxhash64((lit(1) +: cs): _*), xxhash64((lit(2) +: cs): _*))
     }
     val lId = left.withColumn("__lid", contentId(left))

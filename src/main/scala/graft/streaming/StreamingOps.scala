@@ -222,8 +222,11 @@ object StreamingOps {
     // the included observed mass sums to n exactly like the expected
     // mass (previously zero-bucket tokens counted in n but not in any
     // term, so expected > observed by construction).
+    // df = (collapsed buckets - 1) must be >= 1 for the critical-value
+    // table; a single-bucket baseline makes χ² degenerate anyway
     val nonzero = (1 to 11).filter(i => baseline(i - 1) > 0.0)
-    require(nonzero.nonEmpty, "baseline must have a nonzero bucket")
+    require(nonzero.size >= 2,
+      "baseline must have at least 2 nonzero buckets (chi-square needs df >= 1)")
     def nearest(i: Int): Int =
       nonzero.minBy(j => (math.abs(j - i), j)) // ties → lower index
     val groups = (1 to 11).groupBy(nearest).toSeq.sortBy(_._1)

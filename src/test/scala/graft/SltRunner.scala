@@ -100,19 +100,20 @@ object SltRunner {
   /** `<slt:ignore>` wildcard matching on the WHOLE result snapshot
     * (reference util.rs:77-105): split the expected snapshot on the
     * marker, then require each literal fragment to appear in order in
-    * the actual snapshot; text before the FIRST fragment is not
-    * skippable (the marker is a wildcard, not a leading anchor). */
+    * the actual snapshot; only fragment INDEX 0 anchors at position 0
+    * (a marker-leading expected block makes fragment 0 empty, so the
+    * whole snapshot starts with a wildcard — exactly util.rs's rule;
+    * anchoring the first NON-empty fragment instead would reject
+    * leading-wildcard expectations the reference accepts). */
   def fragmentsMatch(actual: Seq[String], expected: Seq[String]): Boolean = {
     val actualSnap = actual.mkString("\n")
     val expectedSnap = expected.mkString("\n")
     val fragments = expectedSnap.split(java.util.regex.Pattern.quote(IgnoreMarker), -1)
     var pos = 0
-    var first = true
-    for (frag <- fragments if frag.nonEmpty) {
+    for ((frag, i) <- fragments.zipWithIndex if frag.nonEmpty) {
       val idx = actualSnap.indexOf(frag, pos)
       if (idx < 0) return false
-      if (first && idx != 0) return false
-      first = false
+      if (i == 0 && idx != 0) return false
       pos = idx + frag.length
     }
     true
@@ -133,7 +134,11 @@ object SltRunner {
       byStart.get(i) match {
         case Some(c) if !c.expected.exists(_.contains(IgnoreMarker)) =>
           out ++= resultLines(spark, c)
-          i = c.expEnd
+          // a zero-row expected block has expEnd == expStart == i: the
+          // line AT i is not part of the block, so fall through to copy
+          // it normally instead of looping on i = expEnd forever
+          if (c.expEnd > i) i = c.expEnd
+          else { out += lines(i); i += 1 }
         case _ =>
           out += lines(i)
           i += 1

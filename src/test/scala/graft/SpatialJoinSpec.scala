@@ -309,6 +309,45 @@ class SpatialJoinSpec extends GraftSuite {
     assert(gotNulls == wantNulls)
   }
 
+  test("grid outer: complementary-null rows get distinct content ids") {
+    // round-6 advisor: xxhash64 skips null columns in its sequential
+    // fold, so (geom, null) and (null, geom) over two same-typed columns
+    // folded identically and shared an id — yet their match status
+    // differs (a null geometry never matches), so the unmatched row was
+    // silently dropped when its collision-mate matched. Null flags in
+    // the hashed column list must keep them distinct.
+    val G = graft.spatial.Geo.toWkb(graft.spatial.Geo.fromWkt("POINT (1 1)"))
+    val B = graft.spatial.Geo.toWkb(graft.spatial.Geo.fromWkt(
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+    val lSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lgeom",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("laux",
+        org.apache.spark.sql.types.BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val left = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(G, null),
+      org.apache.spark.sql.Row(null, G)).asJava, lSchema)
+    val right = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(B, 7L)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rgeom",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("rid",
+          org.apache.spark.sql.types.LongType))))
+    val rows = SpatialJoin.grid(left, right, "lgeom", "rgeom",
+      "st_intersects", cells = 4, joinType = "left").collect()
+    // row 1 matches the box; row 2 (null geometry) must survive as the
+    // unmatched left row instead of being dropped with its former
+    // collision-mate
+    assert(rows.length == 2, s"expected 2 rows, got:\n${rows.mkString("\n")}")
+    val matched = rows.filter(!_.isNullAt(3))
+    val unmatched = rows.filter(_.isNullAt(3))
+    assert(matched.length == 1 && !matched(0).isNullAt(0) && matched(0).isNullAt(1))
+    assert(unmatched.length == 1 && unmatched(0).isNullAt(0) &&
+      !unmatched(0).isNullAt(1) && unmatched(0).isNullAt(2))
+  }
+
   test("distance-comparison condition shapes plan the spatial exec") {
     for (cond <- Seq("st_distance(p_geom, b_geom) < 5.0", "5.0 > st_distance(p_geom, b_geom)")) {
       val j = pts.join(boxes, expr(cond))

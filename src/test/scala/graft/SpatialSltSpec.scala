@@ -68,6 +68,35 @@ class SpatialSltSpec extends GraftSuite {
     // reference edge case (util.rs:117-134): leading text before the
     // first fragment is NOT skippable
     assert(!fragmentsMatch(Seq("foo bar baz"), Seq("bar <slt:ignore>")))
+    // ...but an expected block that BEGINS with the marker makes
+    // fragment 0 empty, so leading text IS skippable (util.rs anchors
+    // only fragment index 0, not the first non-empty fragment)
+    assert(fragmentsMatch(Seq("foo bar"), Seq("<slt:ignore>bar")))
+    assert(fragmentsMatch(Seq("x 9", "a 1"), Seq("<slt:ignore>", "a 1")))
+    // still ordered: the post-marker fragment must exist
+    assert(!fragmentsMatch(Seq("foo bar"), Seq("<slt:ignore>qux")))
+  }
+
+  test("completion mode terminates on a zero-row expected block") {
+    // a `query` block whose expected section is empty (zero result
+    // rows) has expStart == expEnd; complete() must not loop forever
+    // and must preserve the line that follows the block
+    val corpus = Vector(
+      "query I",
+      "SELECT 1 WHERE 1 = 0",
+      "----",
+      "",
+      "query I",
+      "SELECT 42",
+      "----",
+      "42",
+      "")
+    val regen = SltRunner.complete(spark, corpus)
+    // zero-row block stays zero-row; 42 regenerates to itself
+    val cases = SltRunner.parseLines(regen)
+    assert(cases.size == 2)
+    assert(cases.head.expected.isEmpty)
+    assert(cases(1).expected == Seq("42"))
   }
 }
 

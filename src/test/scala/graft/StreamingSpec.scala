@@ -880,4 +880,19 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch mismatch: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
     } finally query.stop()
   }
+
+  test("lengthDriftMonitor: single-nonzero-bucket baseline is rejected up front") {
+    // round-6 advisor: one nonzero bucket collapses everything into a
+    // single group, df = 0, and the old guard let crit99(-1) throw an
+    // ArrayIndexOutOfBounds at stream construction — fail with a clear
+    // message instead
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocIn
+    val degenerate = Seq(1.0) ++ Seq.fill(10)(0.0)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.lengthDriftMonitor(
+        Seq(DocIn(1L, "a b", ts(1))).toDS(), degenerate)
+    }
+    assert(e.getMessage.contains("2 nonzero buckets"))
+  }
 }
