@@ -136,15 +136,33 @@ object PgWire {
     case DateType                          => 1082
     case _: TimestampType                  => 1114
     case _: TimestampNTZType               => 1114
+    case _: TimeType                       => 1083
     case _: DecimalType                    => 1700
     case _: DayTimeIntervalType            => 1186
     case _: YearMonthIntervalType          => 1186
     case CalendarIntervalType              => 1186
-    case ArrayType(StringType, _)          => 1015
-    case ArrayType(IntegerType, _)         => 1007
-    case ArrayType(LongType, _)            => 1016
-    case ArrayType(DoubleType, _)          => 1022
+    case ArrayType(et, _) if arrayOid(et) != 0 => arrayOid(et)
     case _                                 => 1043 // rendered as text
+  }
+
+  /** Array oid for an element type; 0 when no PG array type maps
+    * (nested arrays, structs — those render as text). */
+  def arrayOid(et: DataType): Int = et match {
+    case BooleanType    => 1000
+    case BinaryType     => 1001
+    case ByteType       => 1002
+    case ShortType      => 1005
+    case IntegerType    => 1007
+    case LongType       => 1016
+    case FloatType      => 1021
+    case DoubleType     => 1022
+    case StringType     => 1015
+    case DateType       => 1182
+    case _: TimeType    => 1183
+    case _: TimestampType    => 1115
+    case _: TimestampNTZType => 1115
+    case _: DecimalType => 1231
+    case _              => 0
   }
 
   private val tsFmt = java.time.format.DateTimeFormatter
@@ -163,14 +181,22 @@ object PgWire {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType | DateType => true
     case _: TimestampType    => true
+    case _: TimestampNTZType => true
+    case _: TimeType         => true
     case _: DecimalType      => true
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case CalendarIntervalType => true
+    // arrays of binary-capable scalars with a PG array oid; nested
+    // arrays and struct elements stay text
+    case ArrayType(et, _)    => arrayOid(et) != 0 && binaryCapable(et)
     case _                   => false
   }
 
-  /** Binary (format code 1) result encodings for the scalar oids the
-    * text path maps (types.rs:128-340's binary half). Types without a
-    * defined binary form here fall back to their text bytes, matching
-    * the catch-all text oid in [[pgOid]]. */
+  /** Binary (format code 1) result encodings for the oids the text
+    * path maps (types.rs:128-340's binary half, plus interval.rs and
+    * the array wire format). Types without a defined binary form here
+    * fall back to their text bytes, matching the catch-all text oid in
+    * [[pgOid]]. */
   def encodeBinary(v: Any, dt: DataType): Option[Array[Byte]] = {
     def be(n: Int, put: java.nio.ByteBuffer => Unit): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(n); put(b); b.array()
@@ -196,8 +222,52 @@ object PgWire {
       case t: java.time.Instant  =>
         val us = t.getEpochSecond * 1000000L + t.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
+      case t: java.time.LocalDateTime => // TimestampNTZ
+        val us = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000
+        Some(be(8, _.putLong(us - PgEpochMicros)))
+      case t: java.time.LocalTime => // TIME: micros since midnight
+        Some(be(8, _.putLong(t.toNanoOfDay / 1000)))
       case d: java.math.BigDecimal => Some(numericBinary(d))
       case d: BigDecimal           => Some(numericBinary(d.bigDecimal))
+      // interval wire layout (types/interval.rs:10-60): micros(8),
+      // days(4), months(4)
+      case d: java.time.Duration =>
+        Some(be(16, b => {
+          b.putLong(d.getSeconds * 1000000L + d.getNano / 1000)
+          b.putInt(0); b.putInt(0)
+        }))
+      case p: java.time.Period =>
+        Some(be(16, b => {
+          b.putLong(0L); b.putInt(p.getDays)
+          b.putInt(p.getYears * 12 + p.getMonths)
+        }))
+      case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+        Some(be(16, b => {
+          b.putLong(ci.microseconds); b.putInt(ci.days); b.putInt(ci.months)
+        }))
+      // 1-D array: ndims, hasnull, elemoid, (dim, lbound), elements
+      case s: scala.collection.Seq[_] =>
+        dt match {
+          case ArrayType(et, _) if arrayOid(et) != 0 && binaryCapable(et) =>
+            val elems = s.map(e => if (e == null) None else encodeBinary(e, et))
+            val body = new java.io.ByteArrayOutputStream()
+            val d = new DataOutputStream(body)
+            if (s.isEmpty) { // PG sends ndims = 0 with no dim pairs
+              d.writeInt(0); d.writeInt(0); d.writeInt(pgOid(et))
+            } else {
+              d.writeInt(1)
+              d.writeInt(if (elems.exists(_.isEmpty)) 1 else 0)
+              d.writeInt(pgOid(et))
+              d.writeInt(s.size); d.writeInt(1)
+              elems.foreach {
+                case None    => d.writeInt(-1)
+                case Some(b) => d.writeInt(b.length); d.write(b)
+              }
+            }
+            Some(body.toByteArray)
+          case _ => encodeValue(s).map(_.getBytes(UTF_8))
+        }
       case other                 => encodeValue(other).map(_.getBytes(UTF_8))
     }
   }
@@ -215,6 +285,7 @@ object PgWire {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     oid match {
       case 16           => bytes(0) != 0
+      case 18           => bytes(0)
       case 21           => buf.getShort
       case 23           => buf.getInt
       case 20           => buf.getLong
@@ -222,6 +293,7 @@ object PgWire {
       case 701          => buf.getDouble
       case 25 | 1043 | 1042 | 19 => new String(bytes, UTF_8)
       case 1700         => decodeNumericBinary(buf)
+      case 1083         => java.time.LocalTime.ofNanoOfDay(buf.getLong * 1000L)
       case 1082         => java.time.LocalDate.ofEpochDay(PgEpochDay + buf.getInt)
       case 1114 =>
         val us = PgEpochMicros + buf.getLong
@@ -237,9 +309,38 @@ object PgWire {
           java.time.Duration.of(micros, java.time.temporal.ChronoUnit.MICROS)
         else if (micros == 0 && days == 0) java.time.Period.ofMonths(months)
         else new org.apache.spark.unsafe.types.CalendarInterval(months, days, micros)
+      // array parameters: ndims, hasnull, elemoid, (dim, lbound)*,
+      // length-prefixed elements decoded by the payload's own elemoid
+      case o if ArrayOids(o) =>
+        val ndims = buf.getInt
+        buf.getInt // hasnull (informational)
+        val elemOid = buf.getInt
+        if (ndims == 0) Seq.empty[Any]
+        else {
+          require(ndims == 1,
+            s"only 1-dimensional array parameters supported, got ndims=$ndims")
+          val n = buf.getInt
+          buf.getInt // lower bound
+          (0 until n).map { _ =>
+            val len = buf.getInt
+            if (len < 0) null
+            else {
+              val b = new Array[Byte](len)
+              buf.get(b)
+              decodeBinaryParam(elemOid, b)
+            }
+          }
+        }
       case _            => bytes
     }
   }
+
+  /** Array-type oids accepted as binary parameters / emitted as binary
+    * results (1009 = text[], which clients send interchangeably with
+    * 1015 varchar[]). */
+  private val ArrayOids: Set[Int] = Set(
+    1000, 1001, 1002, 1005, 1007, 1009, 1015, 1016, 1021, 1022,
+    1115, 1182, 1183, 1185, 1187, 1231)
 
   /** Inverse of [[numericBinary]]: ndigits/weight/sign/dscale header +
     * base-10000 digit groups → BigDecimal. */
@@ -312,6 +413,9 @@ object PgWire {
     case t: java.sql.Timestamp   => Some(t.toLocalDateTime.format(tsFmt))
     case t: java.time.Instant    => Some(java.time.LocalDateTime
       .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
+    case t: java.time.LocalDateTime => Some(t.format(tsFmt)) // TimestampNTZ
+    case t: java.time.LocalTime  => Some(t.format(
+      java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")))
     case d: java.sql.Date        => Some(d.toString)
     // NUMERIC never renders scientifically in PG text format
     case d: java.math.BigDecimal => Some(d.toPlainString)

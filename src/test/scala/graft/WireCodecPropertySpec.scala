@@ -60,6 +60,120 @@ class WireCodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TIME binary: random times round-trip to the microsecond") {
+    val gen = Gen.chooseNum(0L, 86399999999L) // micros within a day
+      .map(us => java.time.LocalTime.ofNanoOfDay(us * 1000L))
+    check(Prop.forAll(gen) { t: java.time.LocalTime =>
+      val bytes = PgWire.encodeBinary(t,
+        org.apache.spark.sql.types.TimeType(6)).get
+      PgWire.decodeBinaryParam(1083, bytes) == t
+    })
+  }
+
+  test("TIMESTAMP (NTZ) binary: random local datetimes round-trip") {
+    val gen = for {
+      sec <- Gen.chooseNum(-62135596800L, 64060588800L)
+      micro <- Gen.chooseNum(0L, 999999L)
+    } yield java.time.LocalDateTime.ofEpochSecond(sec,
+      micro.toInt * 1000, java.time.ZoneOffset.UTC)
+    check(Prop.forAll(gen) { t: java.time.LocalDateTime =>
+      val bytes = PgWire.encodeBinary(t,
+        org.apache.spark.sql.types.TimestampNTZType).get
+      PgWire.decodeBinaryParam(1114, bytes) == t
+    })
+  }
+
+  test("INTERVAL binary: Duration and Period ENCODE to the 16-byte layout and round-trip") {
+    val durGen = for {
+      sec <- Gen.chooseNum(-3153600000L, 3153600000L)
+      micro <- Gen.chooseNum(0L, 999999L)
+    } yield java.time.Duration.ofSeconds(sec, micro * 1000L)
+    check(Prop.forAll(durGen) { d: java.time.Duration =>
+      val bytes = PgWire.encodeBinary(d,
+        org.apache.spark.sql.types.DayTimeIntervalType()).get
+      bytes.length == 16 && PgWire.decodeBinaryParam(1186, bytes) == d
+    })
+    val perGen = for {
+      y <- Gen.chooseNum(-999, 999)
+      m <- Gen.chooseNum(-11, 11)
+    } yield java.time.Period.of(y, m, 0)
+    check(Prop.forAll(perGen) { p: java.time.Period =>
+      (p.getYears == 0 && p.getMonths == 0) || {
+        val bytes = PgWire.encodeBinary(p,
+          org.apache.spark.sql.types.YearMonthIntervalType()).get
+        // decode normalizes to total months (value-equal, not shape-equal)
+        PgWire.decodeBinaryParam(1186, bytes) ==
+          java.time.Period.ofMonths(p.getYears * 12 + p.getMonths)
+      }
+    })
+  }
+
+  test("ARRAY binary: random int8/float8/varchar arrays with nulls round-trip") {
+    import org.apache.spark.sql.types._
+    def arrProp[T](elemGen: Gen[T], dt: DataType, oid: Int): Prop = {
+      val gen = Gen.listOf(Gen.oneOf(elemGen.map(Some(_)), Gen.const(None)))
+      Prop.forAll(gen) { xs: List[Option[T]] =>
+        val v: Seq[Any] = xs.map(_.getOrElse(null).asInstanceOf[Any])
+        val dtArr = ArrayType(dt)
+        assert(PgWire.binaryCapable(dtArr) && PgWire.pgOid(dtArr) == oid)
+        val bytes = PgWire.encodeBinary(v, dtArr).get
+        PgWire.decodeBinaryParam(oid, bytes) == v
+      }
+    }
+    check(arrProp(Gen.chooseNum(Long.MinValue, Long.MaxValue), LongType, 1016))
+    check(arrProp(Gen.chooseNum(-1e18, 1e18), DoubleType, 1022))
+    check(arrProp(Gen.asciiPrintableStr, StringType, 1015))
+    check(arrProp(Gen.chooseNum(Int.MinValue, Int.MaxValue), IntegerType, 1007))
+    // empty arrays use the ndims = 0 shape
+    assert(PgWire.decodeBinaryParam(1007,
+      PgWire.encodeBinary(Seq.empty[Any], ArrayType(IntegerType)).get) ==
+      Seq.empty[Any])
+  }
+
+  test("every binary-capable oid in pgOid round-trips a representative value") {
+    import org.apache.spark.sql.types._
+    // (type, value, expected decoded form) — decode returns the
+    // java.time flavor, so expectations are stated in that flavor
+    val reps: Seq[(DataType, Any, Any, Int)] = Seq(
+      (BooleanType, true, true, 16),
+      (ByteType, 7.toByte, 7.toByte, 18),
+      (ShortType, 321.toShort, 321.toShort, 21),
+      (IntegerType, -12345, -12345, 23),
+      (LongType, 987654321012L, 987654321012L, 20),
+      (FloatType, 1.5f, 1.5f, 700),
+      (DoubleType, math.Pi, math.Pi, 701),
+      (StringType, "héllo", "héllo", 1043),
+      (DateType, java.time.LocalDate.of(2026, 8, 14),
+        java.time.LocalDate.of(2026, 8, 14), 1082),
+      (TimestampNTZType,
+        java.time.LocalDateTime.of(2026, 8, 14, 12, 30, 15, 123456000),
+        java.time.LocalDateTime.of(2026, 8, 14, 12, 30, 15, 123456000), 1114),
+      (TimeType(6), java.time.LocalTime.of(23, 59, 59, 999999000),
+        java.time.LocalTime.of(23, 59, 59, 999999000), 1083),
+      (DecimalType(20, 4), new java.math.BigDecimal("-1234567.8901"),
+        new java.math.BigDecimal("-1234567.8901"), 1700),
+      (DayTimeIntervalType(), java.time.Duration.ofSeconds(3661, 5000),
+        java.time.Duration.ofSeconds(3661, 5000), 1186),
+      (YearMonthIntervalType(), java.time.Period.of(2, 3, 0),
+        java.time.Period.ofMonths(27), 1186),
+      (ArrayType(LongType), Seq(1L, null, 3L), Seq(1L, null, 3L), 1016))
+    for ((dt, v, want, oid) <- reps) {
+      assert(PgWire.binaryCapable(dt), s"$dt must be binary-capable")
+      assert(PgWire.pgOid(dt) == oid, s"$dt -> oid ${PgWire.pgOid(dt)}, want $oid")
+      val bytes = PgWire.encodeBinary(v, dt).get
+      val back = PgWire.decodeBinaryParam(oid, bytes)
+      assert(back == want ||
+        (back.isInstanceOf[java.math.BigDecimal] &&
+          back.asInstanceOf[java.math.BigDecimal]
+            .compareTo(want.asInstanceOf[java.math.BigDecimal]) == 0),
+        s"$dt: $v -> $back, want $want")
+    }
+    // bytea stays raw in both directions
+    val raw = Array[Byte](1, 2, 3)
+    assert(PgWire.encodeBinary(raw, BinaryType).get.toSeq == raw.toSeq)
+    assert(PgWire.decodeBinaryParam(17, raw).asInstanceOf[Array[Byte]].toSeq == raw.toSeq)
+  }
+
   test("INTERVAL binary: every (micros, days, months) decodes to the value-equal shape") {
     val gen = for {
       micros <- Gen.chooseNum(-3153600000000000L, 3153600000000000L)
