@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   * connect.
   *
   * Facts mirror the reference exactly:
-  * - pg_type: 28 rows (/root/reference/src/common/utils/src/pg_type.rs:
-  *   58-618), projected to the 8 columns of the catalog table
-  *   (catalog/src/postgres/pg_type.rs:16-60), typtypmod = -1.
+  * - pg_type: the reference's 28 rows (/root/reference/src/common/utils/
+  *   src/pg_type.rs:58-618), projected to the 8 columns of the catalog
+  *   table (catalog/src/postgres/pg_type.rs:16-60), typtypmod = -1 —
+  *   plus a 29th `geometry` row (oid 16385) making the spatial
+  *   extension type wire-visible, the PG analogue of the reference's
+  *   Arrow "Geometry" extension tag (spatial/src/extension.rs:1-9).
   * - pg_namespace: pg_catalog=11, public=2200, information_schema=13676
   *   (pg_namespace.rs:44-57).
   * - pg_class / pg_description: present but empty (pg_class.rs:58-70).
@@ -40,7 +43,12 @@ object PgCompat extends Serializable {
     (1114, "timestamp", "D", 0), (1115, "_timestamp", "A", 1114),
     (1182, "_date", "A", 1082), (1183, "_time", "A", 1083),
     (1184, "timestamptz", "D", 0), (1185, "_timestamptz", "A", 1184),
-    (1186, "interval", "T", 0), (1187, "_interval", "A", 1186))
+    (1186, "interval", "T", 0), (1187, "_interval", "A", 1186),
+    // geometry as a wire-visible extension type (PostGIS-style user
+    // oid; the reference tags WKB with the Arrow extension name
+    // "Geometry" — spatial/src/extension.rs:1-9). PgServer reports
+    // this oid for geometry-producing result columns.
+    (16385, "geometry", "U", 0))
 
   private val baseNames: Map[Int, String] = Map(
     16 -> "boolean", 17 -> "bytea", 18 -> "character", 20 -> "bigint",
@@ -48,7 +56,8 @@ object PgCompat extends Serializable {
     701 -> "double precision", 1043 -> "character varying",
     1082 -> "date", 1083 -> "time without time zone",
     1114 -> "timestamp without time zone",
-    1184 -> "timestamp with time zone", 1186 -> "interval")
+    1184 -> "timestamp with time zone", 1186 -> "interval",
+    16385 -> "geometry")
 
   private val arrayElem: Map[Int, Int] =
     pgTypes.filter(_._3 == "A").map(t => t._1 -> t._4).toMap

@@ -16,8 +16,9 @@ object PgCatalog {
       s"($oid, '$name', 11, '$cat', 0, $elem, 0, CAST(-1 AS BIGINT))"
   }.mkString(",\n  ")
 
-  /** The 28-row pg_type table, read through its pg_catalog-qualified
-    * name (parser strips the schema onto the temp view). */
+  /** The pg_type table (the reference's 28 rows + the geometry
+    * extension type), read through its pg_catalog-qualified name
+    * (parser strips the schema onto the temp view). */
   private val pg01 = QDef(
     "pg01_pg_type",
     s"""SELECT * FROM (VALUES

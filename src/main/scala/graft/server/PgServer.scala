@@ -96,6 +96,15 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     var rawOut = new DataOutputStream(sock.getOutputStream)
     var out = new PgWire.Out(rawOut)
     val pid = pidCounter.incrementAndGet()
+    // PG session semantics: each connection gets its OWN SparkSession
+    // (shared SparkContext + catalog, isolated temp views / SQL conf /
+    // prepared state) — the Spark analogue of the reference's
+    // per-connection session task (server.rs:14-28). Temp views one
+    // client creates are invisible to every other client; permanent
+    // tables go through the shared catalog like PG's.
+    val sess = spark.newSession()
+    PgCompat.registerAll(sess)
+    SpatialFunctions.registerAll(sess)
     try {
       var st = PgWire.readStartup(in)
       if (st.code == 80877104) { // GSSENCRequest: decline, client falls back
@@ -137,7 +146,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val secret = secretRng.nextInt()
       val group = s"pg-conn-$pid"
       cancelKeys.put(pid, (secret, group))
-      spark.sparkContext.setJobGroup(group,
+      sess.sparkContext.setJobGroup(group,
         s"pg connection $pid", interruptOnCancel = true)
 
       out.parameterStatus("server_version", "10.0")
@@ -168,9 +177,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val stmts = splitStatements(raw)
             if (stmts.isEmpty) out.emptyQueryResponse()
             else stmts.foreach {
-              case CopyInRe(table, _, cols, opts) => copyIn(out, in, table, cols, opts)
-              case CopyRe(source, opts)           => copyOut(out, source, opts)
-              case one => runQuery(out, one, Nil, describeOnly = false)
+              case CopyInRe(table, _, cols, opts) => copyIn(sess, out, in, table, cols, opts)
+              case CopyRe(source, opts)           => copyOut(sess, out, source, opts)
+              case one => runQuery(sess, out, one, Nil, describeOnly = false)
             }
             out.readyForQuery(); out.flush()
           case 'P' => // Parse: name, query, param type oids
@@ -195,12 +204,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
               else portals.get(name)
                 .map(p => (p.sql, p.resultFormats)).getOrElse(("", Nil))
             if (sql.isEmpty) out.noData()
-            else describe(out, sql, kind == 'S', fmts)
+            else describe(sess, out, sql, kind == 'S', fmts)
           case 'E' => // Execute portal (with row-limit suspension)
             val buf = java.nio.ByteBuffer.wrap(m.body)
             val name = readCstr(buf)
             val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
-            executePortal(out, in, name, maxRows, portals, openPortals)
+            executePortal(sess, out, in, name, maxRows, portals, openPortals)
           case 'S' => out.readyForQuery(); out.flush()
           case 'C' => // Close
             val kind = m.body(0).toChar
@@ -260,9 +269,64 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private final class OpenPortal(
       val schema: org.apache.spark.sql.types.StructType,
       val it: java.util.Iterator[org.apache.spark.sql.Row],
-      val formats: Seq[Int]) {
+      val formats: Seq[Int],
+      val geom: Seq[Boolean]) {
     var emitted: Long = 0L
   }
+
+  /** pg_type oid of the `geometry` extension type (PgCompat row). */
+  private val GeometryOid = 16385
+
+  /** Which output columns carry geometry: BinaryType columns whose
+    * producing expression (followed through projections/aggregates in
+    * the analyzed plan) is a geometry-returning ST_* function — the PG
+    * wire analogue of the reference tagging WKB with the Arrow
+    * "Geometry" extension name (spatial/src/extension.rs:1-9). Columns
+    * read straight from storage are untagged binary and stay bytea,
+    * like any engine that loses type fidelity at an untyped boundary. */
+  private def geometryFlags(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Expression, ScalaUDF}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val producers = mutable.Map[ExprId, Expression]()
+    df.queryExecution.analyzed.foreach {
+      case p: Project =>
+        p.projectList.foreach {
+          case a: Alias => producers(a.exprId) = a.child
+          case _        =>
+        }
+      case a: Aggregate =>
+        a.aggregateExpressions.foreach {
+          case al: Alias => producers(al.exprId) = al.child
+          case _         =>
+        }
+      case _ =>
+    }
+    def isGeom(e: Expression, depth: Int): Boolean = depth <= 16 && (e match {
+      case u: ScalaUDF =>
+        u.udfName.exists(n => SpatialFunctions.geometryProducers(n.toLowerCase))
+      case a: Alias               => isGeom(a.child, depth + 1)
+      case ar: AttributeReference =>
+        producers.get(ar.exprId).exists(isGeom(_, depth + 1))
+      case c: Cast                => isGeom(c.child, depth + 1)
+      case _                      => false
+    })
+    df.queryExecution.analyzed.output.map { a =>
+      a.dataType == org.apache.spark.sql.types.BinaryType &&
+        producers.get(a.exprId).exists(isGeom(_, 0))
+    }
+  }
+
+  /** Column oids with geometry columns re-tagged from bytea. */
+  private def columnOids(schema: org.apache.spark.sql.types.StructType,
+      geom: Seq[Boolean]): Seq[(String, Int)] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      (f.name,
+        if (geom.lift(i).contains(true)) GeometryOid else PgWire.pgOid(f.dataType))
+    }
+
+  /** PostGIS text output for geometry: uppercase hex EWKB, no \x. */
+  private def hexEwkb(b: Array[Byte]): String =
+    b.map("%02X".format(_)).mkString
 
   private def readCstr(buf: java.nio.ByteBuffer): String = {
     val sb = new StringBuilder
@@ -304,13 +368,19 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
 
   private def encodeRow(row: org.apache.spark.sql.Row,
       schema: org.apache.spark.sql.types.StructType,
-      formats: Seq[Int]): Seq[Option[Array[Byte]]] =
+      formats: Seq[Int],
+      geom: Seq[Boolean] = Nil): Seq[Option[Array[Byte]]] =
     (0 until row.length).map { i =>
       val fmt = if (formats.isEmpty) 0 else formats(i % formats.size)
       // binary only for types with a real binary wire form — must stay
       // consistent with the format codes describe() advertises
+      // (geometry's binary form IS its EWKB bytes, so bytea's raw path
+      // already serves it)
       if (fmt == 1 && PgWire.binaryCapable(schema(i).dataType))
         PgWire.encodeBinary(row.get(i), schema(i).dataType)
+      else if (geom.lift(i).contains(true))
+        Option(row.get(i)).map(v =>
+          hexEwkb(v.asInstanceOf[Array[Byte]]).getBytes(UTF_8))
       else PgWire.encodeValue(row.get(i)).map(_.getBytes(UTF_8))
     }
 
@@ -318,7 +388,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * from the portal's iterator; PortalSuspended if rows remain, else
     * CommandComplete. The iterator is a streaming toLocalIterator — no
     * driver materialization of the full result. */
-  private def executePortal(out: PgWire.Out, in: DataInputStream,
+  private def executePortal(sess: SparkSession, out: PgWire.Out, in: DataInputStream,
       name: String, maxRows: Int,
       portals: mutable.Map[String, Portal],
       openPortals: mutable.Map[String, OpenPortal]): Unit =
@@ -329,17 +399,18 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           // COPY is legal through the extended protocol too (PG spec:
           // Execute on a COPY portal starts the copy sub-protocol)
           case Some(Portal(CopyInRe(table, _, cols, opts), _, _)) =>
-            copyIn(out, in, table, cols, opts); None
+            copyIn(sess, out, in, table, cols, opts); None
           case Some(Portal(CopyRe(source, opts), _, _)) =>
-            copyOut(out, source, opts); None
+            copyOut(sess, out, source, opts); None
           case Some(Portal(sql, args, fmts)) if sql.nonEmpty =>
-            val df = if (args.isEmpty) spark.sql(sql) else Prepared.execute(spark, sql, args)
+            val df = if (args.isEmpty) sess.sql(sql) else Prepared.execute(sess, sql, args)
             if (df.schema.isEmpty) {
               df.collect()
               out.commandComplete(commandTag(sql, 0))
               None
             } else {
-              val o = new OpenPortal(df.schema, df.toLocalIterator(), fmts)
+              val o = new OpenPortal(df.schema, df.toLocalIterator(), fmts,
+                geometryFlags(df))
               openPortals(name) = o
               Some(o)
             }
@@ -353,7 +424,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         val limit = if (maxRows <= 0) Long.MaxValue else maxRows.toLong
         var n = 0L
         while (o.it.hasNext && n < limit) {
-          out.dataRowRaw(encodeRow(o.it.next(), o.schema, o.formats))
+          out.dataRowRaw(encodeRow(o.it.next(), o.schema, o.formats, o.geom))
           n += 1
         }
         o.emitted += n
@@ -379,11 +450,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * CSV format; unlisted columns go NULL). The ingest half of the
     * bulk path — rows are parsed, cast to the table schema, and
     * appended through the normal write path. */
-  private def copyIn(out: PgWire.Out, in: DataInputStream,
+  private def copyIn(sess: SparkSession, out: PgWire.Out, in: DataInputStream,
       table: String, colList: String, opts: String): Unit = {
     val csv = opts != null && opts.toLowerCase.contains("csv")
     try {
-      val schema = spark.table(table).schema
+      val schema = sess.table(table).schema
       out.copyInResponse(schema.size); out.flush()
       // accumulate BYTES and decode once: clients chunk CopyData at
       // arbitrary byte boundaries, so per-message decoding would tear
@@ -421,7 +492,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.types.StringType, nullable = true)))
       import scala.jdk.CollectionConverters._
-      val df = spark.createDataFrame(rows.asJava, strSchema)
+      val df = sess.createDataFrame(rows.asJava, strSchema)
         .select(schema.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       df.write.mode("append").insertInto(table)
@@ -501,14 +572,14 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
 
   /** COPY OUT: stream the result as PG text-format (or CSV) CopyData
     * messages — the bulk-export path (no 1024-row cap). */
-  private def copyOut(out: PgWire.Out, source: String, opts: String): Unit =
+  private def copyOut(sess: SparkSession, out: PgWire.Out, source: String, opts: String): Unit =
     try {
       val sql =
         if (source.startsWith("(")) source.substring(1, source.length - 1)
         else s"SELECT * FROM $source"
       val csv = opts.toLowerCase.contains("csv")
       val header = csv && opts.toLowerCase.contains("header")
-      val df = spark.sql(sql)
+      val df = sess.sql(sql)
       val schema = df.schema
       out.copyOutResponse(schema.size)
       var n = 0L
@@ -548,14 +619,15 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private def describe(out: PgWire.Out, sql: String, isStatement: Boolean,
+  private def describe(sess: SparkSession, out: PgWire.Out, sql: String, isStatement: Boolean,
       resultFormats: Seq[Int] = Nil): Unit =
     try {
       if (isStatement) {
         val n = "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt).maxOption.getOrElse(0)
         out.parameterDescription(Seq.fill(n)(1043)) // untyped -> varchar
       }
-      val schema = spark.sql(Prepared.rewrite(sql).replaceAll(":p\\d+", "NULL")).schema
+      val df = sess.sql(Prepared.rewrite(sql).replaceAll(":p\\d+", "NULL"))
+      val schema = df.schema
       if (schema.isEmpty) out.noData()
       else {
         // degrade requested-binary columns without a binary form to text
@@ -565,27 +637,27 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             else resultFormats(i % resultFormats.size)
           if (req == 1 && PgWire.binaryCapable(schema(i).dataType)) 1 else 0
         }
-        out.rowDescription(
-          schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))), effective)
+        out.rowDescription(columnOids(schema, geometryFlags(df)), effective)
       }
     } catch { case NonFatal(_) => out.noData() }
 
-  private def runQuery(out: PgWire.Out, sql: String, args: Seq[Any],
+  private def runQuery(sess: SparkSession, out: PgWire.Out, sql: String, args: Seq[Any],
       describeOnly: Boolean, withDescription: Boolean = true): Unit =
     try {
-      val df = if (args.isEmpty) spark.sql(sql) else Prepared.execute(spark, sql, args)
+      val df = if (args.isEmpty) sess.sql(sql) else Prepared.execute(sess, sql, args)
       val schema = df.schema
       if (schema.isEmpty) { // commands (SET, BEGIN, DDL): no result set
         df.collect()
         out.commandComplete(commandTag(sql, 0))
       } else {
+        val geom = geometryFlags(df)
         if (withDescription)
-          out.rowDescription(schema.fields.toSeq.map(f => (f.name, PgWire.pgOid(f.dataType))))
+          out.rowDescription(columnOids(schema, geom))
         var n = 0
         val it = df.limit(RowLimit).toLocalIterator()
         while (it.hasNext) {
           val row = it.next()
-          out.dataRow((0 until row.length).map(i => PgWire.encodeValue(row.get(i))))
+          out.dataRowRaw(encodeRow(row, schema, Nil, geom))
           n += 1
         }
         out.commandComplete(commandTag(sql, n))

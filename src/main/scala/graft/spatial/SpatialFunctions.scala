@@ -23,6 +23,25 @@ import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservi
   */
 object SpatialFunctions extends Serializable {
 
+  /** Registered function names whose RESULT is a geometry (EWKB
+    * BinaryType) — the tag set PgServer uses to report the `geometry`
+    * oid (pg_type 16385) and hex-EWKB text on the wire instead of
+    * bytea, the PG analogue of the reference's Arrow "Geometry"
+    * extension type (spatial/src/extension.rs:1-9). Accessors and
+    * predicates (st_area, st_intersects, ...) are deliberately absent:
+    * they consume geometry but produce scalars. */
+  val geometryProducers: Set[String] = Set(
+    "st_centroid", "st_convexhull", "st_envelope", "st_boundary",
+    "st_makevalid", "st_buildarea", "st_normalize", "st_pointonsurface",
+    "st_reverse", "st_intersection", "st_difference", "st_symdifference",
+    "st_union", "st_split", "st_buffer", "st_simplify",
+    "st_simplifypreservetopology", "st_simplifyvw", "st_setsrid",
+    "st_translate", "st_concavehull", "st_makepoint", "st_point",
+    "st_makeenvelope", "st_tileenvelope", "st_geomfromtext",
+    "st_geometryfromtext", "st_geomfromewkt", "st_geomfromwkb",
+    "st_geomfromewkb", "st_geomfromgeojson", "st_transform",
+    "st_asmvtgeom")
+
   /** JTS Geometry (spark.sql.types also exports a `Geometry` in 4.1). */
   private type Geometry = JtsGeometry
 

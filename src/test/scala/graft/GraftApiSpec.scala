@@ -10,7 +10,7 @@ class GraftApiSpec extends GraftSuite {
       .head().getDouble(0) == 6.0)
     assert(spark.sql("SELECT sorted_intersect_size(array(1L,2L,3L), array(2L,3L,9L))")
       .head().getInt(0) == 2)
-    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 28)
+    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 29)
     assert(spark.sql("SELECT version()").head().getString(0).startsWith("PostgreSQL"))
     assert(spark.sql("SELECT count(*) FROM information_schema.schemata")
       .head().getLong(0) >= 1)

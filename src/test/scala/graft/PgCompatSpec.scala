@@ -27,7 +27,7 @@ class PgCompatSpec extends GraftSuite {
 
   test("pg_catalog and public qualifiers resolve to catalog views") {
     PgCompat.registerAll(spark)
-    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 28)
+    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 29)
     assert(spark.sql("SELECT count(*) FROM public.pg_database").head().getLong(0) == 1)
     assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_class").head().getLong(0) == 0)
   }
@@ -68,7 +68,7 @@ class PgCompatSpec extends GraftSuite {
       """SELECT count(*) FROM pg_catalog.pg_type t
         |JOIN pg_catalog.pg_namespace n ON t.typnamespace = n.oid""".stripMargin)
       .head().getLong(0)
-    assert(n == 28)
+    assert(n == 29)
     // read-only: writes are rejected
     intercept[Exception] {
       spark.sql("INSERT INTO pg_catalog.pg_type VALUES (1,'x',11,'S',0,0,0,-1)")
