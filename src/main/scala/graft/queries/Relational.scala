@@ -23,7 +23,7 @@ object Relational {
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
     q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73,
-    q75, q76, q77, q78, q81, q82, q83)
+    q75, q76, q77, q78, q81, q82, q83, q84, q85, q86, q87)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -1327,5 +1327,131 @@ object Relational {
       |       AND l.l_quantity BETWEEN 10 AND 20)
       |   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
       |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape — profit by nation and year: the 5-way star join
+    * (fact ⋈ part ⋈ supplier ⋈ orders ⋈ nation) with an expression
+    * aggregate over the joined row. The fixtures carry no partsupp
+    * table, so the cost leg uses the part's retail price (same join
+    * topology, same agg shape). Scale: one shuffle join chain over the
+    * fact table; part is pre-filtered before joining so the selective
+    * predicate prunes early; the 25-row nation is broadcast. */
+  private val q84 = QDef(
+    "q84_profit_by_nation_year",
+    s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  ${sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) " +
+          "- 0.6 * p_retailprice * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+       |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val parts = Tables.part(s, d).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(s, d)
+      .join(parts, col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.6) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape — group value threshold against a scalar subquery
+    * over the SAME aggregation (partsupp stands in as lineitem value by
+    * part, supplier-filtered to one nation). Scale: the corpus is
+    * scanned twice (per-key agg + global total); the total is a one-row
+    * broadcast into the HAVING filter — no per-row subquery execution. */
+  private val q85 = QDef(
+    "q85_big_value_parts",
+    s"""WITH pv AS (
+       |  SELECT l_partkey,
+       |    ${sqlDsum("l_extendedprice * l_quantity")} AS value
+       |  FROM lineitem
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = 'NATION_7'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey AS partkey, value FROM pv
+       |WHERE value > (SELECT ${sqlDsum("value")} * 0.001 FROM pv)
+       |ORDER BY value DESC, partkey""".stripMargin) { (s, d) =>
+    val nat7 = broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_7")
+      .select(col("n_nationkey")))
+    val sup = Tables.supplier(s, d)
+      .join(nat7, col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(s, d)
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("value"))
+    val total = pv.agg((dsum(col("value")) * 0.001).as("__threshold"))
+    pv.crossJoin(broadcast(total))
+      .where(col("value") > col("__threshold"))
+      .select(col("l_partkey").as("partkey"), col("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** TPC-H Q12 shape — two-level CASE aggregation over a late-shipment
+    * join (no l_shipmode in the fixtures: l_returnflag carries the
+    * grouping dimension, lateness is shipdate > orderdate + 60 days).
+    * Scale: single orders⋈lineitem shuffle join, counts fold map-side. */
+  private val q86 = QDef(
+    "q86_priority_shipping",
+    """SELECT l_returnflag AS flag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY flag""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("low_line_count"))
+      .orderBy(col("flag"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join
+    * with a filter inside the join condition (customers with zero
+    * qualifying orders must survive with count 0), then a histogram of
+    * the counts. Scale: one key shuffle for the left join + per-key
+    * count, then a tiny second aggregate over ≤ |distinct counts| rows. */
+  private val q87 = QDef(
+    "q87_custdist",
+    """WITH c_orders AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey
+      |    AND o_orderpriority NOT LIKE '%SPECIFIED%'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val cOrders = Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey") &&
+          !col("o_orderpriority").like("%SPECIFIED%"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    cOrders.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 }
