@@ -92,12 +92,16 @@ object DedupOps {
       docs: DataFrame): DataFrame = {
     graft.functions.SketchFunctions.registerAll(s)
     val t = docs.select(col("doc_id"), expr(shE).as("sh"))
+    // no user repartition here: the self-join's own ENSURE_REQUIREMENTS
+    // exchanges canonicalize identically, so Spark computes the sketch
+    // ONCE and reuses the shuffle (ReusedExchange) — and, unlike a
+    // REPARTITION_BY_COL exchange, they stay eligible for AQE's runtime
+    // skew-split when one band bucket goes hot (LshSkewSpec)
     val banded = t
       .select(col("doc_id"), posexplode(expr(
         bind("minhash_sig(sh)", "sg")(sg =>
           s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")))
         .as(Seq("band", "bhash")))
-      .repartition(col("band"), col("bhash"))
     val l = banded.select(col("band"), col("bhash"), col("doc_id").as("a"))
     val r = banded.select(col("band"), col("bhash"), col("doc_id").as("b"))
     val pairs = l.hint("shuffle_hash").join(r, Seq("band", "bhash"))
@@ -175,8 +179,7 @@ object DedupOps {
       .select(col("doc_id"), expr(simE).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), i -> (shiftright(simhash, i * 16) & 65535))"))
-        .as(Seq("chunk_idx", "chunk")))
-      .repartition(col("chunk_idx"), col("chunk")) // shared exchange (see d01)
+        .as(Seq("chunk_idx", "chunk"))) // exchange reused + skew-split eligible (see d01)
     val l = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk_idx"), col("chunk"),
@@ -225,7 +228,7 @@ object DedupOps {
       (col("n_chars") / 64).cast("long").as("len_bucket"),
       expr(bind(shinglesE, "shs")(shs =>
         s"array_sort(array_distinct(transform($shs, x -> xxhash64(x))))")).as("sh"))
-      .repartition(col("lang"), col("len_bucket")) // shared exchange (see d01)
+      // exchange reused + skew-split eligible (see d01)
     val l = t.select(col("lang"), col("len_bucket"), col("doc_id").as("a"), col("sh").as("sh_a"))
     val r = t.select(col("lang"), col("len_bucket"), col("doc_id").as("b"), col("sh").as("sh_b"))
     l.hint("shuffle_hash").join(r, Seq("lang", "len_bucket"))
