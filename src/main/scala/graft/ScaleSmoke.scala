@@ -74,32 +74,50 @@ object ScaleSmoke {
     } ++ {
       // one REAL Structured Streaming leg (judge ask: the batch smoke
       // can't see state-store scaling): the watermarked hourly-count
-      // aggregation consumed end-to-end with an AvailableNow trigger
-      def timeStream(dir: String): Double = {
-        // normalize nanos -> timestamp into a landing zone OUTSIDE the
-        // timer (the batch queries pay this in Tables.events the same way)
-        val landing = java.nio.file.Files
-          .createTempDirectory("smoke_landing").toString
-        Tables.events(spark, dir).write.mode("overwrite").parquet(landing)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("smoke_ckpt").toString
-        val t0 = System.nanoTime()
-        val counts = graft.streaming.StreamingOps.hourlyEventCounts(
-          graft.streaming.StreamingOps.eventsFileStream(spark, landing))
-        val q = counts.writeStream.format("noop")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+      // aggregation consumed end-to-end with an AvailableNow trigger.
+      // Included by default; an explicit SPARK_GRAFT_SCALE_QUERIES list
+      // opts in by naming it (a one-query debug run shouldn't pay two
+      // full streaming passes).
+      val streamName = "st_hourly_event_counts"
+      val wantStream = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+        .forall(_.split("\\s+").contains(streamName))
+      if (!wantStream) Nil
+      else {
+        def rmTree(p: String): Unit = {
+          import java.nio.file._
+          val root = Paths.get(p)
+          if (Files.exists(root))
+            Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        def timeStream(dir: String): Double = {
+          // normalize nanos -> timestamp into a landing zone OUTSIDE the
+          // timer (the batch queries pay this in Tables.events the same way)
+          val landing = java.nio.file.Files
+            .createTempDirectory("smoke_landing").toString
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("smoke_ckpt").toString
+          try {
+            Tables.events(spark, dir).write.mode("overwrite").parquet(landing)
+            val t0 = System.nanoTime()
+            val counts = graft.streaming.StreamingOps.hourlyEventCounts(
+              graft.streaming.StreamingOps.eventsFileStream(spark, landing))
+            val q = counts.writeStream.format("noop")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            (System.nanoTime() - t0) / 1e9
+          } finally { rmTree(landing); rmTree(ckpt) }
+        }
+        val tb = timeStream(base)
+        val ts = timeStream(outDir)
+        val ratio = ts / math.max(tb, 1e-3)
+        println(s"""{"query":"$streamName","base_s":${d3(tb)},"scaled_s":${
+          d3(ts)},"ratio":${d3(ratio)}}""")
+        Seq((streamName, tb, ts, ratio))
       }
-      val tb = timeStream(base)
-      val ts = timeStream(outDir)
-      val ratio = ts / math.max(tb, 1e-3)
-      val q = "st_hourly_event_counts"
-      println(s"""{"query":"$q","base_s":${d3(tb)},"scaled_s":${d3(ts)},"ratio":${d3(ratio)}}""")
-      Seq((q, tb, ts, ratio))
     }
     val flagged = rows.filter(_._4 > 3.0 * factor)
     val json = rows.map { case (q, tb, ts, r) =>

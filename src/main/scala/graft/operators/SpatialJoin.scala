@@ -114,8 +114,12 @@ object SpatialJoin {
     val spark = left.sparkSession
     SpatialFunctions.registerAll(spark)
     // conf-driven defaults (spark.graft.spatial_join.*), the analogue
-    // of the reference's dataclod.spatial_join.* namespace
-    val nCells = graft.spatial.GraftConf.spatialCells(spark, cells)
+    // of the reference's dataclod.spatial_join.* namespace; the cell
+    // count defaults to rows/128 from PLAN STATISTICS (no extra job) so
+    // per-cell occupancy — and in-cell pair work — stays ~constant at
+    // any scale (the ×100 smoke's sp11 finding)
+    val nCells = graft.spatial.GraftConf.spatialCells(spark, cells,
+      estimatedRows(left) + estimatedRows(right))
     val useAdaptive = adaptive && graft.spatial.GraftConf.spatialAdaptive(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
@@ -149,6 +153,17 @@ object SpatialJoin {
       .where(col("__cell") === scheme.refCellFor("__lbox", "__rbox", distance) &&
         bboxOverlap && refine)
       .drop("__cell", "__lbox", "__rbox")
+  }
+
+  /** Cardinality estimate from Catalyst plan statistics — rowCount
+    * when CBO supplies it, else sizeInBytes over a ~48 B point-row
+    * width. Order-of-magnitude accuracy is all grid sizing needs (the
+    * rows/128 occupancy target tolerates a few× either way) and it
+    * costs no extra Spark job. */
+  private def estimatedRows(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(c => c.min(BigInt(Long.MaxValue)).toLong).getOrElse(
+      (st.sizeInBytes / 48).min(BigInt(Long.MaxValue)).toLong.max(1L))
   }
 
   /** Skew-adaptive scheme: KDB tree built from ≤10k sampled envelope

@@ -33,7 +33,32 @@ object Prepared {
 
   /** Execute `sql` with positional PG parameters. */
   def execute(spark: SparkSession, sql: String, params: Seq[Any]): DataFrame = {
-    val named = params.zipWithIndex.map { case (v, i) => s"p${i + 1}" -> v }.toMap
+    val named = params.zipWithIndex
+      .map { case (v, i) => s"p${i + 1}" -> bindable(v) }.toMap
     spark.sql(rewrite(sql), named)
+  }
+
+  /** Spark's parameter binding (`Literal.apply`) accepts typed arrays
+    * but not generic `Seq`, and has no TIME literal — convert the
+    * decoded wire shapes ([[graft.server.PgWire.decodeBinaryParam]])
+    * into bindable values. Element runtime classes drive the array's
+    * component type, so int4[]/int8[]/float8[]/text[]/... all bind as
+    * typed object arrays (null elements preserved). */
+  private[graft] def bindable(v: Any): Any = v match {
+    case xs: scala.collection.Seq[_] =>
+      val mapped = xs.map(bindable)
+      val elemClass = mapped.collectFirst {
+        case e if e != null => e.getClass.asInstanceOf[Class[AnyRef]]
+      }.getOrElse(classOf[java.lang.String].asInstanceOf[Class[AnyRef]])
+      val arr = java.lang.reflect.Array
+        .newInstance(elemClass, mapped.size).asInstanceOf[Array[AnyRef]]
+      mapped.iterator.zipWithIndex.foreach { case (e, i) =>
+        arr(i) = e.asInstanceOf[AnyRef]
+      }
+      arr
+    // Spark 4.1 has no TIME parameter literal (UNSUPPORTED_TIME_TYPE);
+    // bind the PG text form — comparisons/casts coerce from string
+    case t: java.time.LocalTime => t.toString
+    case other => other
   }
 }

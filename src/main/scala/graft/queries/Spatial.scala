@@ -66,7 +66,7 @@ object Spatial {
     val pts = customerPoints(s, d)
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
-    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 15.0, cells = 16)
+    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 15.0)
       .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
       .select(col("c_custkey"), col("s_suppkey"), col("dist"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
@@ -149,7 +149,7 @@ object Spatial {
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
     SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 2.0,
-        cells = 64, joinType = "full")
+        joinType = "full")
       .select(
         coalesce(col("c_custkey"), lit(-1)).cast("bigint").as("c_key"),
         coalesce(col("s_suppkey"), lit(-1)).cast("bigint").as("s_key"),
@@ -183,7 +183,7 @@ object Spatial {
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist"), col("s_suppkey"))
-    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 12.0, cells = 64)
+    SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 12.0)
       .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -307,10 +307,11 @@ object Spatial {
     val a = box("a_box", "a_key")
     val b = box("b_box", "b_key")
     // cells ≈ rows/128: a 64-cell grid leaves ~300 boxes per cell and a
-    // ~3M-pair in-cell cross product; 256 cells cuts that 4× (pair work
-    // shrinks quadratically with cell occupancy while the explode
-    // duplication stays ~1 for boxes far smaller than a cell)
-    SpatialJoin.grid(a, b, "a_box", "b_box", "st_intersects", cells = 256)
+    // in-cell cross-product work shrinks quadratically with cell
+    // occupancy while the explode duplication stays ~1 for boxes far
+    // smaller than a cell; the rows/128 adaptive default keeps
+    // occupancy constant at every SF (round-7 ×100 smoke fix)
+    SpatialJoin.grid(a, b, "a_box", "b_box", "st_intersects")
       .where(col("a_key") < col("b_key"))
       .select(col("a_key"), col("b_key"))
       .orderBy(col("a_key"), col("b_key"))

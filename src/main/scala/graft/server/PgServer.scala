@@ -96,15 +96,6 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     var rawOut = new DataOutputStream(sock.getOutputStream)
     var out = new PgWire.Out(rawOut)
     val pid = pidCounter.incrementAndGet()
-    // PG session semantics: each connection gets its OWN SparkSession
-    // (shared SparkContext + catalog, isolated temp views / SQL conf /
-    // prepared state) — the Spark analogue of the reference's
-    // per-connection session task (server.rs:14-28). Temp views one
-    // client creates are invisible to every other client; permanent
-    // tables go through the shared catalog like PG's.
-    val sess = spark.newSession()
-    PgCompat.registerAll(sess)
-    SpatialFunctions.registerAll(sess)
     try {
       var st = PgWire.readStartup(in)
       if (st.code == 80877104) { // GSSENCRequest: decline, client falls back
@@ -140,6 +131,20 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       val user = st.params.getOrElse("user", "")
       if (!authenticate(in, out, user)) return
+
+      // PG session semantics: each authenticated connection gets its
+      // OWN SparkSession (shared SparkContext + catalog, isolated temp
+      // views / SQL conf / prepared state) — the Spark analogue of the
+      // reference's per-connection session task (server.rs:14-28).
+      // Created only now: CancelRequest sockets and SSL probes return
+      // above and must not pay a session bootstrap. Temp views the HOST
+      // session mounted before serving (Tables.registerViews) are
+      // snapshotted in — the PG-permanent-table role; temp views a
+      // client creates stay invisible to every other client.
+      val sess = spark.newSession()
+      PgCompat.registerAll(sess)
+      SpatialFunctions.registerAll(sess)
+      shareHostTempViews(sess)
 
       // every job from this connection's thread belongs to one job
       // group so a CancelRequest can target the running query
@@ -229,6 +234,26 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.readyForQuery(); out.flush()
         } catch { case _: Throwable => }
     } finally { cancelKeys.remove(pid); sock.close() }
+  }
+
+  /** Copy the HOST session's local temp views into a fresh connection
+    * session: `Tables.registerViews`-style mounts made before `serve`
+    * play the role of PG permanent tables, so wire clients must see
+    * them. The catalog-emulation views PgCompat just registered on the
+    * connection session are left alone (same definitions either way).
+    * Snapshot-at-connect: mounts made after a connection opened appear
+    * to NEW connections only — matching how the reference builds each
+    * connection's context from the server's catalog at accept time. */
+  private def shareHostTempViews(sess: SparkSession): Unit = {
+    val host = spark.sessionState.catalog
+    val child = sess.sessionState.catalog
+    host.listLocalTempViews("*").foreach { ident =>
+      val name = ident.table
+      if (child.getRawTempView(name).isEmpty)
+        host.getRawTempView(name).foreach { view =>
+          child.createTempView(name, view, overrideIfExists = false)
+        }
+    }
   }
 
   private def authenticate(in: DataInputStream, out: PgWire.Out, user: String): Boolean =
@@ -453,9 +478,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private def copyIn(sess: SparkSession, out: PgWire.Out, in: DataInputStream,
       table: String, colList: String, opts: String): Unit = {
     val csv = opts != null && opts.toLowerCase.contains("csv")
+    val binary = opts != null && opts.toLowerCase.contains("binary")
     try {
       val schema = sess.table(table).schema
-      out.copyInResponse(schema.size); out.flush()
+      out.copyInResponse(schema.size, binary); out.flush()
       // accumulate BYTES and decode once: clients chunk CopyData at
       // arbitrary byte boundaries, so per-message decoding would tear
       // multi-byte UTF-8 characters into replacement chars
@@ -478,9 +504,21 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val targetCols =
         if (colList == null || colList.trim.isEmpty) schema.fieldNames.toSeq
         else colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-      val text = new String(buf.toByteArray, UTF_8)
-      val lines = splitRecords(text, csv)
-      val parsed = lines.map(l => if (csv) parseCsvLine(l) else parseTextLine(l))
+      val parsed: Seq[Seq[Option[String]]] =
+        if (binary) {
+          // PGCOPY rows: decode each field by its TARGET column's wire
+          // oid, then render to PG text and reuse the string-cast path
+          val types = targetCols.map(c => schema(schema.fieldIndex(c)).dataType)
+          PgWire.parseCopyBinary(buf.toByteArray).map(_.zipWithIndex.map {
+            case (f, i) => f.map(b =>
+                PgWire.decodeBinaryParam(PgWire.pgOid(types(i)), b))
+              .flatMap(PgWire.encodeValue)
+          })
+        } else {
+          val text = new String(buf.toByteArray, UTF_8)
+          splitRecords(text, csv)
+            .map(l => if (csv) parseCsvLine(l) else parseTextLine(l))
+        }
       // strings -> Rows in target-column order, NULL for unlisted cols
       val rows = parsed.map { fields =>
         org.apache.spark.sql.Row.fromSeq(schema.fieldNames.toSeq.map { fn =>
@@ -492,9 +530,17 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.types.StringType, nullable = true)))
       import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.functions.{col => fcol, regexp_replace, unhex}
       val df = sess.createDataFrame(rows.asJava, strSchema)
-        .select(schema.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .select(schema.fields.map { f =>
+          (f.dataType match {
+            // bytea arrives as PG \x-hex text; a plain string cast
+            // would store the hex characters' UTF-8 bytes instead
+            case org.apache.spark.sql.types.BinaryType =>
+              unhex(regexp_replace(fcol(f.name), "^\\\\x", ""))
+            case dt => fcol(f.name).cast(dt)
+          }).as(f.name)
+        }.toSeq: _*)
       df.write.mode("append").insertInto(table)
       out.commandComplete(s"COPY ${rows.size}")
     } catch {
@@ -578,9 +624,26 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         if (source.startsWith("(")) source.substring(1, source.length - 1)
         else s"SELECT * FROM $source"
       val csv = opts.toLowerCase.contains("csv")
+      val binary = opts.toLowerCase.contains("binary")
       val header = csv && opts.toLowerCase.contains("header")
       val df = sess.sql(sql)
       val schema = df.schema
+      if (binary) { // PGCOPY binary file format, every field binary-encoded
+        out.copyOutResponse(schema.size, binary = true)
+        out.copyData(PgWire.CopyBinaryHeader)
+        var n = 0L
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          out.copyData(PgWire.copyBinaryRow((0 until row.length).map(i =>
+            PgWire.encodeBinary(row.get(i), schema(i).dataType))))
+          n += 1
+        }
+        out.copyData(PgWire.CopyBinaryTrailer)
+        out.copyDone()
+        out.commandComplete(s"COPY $n")
+        return
+      }
       out.copyOutResponse(schema.size)
       var n = 0L
       if (header)

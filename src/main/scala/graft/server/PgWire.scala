@@ -58,15 +58,15 @@ object PgWire {
       }
     }
     def portalSuspended(): Unit = msg('s')(_ => ())
-    def copyOutResponse(nCols: Int): Unit = msg('H') { d =>
-      d.writeByte(0) // overall text format
+    def copyOutResponse(nCols: Int, binary: Boolean = false): Unit = msg('H') { d =>
+      d.writeByte(if (binary) 1 else 0)
       d.writeShort(nCols)
-      (0 until nCols).foreach(_ => d.writeShort(0))
+      (0 until nCols).foreach(_ => d.writeShort(if (binary) 1 else 0))
     }
-    def copyInResponse(nCols: Int): Unit = msg('G') { d =>
-      d.writeByte(0) // overall text format
+    def copyInResponse(nCols: Int, binary: Boolean = false): Unit = msg('G') { d =>
+      d.writeByte(if (binary) 1 else 0)
       d.writeShort(nCols)
-      (0 until nCols).foreach(_ => d.writeShort(0))
+      (0 until nCols).foreach(_ => d.writeShort(if (binary) 1 else 0))
     }
     def copyData(bytes: Array[Byte]): Unit = msg('d')(_.write(bytes))
     def copyDone(): Unit = msg('c')(_ => ())
@@ -87,6 +87,55 @@ object PgWire {
     private def cstr(d: DataOutputStream, s: String): Unit = {
       d.write(s.getBytes(UTF_8)); d.writeByte(0)
     }
+  }
+
+  // ---- binary COPY framing (PG "PGCOPY\n\377\r\n\0" file format) ----
+
+  /** 19-byte binary-COPY header: signature, flags = 0, extension = 0. */
+  val CopyBinaryHeader: Array[Byte] =
+    "PGCOPY\n".getBytes(UTF_8) ++ Array[Byte](-1, '\r', '\n', 0) ++
+      Array.fill[Byte](8)(0) // flags int32 + header-extension length int32
+
+  /** One binary COPY row: int16 field count, then per field int32
+    * length (-1 = NULL) + the field's binary encoding. */
+  def copyBinaryRow(fields: Seq[Option[Array[Byte]]]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeShort(fields.size)
+    fields.foreach {
+      case None    => d.writeInt(-1)
+      case Some(b) => d.writeInt(b.length); d.write(b)
+    }
+    body.toByteArray
+  }
+
+  /** Binary COPY trailer: int16 -1. */
+  val CopyBinaryTrailer: Array[Byte] = Array[Byte](-1, -1)
+
+  /** Parse a complete binary COPY payload into per-row field byte
+    * arrays (None = NULL). Tolerates a missing trailer (client closed
+    * after the last row). */
+  def parseCopyBinary(payload: Array[Byte]): Seq[Seq[Option[Array[Byte]]]] = {
+    require(payload.length >= CopyBinaryHeader.length &&
+      payload.take(11).sameElements(CopyBinaryHeader.take(11)),
+      "COPY binary payload lacks the PGCOPY signature")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(11)
+    buf.getInt // flags
+    val extLen = buf.getInt
+    buf.position(buf.position() + extLen)
+    val rows = scala.collection.mutable.Buffer[Seq[Option[Array[Byte]]]]()
+    var done = false
+    while (!done && buf.remaining() >= 2) {
+      val n = buf.getShort.toInt
+      if (n < 0) done = true
+      else rows += (0 until n).map { _ =>
+        val len = buf.getInt
+        if (len < 0) None
+        else { val b = new Array[Byte](len); buf.get(b); Some(b) }
+      }
+    }
+    rows.toSeq
   }
 
   // ---- message reading ----
@@ -167,6 +216,8 @@ object PgWire {
 
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private val timeFmt = java.time.format.DateTimeFormatter
+    .ofPattern("HH:mm:ss.SSSSSS")
 
   // PG epochs: 2000-01-01 is day 10957 / microsecond 946684800000000
   // after the unix epoch.
@@ -414,8 +465,7 @@ object PgWire {
     case t: java.time.Instant    => Some(java.time.LocalDateTime
       .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
     case t: java.time.LocalDateTime => Some(t.format(tsFmt)) // TimestampNTZ
-    case t: java.time.LocalTime  => Some(t.format(
-      java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS")))
+    case t: java.time.LocalTime  => Some(t.format(timeFmt))
     case d: java.sql.Date        => Some(d.toString)
     // NUMERIC never renders scientifically in PG text format
     case d: java.math.BigDecimal => Some(d.toPlainString)

@@ -15,10 +15,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftConf {
 
-  /** grid cell-count target (reference partitioner sizing, option.rs:62-70) */
-  def spatialCells(spark: SparkSession, explicit: Int): Int =
+  /** Grid cell-count target (reference partitioner sizing, option.rs:
+    * 62-70). Default scales with the input (round-7 ×100-smoke fix:
+    * a FIXED cell count makes per-cell occupancy — and so in-cell
+    * candidate pair work — grow linearly with rows, turning the grid
+    * join quadratic; sp11 hit ratio 946 at factor 100). `estRows/128`
+    * keeps ~constant occupancy; the ceiling matches what a ≤20k KDB
+    * envelope sample can meaningfully split. */
+  def spatialCells(spark: SparkSession, explicit: Int,
+      estRows: Long = -1L): Int =
     if (explicit > 0) explicit
-    else intConf(spark, "spark.graft.spatial_join.cells", 64)
+    else spark.conf.getOption("spark.graft.spatial_join.cells").map(_.toInt)
+      .getOrElse(
+        if (estRows > 0)
+          math.max(64L, math.min(1L << 16, estRows / 128)).toInt
+        else 64)
 
   /** KDB-adaptive vs uniform grid scheme */
   def spatialAdaptive(spark: SparkSession, default: Boolean = true): Boolean =

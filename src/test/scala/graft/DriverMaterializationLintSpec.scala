@@ -30,7 +30,10 @@ class DriverMaterializationLintSpec extends AnyFunSuite {
 
   /** file (relative to src/main/scala/graft) -> audited site count */
   private val Budget = Map(
-    "server/PgServer.scala" -> 5,
+    // 6th site (round 7): binary COPY OUT's toLocalIterator — the same
+    // streaming wire-render role as the text COPY path, never a full
+    // driver materialization
+    "server/PgServer.scala" -> 6,
     "pg/InfoSchemaPlugin.scala" -> 5,
     "operators/SpatialJoin.scala" -> 3,
     "queries/VectorOps.scala" -> 2,

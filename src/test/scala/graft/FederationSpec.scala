@@ -142,5 +142,13 @@ class FederationSpec extends GraftSuite {
     assert(physical.contains("PushedFilters: [*IsNotNull(score), *GreaterThan(score,1.0)]") ||
       physical.toLowerCase.contains("pushedfilters"),
       s"expected JDBC pushdown markers in:\n$physical")
+    // the named scans take the same trailing partition-arg group: a
+    // REAL engine serves 3 parallel range scans with identical results
+    val parted = spark.sql(
+      s"SELECT * FROM duckdb_scan('$dbPath', 'main', 'metrics', 'id', 1, 30, 3)")
+    assert(parted.rdd.getNumPartitions == 3,
+      s"expected 3 range partitions, got ${parted.rdd.getNumPartitions}")
+    assert(parted.collect().map(_.get(0).toString.toInt).sorted.toSeq ==
+      Seq(1, 2, 3))
   }
 }
