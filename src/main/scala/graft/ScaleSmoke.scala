@@ -24,7 +24,20 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** Heaviest queries per the round-6 sf0.1 bench tail (judge ask #8;
-    * refresh from the BENCH_QUERIES sidecar when the tail shifts). */
+    * refresh from the BENCH_QUERIES sidecar when the tail shifts).
+    *
+    * FIXED-RADIUS spatial joins (sp02/sp06/sp11) are deliberately NOT
+    * smoked at high factors: the synthetic geometry lives on a FIXED
+    * 100×100 plane, so replicating rows K× raises point DENSITY K× and
+    * a fixed-radius distance join's OUTPUT grows ~K² — measured at
+    * factor 100, sp11's inner match set is 175,003,857 rows vs 18,217
+    * at base (×9600 output for ×100 input; per-output-row cost actually
+    * drops ~10×). That is the result set itself being quadratic — a
+    * property of cloning rows onto a fixed plane, not of the plan — so
+    * the wall-ratio flag line cannot apply. The grid spatial path's
+    * scale representative here is sp07, whose radius is density-scaled
+    * (eps ∝ 1/√N, like real geo workloads tune eps to density), keeping
+    * per-point neighbor counts — and thus output — linear in rows. */
   private val DefaultQueries = Seq(
     "d21_corpus_funnel", "d24_kcore_decomposition", "v35_all_but_the_top",
     "q79_rfm_segments", "d08_pagerank_graph", "q46_part_affinity",

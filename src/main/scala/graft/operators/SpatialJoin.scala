@@ -83,14 +83,25 @@ object SpatialJoin {
     val rId = right.withColumn("__rid", contentId(right))
     val matched = gridInner(lId, rId, leftGeom, rightGeom, predicate,
       distance, cells, adaptive)
+    // The matched-id set is referenced by BOTH anti-joins (and the
+    // semi/anti forms); without materialization each reference re-runs
+    // the whole grid join — Spark reuses exchanges only for identical
+    // subplans, and the __lid / __rid projections differ. Persist the
+    // NARROW id projection (two 128-bit keys per matched pair, spill-
+    // safe MEMORY_AND_DISK), never the wide matched rows: at scale the
+    // join output can dwarf the inputs (a dense distance join emits
+    // orders of magnitude more pairs than rows), so the full-outer path
+    // costs 2 grid passes (inner result + id set) instead of 3.
+    import graft.util.Persist.Syntax
+    val matchedIds = matched.select(col("__lid"), col("__rid")).persistTracked()
 
     def nulls(df: DataFrame) = df.schema.fields.map(f =>
       lit(null).cast(f.dataType).as(f.name))
     val leftCols = left.columns.map(col)
     val rightCols = right.columns.map(col)
-    val unmatchedL = lId.join(matched.select(col("__lid")), Seq("__lid"),
+    val unmatchedL = lId.join(matchedIds.select(col("__lid")), Seq("__lid"),
       "left_anti").select(leftCols ++ nulls(right): _*)
-    val unmatchedR = rId.join(matched.select(col("__rid")), Seq("__rid"),
+    val unmatchedR = rId.join(matchedIds.select(col("__rid")), Seq("__rid"),
       "left_anti").select(nulls(left) ++ rightCols: _*)
     val inner = matched.select(leftCols ++ rightCols: _*)
 
@@ -99,10 +110,10 @@ object SpatialJoin {
       case "right" => inner.unionByName(unmatchedR)
       case "full"  => inner.unionByName(unmatchedL).unionByName(unmatchedR)
       case "leftsemi" | "semi" =>
-        lId.join(matched.select(col("__lid")), Seq("__lid"), "left_semi")
+        lId.join(matchedIds.select(col("__lid")), Seq("__lid"), "left_semi")
           .select(leftCols: _*)
       case "leftanti" | "anti" =>
-        lId.join(matched.select(col("__lid")), Seq("__lid"), "left_anti")
+        lId.join(matchedIds.select(col("__lid")), Seq("__lid"), "left_anti")
           .select(leftCols: _*)
     }
   }

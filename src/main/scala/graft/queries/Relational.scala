@@ -23,7 +23,7 @@ object Relational {
   def defs: Seq[QDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q23, q24, q25, q27, q28, q29,
     q40, q46, q58, q60, q62, q63, q66, q67, q68, q69, q70, q72, q73,
-    q75, q76, q77, q78, q81, q82, q83, q84, q85, q86, q87)
+    q75, q76, q77, q78, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 
   /** TPC-H Q1 pricing summary: single-pass hash aggregate, map-side
     * partial agg, 6-group output. Reference surface: DataFusion agg
@@ -1453,5 +1453,76 @@ object Relational {
     cOrders.groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q4 shape — order priority checking: orders in a date window
+    * with at least one late lineitem (EXISTS), counted per priority.
+    * The fixtures carry no l_commitdate/l_receiptdate, so "late" is
+    * shipdate > orderdate + 75 days (the same lateness predicate the
+    * q23 EXISTS shape uses). Written as a left-semi join — the plan
+    * Catalyst decorrelates EXISTS into — so the fact table is touched
+    * once and the count folds map-side after the semi. Completes the
+    * 22-shape TPC-H battery together with q89. */
+  private val q88 = QDef(
+    "q88_order_priority_check",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q16 shape — parts/supplier relationship distribution: count
+    * of distinct suppliers per (brand, type, size) over qualifying
+    * parts, excluding complaint suppliers via NOT IN. The fixtures have
+    * no partsupp, so lineitem stands in as the part↔supplier relation
+    * (same topology as the q84/q85 adaptations). Scale: the ≤|supplier|
+    * exclusion list is a broadcast anti-join (NOT IN over a non-null
+    * key), part prunes before the fact join, and COUNT(DISTINCT) runs
+    * as Spark's two-phase distinct aggregate — no corpus-level
+    * materialization anywhere. */
+  private val q89 = QDef(
+    "q89_parts_supplier_distribution",
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+    (s, d) =>
+    val excluded = Tables.supplier(s, d)
+      .where(col("s_name").like("%7")).select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
   }
 }

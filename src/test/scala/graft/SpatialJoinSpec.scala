@@ -125,6 +125,43 @@ class SpatialJoinSpec extends GraftSuite {
     assert(fnr == allPts -- matchedPts && fnl == allBoxes -- matchedBoxes)
   }
 
+  test("grid outer: anti-joins consume the cached matched-id set, not a re-run") {
+    // round 7: the unmatched-side anti-joins must read the PERSISTED
+    // narrow id projection instead of re-running the whole grid join —
+    // 2 grid passes (inner result + id set), not 3. Evidence in the
+    // executed plan: InMemoryTableScan feeds both anti-joins, and the
+    // explode stage (Generate) appears at most twice per side (once for
+    // the inner output, once building the cached id set).
+    val full = SpatialJoin.grid(pts, boxes, "p_geom", "b_geom", "st_within",
+      cells = 25, joinType = "full")
+    full.queryExecution.toRdd.count()
+    // walk the executed plan WITHOUT descending into cached relations:
+    // Generates visible outside the cache are grid-join re-executions
+    val nodes = scala.collection.mutable.Buffer[org.apache.spark.sql.execution.SparkPlan]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      nodes += p
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(full.queryExecution.executedPlan)
+    val inMem = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(inMem >= 2, s"expected both anti-joins on InMemoryTableScan, saw $inMem")
+    // outside the cache only the inner pass explodes: one Generate per
+    // side; a third grid execution would surface 2 more
+    val gens = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens <= 2, s"outer grid path re-ran the grid join: $gens Generate nodes")
+    graft.util.Persist.releaseAll()
+  }
+
   test("grid path: 99%-single-cell skew stays correct with bounded pair work") {
     // worst-case skew audit (round-3 judge ask #8): 99% of the probe side
     // lands in ONE kdb cell. Correctness must hold, and the per-cell
