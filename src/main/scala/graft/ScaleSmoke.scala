@@ -150,9 +150,16 @@ object ScaleSmoke {
     * the shape of one day at 10x traffic). */
   private def synthesize(spark: SparkSession, base: String, outDir: String,
       factor: Int): Unit = {
-    val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v3_$factor")
+    val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v4_$factor")
     if (java.nio.file.Files.exists(marker)) return // reuse prior synth
     val reps = spark.range(0, factor).toDF("rep")
+    // Write scaled tables across ≥32 files: the base tables are single
+    // small parquet files, and crossJoin(broadcast) preserves their
+    // 1-2 input partitions — at ×100 that meant ~400 MB files whose
+    // 128 MB-split scan gave only 4 tasks on 32 cores, understating
+    // every scaled measurement. Real tables at this volume arrive as
+    // many files; maxPartitionBytes then yields full scan parallelism.
+    val outParts = math.max(32, factor)
     // ONE replica cross-join per table; every key domain gets its own
     // per-replica shift so downstream cardinalities scale with the rows
     def shifted(df: DataFrame, keys: String*): DataFrame = {
@@ -160,7 +167,7 @@ object ScaleSmoke {
         k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
       keys.foldLeft(df.crossJoin(broadcast(reps))) { (acc, k) =>
         acc.withColumn(k, col(k) + col("rep") * steps(k))
-      }
+      }.repartition(outParts)
     }
     val docs = spark.read.parquet(s"$base/documents.parquet")
     shifted(docs, "doc_id")
@@ -195,7 +202,8 @@ object ScaleSmoke {
       val df = spark.read.parquet(s"$base/$table.parquet")
       keys.foldLeft(df.crossJoin(broadcast(reps))) { case (acc, (k, step)) =>
         acc.withColumn(k, col(k) + col("rep") * step)
-      }.drop("rep").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }.drop("rep").repartition(outParts)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
     shiftKeys("customer", "c_custkey" -> custStep)
     shiftKeys("orders", "o_orderkey" -> orderStep, "o_custkey" -> custStep)

@@ -125,19 +125,33 @@ object SpatialJoin {
     val spark = left.sparkSession
     SpatialFunctions.registerAll(spark)
     // conf-driven defaults (spark.graft.spatial_join.*), the analogue
-    // of the reference's dataclod.spatial_join.* namespace; the cell
-    // count defaults to rows/128 from PLAN STATISTICS (no extra job) so
-    // per-cell occupancy — and in-cell pair work — stays ~constant at
-    // any scale (the ×100 smoke's sp11 finding)
+    // of the reference's dataclod.spatial_join.* namespace. The derived
+    // default starts from rows/128 plan statistics (constant per-cell
+    // occupancy — the ×100 smoke's sp11 finding) and, when the join has
+    // a pair-match window (radius and/or real envelope extents), is
+    // replaced by the window-balanced sizing in
+    // [[graft.spatial.GraftConf.balancedCells]], which trades explode
+    // fan-out against candidate-pair production from bounded statistics
+    // only. Explicit `cells` or the conf key remain hard overrides.
+    val estL = estimatedRows(left)
+    val estR = estimatedRows(right)
+    val explicitCells = cells > 0 ||
+      spark.conf.getOption("spark.graft.spatial_join.cells").isDefined
     val nCells = graft.spatial.GraftConf.spatialCells(spark, cells,
-      estimatedRows(left) + estimatedRows(right))
+      estL + estR)
     val useAdaptive = adaptive && graft.spatial.GraftConf.spatialAdaptive(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
 
+    // sizing inputs for the window-balanced model; -1 radius = explicit
+    // cell count, schemes skip the model entirely
+    val sizing =
+      if (explicitCells) None else Some((estL, estR, distance))
     val scheme =
-      (if (useAdaptive) kdbScheme(left, right, leftGeom, rightGeom, nCells)
-       else uniformScheme(left, right, leftGeom, rightGeom, nCells)) match {
+      (if (useAdaptive)
+         kdbScheme(left, right, leftGeom, rightGeom, nCells, sizing)
+       else uniformScheme(left, right, leftGeom, rightGeom, nCells, sizing))
+      match {
         case Some(s) => s
         case None    => // no valid geometry on either side: no pairs
           return left.limit(0).crossJoin(right.limit(0))
@@ -178,21 +192,35 @@ object SpatialJoin {
   }
 
   /** Skew-adaptive scheme: KDB tree built from ≤10k sampled envelope
-    * centers (reference sampler caps: 1k-10k rows, option.rs:62-70). */
+    * centers (reference sampler caps: 1k-10k rows, option.rs:62-70).
+    * `sizing` = (estL, estR, radius) engages the window-balanced cell
+    * model on the sampled extent; None = explicit cell count. */
   private def kdbScheme(left: DataFrame, right: DataFrame,
-      leftGeom: String, rightGeom: String, cells: Int): Option[Scheme] = {
-    def centers(df: DataFrame, geom: String): Array[(Double, Double)] = {
+      leftGeom: String, rightGeom: String, cells: Int,
+      sizing: Option[(Long, Long, Double)]): Option[Scheme] = {
+    // (cx, cy, maxdim) per sampled envelope
+    def boxes(df: DataFrame, geom: String): Array[(Double, Double, Double)] = {
       val boxed = df.select(expr(s"st_box2d($geom)").as("b"))
       val s = boxed.sample(0.1, seed = 42L).limit(10000).collect()
       val rows = if (s.length >= 1000) s else boxed.limit(1000).collect()
       rows.iterator.filterNot(_.isNullAt(0)).map { row =>
         val b = row.getStruct(0)
-        ((b.getDouble(0) + b.getDouble(2)) / 2, (b.getDouble(1) + b.getDouble(3)) / 2)
+        ((b.getDouble(0) + b.getDouble(2)) / 2,
+         (b.getDouble(1) + b.getDouble(3)) / 2,
+         math.max(b.getDouble(2) - b.getDouble(0), b.getDouble(3) - b.getDouble(1)))
       }.toArray
     }
-    val sample = centers(left, leftGeom) ++ centers(right, rightGeom)
-    if (sample.isEmpty) return None
-    val tree = KdbTree.build(sample, cells)
+    val boxSample = boxes(left, leftGeom) ++ boxes(right, rightGeom)
+    if (boxSample.isEmpty) return None
+    val sample = boxSample.map(b => (b._1, b._2))
+    val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
+      val area = (sample.map(_._1).max - sample.map(_._1).min) *
+        (sample.map(_._2).max - sample.map(_._2).min)
+      val avgDim = boxSample.map(_._3).sum / boxSample.length
+      graft.spatial.GraftConf.balancedCells(cells, estL, estR, area,
+        avgDim, radius)
+    }
+    val tree = KdbTree.build(sample, nCells)
     // codegen'd tree walk (graft.spatial.KdbExpr): a ScalaUDF here
     // would break whole-stage codegen exactly at the explode fan-out
     val (assignFn, locateFn) = graft.spatial.KdbExpr.register(left.sparkSession, tree)
@@ -207,19 +235,28 @@ object SpatialJoin {
   }
 
   /** Uniform n×n grid over the global envelope (pure Catalyst
-    * arithmetic, no sampling pass). */
+    * arithmetic, no sampling pass). `sizing` semantics as in
+    * [[kdbScheme]]. */
   private def uniformScheme(left: DataFrame, right: DataFrame,
-      leftGeom: String, rightGeom: String, cells: Int): Option[Scheme] = {
+      leftGeom: String, rightGeom: String, cells: Int,
+      sizing: Option[(Long, Long, Double)]): Option[Scheme] = {
     def env(df: DataFrame, geom: String) = df.select(
       min(expr(s"st_xmin($geom)")).as("x0"), min(expr(s"st_ymin($geom)")).as("y0"),
-      max(expr(s"st_xmax($geom)")).as("x1"), max(expr(s"st_ymax($geom)")).as("y1"))
+      max(expr(s"st_xmax($geom)")).as("x1"), max(expr(s"st_ymax($geom)")).as("y1"),
+      avg(expr(s"greatest(st_xmax($geom) - st_xmin($geom), " +
+        s"st_ymax($geom) - st_ymin($geom))")).as("dim"))
     val bounds = env(left, leftGeom).unionByName(env(right, rightGeom))
-      .agg(min("x0"), min("y0"), max("x1"), max("y1")).head()
+      .agg(min("x0"), min("y0"), max("x1"), max("y1"), avg("dim")).head()
     if (bounds.isNullAt(0)) return None
 
     val (x0, y0, x1, y1) = (bounds.getDouble(0), bounds.getDouble(1),
       bounds.getDouble(2), bounds.getDouble(3))
-    val n = math.max(1, math.sqrt(cells.toDouble).toInt)
+    val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
+      graft.spatial.GraftConf.balancedCells(cells, estL, estR,
+        (x1 - x0) * (y1 - y0),
+        if (bounds.isNullAt(4)) 0.0 else bounds.getDouble(4), radius)
+    }
+    val n = math.max(1, math.sqrt(nCells.toDouble).toInt)
     val w = math.max((x1 - x0) / n, 1e-12)
     val h = math.max((y1 - y0) / n, 1e-12)
 

@@ -31,6 +31,41 @@ object GraftConf {
           math.max(64L, math.min(1L << 16, estRows / 128)).toInt
         else 64)
 
+  /** Window-balanced grid cell count for a DERIVED (non-explicit) cell
+    * target (round 7, from ×100 smoke profiling). The grid join pays
+    * two side-dependent costs: explode fan-out E ≈ N·(1+u)² rows and
+    * candidate-pair production C ≈ K·(1+1/u)² probe matches, where
+    * u = window/side, window = 2·(radius + avg envelope dim) is the
+    * pair-match reach, N = total input rows, and K = Nl·Nr·window²/area
+    * is the IRREDUCIBLE window-pair count no cell size can remove.
+    * Both unit costs are a row materialization, so minimizing E + C
+    * over u picks the principled cell side: dense joins (K ≫ N, e.g.
+    * sp11 at ×100 where K ≈ 150·N) sink toward fine cells, sparse
+    * real-world joins (K ≪ N) toward sides well above the window —
+    * each within ~2× of the true optimum, which is all an
+    * order-of-magnitude sizing needs. Inputs are bounded statistics
+    * only (plan-stats row estimates, sampled/aggregated extent and
+    * mean envelope dimension) — no extra Spark job. A zero window
+    * (point data, zero radius) has no pair-reach term and keeps the
+    * occupancy-derived fallback. */
+  def balancedCells(fallback: Int, estL: Long, estR: Long, area: Double,
+      avgDim: Double, radius: Double): Int = {
+    val window = 2.0 * (math.max(radius, 0.0) + math.max(avgDim, 0.0))
+    if (window <= 0 || area <= 0 || !java.lang.Double.isFinite(area))
+      return fallback
+    val n = (estL + estR).toDouble
+    val k = estL.toDouble * estR.toDouble * window * window / area
+    // log-grid search over u = window/side ∈ [1/64, 64]
+    val uStar = (-24 to 24).map(i => math.pow(2.0, i / 4.0)).minBy { u =>
+      val e = 1.0 + u
+      val c = 1.0 + 1.0 / u
+      n * e * e + k * c * c
+    }
+    val side = window / uStar
+    val cells = area / (side * side)
+    math.max(64L, math.min(1L << 16, math.round(cells))).toInt
+  }
+
   /** KDB-adaptive vs uniform grid scheme */
   def spatialAdaptive(spark: SparkSession, default: Boolean = true): Boolean =
     boolConf(spark, "spark.graft.spatial_join.adaptive", default)

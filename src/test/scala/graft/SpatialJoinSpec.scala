@@ -162,6 +162,32 @@ class SpatialJoinSpec extends GraftSuite {
     graft.util.Persist.releaseAll()
   }
 
+  test("window-balanced cell sizing trades fan-out against pair production") {
+    import graft.spatial.GraftConf.balancedCells
+    // DENSE join (sp11 at ×100: 1.5M × 100k points on a 100×100 plane,
+    // radius 2 → window 4, irreducible window pairs K ≈ 150·N): the
+    // model keeps cells FINE (side ≈ window/6) because pair production
+    // dominates — the side≥window heuristic would have 2.5×'d pair work
+    val dense = balancedCells(9600, 1500000L, 100000L, 10000.0, 0.0, 2.0)
+    assert(dense > 9600, s"dense join should refine cells, got $dense")
+    // SPARSE join (1M × 1k rows scattered over a 10^8 plane, radius 2:
+    // K ≈ N/6000): fan-out is what matters — the chosen side must sit
+    // far ABOVE the window so explode duplication stays ~1 per row
+    val sparse = balancedCells(1 << 16, 1000000L, 1000L, 1e8, 0.0, 2.0)
+    val sparseSide = math.sqrt(1e8 / sparse)
+    assert(sparseSide > 8 * 4.0,
+      s"sparse join side $sparseSide should dwarf the 4-unit window")
+    // zero window (point data, no radius): occupancy fallback stands
+    assert(balancedCells(9600, 1000000L, 1000L, 10000.0, 0.0, 0.0) == 9600)
+    // degenerate extent: fallback stands
+    assert(balancedCells(64, 1000L, 1000L, 0.0, 0.0, 2.0) == 64)
+    // clamps: a window dwarfing the whole extent floors at 64 cells,
+    // an enormous pair count ceilings at 2^16
+    assert(balancedCells(1 << 16, 100L, 100L, 1.0, 0.0, 50.0) == 64)
+    assert(balancedCells(1 << 20, 100000000L, 100000000L, 10000.0, 0.0,
+      2.0) <= (1 << 16))
+  }
+
   test("grid path: 99%-single-cell skew stays correct with bounded pair work") {
     // worst-case skew audit (round-3 judge ask #8): 99% of the probe side
     // lands in ONE kdb cell. Correctness must hold, and the per-cell
