@@ -183,12 +183,16 @@ object SpatialJoin {
   /** Cardinality estimate from Catalyst plan statistics — rowCount
     * when CBO supplies it, else sizeInBytes over a ~48 B point-row
     * width. Order-of-magnitude accuracy is all grid sizing needs (the
-    * rows/128 occupancy target tolerates a few× either way) and it
-    * costs no extra Spark job. */
+    * occupancy/window models tolerate a few× either way) and it costs
+    * no extra Spark job. Capped at 2^40 rows: relations with unknown
+    * stats report sizeInBytes = Long.MaxValue (e.g. JDBC), and an
+    * uncapped estimate would overflow the estL + estR sum and poison
+    * the sizing models with a negative row count. */
   private def estimatedRows(df: DataFrame): Long = {
+    val cap = BigInt(1L << 40)
     val st = df.queryExecution.optimizedPlan.stats
-    st.rowCount.map(c => c.min(BigInt(Long.MaxValue)).toLong).getOrElse(
-      (st.sizeInBytes / 48).min(BigInt(Long.MaxValue)).toLong.max(1L))
+    st.rowCount.map(c => c.min(cap).toLong).getOrElse(
+      (st.sizeInBytes / 48).min(cap).toLong.max(1L))
   }
 
   /** Skew-adaptive scheme: KDB tree built from ≤10k sampled envelope
