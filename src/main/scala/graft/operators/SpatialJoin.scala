@@ -133,20 +133,20 @@ object SpatialJoin {
     // [[graft.spatial.GraftConf.balancedCells]], which trades explode
     // fan-out against candidate-pair production from bounded statistics
     // only. Explicit `cells` or the conf key remain hard overrides.
-    val estL = estimatedRows(left)
-    val estR = estimatedRows(right)
     val explicitCells = cells > 0 ||
       spark.conf.getOption("spark.graft.spatial_join.cells").isDefined
+    // sizing inputs for the window-balanced model; None = explicit cell
+    // count, schemes skip the model entirely. Row estimates force a
+    // Catalyst analyze+optimize of both inputs, so only pay that when
+    // the derived sizing actually consumes them.
+    val sizing =
+      if (explicitCells) None
+      else Some((estimatedRows(left), estimatedRows(right), distance))
     val nCells = graft.spatial.GraftConf.spatialCells(spark, cells,
-      estL + estR)
+      sizing.fold(-1L) { case (l, r, _) => l + r })
     val useAdaptive = adaptive && graft.spatial.GraftConf.spatialAdaptive(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
-
-    // sizing inputs for the window-balanced model; -1 radius = explicit
-    // cell count, schemes skip the model entirely
-    val sizing =
-      if (explicitCells) None else Some((estL, estR, distance))
     val scheme =
       (if (useAdaptive)
          kdbScheme(left, right, leftGeom, rightGeom, nCells, sizing)

@@ -45,6 +45,9 @@ object Prepared {
     * component type, so int4[]/int8[]/float8[]/text[]/... all bind as
     * typed object arrays (null elements preserved). */
   private[graft] def bindable(v: Any): Any = v match {
+    // already a typed object array (the empty-array parameter decode
+    // picks the component class from the declared element oid)
+    case a: Array[_] => a
     case xs: scala.collection.Seq[_] =>
       val mapped = xs.map(bindable)
       val elemClass = mapped.collectFirst {

@@ -309,10 +309,15 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * "Geometry" extension name (spatial/src/extension.rs:1-9). Columns
     * read straight from storage are untagged binary and stay bytea,
     * like any engine that loses type fidelity at an untyped boundary. */
-  private def geometryFlags(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
+  private[graft] def geometryFlags(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, ExprId, Expression, ScalaUDF}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Union}
     val producers = mutable.Map[ExprId, Expression]()
+    // a Union's output attrs reuse the FIRST child's exprIds — tagging
+    // from producers alone would call a column geometry when only
+    // branch 1 produces geometry. Record every branch's expression per
+    // output position; the flag holds only if ALL branches agree.
+    val unionBranches = mutable.Map[ExprId, Seq[Expression]]()
     df.queryExecution.analyzed.foreach {
       case p: Project =>
         p.projectList.foreach {
@@ -324,20 +329,35 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           case al: Alias => producers(al.exprId) = al.child
           case _         =>
         }
+      case u: Union =>
+        u.output.zipWithIndex.foreach { case (attr, i) =>
+          unionBranches(attr.exprId) = u.children.map(_.output(i))
+        }
       case _ =>
     }
     def isGeom(e: Expression, depth: Int): Boolean = depth <= 16 && (e match {
       case u: ScalaUDF =>
         u.udfName.exists(n => SpatialFunctions.geometryProducers(n.toLowerCase))
       case a: Alias               => isGeom(a.child, depth + 1)
-      case ar: AttributeReference =>
-        producers.get(ar.exprId).exists(isGeom(_, depth + 1))
+      case ar: AttributeReference => attrIsGeom(ar.exprId, depth + 1)
       case c: Cast                => isGeom(c.child, depth + 1)
       case _                      => false
     })
+    def attrIsGeom(id: ExprId, depth: Int): Boolean =
+      unionBranches.get(id) match {
+        case Some(branches) => branches.forall {
+          // the union's output reuses the FIRST branch's exprId — that
+          // branch must resolve through producers or it would loop
+          // right back into this map until the depth cap said false
+          case ar: AttributeReference if ar.exprId == id =>
+            producers.get(id).exists(isGeom(_, depth))
+          case e => isGeom(e, depth)
+        }
+        case None => producers.get(id).exists(isGeom(_, depth))
+      }
     df.queryExecution.analyzed.output.map { a =>
       a.dataType == org.apache.spark.sql.types.BinaryType &&
-        producers.get(a.exprId).exists(isGeom(_, 0))
+        attrIsGeom(a.exprId, 0)
     }
   }
 
@@ -481,7 +501,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val binary = opts != null && opts.toLowerCase.contains("binary")
     try {
       val schema = sess.table(table).schema
-      out.copyInResponse(schema.size, binary); out.flush()
+      val targetCols =
+        if (colList == null || colList.trim.isEmpty) schema.fieldNames.toSeq
+        else colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      // the per-field format-code list counts the columns BEING COPIED
+      // (the column-list subset when given), not the whole table —
+      // conforming clients validate this count against their own list
+      out.copyInResponse(targetCols.size, binary); out.flush()
       // accumulate BYTES and decode once: clients chunk CopyData at
       // arbitrary byte boundaries, so per-message decoding would tear
       // multi-byte UTF-8 characters into replacement chars
@@ -501,9 +527,6 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         out.errorResponse("57014", "COPY from stdin failed (client abort)")
         return
       }
-      val targetCols =
-        if (colList == null || colList.trim.isEmpty) schema.fieldNames.toSeq
-        else colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
       val parsed: Seq[Seq[Option[String]]] =
         if (binary) {
           // PGCOPY rows: decode each field by its TARGET column's wire
@@ -530,7 +553,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.types.StringType, nullable = true)))
       import scala.jdk.CollectionConverters._
-      import org.apache.spark.sql.functions.{col => fcol, regexp_replace, unhex}
+      import org.apache.spark.sql.functions.{col => fcol, concat, lit, regexp_replace, unhex}
       val df = sess.createDataFrame(rows.asJava, strSchema)
         .select(schema.fields.map { f =>
           (f.dataType match {
@@ -538,6 +561,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             // would store the hex characters' UTF-8 bytes instead
             case org.apache.spark.sql.types.BinaryType =>
               unhex(regexp_replace(fcol(f.name), "^\\\\x", ""))
+            // COPY carries WALL time for oid 1114, and the export side
+            // (text AND binary) renders instants as UTC wall — so the
+            // import must interpret the wall time as UTC too, or a
+            // same-bytes round trip shifts by the session-tz offset.
+            // The explicit 'Z' suffix pins the cast's zone.
+            case dt @ org.apache.spark.sql.types.TimestampType =>
+              concat(fcol(f.name), lit("Z")).cast(dt)
             case dt => fcol(f.name).cast(dt)
           }).as(f.name)
         }.toSeq: _*)

@@ -344,7 +344,19 @@ object PgWire {
       case 701          => buf.getDouble
       case 25 | 1043 | 1042 | 19 => new String(bytes, UTF_8)
       case 1700         => decodeNumericBinary(buf)
-      case 1083         => java.time.LocalTime.ofNanoOfDay(buf.getLong * 1000L)
+      case 1083         =>
+        val us = buf.getLong
+        // PG accepts time '24:00:00' (86_400_000_000 µs), which
+        // LocalTime cannot represent — pass the PG text form through
+        // (TIME parameters bind as PG text downstream anyway); any
+        // other out-of-range value gets a typed error, not an opaque
+        // DateTimeException
+        if (us == 86400000000L) "24:00:00"
+        else {
+          require(us >= 0 && us < 86400000000L,
+            s"TIME binary value out of range: $us microseconds")
+          java.time.LocalTime.ofNanoOfDay(us * 1000L)
+        }
       case 1082         => java.time.LocalDate.ofEpochDay(PgEpochDay + buf.getInt)
       case 1114 =>
         val us = PgEpochMicros + buf.getLong
@@ -366,7 +378,7 @@ object PgWire {
         val ndims = buf.getInt
         buf.getInt // hasnull (informational)
         val elemOid = buf.getInt
-        if (ndims == 0) Seq.empty[Any]
+        if (ndims == 0) emptyTypedArray(elemOid)
         else {
           require(ndims == 1,
             s"only 1-dimensional array parameters supported, got ndims=$ndims")
@@ -384,6 +396,25 @@ object PgWire {
         }
       case _            => bytes
     }
+  }
+
+  /** Typed empty array for a zero-dimension (empty) array parameter:
+    * the element class must survive into the bound literal, or an
+    * empty int8[] would bind as array<string> and fail analysis
+    * against a bigint-array column (non-empty arrays derive their
+    * component type from the decoded elements; an empty one has none). */
+  private def emptyTypedArray(elemOid: Int): Array[_ <: AnyRef] = elemOid match {
+    case 16   => new Array[java.lang.Boolean](0)
+    case 21   => new Array[java.lang.Short](0)
+    case 23   => new Array[java.lang.Integer](0)
+    case 20   => new Array[java.lang.Long](0)
+    case 700  => new Array[java.lang.Float](0)
+    case 701  => new Array[java.lang.Double](0)
+    case 1700 => new Array[java.math.BigDecimal](0)
+    case 1082 => new Array[java.time.LocalDate](0)
+    case 1114 => new Array[java.time.LocalDateTime](0)
+    case 1184 => new Array[java.time.Instant](0)
+    case _    => new Array[String](0)
   }
 
   /** Array-type oids accepted as binary parameters / emitted as binary
@@ -490,6 +521,9 @@ object PgWire {
       val frac = if (abs.getNano == 0) "" else f".${abs.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
       val dayPart = if (days != 0) s"$days day" + (if (days != 1) "s " else " ") else ""
       Some((if (neg) "-" else "") + dayPart + hms + frac)
+    // non-byte object arrays (the typed empty-array parameter decode)
+    // render like Seq; Array[Byte] matched its bytea case above
+    case a: Array[_]             => encodeValue(a.toSeq)
     case s: scala.collection.Seq[_] =>
       // PG array-literal element quoting: elements containing the
       // delimiter, braces, quotes, backslashes or whitespace — plus

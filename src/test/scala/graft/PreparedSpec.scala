@@ -24,6 +24,38 @@ class PreparedSpec extends GraftSuite {
     assert(df.head().getLong(0) == 10)
   }
 
+  test("empty binary array parameters keep their declared element type") {
+    import graft.server.PgWire
+    // PG empty-array wire form: ndims = 0, hasnull = 0, element oid
+    def empty(elemOid: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0).putInt(0).putInt(elemOid).array()
+    }
+    val int8 = Prepared.bindable(PgWire.decodeBinaryParam(1016, empty(20)))
+    assert(int8.isInstanceOf[Array[java.lang.Long]],
+      s"empty int8[] bound as ${int8.getClass}")
+    val float8 = Prepared.bindable(PgWire.decodeBinaryParam(1022, empty(701)))
+    assert(float8.isInstanceOf[Array[java.lang.Double]])
+    // an empty int8[] must compare against a bigint-array expression
+    // (an array<string> binding would fail analysis here)
+    val r = Prepared.execute(spark,
+      "SELECT array(CAST(1 AS BIGINT)) = $1 AS eq, size($1) AS n",
+      Seq(PgWire.decodeBinaryParam(1016, empty(20)))).head()
+    assert(!r.getBoolean(0) && r.getInt(1) == 0)
+  }
+
+  test("TIME binary decode accepts PG's 24:00:00 and rejects garbage") {
+    import graft.server.PgWire
+    def t(us: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(us).array()
+    assert(PgWire.decodeBinaryParam(1083, t(86400000000L)) == "24:00:00")
+    assert(PgWire.decodeBinaryParam(1083, t(0L)) == java.time.LocalTime.MIDNIGHT)
+    val ex = intercept[IllegalArgumentException] {
+      PgWire.decodeBinaryParam(1083, t(86400000001L))
+    }
+    assert(ex.getMessage.contains("out of range"))
+  }
+
   test("NUMERIC binary codec round-trips through encode and decode") {
     import graft.server.PgWire
     import org.apache.spark.sql.types.DecimalType

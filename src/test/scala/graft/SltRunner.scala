@@ -144,6 +144,13 @@ object SltRunner {
           i += 1
       }
     }
+    // a zero-row block whose expStart sits at end-of-file (corpus ends
+    // with '----' and no further line) is never reached by the loop —
+    // emit its regenerated rows here or they are silently dropped
+    byStart.get(lines.length).foreach { c =>
+      if (!c.expected.exists(_.contains(IgnoreMarker)))
+        out ++= resultLines(spark, c)
+    }
     out.toVector
   }
 

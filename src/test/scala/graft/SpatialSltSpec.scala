@@ -98,6 +98,20 @@ class SpatialSltSpec extends GraftSuite {
     assert(cases.head.expected.isEmpty)
     assert(cases(1).expected == Seq("42"))
   }
+
+  test("completion regenerates a zero-row block that ends the corpus") {
+    // the corpus ends exactly at '----' with no trailing line: the
+    // block's expStart sits at lines.length, outside the copy loop —
+    // its regenerated rows must still be emitted
+    val corpus = Vector(
+      "query I",
+      "SELECT 7",
+      "----")
+    val regen = SltRunner.complete(spark, corpus)
+    val cases = SltRunner.parseLines(regen)
+    assert(cases.size == 1)
+    assert(cases.head.expected == Seq("7"))
+  }
 }
 
 /** Exposes the runner's geometry-tolerant equality to the round-trip
