@@ -82,21 +82,9 @@ object InfoSchemaPlugin {
       .map(db => Row("spark_catalog", db.name))
 
   /** (schema, name, isTemp) of every table/view visible in the session
-    * (local temp views surface under pseudo-schema "session"; global
-    * temp views under "global_temp", which listDatabases omits). */
-  private def visibleTables(): Seq[(String, String, Boolean)] = {
-    val cat = SparkSession.active.catalog
-    val fromDbs = cat.listDatabases().collect().toSeq
-      .flatMap(db => scala.util.Try(cat.listTables(db.name).collect().toSeq).getOrElse(Nil))
-      .map(t => (Option(t.database).getOrElse("session"), t.name, t.isTemporary))
-    val globals = scala.util.Try(cat.listTables("global_temp").collect().toSeq)
-      .getOrElse(Nil)
-      // the global_temp listing includes LOCAL temp views (database
-      // null) — those already surface via the regular listings
-      .filter(t => Option(t.database).contains("global_temp"))
-      .map(t => ("global_temp", t.name, t.isTemporary))
-    (fromDbs ++ globals).distinct
-  }
+    * — shared with the live pg_class snapshot. */
+  private def visibleTables(): Seq[(String, String, Boolean)] =
+    LiveCatalog.visibleTables()
 
   private def tablesRows(): Seq[Row] =
     visibleTables().map { case (db, tbl, temp) =>

@@ -31,12 +31,19 @@ final class PgCatalogPlugin extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private lazy val tables: Map[String, StaticTable] =
-    PgCompat.tableDefs.map { case (n, schema, rows) =>
+  private lazy val tables: Map[String, Table] = {
+    val static = PgCompat.tableDefs.map { case (n, schema, rows) =>
       val conv = CatalystTypeConverters.createToCatalystConverter(schema)
       val internal = rows.map(r => conv(r).asInstanceOf[InternalRow].copy()).toArray
-      n -> new StaticTable(n, schema, internal)
-    }.toMap
+      n -> (new StaticTable(n, schema, internal): Table)
+    }
+    // pg_class / pg_attribute snapshot the LIVE session catalog at scan
+    // planning (LiveCatalog) — they shadow the static empty pg_class
+    val live = PgCompat.liveTableDefs.map { case (n, schema, fn) =>
+      n -> (new DynamicTable(n, schema, fn): Table)
+    }
+    (static ++ live).toMap
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keysIterator.map(n => Identifier.of(Array.empty[String], n)).toArray

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   *   Arrow "Geometry" extension tag (spatial/src/extension.rs:1-9).
   * - pg_namespace: pg_catalog=11, public=2200, information_schema=13676
   *   (pg_namespace.rs:44-57).
-  * - pg_class / pg_description: present but empty (pg_class.rs:58-70).
+  * - pg_class / pg_description: empty as bare temp views (reference
+  *   parity, pg_class.rs:58-70); through the `pg_catalog` V2 catalog,
+  *   pg_class and pg_attribute snapshot the LIVE session catalog
+  *   ([[LiveCatalog]], parity-plus: psql `\dt`/`\d` walk them).
   * - pg_database: one row, datname='postgres' (postgres/mod.rs:20).
   * - version() -> 'PostgreSQL 14.10 on dataclod' (udf/version.rs:9);
   *   current_schema() -> 'public'; current_schemas(bool) adds
@@ -27,6 +30,9 @@ import org.apache.spark.sql.types._
   *   NULL.
   */
 object PgCompat extends Serializable {
+
+  /** pg_type oid of the `geometry` extension type (wire-visible). */
+  private[graft] val GeometryOid = 16385
 
   /** (oid, typname, typcategory, typelem) — typnamespace=11,
     * typrelid=0, typbasetype=0, typtypmod=-1 for all rows. */
@@ -103,20 +109,18 @@ object PgCompat extends Serializable {
       StructField("typrelid", IntegerType, nullable = false),
       StructField("typelem", IntegerType, nullable = false),
       StructField("typbasetype", IntegerType, nullable = false),
-      StructField("typtypmod", LongType, nullable = false)))
+      StructField("typtypmod", LongType, nullable = false),
+      // beyond the reference's 8 projected columns: psql's \d column
+      // query correlates a.attcollation <> t.typcollation
+      StructField("typcollation", IntegerType, nullable = false)))
     val typeRows = pgTypes.map { case (oid, name, cat, elem) =>
-      Row(oid, name, 11, cat, 0, elem, 0, -1L)
+      Row(oid, name, 11, cat, 0, elem, 0, -1L, 0)
     }
     val nsSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
       StructField("nspname", StringType, nullable = false)))
     val nsRows = Seq(
       Row(11, "pg_catalog"), Row(2200, "public"), Row(13676, "information_schema"))
-    val classSchema = StructType(Seq(
-      StructField("oid", IntegerType, nullable = false),
-      StructField("relname", StringType, nullable = false),
-      StructField("relnamespace", IntegerType, nullable = false),
-      StructField("relkind", StringType, nullable = false)))
     val descSchema = StructType(Seq(
       StructField("objoid", IntegerType, nullable = false),
       StructField("classoid", IntegerType, nullable = false),
@@ -124,13 +128,121 @@ object PgCompat extends Serializable {
       StructField("description", StringType, nullable = false)))
     val dbSchema = StructType(Seq(
       StructField("datname", StringType, nullable = false)))
+    val amSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("amname", StringType, nullable = false)))
+    // footer tables psql's \d probes — present (so the queries parse
+    // and plan) but empty (no indexes/constraints/defaults to report)
+    val attrdefSchema = StructType(Seq(
+      StructField("adrelid", IntegerType, nullable = false),
+      StructField("adnum", IntegerType, nullable = false),
+      StructField("adbin", StringType, nullable = true)))
+    val collationSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("collname", StringType, nullable = false),
+      StructField("collnamespace", IntegerType, nullable = false)))
+    val inheritsSchema = StructType(Seq(
+      StructField("inhrelid", IntegerType, nullable = false),
+      StructField("inhparent", IntegerType, nullable = false),
+      StructField("inhseqno", IntegerType, nullable = false)))
+    val indexSchema = StructType(Seq(
+      StructField("indexrelid", IntegerType, nullable = false),
+      StructField("indrelid", IntegerType, nullable = false),
+      StructField("indisunique", BooleanType, nullable = false),
+      StructField("indisprimary", BooleanType, nullable = false),
+      StructField("indisvalid", BooleanType, nullable = false)))
+    val constraintSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("conname", StringType, nullable = false),
+      StructField("conrelid", IntegerType, nullable = false),
+      StructField("contype", StringType, nullable = false),
+      StructField("condeferrable", BooleanType, nullable = false),
+      StructField("convalidated", BooleanType, nullable = false)))
+    val publicationSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("pubname", StringType, nullable = false),
+      StructField("puballtables", BooleanType, nullable = false)))
+    val publicationRelSchema = StructType(Seq(
+      StructField("prpubid", IntegerType, nullable = false),
+      StructField("prrelid", IntegerType, nullable = false)))
     Seq(
       ("pg_type", typeSchema, typeRows),
       ("pg_namespace", nsSchema, nsRows),
-      ("pg_class", classSchema, Nil),
+      ("pg_class", pgClassSchema, Nil),
       ("pg_description", descSchema, Nil),
-      ("pg_database", dbSchema, Seq(Row("postgres"))))
+      ("pg_database", dbSchema, Seq(Row("postgres"))),
+      ("pg_am", amSchema, Seq(Row(2, "heap"))),
+      ("pg_attrdef", attrdefSchema, Nil),
+      ("pg_collation", collationSchema, Nil),
+      ("pg_inherits", inheritsSchema, Nil),
+      ("pg_index", indexSchema, Nil),
+      ("pg_constraint", constraintSchema, Nil),
+      ("pg_publication", publicationSchema, Nil),
+      ("pg_publication_rel", publicationRelSchema, Nil))
   }
+
+  /** Names of the emulated catalog tables (so the LIVE pg_class
+    * snapshot can exclude the emulation temp views themselves). */
+  private[graft] lazy val emulationTableNames: Set[String] =
+    tableDefs.map(_._1).toSet ++ Set("pg_attribute")
+
+  /** Wide pg_class schema covering every column psql's describe paths
+    * touch (server-version-10 query shapes). Served EMPTY as the bare
+    * temp view (reference parity: pg_class.rs:58-70 ships it empty) and
+    * LIVE through the pg_catalog V2 catalog (parity-plus: `\dt` and BI
+    * tools walk pg_class, not information_schema). */
+  private[pg] val pgClassSchema = StructType(Seq(
+    StructField("oid", IntegerType, nullable = false),
+    StructField("relname", StringType, nullable = false),
+    StructField("relnamespace", IntegerType, nullable = false),
+    StructField("relkind", StringType, nullable = false),
+    StructField("relowner", IntegerType, nullable = false),
+    StructField("relam", IntegerType, nullable = false),
+    StructField("relchecks", IntegerType, nullable = false),
+    StructField("relhasindex", BooleanType, nullable = false),
+    StructField("relhasrules", BooleanType, nullable = false),
+    StructField("relhastriggers", BooleanType, nullable = false),
+    StructField("relrowsecurity", BooleanType, nullable = false),
+    StructField("relforcerowsecurity", BooleanType, nullable = false),
+    StructField("relhasoids", BooleanType, nullable = false),
+    StructField("relispartition", BooleanType, nullable = false),
+    StructField("relpersistence", StringType, nullable = false),
+    StructField("relreplident", StringType, nullable = false),
+    StructField("reltablespace", IntegerType, nullable = false),
+    StructField("reloftype", IntegerType, nullable = false),
+    StructField("reltoastrelid", IntegerType, nullable = false),
+    StructField("relpages", IntegerType, nullable = false),
+    StructField("reltuples", DoubleType, nullable = false),
+    StructField("relallvisible", IntegerType, nullable = false),
+    StructField("relnatts", IntegerType, nullable = false),
+    StructField("relpartbound", StringType, nullable = true)))
+
+  /** pg_attribute schema (one row per column of every visible table). */
+  private[pg] val pgAttributeSchema = StructType(Seq(
+    StructField("attrelid", IntegerType, nullable = false),
+    StructField("attname", StringType, nullable = false),
+    StructField("atttypid", IntegerType, nullable = false),
+    StructField("attstattarget", IntegerType, nullable = false),
+    StructField("attlen", IntegerType, nullable = false),
+    StructField("attnum", IntegerType, nullable = false),
+    StructField("attndims", IntegerType, nullable = false),
+    StructField("atttypmod", IntegerType, nullable = false),
+    StructField("attbyval", BooleanType, nullable = false),
+    StructField("attnotnull", BooleanType, nullable = false),
+    StructField("atthasdef", BooleanType, nullable = false),
+    StructField("attidentity", StringType, nullable = false),
+    StructField("attgenerated", StringType, nullable = false),
+    StructField("attisdropped", BooleanType, nullable = false),
+    StructField("attislocal", BooleanType, nullable = false),
+    StructField("attinhcount", IntegerType, nullable = false),
+    StructField("attcollation", IntegerType, nullable = false)))
+
+  /** Tables whose rows snapshot the LIVE session catalog at scan time —
+    * served only through the pg_catalog V2 catalog (PgCatalogPlugin).
+    * The bare temp views keep the reference's empty pg_class. */
+  private[pg] def liveTableDefs: Seq[(String, StructType, () => Seq[org.apache.spark.sql.Row])] = Seq(
+    ("pg_class", pgClassSchema, () => LiveCatalog.pgClassRows()),
+    ("pg_attribute", pgAttributeSchema, () => LiveCatalog.pgAttributeRows()))
 
   /** Register catalog views + compat functions + the `pg_catalog` V2
     * catalog on the session. */
@@ -187,7 +299,21 @@ object PgCompat extends Serializable {
           s"array_upper: dimension > 1 not supported, actual: $dl")
       case _ => null
     })
-    add("pg_get_expr", StringType, 2, (_: Any, _: Any) => "")
+    // psql sends pg_get_expr with 2 or 3 args depending on its version
+    reg.createOrReplaceTempFunction("pg_get_expr", (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "pg_get_expr expects 2 or 3 arguments")
+      ScalaUDF((_: Any, _: Any) => "", StringType, children.take(2),
+        children.take(2).map(_ => None), udfName = Some("pg_get_expr"),
+        nullable = true, udfDeterministic = true)
+    }, "scala_udf")
     add("pg_get_partkeydef", StringType, 1, (_: Any) => null)
+    // visibility / ownership probes psql's describe paths make — every
+    // table we surface lives in the session and is owned by `postgres`
+    add("pg_table_is_visible", BooleanType, 1, (_: Any) => true)
+    add("pg_get_userbyid", StringType, 1, (_: Any) => "postgres")
+    add("pg_relation_is_publishable", BooleanType, 1, (_: Any) => true)
+    add("obj_description", StringType, 2, (_: Any, _: Any) => null)
+    add("pg_get_viewdef", StringType, 2, (_: Any, _: Any) => null)
   }
 }

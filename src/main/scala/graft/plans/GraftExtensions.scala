@@ -43,7 +43,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // Transaction keywords acknowledged as no-ops, never executed
     // (reference handler.rs:43-67 / :108-127).
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlan(preprocess(sqlText)))
+    // psql's extended-statistics and row-policy probes use PG-only
+    // syntax Spark cannot parse (unnest alias lists, `= any(...)`,
+    // ARRAY(subquery)); the correct answer is always zero rows here,
+    // so answer them with a canned empty relation (psql only checks
+    // the tuple count before rendering these sections)
+    else PsqlProbe.findFirstMatchIn(trimmed) match {
+      case Some(m) => probeEmpty(m.group(1))
+      case None    => rewrite(delegate.parsePlan(preprocess(sqlText)))
+    }
   }
 
   // the default implementation drops the parameter context, which
@@ -52,16 +60,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
     val trimmed = sqlText.trim.stripSuffix(";").trim.toLowerCase
     if (TxnKeywords(trimmed)) emptyResult
-    else rewrite(delegate.parsePlanWithParameters(preprocess(sqlText), ctx))
+    else PsqlProbe.findFirstMatchIn(trimmed) match {
+      case Some(m) => probeEmpty(m.group(1))
+      case None =>
+        rewrite(delegate.parsePlanWithParameters(preprocess(sqlText), ctx))
+    }
   }
 
   /** Text-level compatibility rewrites applied before the real parser:
-    * DataFusion file statements, PG `DISTINCT ON`, `QUALIFY`, and
-    * catalog-cast erasure, in that order. */
+    * PG client-introspection operators, DataFusion file statements, PG
+    * `DISTINCT ON`, `QUALIFY`, and catalog-cast erasure, in that
+    * order. */
   private def preprocess(sqlText: String): String = {
-    val base = rewriteCopyTo(sqlText).orElse(rewriteCopyFrom(sqlText))
-      .orElse(rewriteCreateExternal(sqlText))
-      .getOrElse(sqlText)
+    val pgc = rewritePgClientOps(sqlText)
+    val base = rewriteCopyTo(pgc).orElse(rewriteCopyFrom(pgc))
+      .orElse(rewriteCreateExternal(pgc))
+      .getOrElse(pgc)
     val st = rewriteSimilarTo(base).getOrElse(base)
     val sel = rewriteDistinctOn(st).orElse(rewriteQualify(st))
       .getOrElse(st)
@@ -94,6 +108,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def emptyResult: LogicalPlan =
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil, Nil)
 
+  /** Zero rows with a column shape matching what the probe's section
+    * reads — psql checks the tuple count and skips the section. */
+  private def probeEmpty(table: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+    val cols = table match {
+      case "pg_statistic_ext" => Seq(
+        AttributeReference("oid", IntegerType)(),
+        AttributeReference("stxrelid", IntegerType)(),
+        AttributeReference("nsp", StringType)(),
+        AttributeReference("stxname", StringType)(),
+        AttributeReference("columns", StringType)(),
+        AttributeReference("ndist_enabled", BooleanType)(),
+        AttributeReference("deps_enabled", BooleanType)())
+      case _ => Seq( // pg_policy
+        AttributeReference("polname", StringType)(),
+        AttributeReference("polpermissive", BooleanType)(),
+        AttributeReference("roles", StringType)(),
+        AttributeReference("qual", StringType)(),
+        AttributeReference("withcheck", StringType)(),
+        AttributeReference("cmd", StringType)())
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(cols, Nil)
+  }
+
   // pure delegation below
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -121,17 +160,69 @@ object GraftSqlParser {
     "rollback", "rollback transaction", "rollback work", "abort")
 
   private val RegTypes = "(?:regclass|regproc|regprocedure|regtype|regnamespace|oid)"
-  private val DoubleColonCast = s"(?i)::\\s*$RegTypes\\b".r
+  private val DoubleColonCast = s"(?i)::\\s*(?:pg_catalog\\.)?$RegTypes\\b".r
   private val ExplicitCast = s"(?i)\\bCAST\\s*\\(\\s*('[^']*')\\s+AS\\s+$RegTypes\\s*\\)".r
+  // PG string-ish type names Spark calls `string`
+  private val TextCast =
+    "(?i)::\\s*(?:pg_catalog\\.)?(?:text|name|bpchar|\"char\"|char)\\b".r
 
   /** PG catalog-introspection casts Spark has no types for: erase
     * `'x'::regclass` and `CAST('x' AS regclass)` down to the inner
     * value (reference postgres_stmt.rs:105-176). Text-level, applied
-    * before parsing (Spark rejects the type names at parse time). */
+    * before parsing (Spark rejects the type names at parse time).
+    * `::text`-family casts become `::string` (same semantics). */
   def eraseUnsupportedCasts(sql: String): String = {
     val noCastCalls = ExplicitCast.replaceAllIn(sql, m => m.group(1))
-    DoubleColonCast.replaceAllIn(noCastCalls, "")
+    val noReg = DoubleColonCast.replaceAllIn(noCastCalls, "")
+    if (noReg.contains("::")) TextCast.replaceAllIn(noReg, "::string")
+    else noReg
   }
+
+  private val OperatorRegexMatch =
+    "(?i)\\bOPERATOR\\s*\\(\\s*pg_catalog\\.(!?~)\\s*\\)".r
+  private val NotTildeOp = "(?<=[\\w'\")\\]])\\s*!~\\s*(?=')".r
+  private val TildeOp = "(?<=[\\w'\")\\]])\\s*~\\s*(?=')".r
+  private val CollateDefault =
+    "(?i)\\s+COLLATE\\s+(?:pg_catalog\\.)?(?:\"default\"|default|\"C\")".r
+  private val PgCatalogFnPrefix = "(?i)\\bpg_catalog\\.(\\w+\\s*\\()".r
+  // PG double-quoted ALIASES (`as "Schema"`) — Spark's default dialect
+  // reads "..." as a string literal and rejects it in alias position,
+  // so quote with backticks instead. Alias position only: a blanket
+  // "..."→`...` rewrite would break double-quoted string literals.
+  private val QuotedAlias = "(?i)\\bAS\\s+\"([^\"]+)\"".r
+
+  /** Rewrites for the introspection SQL PG wire clients (psql, BI
+    * tools, drivers) send — the textual analogue of the reference's
+    * StatementRewrite chain (postgres_stmt.rs:13-176):
+    * `OPERATOR(pg_catalog.~)` / `~` / `!~` regex-match operators →
+    * `[NOT] RLIKE`, `COLLATE pg_catalog.default` erased, and
+    * `pg_catalog.`-qualified function calls unqualified (they are
+    * session functions here). Gated on the strings those clients
+    * actually emit, so normal query traffic never pays the regexes. */
+  def rewritePgClientOps(sql: String): String = {
+    val needsOps = sql.contains("~") || sql.toUpperCase.contains("COLLATE")
+    val needsFns = sql.contains("pg_catalog.")
+    if (!needsOps && !needsFns) return sql
+    var s = sql
+    if (needsOps) {
+      s = OperatorRegexMatch.replaceAllIn(s,
+        m => if (m.group(1) == "!~") " NOT RLIKE " else " RLIKE ")
+      s = NotTildeOp.replaceAllIn(s, " NOT RLIKE ")
+      s = TildeOp.replaceAllIn(s, " RLIKE ")
+      s = CollateDefault.replaceAllIn(s, "")
+    }
+    if (s.contains("\""))
+      s = QuotedAlias.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement("AS `" + m.group(1) + "`"))
+    if (needsFns)
+      s = PgCatalogFnPrefix.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    s
+  }
+
+  /** psql describe probes with PG-only syntax, always empty here. */
+  private[plans] val PsqlProbe =
+    "(?is)^select\\b.*\\bfrom\\s+pg_catalog\\.(pg_statistic_ext|pg_policy)\\b".r
 
   // `COPY (query)|table TO 'path' [(FORMAT fmt, ...)]` — DataFusion's
   // file-export statement (wire-level `COPY ... TO STDOUT` is handled

@@ -13,8 +13,12 @@ object PgCatalog {
 
   private def typeValues: String = PgCompat.pgTypes.map {
     case (oid, name, cat, elem) =>
-      s"($oid, '$name', 11, '$cat', 0, $elem, 0, CAST(-1 AS BIGINT))"
+      s"($oid, '$name', 11, '$cat', 0, $elem, 0, CAST(-1 AS BIGINT), 0)"
   }.mkString(",\n  ")
+
+  private val typeCols =
+    "oid, typname, typnamespace, typcategory, typrelid, typelem, " +
+      "typbasetype, typtypmod, typcollation"
 
   /** The pg_type table (the reference's 28 rows + the geometry
     * extension type), read through its pg_catalog-qualified name
@@ -23,7 +27,7 @@ object PgCatalog {
     "pg01_pg_type",
     s"""SELECT * FROM (VALUES
        |  $typeValues
-       |) AS t(oid, typname, typnamespace, typcategory, typrelid, typelem, typbasetype, typtypmod)
+       |) AS t($typeCols)
        |ORDER BY oid""".stripMargin) { (s, _) =>
     PgCompat.registerAll(s)
     s.sql("SELECT * FROM pg_catalog.pg_type ORDER BY oid")
@@ -69,7 +73,7 @@ object PgCatalog {
     "pg04_catalog_join",
     s"""SELECT typname, nspname FROM (VALUES
        |  $typeValues
-       |) AS t(oid, typname, typnamespace, typcategory, typrelid, typelem, typbasetype, typtypmod)
+       |) AS t($typeCols)
        |JOIN (VALUES (11, 'pg_catalog'), (2200, 'public'),
        |  (13676, 'information_schema')) AS n(oid, nspname)
        |ON t.typnamespace = n.oid

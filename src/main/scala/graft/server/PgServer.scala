@@ -96,6 +96,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     var rawOut = new DataOutputStream(sock.getOutputStream)
     var out = new PgWire.Out(rawOut)
     val pid = pidCounter.incrementAndGet()
+    var connSess: SparkSession = null // for release on disconnect
     try {
       var st = PgWire.readStartup(in)
       if (st.code == 80877104) { // GSSENCRequest: decline, client falls back
@@ -142,6 +143,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       // snapshotted in — the PG-permanent-table role; temp views a
       // client creates stay invisible to every other client.
       val sess = spark.newSession()
+      connSess = sess
       PgCompat.registerAll(sess)
       SpatialFunctions.registerAll(sess)
       shareHostTempViews(sess)
@@ -186,6 +188,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
               case CopyRe(source, opts)           => copyOut(sess, out, source, opts)
               case one => runQuery(sess, out, one, Nil, describeOnly = false)
             }
+            // drop intermediates the statements' query builders persisted
+            // — session-scoped, so concurrent connections are untouched;
+            // gated on no suspended portal still reading a tracked plan
+            if (openPortals.isEmpty) graft.util.Persist.release(sess)
             out.readyForQuery(); out.flush()
           case 'P' => // Parse: name, query, param type oids
             val pbuf = java.nio.ByteBuffer.wrap(m.body)
@@ -215,6 +221,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val name = readCstr(buf)
             val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
             executePortal(sess, out, in, name, maxRows, portals, openPortals)
+            // portal done (not suspended) and none other in flight →
+            // release this session's tracked persists
+            if (openPortals.isEmpty) graft.util.Persist.release(sess)
           case 'S' => out.readyForQuery(); out.flush()
           case 'C' => // Close
             val kind = m.body(0).toChar
@@ -233,7 +242,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.errorResponse("XX000", String.valueOf(e.getMessage))
           out.readyForQuery(); out.flush()
         } catch { case _: Throwable => }
-    } finally { cancelKeys.remove(pid); sock.close() }
+    } finally {
+      cancelKeys.remove(pid)
+      // connection gone: nothing can read a suspended portal anymore,
+      // so unconditionally drop this session's tracked cache entries
+      if (connSess != null) graft.util.Persist.release(connSess)
+      sock.close()
+    }
   }
 
   /** Copy the HOST session's local temp views into a fresh connection
@@ -659,6 +674,16 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val df = sess.sql(sql)
       val schema = df.schema
       if (binary) { // PGCOPY binary file format, every field binary-encoded
+        // every field is declared format-1, so a column without a real
+        // binary wire form (struct/map/nested array) would be emitted as
+        // UTF-8 text that a conforming client misparses — refuse instead
+        val noBin = schema.fields.filterNot(f => PgWire.binaryCapable(f.dataType))
+        if (noBin.nonEmpty) {
+          out.errorResponse("0A000",
+            "COPY BINARY unsupported for column type: " + noBin
+              .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", "))
+          return
+        }
         out.copyOutResponse(schema.size, binary = true)
         out.copyData(PgWire.CopyBinaryHeader)
         var n = 0L

@@ -414,6 +414,12 @@ object PgWire {
     case 1082 => new Array[java.time.LocalDate](0)
     case 1114 => new Array[java.time.LocalDateTime](0)
     case 1184 => new Array[java.time.Instant](0)
+    case 17   => new Array[Array[Byte]](0) // bytea elements stay raw bytes
+    // interval elements decode to Duration (day-time intervals); the
+    // empty case must agree or the same query binds array<string> when
+    // the bound array happens to be empty
+    case 1186 => new Array[java.time.Duration](0)
+    case 1083 => new Array[String](0) // TIME binds per-element as PG text
     case _    => new Array[String](0)
   }
 

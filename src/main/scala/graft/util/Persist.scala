@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Registry for persisted intermediates created inside query builders.
   *
@@ -9,36 +9,67 @@ import org.apache.spark.sql.Dataset
   * cache entry would outlive the query — in a long-lived session
   * (PgServer, a notebook) repeated query builds accumulate cache entries
   * until LRU eviction thrashes. Builders therefore register every
-  * persist here via [[track]], and BATCH consumers (Verify, Bench,
-  * specs) call [[releaseAll]] after fully consuming each query's result.
+  * persist here via [[track]], and consumers release after fully
+  * consuming each query's result.
   *
-  * Single-consumer discipline: releaseAll unpersists everything tracked
-  * so far, so callers that interleave query materializations must not
-  * release while another tracked plan is still in flight.
+  * Entries are scoped by owning [[SparkSession]] so concurrent consumers
+  * (e.g. PgServer's one-session-per-connection model) can release their
+  * own intermediates without unpersisting another session's in-flight
+  * plan. Batch consumers (Verify, Bench, specs) call [[releaseAll]];
+  * per-connection consumers call [[release]] with their session after
+  * each statement completes.
   */
 object Persist {
-  private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
 
   /** Register an already-persisted dataset for later release. */
-  def track[T](ds: Dataset[T]): Dataset[T] = { tracked.add(ds); ds }
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    tracked
+      .computeIfAbsent(
+        ds.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+      .add(ds)
+    ds
+  }
 
   /** Persist + register in one call. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = track(ds.persist())
 
-  /** Unpersist every tracked dataset (non-blocking) and clear the
-    * registry. Safe to call when nothing is tracked. */
+  /** Unpersist everything tracked by `session` (non-blocking) and drop
+    * its registry entry. Safe when nothing is tracked. */
+  def release(session: SparkSession): Unit = {
+    val q = tracked.remove(session)
+    if (q != null) drain(q)
+  }
+
+  /** Unpersist every tracked dataset across all sessions and clear the
+    * registry. For single-session batch consumers. */
   def releaseAll(): Unit = {
-    var ds = tracked.poll()
+    val it = tracked.keySet().iterator()
+    while (it.hasNext) {
+      val q = tracked.remove(it.next())
+      if (q != null) drain(q)
+    }
+  }
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]): Unit = {
+    var ds = q.poll()
     while (ds != null) {
       try ds.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
-      ds = tracked.poll()
+      ds = q.poll()
     }
   }
 
   /** Number of currently tracked (unreleased) datasets — for specs. */
-  def trackedCount: Int = tracked.size()
+  def trackedCount: Int = {
+    var n = 0
+    val it = tracked.values().iterator()
+    while (it.hasNext) n += it.next().size()
+    n
+  }
 
   /** `df.persistTracked()` syntax for query builders. */
   implicit class Syntax[T](private val ds: Dataset[T]) extends AnyVal {

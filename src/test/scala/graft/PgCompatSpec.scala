@@ -29,7 +29,46 @@ class PgCompatSpec extends GraftSuite {
     PgCompat.registerAll(spark)
     assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_type").head().getLong(0) == 29)
     assert(spark.sql("SELECT count(*) FROM public.pg_database").head().getLong(0) == 1)
-    assert(spark.sql("SELECT count(*) FROM pg_catalog.pg_class").head().getLong(0) == 0)
+    // the BARE temp view keeps the reference's empty pg_class
+    // (pg_class.rs:58-70); the pg_catalog-qualified one is live
+    assert(spark.sql("SELECT count(*) FROM pg_class").head().getLong(0) == 0)
+  }
+
+  test("pg_catalog.pg_class / pg_attribute snapshot the live catalog") {
+    PgCompat.registerAll(spark)
+    spark.range(3).selectExpr("id", "cast(id AS string) AS s")
+      .createOrReplaceTempView("class_probe")
+    try {
+      // the \dt shape psql sends (after the parser's client-op rewrites)
+      val dt = spark.sql(
+        """SELECT n.nspname, c.relname, c.relkind,
+          |  pg_catalog.pg_get_userbyid(c.relowner) AS owner
+          |FROM pg_catalog.pg_class c
+          |LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          |WHERE c.relkind IN ('r','p','') AND n.nspname !~ '^pg_toast'
+          |  AND pg_catalog.pg_table_is_visible(c.oid)
+          |  AND c.relname OPERATOR(pg_catalog.~) '^(class_probe)$' COLLATE pg_catalog.default
+          |ORDER BY 1,2""".stripMargin).collect()
+      assert(dt.length == 1)
+      assert(dt.head.getString(0) == "public" && dt.head.getString(1) == "class_probe")
+      assert(dt.head.getString(2) == "r" && dt.head.getString(3) == "postgres")
+      // the \d column listing resolves BY OID across statements
+      val oid = spark.sql(
+        "SELECT oid FROM pg_catalog.pg_class WHERE relname = 'class_probe'")
+        .head().getInt(0)
+      val cols = spark.sql(
+        s"""SELECT a.attname, format_type(a.atttypid, a.atttypmod), a.attnotnull
+           |FROM pg_catalog.pg_attribute a
+           |WHERE a.attrelid = '$oid' AND a.attnum > 0 AND NOT a.attisdropped
+           |ORDER BY a.attnum""".stripMargin).collect()
+      assert(cols.map(_.getString(0)).toSeq == Seq("id", "s"))
+      assert(cols.map(_.getString(1)).toSeq ==
+        Seq("bigint", "character varying"))
+      // the emulation views themselves never surface as user tables
+      assert(spark.sql(
+        "SELECT count(*) FROM pg_catalog.pg_class WHERE relname LIKE 'pg\\_%'")
+        .head().getLong(0) == 0)
+    } finally spark.catalog.dropTempView("class_probe")
   }
 
   test("compat functions answer like the reference") {

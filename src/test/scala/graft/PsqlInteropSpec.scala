@@ -36,6 +36,23 @@ class PsqlInteropSpec extends GraftSuite {
     }
   }
 
+  test("psql \\dt lists live tables and \\d describes columns") {
+    withPsql { (_, run) =>
+      spark.range(2).selectExpr(
+        "id AS k", "cast(id AS string) AS v", "cast(id AS double) AS x")
+        .createOrReplaceTempView("describe_probe")
+      // a NEW connection snapshots the host's temp views at accept time
+      val dt = run(Seq("-c", "\\dt"))
+      assert(dt.linesIterator.exists(_.contains("describe_probe")), dt)
+      val d = run(Seq("-c", "\\d describe_probe"))
+      // psql -At renders the column block as name|type|... lines
+      assert(d.contains("k|bigint"), d)
+      assert(d.contains("v|character varying"), d)
+      assert(d.contains("x|double precision"), d)
+      spark.catalog.dropTempView("describe_probe")
+    }
+  }
+
   test("psql COPY TO STDOUT and \\copy FROM round-trip") {
     withPsql { (port, run) =>
       val out = run(Seq("-c",

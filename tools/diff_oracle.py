@@ -49,6 +49,15 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        # Type-strict: the driver's hash renders values, so int64 vs
+        # float64 (e.g. DuckDB HUGEINT SUM vs Spark BIGINT) is a FAIL
+        # even when the numbers are equal. Compare dtype classes first.
+        tbad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in gcols
+                if dtype_class(g[c].dtype) != dtype_class(w[c].dtype)]
+        if tbad:
+            print(f"FAIL {name}: dtype class mismatch {tbad}")
+            failures += 1
+            continue
         bad = []
         for c in gcols:
             for i, (a, b) in enumerate(zip(g[c].tolist(), w[c].tolist())):
@@ -64,6 +73,19 @@ def main(sfdir: str, outdir: str) -> int:
         else:
             print(f"OK   {name} ({len(g)} rows)")
     return failures
+
+
+def dtype_class(dt) -> str:
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "other"
 
 
 def eq(a, b) -> bool:
