@@ -22,14 +22,18 @@ ThisBuild / showSuccess := false
 // cache (hostname-free) or via GRAFT_EXTRA_TEST_JARS (path-separated list).
 // No network resolution happens, so the offline rule holds. FederationSpec
 // skips gracefully if a jar or its native lib is unavailable.
-Test / unmanagedJars ++= {
+def extraJdbcJars: Seq[Attributed[File]] = {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  val globbed = Seq("duckdb_jdbc-*.jar", "sqlite-jdbc-*.jar")
+  val globbed = Seq("duckdb_jdbc-*.jar", "sqlite-jdbc-*.jar", "postgresql-*.jar")
     .flatMap(p => (cache ** p).get())
   val fromEnv = sys.env.get("GRAFT_EXTRA_TEST_JARS").toSeq
     .flatMap(_.split(java.io.File.pathSeparator)).map(file).filter(_.exists)
   (globbed ++ fromEnv).distinct.map(Attributed.blank(_))
 }
+Test / unmanagedJars ++= extraJdbcJars
+// ... and on the run classpath too: ScaleSmoke's federation leg reads a
+// real DuckDB file through duckdb_scan (skipped when the jar is absent)
+Runtime / unmanagedJars ++= extraJdbcJars
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

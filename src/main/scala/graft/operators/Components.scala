@@ -19,7 +19,20 @@ import graft.spatial.GraftConf
   */
 object Components {
 
+  /** Rounds the last [[minLabel]] call took — profiling diagnostic for
+    * the scale smoke (per-stage attribution of iterative cost). */
+  @volatile var lastRounds: Int = 0
+
   /** Min-label fixpoint over a symmetric edge set.
+    *
+    * Rounds 1-2 are plain neighbor-min propagation (the cheap path the
+    * star-like near-dup graphs close on). If a third round is needed
+    * the graph has real depth, so every later round ALSO pointer-jumps
+    * (comp ← label(comp), sound because labels only decrease, so
+    * label(comp(v)) ≤ comp(v)) — path compression that turns
+    * O(diameter) convergence into O(log diameter). At ×100 fixture
+    * density DBSCAN blobs grow long chains; without the jump the round
+    * count — not per-round cost — was sp07's super-linear term.
     *
     * @param edges    (src, dst) rows; must contain BOTH orientations of
     *                 every undirected edge (propagation is directional)
@@ -42,19 +55,31 @@ object Components {
       val nbrMin = e
         .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .select(col("v"), col("comp").as("comp0"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      val compressed =
+        if (rounds < 2) stepped
+        else { // pointer jump: follow the label's own label (one
+          // materialization, then a self-join on the narrow frame)
+          val s = stepped.localCheckpoint(true)
+          s.join(s.select(col("v").as("comp"), col("comp").as("jump")),
+              Seq("comp"), "left")
+            .select(col("v"), col("comp0"),
+              least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+        }
       // convergence flag rides along in the checkpointed row, so the
       // delta check is a column sum over materialized data instead of a
       // second full-width anti-join (`except`) per round
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (col("nbr_min") < col("comp")).as("changed"))
+      val next = compressed
+        .select(col("v"), col("comp"), (col("comp") < col("comp0")).as("changed"))
         .localCheckpoint(true)
       delta = next.filter(col("changed")).count()
       labels = next.select(col("v"), col("comp"))
       rounds += 1
     }
+    lastRounds = rounds
     e.unpersist()
     // Unconverged labels silently split one true component in two — for
     // consumers like d12 (leakage-free split) that is the exact defect the

@@ -239,7 +239,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     } catch {
       case NonFatal(e) =>
         try {
-          out.errorResponse("XX000", String.valueOf(e.getMessage))
+          val state = sqlStateOf(e) match {
+            case "08P01" => "08P01" // malformed frame: protocol violation
+            case _       => "XX000"
+          }
+          out.errorResponse(state, String.valueOf(e.getMessage))
           out.readyForQuery(); out.flush()
         } catch { case _: Throwable => }
     } finally {
@@ -810,10 +814,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     out.toSeq
   }
 
-  /** Cancelled Spark jobs surface as PG 57014 (query_canceled). */
+  /** Cancelled Spark jobs surface as PG 57014 (query_canceled);
+    * malformed frames as 08P01 (protocol_violation). */
   private def sqlStateOf(e: Throwable): String = {
     val m = String.valueOf(e.getMessage).toLowerCase
-    if (m.contains("cancelled") || m.contains("canceled")) "57014" else "42601"
+    if (m.contains("cancelled") || m.contains("canceled")) "57014"
+    else if (m.contains("invalid message length")) "08P01"
+    else "42601"
   }
 
   private def commandTag(sql: String, rows: Int): String = {

@@ -144,8 +144,20 @@ object PgWire {
 
   final case class Startup(code: Int, params: Map[String, String], body: Array[Byte])
 
+  /** PG's own wire limit is 1 GiB; anything larger (or shorter than the
+    * 4-byte length itself) is a malformed frame — reject it BEFORE
+    * allocating, or a single garbage header could OOM the server. */
+  private val MaxMessageLen = 1 << 30
+  private val MaxStartupLen = 1 << 20 // PG caps startup packets far smaller
+
+  private def checkLen(len: Int, max: Int, what: String): Unit =
+    if (len < 4 || len > max)
+      throw new IllegalArgumentException(
+        s"invalid message length $len in $what frame")
+
   def readStartup(in: DataInputStream): Startup = {
     val len = in.readInt()
+    checkLen(len, MaxStartupLen, "startup")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     val code = java.nio.ByteBuffer.wrap(body, 0, 4).getInt
@@ -160,6 +172,7 @@ object PgWire {
   def readMessage(in: DataInputStream): Message = {
     val tag = in.readByte().toChar
     val len = in.readInt()
+    checkLen(len, MaxMessageLen, s"'$tag'")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     Message(tag, body)
