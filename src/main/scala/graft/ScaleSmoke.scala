@@ -58,7 +58,7 @@ object ScaleSmoke {
     // batch loop
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split("\\s+").toSeq).getOrElse(DefaultQueries)
-      .filterNot(_ == "st_hourly_event_counts")
+      .filterNot(Set("st_hourly_event_counts", "federation_duckdb"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

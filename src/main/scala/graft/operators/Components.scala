@@ -26,13 +26,16 @@ object Components {
   /** Min-label fixpoint over a symmetric edge set.
     *
     * Rounds 1-2 are plain neighbor-min propagation (the cheap path the
-    * star-like near-dup graphs close on). If a third round is needed
-    * the graph has real depth, so every later round ALSO pointer-jumps
-    * (comp ← label(comp), sound because labels only decrease, so
-    * label(comp(v)) ≤ comp(v)) — path compression that turns
-    * O(diameter) convergence into O(log diameter). At ×100 fixture
-    * density DBSCAN blobs grow long chains; without the jump the round
-    * count — not per-round cost — was sp07's super-linear term.
+    * star-like near-dup graphs close on). From round 3 on, when the
+    * previous round's frontier is still LARGE
+    * (GraftConf.componentsJumpMinDelta, default 100k changed labels)
+    * the round ALSO pointer-jumps (comp ← label(comp), sound because
+    * labels only decrease, so label(comp(v)) ≤ comp(v)) — path
+    * compression that turns O(diameter) convergence into
+    * O(log diameter). At ×100 fixture density DBSCAN blobs grow long
+    * chains; without the jump the round count — not per-round cost —
+    * was sp07's super-linear term. Small graphs never clear the
+    * frontier gate, so their plain-propagation cost is unchanged.
     *
     * @param edges    (src, dst) rows; must contain BOTH orientations of
     *                 every undirected edge (propagation is directional)
@@ -60,7 +63,7 @@ object Components {
         .select(col("v"), col("comp").as("comp0"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
       val compressed =
-        if (rounds < 2) stepped
+        if (rounds < 2 || delta < GraftConf.componentsJumpMinDelta(spark)) stepped
         else { // pointer jump: follow the label's own label (one
           // materialization, then a self-join on the narrow frame)
           val s = stepped.localCheckpoint(true)

@@ -92,6 +92,15 @@ object GraftConf {
   def componentsMaxRounds(spark: SparkSession): Int =
     intConf(spark, "spark.graft.components.max_rounds", 50)
 
+  /** Frontier size above which minLabel's pointer-jump rounds engage:
+    * the jump (an extra self-join + materialization per round) only
+    * pays when many labels are still moving — i.e. deep components at
+    * scale. Small/star-like graphs converge in 2-4 plain rounds with
+    * tiny frontiers and must not pay it (d21 regressed 4.6→6.4 s when
+    * the jump ran unconditionally). */
+  def componentsJumpMinDelta(spark: SparkSession): Long =
+    intConf(spark, "spark.graft.components.jump_min_delta", 100000).toLong
+
   /** DBSCAN density threshold: a point is core when its eps-ball holds
     * at least this many points (itself included). Default matches the
     * sp07 oracle */
