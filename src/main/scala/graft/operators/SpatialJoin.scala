@@ -142,8 +142,13 @@ object SpatialJoin {
     val sizing =
       if (explicitCells) None
       else Some((estimatedRows(left), estimatedRows(right), distance))
+    // occupancy fallback over the KNOWN sides only; -1 (unknown-stats
+    // sentinel) must not poison the sum — the schemes resolve unknowns
+    // from sampled/scanned data before the balanced model runs
     val nCells = graft.spatial.GraftConf.spatialCells(spark, cells,
-      sizing.fold(-1L) { case (l, r, _) => l + r })
+      sizing.fold(-1L) { case (l, r, _) =>
+        val known = Seq(l, r).filter(_ > 0)
+        if (known.isEmpty) -1L else known.sum })
     val useAdaptive = adaptive && graft.spatial.GraftConf.spatialAdaptive(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "grid spatial join requires disjoint column names")
@@ -184,16 +189,32 @@ object SpatialJoin {
     * when CBO supplies it, else sizeInBytes over a ~48 B point-row
     * width. Order-of-magnitude accuracy is all grid sizing needs (the
     * occupancy/window models tolerate a few× either way) and it costs
-    * no extra Spark job. Capped at 2^40 rows: relations with unknown
-    * stats report sizeInBytes = Long.MaxValue (e.g. JDBC), and an
-    * uncapped estimate would overflow the estL + estR sum and poison
-    * the sizing models with a negative row count. */
+    * no extra Spark job. Capped at 2^40 rows so estL + estR can never
+    * overflow. Returns -1 (UNKNOWN) when the plan carries no real
+    * statistic — relations like JDBC scans or RDD-backed frames report
+    * the `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by
+    * default), and feeding that through as "2^40 rows" drove the
+    * window-balanced model to its 65536-cell ceiling on arbitrarily
+    * small inputs (catastrophic explode fan-out). Unknown sides are
+    * resolved downstream from data the schemes already touch: the KDB
+    * path's envelope sample, the uniform path's envelope aggregate
+    * (which scans every row anyway, so an exact count rides along
+    * free). */
   private def estimatedRows(df: DataFrame): Long = {
     val cap = BigInt(1L << 40)
+    val spark = df.sparkSession
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
     val st = df.queryExecution.optimizedPlan.stats
-    st.rowCount.map(c => c.min(cap).toLong).getOrElse(
-      (st.sizeInBytes / 48).min(cap).toLong.max(1L))
+    st.rowCount.map(c => c.min(cap).toLong).getOrElse {
+      if (st.sizeInBytes >= sentinel) -1L
+      else (st.sizeInBytes / 48).min(cap).toLong.max(1L)
+    }
   }
+
+  /** Cell count chosen by the most recent grid-join sizing — profiling
+    * diagnostic for specs and the scale smoke (mirrors
+    * [[graft.operators.Components.lastRounds]]). */
+  @volatile var lastCells: Int = -1
 
   /** Skew-adaptive scheme: KDB tree built from ≤10k sampled envelope
     * centers (reference sampler caps: 1k-10k rows, option.rs:62-70).
@@ -214,16 +235,29 @@ object SpatialJoin {
          math.max(b.getDouble(2) - b.getDouble(0), b.getDouble(3) - b.getDouble(1)))
       }.toArray
     }
-    val boxSample = boxes(left, leftGeom) ++ boxes(right, rightGeom)
+    val lBoxes = boxes(left, leftGeom)
+    val rBoxes = boxes(right, rightGeom)
+    val boxSample = lBoxes ++ rBoxes
     if (boxSample.isEmpty) return None
     val sample = boxSample.map(b => (b._1, b._2))
     val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
       val area = (sample.map(_._1).max - sample.map(_._1).min) *
         (sample.map(_._2).max - sample.map(_._2).min)
       val avgDim = boxSample.map(_._3).sum / boxSample.length
-      graft.spatial.GraftConf.balancedCells(cells, estL, estR, area,
+      // unknown-stats sides (-1): the 10% envelope sample is itself a
+      // row-count signal — an unsaturated sample of s rows implies
+      // ~10·s input rows; a saturated one only bounds rows ≥ ~100k, a
+      // deliberate UNDER-estimate (the balanced model degrades
+      // logarithmically toward coarser cells, vs the old 2^40
+      // over-estimate that pinned the 65536-cell ceiling and exploded
+      // fan-out on small unknown-stats inputs)
+      def resolve(est: Long, sampled: Int): Long =
+        if (est > 0) est else math.max(1L, sampled.toLong * 10)
+      graft.spatial.GraftConf.balancedCells(cells,
+        resolve(estL, lBoxes.length), resolve(estR, rBoxes.length), area,
         avgDim, radius)
     }
+    SpatialJoin.lastCells = nCells
     val tree = KdbTree.build(sample, nCells)
     // codegen'd tree walk (graft.spatial.KdbExpr): a ScalaUDF here
     // would break whole-stage codegen exactly at the explode fan-out
@@ -244,22 +278,35 @@ object SpatialJoin {
   private def uniformScheme(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cells: Int,
       sizing: Option[(Long, Long, Double)]): Option[Scheme] = {
+    // the envelope aggregate scans every row of both inputs anyway, so
+    // an exact count rides along free — it backs unknown-stats (-1)
+    // row estimates in the sizing model (JDBC/RDD-backed relations)
     def env(df: DataFrame, geom: String) = df.select(
       min(expr(s"st_xmin($geom)")).as("x0"), min(expr(s"st_ymin($geom)")).as("y0"),
       max(expr(s"st_xmax($geom)")).as("x1"), max(expr(s"st_ymax($geom)")).as("y1"),
       avg(expr(s"greatest(st_xmax($geom) - st_xmin($geom), " +
-        s"st_ymax($geom) - st_ymin($geom))")).as("dim"))
-    val bounds = env(left, leftGeom).unionByName(env(right, rightGeom))
-      .agg(min("x0"), min("y0"), max("x1"), max("y1"), avg("dim")).head()
-    if (bounds.isNullAt(0)) return None
-
-    val (x0, y0, x1, y1) = (bounds.getDouble(0), bounds.getDouble(1),
-      bounds.getDouble(2), bounds.getDouble(3))
+        s"st_ymax($geom) - st_ymin($geom))")).as("dim"),
+      count(lit(1)).as("cnt"))
+    // one job, two per-side rows: combine driver-side (4 doubles + 2
+    // longs — bounded), keeping per-side counts the union-agg would lose
+    val sides = env(left, leftGeom).unionByName(env(right, rightGeom)).collect()
+    val valid = sides.filterNot(_.isNullAt(0))
+    if (valid.isEmpty) return None
+    val x0 = valid.map(_.getDouble(0)).min
+    val y0 = valid.map(_.getDouble(1)).min
+    val x1 = valid.map(_.getDouble(2)).max
+    val y1 = valid.map(_.getDouble(3)).max
+    val avgDim = valid.map(_.getDouble(4)).sum / valid.length
     val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
-      graft.spatial.GraftConf.balancedCells(cells, estL, estR,
-        (x1 - x0) * (y1 - y0),
-        if (bounds.isNullAt(4)) 0.0 else bounds.getDouble(4), radius)
+      def resolve(est: Long, side: Int): Long =
+        if (est > 0) est
+        else if (side < sides.length) math.max(1L, sides(side).getLong(5))
+        else 1L
+      graft.spatial.GraftConf.balancedCells(cells,
+        resolve(estL, 0), resolve(estR, 1),
+        (x1 - x0) * (y1 - y0), avgDim, radius)
     }
+    SpatialJoin.lastCells = nCells
     val n = math.max(1, math.sqrt(nCells.toDouble).toInt)
     val w = math.max((x1 - x0) / n, 1e-12)
     val h = math.max((y1 - y0) / n, 1e-12)

@@ -814,13 +814,27 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     out.toSeq
   }
 
-  /** Cancelled Spark jobs surface as PG 57014 (query_canceled);
-    * malformed frames as 08P01 (protocol_violation). */
+  /** SQLSTATE for an ErrorResponse. Spark 4's error framework stamps
+    * every classified exception with an ANSI SQLSTATE
+    * (`SparkThrowable.getSqlState` — e.g. TABLE_OR_VIEW_NOT_FOUND →
+    * 42P01, UNRESOLVED_COLUMN → 42703, DIVIDE_BY_ZERO → 22012,
+    * CAST_OVERFLOW → 22003, PARSE_SYNTAX_ERROR → 42601), and PG clients
+    * key retry/UX decisions on the code, so pass it through verbatim.
+    * Cancelled Spark jobs surface as PG 57014 (query_canceled);
+    * malformed frames as 08P01 (protocol_violation); unclassified
+    * errors fall back to 42601 like the reference's generic handler. */
   private def sqlStateOf(e: Throwable): String = {
     val m = String.valueOf(e.getMessage).toLowerCase
     if (m.contains("cancelled") || m.contains("canceled")) "57014"
     else if (m.contains("invalid message length")) "08P01"
-    else "42601"
+    else {
+      val fromSpark = Iterator.iterate(e)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .collectFirst { case st: org.apache.spark.SparkThrowable
+            if st.getSqlState != null && st.getSqlState.length == 5 =>
+          st.getSqlState }
+      fromSpark.getOrElse("42601")
+    }
   }
 
   private def commandTag(sql: String, rows: Int): String = {

@@ -188,6 +188,36 @@ class SpatialJoinSpec extends GraftSuite {
       2.0) <= (1 << 16))
   }
 
+  test("unknown-stats inputs (JDBC/RDD-shaped) don't pin the cell ceiling") {
+    // RDD-backed frames report the defaultSizeInBytes sentinel — the
+    // same stats shape unanalyzed JDBC relations have. Before the
+    // round-8 guard those sized as 2^40 rows and drove the window-
+    // balanced model to its 65536-cell ceiling on a 360-row join
+    // (catastrophic explode fan-out); now unknown sides resolve from
+    // the envelope sample (kdb) / the piggybacked exact count (uniform).
+    def viaRdd(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val p = viaRdd(pts)
+    val b = viaRdd(boxes)
+    assert(p.queryExecution.optimizedPlan.stats.rowCount.isEmpty &&
+      p.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      "fixture no longer has unknown stats — test needs a new shape")
+    val brute = pts.crossJoin(boxes)
+      .where(expr("st_distance(p_geom, b_geom) <= 3.0"))
+      .select("p_id", "b_id").as[(Long, Long)].collect().toSet
+    for (adaptive <- Seq(true, false)) {
+      val got = SpatialJoin.grid(p, b, "p_geom", "b_geom", "st_dwithin",
+        distance = 3.0, adaptive = adaptive)
+        .select("p_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == brute, s"adaptive=$adaptive")
+      assert(SpatialJoin.lastCells <= 4096,
+        s"adaptive=$adaptive sized ${SpatialJoin.lastCells} cells for a " +
+          "360-row unknown-stats join (2^40 sentinel leaked into sizing)")
+    }
+  }
+
   test("grid path: 99%-single-cell skew stays correct with bounded pair work") {
     // worst-case skew audit (round-3 judge ask #8): 99% of the probe side
     // lands in ONE kdb cell. Correctness must hold, and the per-cell
