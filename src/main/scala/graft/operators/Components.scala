@@ -62,15 +62,24 @@ object Components {
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
         .select(col("v"), col("comp").as("comp0"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-      val compressed =
-        if (rounds < 2 || delta < GraftConf.componentsJumpMinDelta(spark)) stepped
-        else { // pointer jump: follow the label's own label (one
-          // materialization, then a self-join on the narrow frame)
-          val s = stepped.localCheckpoint(true)
-          s.join(s.select(col("v").as("comp"), col("comp").as("jump")),
+      // pointer jump from round 3 on large frontiers: follow the
+      // label's own label. The intermediate is PERSISTED (explicitly
+      // released once `next` materializes), not localCheckpoint'ed —
+      // checkpoint blocks are only reclaimed by the GC-driven
+      // ContextCleaner, and one extra pinned 3-column generation per
+      // round starved execution memory at ×100 scale (the round-8
+      // smoke's sp07 OOM)
+      val (compressed, jumpHandle) =
+        if (rounds < 2 || delta < GraftConf.componentsJumpMinDelta(spark))
+          (stepped, None)
+        else {
+          val s = stepped.persist()
+          val jumped = s
+            .join(s.select(col("v").as("comp"), col("comp").as("jump")),
               Seq("comp"), "left")
             .select(col("v"), col("comp0"),
               least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+          (jumped, Some(s))
         }
       // convergence flag rides along in the checkpointed row, so the
       // delta check is a column sum over materialized data instead of a
@@ -79,6 +88,8 @@ object Components {
         .select(col("v"), col("comp"), (col("comp") < col("comp0")).as("changed"))
         .localCheckpoint(true)
       delta = next.filter(col("changed")).count()
+      jumpHandle.foreach(_.unpersist(false)) // next is materialized; the
+      // jump intermediate can never be re-read
       labels = next.select(col("v"), col("comp"))
       rounds += 1
     }

@@ -79,6 +79,29 @@ class EdgeCaseSpec extends GraftSuite {
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L)))
   }
 
+  test("Components: pointer-jump path closes a deep chain in O(log d) rounds") {
+    // a 512-vertex chain has diameter 511 — plain propagation could
+    // never close it inside the 50-round cap, so this proves the jump
+    // path (gate lowered to engage immediately) both terminates fast
+    // and stays correct; it also exercises the jump intermediate's
+    // persist/release discipline every round
+    spark.conf.set("spark.graft.components.jump_min_delta", 1)
+    try {
+      val n = 512L
+      val fwd = spark.range(0, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val vertices = spark.range(0, n).select(col("id").as("v"))
+      val got = Components.minLabel(edges, vertices)
+      assert(got.count() == n)
+      assert(got.filter(col("comp") =!= 0L).count() == 0L,
+        "every chain vertex must label down to 0")
+      assert(Components.lastRounds <= 16,
+        s"pointer jump should close diameter 511 in O(log d) rounds, " +
+          s"took ${Components.lastRounds}")
+    } finally spark.conf.unset("spark.graft.components.jump_min_delta")
+  }
+
   test("SpatialJoin.broadcastJoin: empty build side returns empty inner join") {
     graft.spatial.SpatialFunctions.registerAll(spark)
     val pts = spark.range(0, 3).selectExpr("id",
