@@ -74,9 +74,20 @@ object ScaleSmoke {
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).count()
-      finally graft.util.Persist.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        graft.util.Persist.releaseAll()
+        // one JVM runs ~20 heavy queries back to back; the iterative
+        // ones leave dead localCheckpoint blocks whose reclamation
+        // needs the GC-driven ContextCleaner to notice the dropped
+        // references. Nudge collection OUTSIDE the timed section so a
+        // late query never aggregates against the accumulated residue
+        // of its predecessors (observed: AGGREGATE_OUT_OF_MEMORY on
+        // sp07 after six heavy legs, while sp07 alone passes).
+        System.gc()
+      }
     }
     // warm both scan stacks before measuring
     spark.read.parquet(s"$outDir/documents.parquet").limit(5).count()
