@@ -23,6 +23,24 @@ object Components {
     * the scale smoke (per-stage attribution of iterative cost). */
   @volatile var lastRounds: Int = 0
 
+  /** The checkpoint-backed RDD of a `localCheckpoint(true)`'d frame —
+    * the flat [[org.apache.spark.sql.execution.LogicalRDD]] leaf that
+    * call produces. Used to free SUPERSEDED loop generations
+    * deterministically: checkpoint blocks are otherwise reclaimed only
+    * when the GC-driven ContextCleaner notices the dropped reference,
+    * and a long-lived JVM running many iterative queries accumulates
+    * dead generations faster than GC notices them (observed: a late
+    * scale-smoke leg OOMing against its predecessors' residue while
+    * passing standalone). Freeing a generation is sound exactly when
+    * nothing will ever read it again — each loop below frees gen k-1
+    * only after gen k has eagerly materialized. Returns None if the
+    * plan isn't the expected leaf (then the GC path still applies). */
+  private def checkpointRdd(
+      df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** Min-label fixpoint over a symmetric edge set.
     *
     * Rounds 1-2 are plain neighbor-min propagation (the cheap path the
@@ -52,6 +70,7 @@ object Components {
     var labels = vertices.select(col("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint(true)
+    var prevCkpt = checkpointRdd(labels)
     var delta = 1L
     var rounds = 0
     while (delta > 0 && rounds < cap) {
@@ -90,6 +109,8 @@ object Components {
       delta = next.filter(col("changed")).count()
       jumpHandle.foreach(_.unpersist(false)) // next is materialized; the
       // jump intermediate can never be re-read
+      prevCkpt.foreach(_.unpersist(false)) // ... nor can gen k-1
+      prevCkpt = checkpointRdd(next)
       labels = next.select(col("v"), col("comp"))
       rounds += 1
     }
@@ -126,6 +147,8 @@ object Components {
       rounds: Int): (DataFrame, DataFrame) = {
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var v = e.select(col("src")).distinct()
+    var eCkpt = checkpointRdd(e)
+    var vCkpt = Option.empty[org.apache.spark.rdd.RDD[_]]
     for (_ <- 1 to rounds) {
       v = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src"))
@@ -133,6 +156,12 @@ object Components {
       e = e.join(v, Seq("src"), "left_semi")
         .join(v.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint(true)
+      // this round's v and e are materialized: the previous generation
+      // can never be re-read — free it now instead of waiting on GC
+      eCkpt.foreach(_.unpersist(false))
+      vCkpt.foreach(_.unpersist(false))
+      eCkpt = checkpointRdd(e)
+      vCkpt = checkpointRdd(v)
     }
     (v, e)
   }
@@ -154,6 +183,7 @@ object Components {
         greatest(col("src"), col("dst")).as("hi"))
       .where(col("lo") < col("hi")).distinct()
       .localCheckpoint(true)
+    var uCkpt = checkpointRdd(u)
     for (_ <- 1 to rounds) {
       val sym = u.select(col("lo").as("s"), col("hi").as("d"))
         .union(u.select(col("hi").as("s"), col("lo").as("d")))
@@ -167,6 +197,8 @@ object Components {
       // zero-support edges have no sup row: the semi-join drops them
       u = u.join(sup.where(col("sup") >= k - 2), Seq("lo", "hi"), "left_semi")
         .localCheckpoint(true)
+      uCkpt.foreach(_.unpersist(false)) // superseded generation
+      uCkpt = checkpointRdd(u)
     }
     u
   }
@@ -184,6 +216,7 @@ object Components {
     */
   def densestPeel(undirected: DataFrame, rounds: Int): Seq[(Int, Long, Long)] = {
     var e = undirected.select(col("lo"), col("hi")).localCheckpoint(true)
+    var eCkpt = checkpointRdd(e)
     val stats = scala.collection.mutable.Buffer[(Int, Long, Long)]()
     for (r <- 0 to rounds) {
       val ne = e.count()
@@ -199,12 +232,18 @@ object Components {
         e = e.join(keep.select(col("v").as("lo")), Seq("lo"), "left_semi")
           .join(keep.select(col("v").as("hi")), Seq("hi"), "left_semi")
           .localCheckpoint(true)
+        // new e is materialized: old e and this round's keep are dead
+        eCkpt.foreach(_.unpersist(false))
+        checkpointRdd(keep).foreach(_.unpersist(false))
+        eCkpt = checkpointRdd(e)
       } else if (ne == 0 && r < rounds) {
         // graph exhausted: remaining rounds are all-empty
         for (rr <- (r + 1) to rounds) stats += ((rr, 0L, 0L))
+        eCkpt.foreach(_.unpersist(false)) // only stats leave this fn
         return stats.toSeq
       }
     }
+    eCkpt.foreach(_.unpersist(false)) // only stats leave this fn
     stats.toSeq
   }
 }

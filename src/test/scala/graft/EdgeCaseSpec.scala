@@ -102,6 +102,30 @@ class EdgeCaseSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.components.jump_min_delta")
   }
 
+  test("Components.minLabel frees superseded checkpoint generations") {
+    // each round localCheckpoints a new label generation; without the
+    // explicit release, ~2 pinned RDDs per round accumulate until the
+    // GC-driven cleaner notices (a ~10-round run leaves 20+ — observed
+    // OOMing a long-lived smoke JVM). With the release, only the FINAL
+    // generation (what the caller reads) may stay pinned. Bound is
+    // tolerant of concurrently-running suites persisting their own.
+    spark.conf.set("spark.graft.components.jump_min_delta", 1)
+    try {
+      val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+      val n = 256L
+      val fwd = spark.range(0, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val got = Components.minLabel(edges, spark.range(0, n).select(col("id").as("v")))
+      assert(got.filter(col("comp") =!= 0L).count() == 0L)
+      assert(Components.lastRounds >= 5, "fixture should run several rounds")
+      val newPinned = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+      assert(newPinned.size <= 5,
+        s"${newPinned.size} new pinned RDDs after ${Components.lastRounds} " +
+          "rounds — superseded generations are not being freed")
+    } finally spark.conf.unset("spark.graft.components.jump_min_delta")
+  }
+
   test("SpatialJoin.broadcastJoin: empty build side returns empty inner join") {
     graft.spatial.SpatialFunctions.registerAll(spark)
     val pts = spark.range(0, 3).selectExpr("id",
