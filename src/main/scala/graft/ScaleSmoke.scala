@@ -219,7 +219,7 @@ object ScaleSmoke {
     * are shifted per replica so cardinalities scale with the data;
     * timestamps keep their range (concurrency grows, horizon doesn't —
     * the shape of one day at 10x traffic). */
-  private def synthesize(spark: SparkSession, base: String, outDir: String,
+  private[graft] def synthesize(spark: SparkSession, base: String, outDir: String,
       factor: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, s"_SYNTH_v4_$factor")
     if (java.nio.file.Files.exists(marker)) return // reuse prior synth

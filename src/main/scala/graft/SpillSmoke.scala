@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SPILL_BASELINE (fingerprint file path),
   * SPARK_GRAFT_MEMORY_FRACTION (constrained pass, default 0.3),
-  * SPARK_GRAFT_SPILL_QUERIES (override the query list).
+  * SPARK_GRAFT_SPILL_QUERIES (override the query list),
+  * SPARK_GRAFT_SPILL_SCALE_FACTOR (run against a ×N key-shifted
+  * replica — ScaleSmoke's synthesizer — instead of the base tables, so
+  * the graph/sketch legs actually EXCEED the constrained budget and
+  * exercise the spill paths rather than merely fitting; round-8 verdict:
+  * one spilling query proves "runs small", not "spills correctly"),
+  * SPARK_GRAFT_SPILL_SCALE_DIR (replica location).
   */
 object SpillSmoke {
 
@@ -72,6 +78,16 @@ object SpillSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.spatial.SpatialFunctions.registerAll(spark)
     graft.functions.SketchFunctions.registerAll(spark)
+    // ×N replica mode: synthesize (or reuse — the marker file makes it
+    // idempotent, so the comfortable-heap baseline pass pays the build)
+    // and measure against it
+    val scaleFactor = sys.env.get("SPARK_GRAFT_SPILL_SCALE_FACTOR").map(_.toInt)
+    val dataDir = scaleFactor.fold(sfDir) { f =>
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SPILL_SCALE_DIR",
+        s"/tmp/graft_spill_scale_x$f")
+      ScaleSmoke.synthesize(spark, sfDir, dir, f)
+      dir
+    }
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -81,7 +97,7 @@ object SpillSmoke {
       * Residues mod a prime keep the sum overflow-safe under ANSI mode
       * up to ~9e10 rows while staying sensitive to any value change. */
     def fingerprint(name: String): (Long, Long) = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries(name)(spark, dataDir)
       val r = df
         .select(pmod(
           xxhash64(to_json(struct(df.columns.map(col).toIndexedSeq: _*))),
@@ -137,7 +153,7 @@ object SpillSmoke {
       }
       val totalDisk = results.map(_._5).sum
       val json =
-        s"""{"heap_mb":$heapMb,"memory_fraction":"$fraction","cpus":$cpus,"sf_dir":"$sfDir","all_match":$allOk,"total_spill_disk_bytes":$totalDisk,"queries":{${rows.mkString(",")}}}\n"""
+        s"""{"heap_mb":$heapMb,"memory_fraction":"$fraction","cpus":$cpus,"sf_dir":"$dataDir","scale_factor":${scaleFactor.getOrElse(1)},"all_match":$allOk,"total_spill_disk_bytes":$totalDisk,"queries":{${rows.mkString(",")}}}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get("SPILL_SMOKE.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"""{"metric":"spill_smoke","n":${results.size},"all_match":$allOk,"total_spill_disk_bytes":$totalDisk,"heap_mb":$heapMb}""")

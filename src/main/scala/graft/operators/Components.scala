@@ -73,7 +73,12 @@ object Components {
     var prevCkpt = checkpointRdd(labels)
     var delta = 1L
     var rounds = 0
-    while (delta > 0 && rounds < cap) {
+    // the in-flight jump intermediate, held so a mid-round failure
+    // (task OOM, cancellation) can't leak its persist() — the edges
+    // cache and this handle are released in the finally below; the
+    // checkpoint generations stay on the GC-cleaner path on failure
+    var liveJump: Option[DataFrame] = None
+    try while (delta > 0 && rounds < cap) {
       val nbrMin = e
         .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_min"))
@@ -93,6 +98,7 @@ object Components {
           (stepped, None)
         else {
           val s = stepped.persist()
+          liveJump = Some(s)
           val jumped = s
             .join(s.select(col("v").as("comp"), col("comp").as("jump")),
               Seq("comp"), "left")
@@ -109,13 +115,16 @@ object Components {
       delta = next.filter(col("changed")).count()
       jumpHandle.foreach(_.unpersist(false)) // next is materialized; the
       // jump intermediate can never be re-read
+      liveJump = None
       prevCkpt.foreach(_.unpersist(false)) // ... nor can gen k-1
       prevCkpt = checkpointRdd(next)
       labels = next.select(col("v"), col("comp"))
       rounds += 1
+    } finally {
+      e.unpersist(false)
+      liveJump.foreach(_.unpersist(false))
     }
     lastRounds = rounds
-    e.unpersist()
     // Unconverged labels silently split one true component in two — for
     // consumers like d12 (leakage-free split) that is the exact defect the
     // operator exists to prevent, so fail loudly instead of returning them.

@@ -206,8 +206,16 @@ object SpatialJoin {
     val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount.map(c => c.min(cap).toLong).getOrElse {
-      if (st.sizeInBytes >= sentinel) -1L
-      else (st.sizeInBytes / 48).min(cap).toLong.max(1L)
+      // A Project/Filter over an unknown-stats leaf SCALES the
+      // Long.MaxValue sentinel (by output-row-width ratio) instead of
+      // propagating it, so exact >= sentinel misses "sentinel / 3"-type
+      // values that are still astronomically wrong (~2^55+). Treat
+      // anything within three orders of magnitude of the sentinel — or
+      // any byte-derived estimate that saturates the 2^40 row cap — as
+      // UNKNOWN rather than a measurement.
+      val est = st.sizeInBytes / 48
+      if (st.sizeInBytes >= sentinel / 1024 || est >= cap) -1L
+      else est.toLong.max(1L)
     }
   }
 
@@ -223,20 +231,25 @@ object SpatialJoin {
   private def kdbScheme(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cells: Int,
       sizing: Option[(Long, Long, Double)]): Option[Scheme] = {
-    // (cx, cy, maxdim) per sampled envelope
-    def boxes(df: DataFrame, geom: String): Array[(Double, Double, Double)] = {
+    // ((cx, cy, maxdim) per sampled envelope, came-from-10%-sample?) —
+    // the boolean records WHICH path produced the rows: the 10% sample
+    // (rows ≈ a tenth of the input) or the full-scan limit(1000)
+    // fallback for small inputs (rows ≈ ALL of the input, no scaling)
+    def boxes(df: DataFrame,
+        geom: String): (Array[(Double, Double, Double)], Boolean) = {
       val boxed = df.select(expr(s"st_box2d($geom)").as("b"))
       val s = boxed.sample(0.1, seed = 42L).limit(10000).collect()
-      val rows = if (s.length >= 1000) s else boxed.limit(1000).collect()
-      rows.iterator.filterNot(_.isNullAt(0)).map { row =>
+      val sampled = s.length >= 1000
+      val rows = if (sampled) s else boxed.limit(1000).collect()
+      (rows.iterator.filterNot(_.isNullAt(0)).map { row =>
         val b = row.getStruct(0)
         ((b.getDouble(0) + b.getDouble(2)) / 2,
          (b.getDouble(1) + b.getDouble(3)) / 2,
          math.max(b.getDouble(2) - b.getDouble(0), b.getDouble(3) - b.getDouble(1)))
-      }.toArray
+      }.toArray, sampled)
     }
-    val lBoxes = boxes(left, leftGeom)
-    val rBoxes = boxes(right, rightGeom)
+    val (lBoxes, lSampled) = boxes(left, leftGeom)
+    val (rBoxes, rSampled) = boxes(right, rightGeom)
     val boxSample = lBoxes ++ rBoxes
     if (boxSample.isEmpty) return None
     val sample = boxSample.map(b => (b._1, b._2))
@@ -245,16 +258,20 @@ object SpatialJoin {
         (sample.map(_._2).max - sample.map(_._2).min)
       val avgDim = boxSample.map(_._3).sum / boxSample.length
       // unknown-stats sides (-1): the 10% envelope sample is itself a
-      // row-count signal — an unsaturated sample of s rows implies
-      // ~10·s input rows; a saturated one only bounds rows ≥ ~100k, a
-      // deliberate UNDER-estimate (the balanced model degrades
+      // row-count signal — a 10%-path sample of s rows implies ~10·s
+      // input rows (saturated at 10k it only bounds rows ≥ ~100k, a
+      // deliberate UNDER-estimate: the balanced model degrades
       // logarithmically toward coarser cells, vs the old 2^40
       // over-estimate that pinned the 65536-cell ceiling and exploded
-      // fan-out on small unknown-stats inputs)
-      def resolve(est: Long, sampled: Int): Long =
-        if (est > 0) est else math.max(1L, sampled.toLong * 10)
+      // fan-out on small unknown-stats inputs). Rows from the
+      // limit(1000) full-scan fallback are NOT a sample — they are the
+      // whole (small) input, so the ×10 multiplier does not apply.
+      def resolve(est: Long, nRows: Int, fromSample: Boolean): Long =
+        if (est > 0) est
+        else math.max(1L, if (fromSample) nRows.toLong * 10 else nRows.toLong)
       graft.spatial.GraftConf.balancedCells(cells,
-        resolve(estL, lBoxes.length), resolve(estR, rBoxes.length), area,
+        resolve(estL, lBoxes.length, lSampled),
+        resolve(estR, rBoxes.length, rSampled), area,
         avgDim, radius)
     }
     SpatialJoin.lastCells = nCells
@@ -281,15 +298,19 @@ object SpatialJoin {
     // the envelope aggregate scans every row of both inputs anyway, so
     // an exact count rides along free — it backs unknown-stats (-1)
     // row estimates in the sizing model (JDBC/RDD-backed relations)
-    def env(df: DataFrame, geom: String) = df.select(
+    // a literal side tag rides in each aggregate row so resolution keys
+    // on the tag, not on union output order (Spark preserves it today,
+    // but nothing pins that invariant)
+    def env(df: DataFrame, geom: String, side: String) = df.select(
       min(expr(s"st_xmin($geom)")).as("x0"), min(expr(s"st_ymin($geom)")).as("y0"),
       max(expr(s"st_xmax($geom)")).as("x1"), max(expr(s"st_ymax($geom)")).as("y1"),
       avg(expr(s"greatest(st_xmax($geom) - st_xmin($geom), " +
         s"st_ymax($geom) - st_ymin($geom))")).as("dim"),
-      count(lit(1)).as("cnt"))
+      count(lit(1)).as("cnt"), lit(side).as("side"))
     // one job, two per-side rows: combine driver-side (4 doubles + 2
     // longs — bounded), keeping per-side counts the union-agg would lose
-    val sides = env(left, leftGeom).unionByName(env(right, rightGeom)).collect()
+    val sides = env(left, leftGeom, "L")
+      .unionByName(env(right, rightGeom, "R")).collect()
     val valid = sides.filterNot(_.isNullAt(0))
     if (valid.isEmpty) return None
     val x0 = valid.map(_.getDouble(0)).min
@@ -298,12 +319,12 @@ object SpatialJoin {
     val y1 = valid.map(_.getDouble(3)).max
     val avgDim = valid.map(_.getDouble(4)).sum / valid.length
     val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
-      def resolve(est: Long, side: Int): Long =
+      val countBySide = sides.map(r => r.getString(6) -> r.getLong(5)).toMap
+      def resolve(est: Long, side: String): Long =
         if (est > 0) est
-        else if (side < sides.length) math.max(1L, sides(side).getLong(5))
-        else 1L
+        else math.max(1L, countBySide.getOrElse(side, 1L))
       graft.spatial.GraftConf.balancedCells(cells,
-        resolve(estL, 0), resolve(estR, 1),
+        resolve(estL, "L"), resolve(estR, "R"),
         (x1 - x0) * (y1 - y0), avgDim, radius)
     }
     SpatialJoin.lastCells = nCells

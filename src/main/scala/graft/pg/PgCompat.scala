@@ -116,18 +116,34 @@ object PgCompat extends Serializable {
     val typeRows = pgTypes.map { case (oid, name, cat, elem) =>
       Row(oid, name, 11, cat, 0, elem, 0, -1L, 0)
     }
+    // nspowner/nspacl beyond the reference's 2 projected columns: psql's
+    // \dn renders pg_get_userbyid(n.nspowner) and \dn+ walks n.nspacl;
+    // BI catalog walkers (DBeaver, Metabase) select them too. Owner 10
+    // (the bootstrap superuser oid), acl NULL = default privileges.
     val nsSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
-      StructField("nspname", StringType, nullable = false)))
+      StructField("nspname", StringType, nullable = false),
+      StructField("nspowner", IntegerType, nullable = false),
+      StructField("nspacl", ArrayType(StringType), nullable = true)))
     val nsRows = Seq(
-      Row(11, "pg_catalog"), Row(2200, "public"), Row(13676, "information_schema"))
+      Row(11, "pg_catalog", 10, null), Row(2200, "public", 10, null),
+      Row(13676, "information_schema", 10, null))
     val descSchema = StructType(Seq(
       StructField("objoid", IntegerType, nullable = false),
       StructField("classoid", IntegerType, nullable = false),
       StructField("objsubid", IntegerType, nullable = false),
       StructField("description", StringType, nullable = false)))
+    // datdba/encoding/collate/ctype/acl beyond the reference's single
+    // datname column (postgres/mod.rs:20): psql's \l selects them all
     val dbSchema = StructType(Seq(
-      StructField("datname", StringType, nullable = false)))
+      StructField("datname", StringType, nullable = false),
+      StructField("datdba", IntegerType, nullable = false),
+      StructField("encoding", IntegerType, nullable = false),
+      StructField("datcollate", StringType, nullable = false),
+      StructField("datctype", StringType, nullable = false),
+      StructField("datistemplate", BooleanType, nullable = false),
+      StructField("datallowconn", BooleanType, nullable = false),
+      StructField("datacl", ArrayType(StringType), nullable = true)))
     val amSchema = StructType(Seq(
       StructField("oid", IntegerType, nullable = false),
       StructField("amname", StringType, nullable = false)))
@@ -165,12 +181,66 @@ object PgCompat extends Serializable {
     val publicationRelSchema = StructType(Seq(
       StructField("prpubid", IntegerType, nullable = false),
       StructField("prrelid", IntegerType, nullable = false)))
+    // empty-but-present tables the wider BI catalog walk touches
+    // (reference precedent: pg_class.rs ships empty tables so client
+    // introspection SQL parses and plans instead of erroring)
+    val procSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("proname", StringType, nullable = false),
+      StructField("pronamespace", IntegerType, nullable = false),
+      StructField("prorettype", IntegerType, nullable = false),
+      StructField("proargtypes", ArrayType(IntegerType), nullable = true),
+      StructField("prokind", StringType, nullable = false)))
+    val rolesSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("rolname", StringType, nullable = false),
+      StructField("rolsuper", BooleanType, nullable = false),
+      StructField("rolinherit", BooleanType, nullable = false),
+      StructField("rolcreaterole", BooleanType, nullable = false),
+      StructField("rolcreatedb", BooleanType, nullable = false),
+      StructField("rolcanlogin", BooleanType, nullable = false),
+      StructField("rolreplication", BooleanType, nullable = false),
+      StructField("rolbypassrls", BooleanType, nullable = false),
+      StructField("rolconnlimit", IntegerType, nullable = false)))
+    val dependSchema = StructType(Seq(
+      StructField("classid", IntegerType, nullable = false),
+      StructField("objid", IntegerType, nullable = false),
+      StructField("objsubid", IntegerType, nullable = false),
+      StructField("refclassid", IntegerType, nullable = false),
+      StructField("refobjid", IntegerType, nullable = false),
+      StructField("refobjsubid", IntegerType, nullable = false),
+      StructField("deptype", StringType, nullable = false)))
+    val sequenceSchema = StructType(Seq(
+      StructField("seqrelid", IntegerType, nullable = false),
+      StructField("seqtypid", IntegerType, nullable = false),
+      StructField("seqstart", LongType, nullable = false),
+      StructField("seqincrement", LongType, nullable = false),
+      StructField("seqmax", LongType, nullable = false),
+      StructField("seqmin", LongType, nullable = false),
+      StructField("seqcache", LongType, nullable = false),
+      StructField("seqcycle", BooleanType, nullable = false)))
+    val triggerSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("tgrelid", IntegerType, nullable = false),
+      StructField("tgname", StringType, nullable = false),
+      StructField("tgenabled", StringType, nullable = false),
+      StructField("tgisinternal", BooleanType, nullable = false)))
+    val extensionSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("extname", StringType, nullable = false),
+      StructField("extnamespace", IntegerType, nullable = false),
+      StructField("extversion", StringType, nullable = false)))
+    val tablespaceSchema = StructType(Seq(
+      StructField("oid", IntegerType, nullable = false),
+      StructField("spcname", StringType, nullable = false),
+      StructField("spcowner", IntegerType, nullable = false)))
     Seq(
       ("pg_type", typeSchema, typeRows),
       ("pg_namespace", nsSchema, nsRows),
       ("pg_class", pgClassSchema, Nil),
       ("pg_description", descSchema, Nil),
-      ("pg_database", dbSchema, Seq(Row("postgres"))),
+      ("pg_database", dbSchema,
+        Seq(Row("postgres", 10, 6, "C", "C", false, true, null))),
       ("pg_am", amSchema, Seq(Row(2, "heap"))),
       ("pg_attrdef", attrdefSchema, Nil),
       ("pg_collation", collationSchema, Nil),
@@ -178,7 +248,16 @@ object PgCompat extends Serializable {
       ("pg_index", indexSchema, Nil),
       ("pg_constraint", constraintSchema, Nil),
       ("pg_publication", publicationSchema, Nil),
-      ("pg_publication_rel", publicationRelSchema, Nil))
+      ("pg_publication_rel", publicationRelSchema, Nil),
+      ("pg_proc", procSchema, Nil),
+      ("pg_roles", rolesSchema,
+        Seq(Row(10, "postgres", true, true, true, true, true, false, true, -1))),
+      ("pg_depend", dependSchema, Nil),
+      ("pg_sequence", sequenceSchema, Nil),
+      ("pg_trigger", triggerSchema, Nil),
+      ("pg_extension", extensionSchema, Nil),
+      ("pg_tablespace", tablespaceSchema,
+        Seq(Row(1663, "pg_default", 10), Row(1664, "pg_global", 10))))
   }
 
   /** Names of the emulated catalog tables (so the LIVE pg_class
@@ -308,9 +387,36 @@ object PgCompat extends Serializable {
         nullable = true, udfDeterministic = true)
     }, "scala_udf")
     add("pg_get_partkeydef", StringType, 1, (_: Any) => null)
+    // psql \dn+ / \l render ACL arrays via array_to_string(acl, E'\n');
+    // accepts the optional third null-replacement argument too
+    reg.createOrReplaceTempFunction("array_to_string", (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "array_to_string expects 2 or 3 arguments")
+      val fn = (arr: Any, sep: Any, nullStr: Any) => (arr, sep) match {
+        case (null, _) | (_, null) => null
+        case (a: scala.collection.Seq[_], s) =>
+          val nr = Option(nullStr).map(_.toString)
+          val items = a.flatMap(v =>
+            if (v == null) nr else Some(v.toString))
+          items.mkString(s.toString)
+        case _ => null
+      }
+      val padded = if (children.size == 3) children
+        else children :+ org.apache.spark.sql.catalyst.expressions.Literal(
+          null, StringType)
+      ScalaUDF(fn, StringType, padded, padded.map(_ => None),
+        udfName = Some("array_to_string"), nullable = true,
+        udfDeterministic = true)
+    }, "scala_udf")
     // visibility / ownership probes psql's describe paths make — every
     // table we surface lives in the session and is owned by `postgres`
     add("pg_table_is_visible", BooleanType, 1, (_: Any) => true)
+    add("pg_tablespace_location", StringType, 1, (_: Any) => "")
+    add("pg_encoding_to_char", StringType, 1, (enc: Any) => enc match {
+      case null => null
+      case e if e.toString == "6" => "UTF8"
+      case _ => ""
+    })
     add("pg_get_userbyid", StringType, 1, (_: Any) => "postgres")
     add("pg_relation_is_publishable", BooleanType, 1, (_: Any) => true)
     add("obj_description", StringType, 2, (_: Any, _: Any) => null)

@@ -190,6 +190,9 @@ object GraftSqlParser {
   // so quote with backticks instead. Alias position only: a blanket
   // "..."→`...` rewrite would break double-quoted string literals.
   private val QuotedAlias = "(?i)\\bAS\\s+\"([^\"]+)\"".r
+  // standalone E prefix of a PG escape-string literal (not part of a
+  // longer identifier): E immediately followed by a quote
+  private val EscapeString = "(?<![\\w'])E(?=')".r
 
   /** Rewrites for the introspection SQL PG wire clients (psql, BI
     * tools, drivers) send — the textual analogue of the reference's
@@ -202,8 +205,13 @@ object GraftSqlParser {
   def rewritePgClientOps(sql: String): String = {
     val needsOps = sql.contains("~") || sql.toUpperCase.contains("COLLATE")
     val needsFns = sql.contains("pg_catalog.")
-    if (!needsOps && !needsFns) return sql
+    val needsEstr = sql.contains("E'")
+    if (!needsOps && !needsFns && !needsEstr) return sql
     var s = sql
+    // PG escape-string literals (psql: array_to_string(acl, E'\n')) —
+    // Spark's default string literal already processes backslash
+    // escapes, so dropping the E prefix preserves the value
+    if (needsEstr) s = EscapeString.replaceAllIn(s, "")
     if (needsOps) {
       s = OperatorRegexMatch.replaceAllIn(s,
         m => if (m.group(1) == "!~") " NOT RLIKE " else " RLIKE ")

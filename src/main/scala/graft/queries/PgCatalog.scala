@@ -35,8 +35,11 @@ object PgCatalog {
 
   private val pg02 = QDef(
     "pg02_pg_namespace",
-    """SELECT * FROM (VALUES (11, 'pg_catalog'), (2200, 'public'),
-      |  (13676, 'information_schema')) AS t(oid, nspname)
+    """SELECT * FROM (VALUES
+      |  (11, 'pg_catalog', 10, CAST(NULL AS VARCHAR[])),
+      |  (2200, 'public', 10, CAST(NULL AS VARCHAR[])),
+      |  (13676, 'information_schema', 10, CAST(NULL AS VARCHAR[])))
+      |  AS t(oid, nspname, nspowner, nspacl)
       |ORDER BY oid""".stripMargin) { (s, _) =>
     PgCompat.registerAll(s)
     s.sql("SELECT * FROM pg_catalog.pg_namespace ORDER BY oid")

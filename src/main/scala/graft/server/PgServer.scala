@@ -55,6 +55,22 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   }
 
   private val RowLimit = 1024 // reference DEFAULT_ROW_LIMIT
+
+  /** Bounded ring of recently received statement texts (simple-protocol
+    * buffers and extended-protocol Parse bodies) — lets integration
+    * tests assert WHAT reached the wire (e.g. that a federated client
+    * pushed its filters into the SQL it sent) without packet capture. */
+  private val statementLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def logStatement(sql: String): Unit = {
+    statementLog.add(sql)
+    while (statementLog.size > 256) statementLog.poll()
+  }
+  def recentStatements: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    statementLog.forEach(s => b += s)
+    b.result()
+  }
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
   /** pid → (secret, jobGroup) for CancelRequest routing. */
@@ -144,6 +160,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       // client creates stay invisible to every other client.
       val sess = spark.newSession()
       connSess = sess
+      // PostgreSQL treats double-quoted tokens as IDENTIFIERS, always —
+      // and wire clients rely on it: Spark's own JDBC reader (thus our
+      // postgres_scan self-federation path) emits
+      // `SELECT "col" FROM t WHERE ("col" > ...)`, and BI tools quote
+      // every name they interpolate. Spark's default dialect would read
+      // those as string literals and silently return constants.
+      sess.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       PgCompat.registerAll(sess)
       SpatialFunctions.registerAll(sess)
       shareHostTempViews(sess)
@@ -173,14 +196,30 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val openPortals = mutable.Map[String, OpenPortal]()
 
       var open = true
+      // PG extended-protocol error state: after an error in Parse/Bind/
+      // Describe/Execute/Close the backend discards messages until Sync,
+      // answers ReadyForQuery there, and the connection LIVES (PG docs
+      // 55.2.3; pgjdbc batches depend on it). Frame-level violations
+      // (unreadable message) stay fatal via the outer catch.
+      var skipUntilSync = false
+      def guarded(body: => Unit): Unit =
+        try body catch {
+          case NonFatal(e) =>
+            out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage))
+            out.flush()
+            skipUntilSync = true
+        }
       while (open) {
         val m = try PgWire.readMessage(in) catch { case _: EOFException => return }
-        m.tag match {
+        if (skipUntilSync && m.tag != 'S' && m.tag != 'X') {
+          // discarded: error state persists until Sync
+        } else m.tag match {
           case 'Q' =>
             // the simple protocol allows multiple ;-separated statements
             // per message (psql sends its whole buffer); each gets its
             // own result cycle, then ONE ReadyForQuery
             val raw = PgWire.cstrings(m.body).headOption.getOrElse("").trim
+            logStatement(raw)
             val stmts = splitStatements(raw)
             if (stmts.isEmpty) out.emptyQueryResponse()
             else stmts.foreach {
@@ -193,21 +232,24 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             // gated on no suspended portal still reading a tracked plan
             if (openPortals.isEmpty) graft.util.Persist.release(sess)
             out.readyForQuery(); out.flush()
-          case 'P' => // Parse: name, query, param type oids
+          case 'P' => guarded { // Parse: name, query, param type oids
             val pbuf = java.nio.ByteBuffer.wrap(m.body)
             val sname = readCstr(pbuf)
             statements(sname) = readCstr(pbuf)
+            logStatement(statements(sname))
             // declared parameter oids drive binary-format Bind decode
             val nOids = if (pbuf.remaining() >= 2) pbuf.getShort.toInt else 0
             stmtOids(sname) = Seq.fill(nOids)(pbuf.getInt)
             out.parseComplete()
-          case 'B' => // Bind: portal, stmt, param formats+values, result formats
+          }
+          case 'B' => guarded { // Bind: portal, stmt, param formats+values, result formats
             val (portal, stmt, args, resultFormats) =
               parseBind(m.body, s => stmtOids.getOrElse(s, Nil))
             portals(portal) = Portal(statements.getOrElse(stmt, ""), args, resultFormats)
             openPortals.remove(portal)
             out.bindComplete()
-          case 'D' => // Describe portal/statement
+          }
+          case 'D' => guarded { // Describe portal/statement
             val kind = m.body(0).toChar
             val name = new String(m.body, 1, m.body.length - 2, UTF_8)
             val (sql, fmts) =
@@ -216,7 +258,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
                 .map(p => (p.sql, p.resultFormats)).getOrElse(("", Nil))
             if (sql.isEmpty) out.noData()
             else describe(sess, out, sql, kind == 'S', fmts)
-          case 'E' => // Execute portal (with row-limit suspension)
+          }
+          case 'E' => guarded { // Execute portal (with row-limit suspension)
             val buf = java.nio.ByteBuffer.wrap(m.body)
             val name = readCstr(buf)
             val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
@@ -224,13 +267,17 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             // portal done (not suspended) and none other in flight →
             // release this session's tracked persists
             if (openPortals.isEmpty) graft.util.Persist.release(sess)
-          case 'S' => out.readyForQuery(); out.flush()
-          case 'C' => // Close
+          }
+          case 'S' =>
+            skipUntilSync = false
+            out.readyForQuery(); out.flush()
+          case 'C' => guarded { // Close
             val kind = m.body(0).toChar
             val name = new String(m.body, 1, m.body.length - 2, UTF_8)
             if (kind == 'S') { statements.remove(name); stmtOids.remove(name) }
             else { portals.remove(name); openPortals.remove(name) }
             out.msg('3')(_ => ()) // CloseComplete
+          }
           case 'X' => open = false
           case _   => // Flush('H') and others: just flush
             out.flush()

@@ -45,7 +45,10 @@ class DriverMaterializationLintSpec extends AnyFunSuite {
     "queries/VectorOps.scala" -> 2,
     "streaming/StreamingOps.scala" -> 1,
     "operators/AnnIndex.scala" -> 1,
-    "Bench.scala" -> 1)
+    "Bench.scala" -> 1,
+    // round 9: the bench-outlier attribution probe's warmup collect —
+    // a dev diagnostic main, 1 row
+    "BenchProbe.scala" -> 1)
 
   test("driver-side materialization stays within the audited per-file budget") {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
