@@ -234,6 +234,25 @@ object PgCompat extends Serializable {
       StructField("oid", IntegerType, nullable = false),
       StructField("spcname", StringType, nullable = false),
       StructField("spcowner", IntegerType, nullable = false)))
+    val statActivitySchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("datname", StringType, nullable = true),
+      StructField("usename", StringType, nullable = true),
+      StructField("application_name", StringType, nullable = true),
+      StructField("state", StringType, nullable = true),
+      StructField("query", StringType, nullable = true)))
+    val locksSchema = StructType(Seq(
+      StructField("locktype", StringType, nullable = false),
+      StructField("relation", IntegerType, nullable = true),
+      StructField("pid", IntegerType, nullable = true),
+      StructField("mode", StringType, nullable = false),
+      StructField("granted", BooleanType, nullable = false)))
+    val settingsSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("setting", StringType, nullable = true),
+      StructField("unit", StringType, nullable = true),
+      StructField("category", StringType, nullable = true),
+      StructField("short_desc", StringType, nullable = true)))
     Seq(
       ("pg_type", typeSchema, typeRows),
       ("pg_namespace", nsSchema, nsRows),
@@ -257,7 +276,14 @@ object PgCompat extends Serializable {
       ("pg_trigger", triggerSchema, Nil),
       ("pg_extension", extensionSchema, Nil),
       ("pg_tablespace", tablespaceSchema,
-        Seq(Row(1663, "pg_default", 10), Row(1664, "pg_global", 10))))
+        Seq(Row(1663, "pg_default", 10), Row(1664, "pg_global", 10))),
+      // monitoring views session managers (DBeaver, pgAdmin) poll —
+      // empty: the engine exposes no cross-connection introspection
+      ("pg_stat_activity", statActivitySchema, Nil),
+      ("pg_locks", locksSchema, Nil),
+      ("pg_settings", settingsSchema,
+        Seq(Row("server_version", "10.0", null, "Preset Options", null),
+          Row("integer_datetimes", "on", null, "Preset Options", null))))
   }
 
   /** Names of the emulated catalog tables (so the LIVE pg_class
@@ -412,6 +438,10 @@ object PgCompat extends Serializable {
     // table we surface lives in the session and is owned by `postgres`
     add("pg_table_is_visible", BooleanType, 1, (_: Any) => true)
     add("pg_tablespace_location", StringType, 1, (_: Any) => "")
+    // session-manager probes: no cross-connection pid registry is
+    // exposed, so report the PG "no backend" sentinel rather than a
+    // fake pid a client might try to cancel
+    add("pg_backend_pid", IntegerType, 0, () => 0)
     add("pg_encoding_to_char", StringType, 1, (enc: Any) => enc match {
       case null => null
       case e if e.toString == "6" => "UTF8"
