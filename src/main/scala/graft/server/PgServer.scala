@@ -263,7 +263,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val buf = java.nio.ByteBuffer.wrap(m.body)
             val name = readCstr(buf)
             val maxRows = if (buf.remaining() >= 4) buf.getInt else 0
-            executePortal(sess, out, in, name, maxRows, portals, openPortals)
+            if (executePortal(sess, out, in, name, maxRows, portals, openPortals))
+              skipUntilSync = true
             // portal done (not suspended) and none other in flight →
             // release this session's tracked persists
             if (openPortals.isEmpty) graft.util.Persist.release(sess)
@@ -502,8 +503,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private def executePortal(sess: SparkSession, out: PgWire.Out, in: DataInputStream,
       name: String, maxRows: Int,
       portals: mutable.Map[String, Portal],
-      openPortals: mutable.Map[String, OpenPortal]): Unit =
-    try {
+      openPortals: mutable.Map[String, OpenPortal]): Boolean = {
+      // returns true when an ErrorResponse was answered — the caller
+      // then enters the extended-protocol error state (discard until
+      // Sync); execution exceptions propagate to the same state via
+      // the caller's guard
+      var errored = false
       val op = openPortals.get(name) match {
         case Some(existing) => Some(existing)
         case None => portals.get(name) match {
@@ -528,6 +533,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           case Some(_) => out.emptyQueryResponse(); None
           case None => // PG replies 34000 rather than staying silent
             out.errorResponse("34000", s"""portal "$name" does not exist""")
+            errored = true
             None
         }
       }
@@ -545,9 +551,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.commandComplete(s"SELECT ${o.emitted}")
         }
       }
-    } catch {
-      case NonFatal(e) =>
-        out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
+      errored
     }
 
   // `COPY (query) TO STDOUT [options]` / `COPY table TO STDOUT [options]`

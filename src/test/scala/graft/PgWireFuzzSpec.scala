@@ -190,6 +190,48 @@ class PgWireFuzzSpec extends GraftSuite {
     }
   }
 
+  test("extended-protocol error state: one ErrorResponse, discard until Sync, recover") {
+    // deterministic counterpart of the fuzz below (PG docs 55.2.3): a
+    // failing Execute answers exactly ONE ErrorResponse; everything the
+    // client pipelined after it is DISCARDED (no second error, no
+    // CommandComplete) until Sync, which answers ReadyForQuery; the
+    // connection then serves normal traffic.
+    withServer { port =>
+      def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+      def i16(v: Int): Array[Byte] =
+        Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def i32(v: Int): Array[Byte] =
+        Array(24, 16, 8, 0).map(s => ((v >> s) & 0xFF).toByte)
+      val c = new RawClient(port)
+      try {
+        c.startup()
+        c.send('P', cstr("") ++ cstr("SELECT FROM WHERE") ++ i16(0))
+        c.send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(0) ++ i16(0))
+        c.send('E', cstr("") ++ i32(0)) // fails at execution
+        c.send('E', cstr("") ++ i32(0)) // pipelined after the error: discarded
+        c.send('D', 'P'.toByte +: cstr("")) // likewise discarded
+        c.send('S', Array.emptyByteArray)
+        val msgs = c.untilReady()
+        assert(msgs.count(_._1 == 'E') == 1,
+          s"expected exactly one ErrorResponse, got: ${msgs.map(_._1).mkString}")
+        assert(!msgs.exists(m => m._1 == 'T' || m._1 == 'D' || m._1 == 'C'),
+          s"post-error messages must be discarded, got: ${msgs.map(_._1).mkString}")
+        // recovery on the SAME connection
+        c.send('P', cstr("") ++ cstr("SELECT 19 + 23") ++ i16(0))
+        c.send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(0) ++ i16(0))
+        c.send('E', cstr("") ++ i32(0))
+        c.send('S', Array.emptyByteArray)
+        val ok = c.untilReady()
+        val row = ok.find(_._1 == 'D').get._2
+        val buf = java.nio.ByteBuffer.wrap(row)
+        buf.getShort; val n = buf.getInt
+        val v = new Array[Byte](n); buf.get(v)
+        assert(new String(v, UTF_8) == "42")
+      } finally c.close()
+      assertAlive(port)
+    }
+  }
+
   test("extended-protocol fuzz: 250 random Parse/Bind/Execute sequences") {
     // judge ask (round 8 #7): beyond garbage FRAMES, fuzz well-framed
     // but semantically hostile extended-protocol SEQUENCES — random
