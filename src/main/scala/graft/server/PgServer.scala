@@ -222,10 +222,18 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             logStatement(raw)
             val stmts = splitStatements(raw)
             if (stmts.isEmpty) out.emptyQueryResponse()
-            else stmts.foreach {
-              case CopyInRe(table, _, cols, opts) => copyIn(sess, out, in, table, cols, opts)
-              case CopyRe(source, opts)           => copyOut(sess, out, source, opts)
-              case one => runQuery(sess, out, one, Nil, describeOnly = false)
+            else {
+              // PG aborts the REST of a multi-statement buffer after the
+              // first error (one ErrorResponse, then straight to
+              // ReadyForQuery) — clients pipeline `DROP ...; CREATE ...;
+              // INSERT ...` relying on it
+              val it = stmts.iterator
+              var ok = true
+              while (ok && it.hasNext) it.next() match {
+                case CopyInRe(table, _, cols, opts) => copyIn(sess, out, in, table, cols, opts)
+                case CopyRe(source, opts)           => copyOut(sess, out, source, opts)
+                case one => ok = !runQuery(sess, out, one, Nil, describeOnly = false)
+              }
             }
             // drop intermediates the statements' query builders persisted
             // — session-scoped, so concurrent connections are untouched;
@@ -815,7 +823,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     } catch { case NonFatal(_) => out.noData() }
 
   private def runQuery(sess: SparkSession, out: PgWire.Out, sql: String, args: Seq[Any],
-      describeOnly: Boolean, withDescription: Boolean = true): Unit =
+      describeOnly: Boolean, withDescription: Boolean = true): Boolean =
+    // returns true when the statement errored (ErrorResponse answered):
+    // the simple-protocol caller then drops the rest of its buffer
     try {
       val df = if (args.isEmpty) sess.sql(sql) else Prepared.execute(sess, sql, args)
       val schema = df.schema
@@ -835,9 +845,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         }
         out.commandComplete(commandTag(sql, n))
       }
+      false
     } catch {
       case NonFatal(e) =>
         out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
+        true
     }
 
   /** Split a simple-query buffer into statements on semicolons that
