@@ -34,7 +34,15 @@ object StMicroBench {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"""{"fn":"$name","secs":$s%.3f,"rows_per_s":${n / s}%.0f}""")
     }
+    // in-run A/B: the native StScalarExpr registration vs the identical
+    // kernel behind a ScalaUDF wrapper (cross-run comparisons on this
+    // shared box swing 2x, so wrapper share must be measured same-JVM)
+    spark.udf.register("st_area_udf", (b: Array[Byte]) => {
+      val g = graft.spatial.Geo.fromWkb(b)
+      if (g == null) null.asInstanceOf[java.lang.Double] else Double.box(g.getArea)
+    })
     time("st_area", "st_area(a)")
+    time("st_area_scalaudf", "st_area_udf(a)")
     time("st_intersection", "st_intersection(a, b)")
     time("st_area_of_intersection", "st_area(st_intersection(a, b))")
     time("st_buffer", "st_buffer(a, 0.1)")

@@ -136,6 +136,16 @@ object SpatialJoinPlans {
         litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = true))
       case GreaterThanOrEqual(lim, u: ScalaUDF) if isDistance(u) =>
         litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = false))
+      // st_distance registers as a native node (round 9) — same four
+      // comparison shapes, matched structurally
+      case LessThan(graft.spatial.StDistanceExpr(l, r), lim) =>
+        litD(lim).flatMap(d => orientD(l, r, d, strict = true))
+      case LessThanOrEqual(graft.spatial.StDistanceExpr(l, r), lim) =>
+        litD(lim).flatMap(d => orientD(l, r, d, strict = false))
+      case GreaterThan(lim, graft.spatial.StDistanceExpr(l, r)) =>
+        litD(lim).flatMap(d => orientD(l, r, d, strict = true))
+      case GreaterThanOrEqual(lim, graft.spatial.StDistanceExpr(l, r)) =>
+        litD(lim).flatMap(d => orientD(l, r, d, strict = false))
       case _ => None
     }
   }

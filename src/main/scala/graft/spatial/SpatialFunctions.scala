@@ -109,19 +109,18 @@ object SpatialFunctions extends Serializable {
       f2(BinaryType)((x, y) => w(Geo.keepSrid(f(x, y), x)))
 
     // ---- accessors (udfs.rs:11-166) ----
-    add("st_area")(f1(DoubleType)(_.getArea))
-    add("st_length")(f1(DoubleType)(_.getLength))
-    add("st_x")(f1(DoubleType) { case p: Point => p.getX; case _ => null })
-    add("st_y")(f1(DoubleType) { case p: Point => p.getY; case _ => null })
-    add("st_xmin")(f1(DoubleType)(x => if (x.isEmpty) null else x.getEnvelopeInternal.getMinX))
-    add("st_xmax")(f1(DoubleType)(x => if (x.isEmpty) null else x.getEnvelopeInternal.getMaxX))
-    add("st_ymin")(f1(DoubleType)(x => if (x.isEmpty) null else x.getEnvelopeInternal.getMinY))
-    add("st_ymax")(f1(DoubleType)(x => if (x.isEmpty) null else x.getEnvelopeInternal.getMaxY))
-    add("st_isempty")(f1(BooleanType)(_.isEmpty))
-    add("st_isvalid")(f1(BooleanType)(_.isValid))
-    add("st_npoints")(f1(IntegerType)(_.getNumPoints))
-    add("st_numpoints")(f1(IntegerType)(_.getNumPoints))
-    add("st_srid")(f1(IntegerType)(_.getSRID))
+    // scalar accessors ride native Catalyst expressions (StScalarExpr):
+    // a same-JVM A/B (StMicroBench) puts the ScalaUDF wrapper at ~5% of
+    // st_area's per-row cost — the win is structural: accessor filters
+    // stay inside one whole-stage-codegen span instead of splitting it
+    def addScalar(name: String): Unit =
+      reg.createOrReplaceTempFunction(name, (children: Seq[Expression]) => {
+        require(children.size == 1, s"$name expects 1 argument")
+        StScalarExpr(name, children.head)
+      }, "built-in")
+    Seq("st_area", "st_length", "st_x", "st_y", "st_xmin", "st_xmax",
+      "st_ymin", "st_ymax", "st_isempty", "st_isvalid", "st_npoints",
+      "st_numpoints", "st_srid").foreach(addScalar)
     add("st_astext")(f1(StringType)(Geo.toWkt))
     add("st_asewkt")(f1(StringType)(Geo.toEwkt))
     add("st_asgeojson")(f1(StringType)(Geo.toGeoJson))
@@ -167,7 +166,12 @@ object SpatialFunctions extends Serializable {
     })
 
     // ---- binary constructive (udfs.rs:248-314) ----
-    add("st_distance")(f2(DoubleType)(_.distance(_)))
+    // st_distance is a native node so distance-comparison join shapes
+    // match it structurally (SpatialJoinPlans.extract)
+    reg.createOrReplaceTempFunction("st_distance", (children: Seq[Expression]) => {
+      require(children.size == 2, "st_distance expects 2 arguments")
+      StDistanceExpr(children.head, children(1))
+    }, "built-in")
     add("st_intersection")(geom2(_.intersection(_)))
     add("st_difference")(geom2(_.difference(_)))
     add("st_symdifference")(geom2(_.symDifference(_)))
