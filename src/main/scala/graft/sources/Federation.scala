@@ -129,13 +129,69 @@ object Federation {
         session.sessionState.conf.numShufflePartitions.toString))
   }
 
+  private def driverPresent(cls: String): Boolean =
+    try {
+      Class.forName(cls, false, Thread.currentThread.getContextClassLoader)
+      true
+    } catch { case _: Throwable => false }
+
   /** Build the resolved JDBC scan plan against the OWNING session. */
   private[sources] def plan(session: SparkSession,
       scan: UnresolvedJdbcScan): LogicalPlan = {
+    // postgres_scan without a pgjdbc jar falls back to the repo's own
+    // wire client (PgNativeSource) — the reference's postgres_scan is
+    // itself a native protocol client, not JDBC, so the fallback is the
+    // more faithful shape; pgjdbc stays preferred when present
+    // (SCRAM/TLS/full type surface). `spark.graft.federation.pg_native`
+    // forces the native path regardless, so both legs stay testable in
+    // any container.
+    val forceNative = session.conf
+      .getOption("spark.graft.federation.pg_native").exists(_.toBoolean)
+    if (scan.driver == "org.postgresql.Driver" &&
+        (forceNative || !driverPresent(scan.driver)))
+      return planNativePg(session, scan)
     val reader = session.read.format("jdbc")
       .option("url", scan.url)
       .option("driver", scan.driver)
       .option("dbtable", scan.table)
+    val part = scan.partition.orElse(confPartition(session))
+    val withPart = part.fold(reader) { p =>
+      reader.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower)
+        .option("upperBound", p.upper)
+        .option("numPartitions", p.numPartitions)
+    }
+    withPart.load().queryExecution.logical
+  }
+
+  /** The pgjdbc-free `postgres_scan` path: parse the DSN-derived JDBC
+    * URL (`jdbc:postgresql://[user[:pass]@]host[:port]/db`) and mount
+    * the table through [[PgNativeSource]] with the same partition
+    * semantics as the JDBC leg. */
+  private def planNativePg(session: SparkSession,
+      scan: UnresolvedJdbcScan): LogicalPlan = {
+    val rest = scan.url.stripPrefix("jdbc:postgresql://")
+    val slash = rest.indexOf('/')
+    require(slash > 0, s"postgres_scan: malformed url ${scan.url}")
+    val authority = rest.substring(0, slash)
+    val db = rest.substring(slash + 1)
+    val (creds, hostPort) = authority.lastIndexOf('@') match {
+      case -1 => (None, authority)
+      case i  => (Some(authority.substring(0, i)), authority.substring(i + 1))
+    }
+    val (user, pass) = creds.map(_.split(":", 2)) match {
+      case Some(Array(u, p)) => (u, p)
+      case Some(Array(u))    => (u, "")
+      case _                 => ("postgres", "")
+    }
+    val (host, port) = hostPort.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h)    => (h, 5432)
+    }
+    val reader = session.read.format(classOf[PgNativeSource].getName)
+      .option("host", host).option("port", port.toString)
+      .option("database", db).option("user", user).option("password", pass)
+      .option("table", scan.table)
     val part = scan.partition.orElse(confPartition(session))
     val withPart = part.fold(reader) { p =>
       reader.option("partitionColumn", p.column)

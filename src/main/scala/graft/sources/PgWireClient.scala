@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import graft.server.PgWire
+
+/** Minimal PostgreSQL simple-protocol CLIENT — the transport under the
+  * `postgres_scan` native fallback (PgNativeSource). The reference's
+  * `postgres_scan` speaks the wire natively through a Rust client
+  * (udtf/postgres_scan.rs:18-52) rather than JDBC; this is the Scala
+  * counterpart, reusing the repo's own frame reader (PgWire.readMessage
+  * — tag + int32 length + body is symmetric between the directions).
+  *
+  * Scope: startup with trust / cleartext / MD5 auth, one simple Query
+  * per call, text-format results streamed row-at-a-time (the reader
+  * pulls DataRows from the socket as the Spark task consumes them — no
+  * whole-result buffering, which is what makes a 100 TB-side federated
+  * scan possible at all). SCRAM and TLS are out of scope and fail with
+  * a clear message; pgjdbc remains the preferred path when its jar is
+  * present.
+  */
+final class PgWireClient(host: String, port: Int, database: String,
+    user: String, password: String) extends AutoCloseable {
+
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(host, port), 15000)
+  sock.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+  /** RowDescription of the in-flight query: (name, type oid) per column. */
+  private var fieldsVar: Array[(String, Int)] = Array.empty
+  def fields: Array[(String, Int)] = fieldsVar
+
+  // ---- startup + auth ----
+  locally {
+    val buf = new ByteArrayOutputStream()
+    val d = new DataOutputStream(buf)
+    d.writeInt(196608) // protocol 3.0
+    def cstr(s: String): Unit = { d.write(s.getBytes(UTF_8)); d.writeByte(0) }
+    cstr("user"); cstr(user)
+    cstr("database"); cstr(database)
+    d.writeByte(0)
+    out.writeInt(4 + buf.size); buf.writeTo(out); out.flush()
+    awaitReady()
+  }
+
+  private def send(tag: Char)(body: DataOutputStream => Unit): Unit = {
+    val buf = new ByteArrayOutputStream()
+    val d = new DataOutputStream(buf)
+    body(d)
+    out.writeByte(tag)
+    out.writeInt(4 + buf.size)
+    buf.writeTo(out)
+    out.flush()
+  }
+
+  /** Drain messages until ReadyForQuery, answering auth requests. */
+  private def awaitReady(): Unit = {
+    var ready = false
+    while (!ready) {
+      val m = PgWire.readMessage(in)
+      m.tag match {
+        case 'R' =>
+          val code = java.nio.ByteBuffer.wrap(m.body, 0, 4).getInt
+          code match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext password
+              send('p')(d => { d.write(password.getBytes(UTF_8)); d.writeByte(0) })
+            case 5 => // MD5: "md5" + md5(md5(password + user) + salt)
+              val salt = java.util.Arrays.copyOfRange(m.body, 4, 8)
+              send('p')(d => { d.write(md5Password(salt).getBytes(UTF_8)); d.writeByte(0) })
+            case other => throw new java.io.IOException(
+              s"postgres_scan native client: unsupported auth method $other " +
+                "(trust/cleartext/md5 supported; for SCRAM use the pgjdbc driver)")
+          }
+        case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
+        case 'Z'             => ready = true
+        case 'E'             => throw errorFrom(m.body)
+        case other => throw new java.io.IOException(
+          s"postgres_scan native client: unexpected '$other' during startup")
+      }
+    }
+  }
+
+  private def md5Password(salt: Array[Byte]): String = {
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val md = MessageDigest.getInstance("MD5")
+    val inner = hex(md.digest((password + user).getBytes(UTF_8)))
+    md.reset()
+    md.update(inner.getBytes(UTF_8)); md.update(salt)
+    "md5" + hex(md.digest())
+  }
+
+  /** ErrorResponse body: repeated (field-type byte + cstring), 0-term. */
+  private def errorFrom(body: Array[Byte]): java.io.IOException = {
+    var i = 0
+    var code = "XX000"; var message = "unknown server error"
+    while (i < body.length && body(i) != 0) {
+      val ft = body(i).toChar
+      val end = body.indexOf(0.toByte, i + 1)
+      val v = new String(body, i + 1, end - i - 1, UTF_8)
+      ft match {
+        case 'C' => code = v
+        case 'M' => message = v
+        case _   =>
+      }
+      i = end + 1
+    }
+    new java.io.IOException(s"server error $code: $message")
+  }
+
+  /** Issue one simple Query. Rows are then pulled via [[fetchRow]]. */
+  def execute(sql: String): Unit = {
+    fieldsVar = Array.empty
+    pendingError = null
+    done = false
+    send('Q')(d => { d.write(sql.getBytes(UTF_8)); d.writeByte(0) })
+  }
+
+  private var pendingError: java.io.IOException = null
+  private var done = false
+
+  /** Next DataRow of the in-flight query as per-column text values
+    * (None = SQL NULL), or null when the result set is exhausted.
+    * Reads the socket incrementally — one message per call on the
+    * row-bearing path. Throws the server's error (after the protocol
+    * reaches ReadyForQuery, so the connection stays usable). */
+  def fetchRow(): Array[Option[String]] = {
+    if (done) return null
+    while (true) {
+      val m = PgWire.readMessage(in)
+      m.tag match {
+        case 'D' =>
+          val bb = java.nio.ByteBuffer.wrap(m.body)
+          val n = bb.getShort.toInt
+          val row = new Array[Option[String]](n)
+          var i = 0
+          while (i < n) {
+            val len = bb.getInt
+            if (len < 0) row(i) = None
+            else {
+              val bytes = new Array[Byte](len)
+              bb.get(bytes)
+              row(i) = Some(new String(bytes, UTF_8))
+            }
+            i += 1
+          }
+          return row
+        case 'T' =>
+          val bb = java.nio.ByteBuffer.wrap(m.body)
+          val n = bb.getShort.toInt
+          fieldsVar = (0 until n).map { _ =>
+            val nameBytes = new java.io.ByteArrayOutputStream()
+            var b = bb.get()
+            while (b != 0) { nameBytes.write(b); b = bb.get() }
+            bb.getInt; bb.getShort // table oid, attnum
+            val oid = bb.getInt
+            bb.getShort; bb.getInt; bb.getShort // typlen, typmod, format
+            (new String(nameBytes.toByteArray, UTF_8), oid)
+          }.toArray
+        case 'C' | 'I' | 'N' | 'S' => // CommandComplete / Empty / Notice
+        case 'E' => pendingError = errorFrom(m.body)
+        case 'Z' =>
+          done = true
+          if (pendingError != null) { val e = pendingError; pendingError = null; throw e }
+          return null
+        case other => throw new java.io.IOException(
+          s"postgres_scan native client: unexpected '$other' mid-query")
+      }
+    }
+    null // unreachable
+  }
+
+  /** Run a query to completion and return only the RowDescription —
+    * the schema-inference path (`SELECT ... LIMIT 0`). */
+  def describe(sql: String): Array[(String, Int)] = {
+    execute(sql)
+    while (fetchRow() != null) {} // LIMIT 0: drains straight to 'Z'
+    fields
+  }
+
+  override def close(): Unit = {
+    try send('X')(_ => ()) catch { case _: Throwable => }
+    try sock.close() catch { case _: Throwable => }
+  }
+}
