@@ -192,7 +192,53 @@ object GraftSqlParser {
   private val QuotedAlias = "(?i)\\bAS\\s+\"([^\"]+)\"".r
   // standalone E prefix of a PG escape-string literal (not part of a
   // longer identifier): E immediately followed by a quote
-  private val EscapeString = "(?<![\\w'])E(?=')".r
+  /** Strip the `E` prefix of PG escape-string literals (`E'\n'` →
+    * `'\n'`; Spark's default literals already process backslash
+    * escapes). Quote-aware by construction: a regex alone corrupts
+    * ordinary literals whose TEXT ends in E (`'GRADE E'` → `'GRADE '`),
+    * so this scans with string/identifier/comment state and only strips
+    * an E that OPENS a literal. Inside strings, backslash escapes the
+    * next char and `''` is a doubled quote — Spark's own lexing. */
+  private def stripEscapeStringPrefixes(sql: String): String = {
+    val n = sql.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var inStr = false; var inIdent = false
+    var inLine = false; var inBlock = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inLine) {
+        sb.append(c); if (c == '\n') inLine = false; i += 1
+      } else if (inBlock) {
+        if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+          sb.append("*/"); i += 2; inBlock = false
+        } else { sb.append(c); i += 1 }
+      } else if (inStr) {
+        if (c == '\\' && i + 1 < n) { // escape: keep pair verbatim
+          sb.append(c); sb.append(sql.charAt(i + 1)); i += 2
+        } else if (c == '\'') {
+          if (i + 1 < n && sql.charAt(i + 1) == '\'') { // doubled quote
+            sb.append("''"); i += 2
+          } else { sb.append(c); inStr = false; i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else if (inIdent) {
+        sb.append(c); if (c == '"') inIdent = false; i += 1
+      } else c match {
+        case '\'' => sb.append(c); inStr = true; i += 1
+        case '"'  => sb.append(c); inIdent = true; i += 1
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          sb.append("--"); i += 2; inLine = true
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          sb.append("/*"); i += 2; inBlock = true
+        case 'E' | 'e' if i + 1 < n && sql.charAt(i + 1) == '\'' &&
+            (i == 0 || { val p = sql.charAt(i - 1)
+              !Character.isLetterOrDigit(p) && p != '_' && p != '\'' }) =>
+          i += 1 // drop the prefix; the quote opens the literal next pass
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Rewrites for the introspection SQL PG wire clients (psql, BI
     * tools, drivers) send — the textual analogue of the reference's
@@ -205,13 +251,13 @@ object GraftSqlParser {
   def rewritePgClientOps(sql: String): String = {
     val needsOps = sql.contains("~") || sql.toUpperCase.contains("COLLATE")
     val needsFns = sql.contains("pg_catalog.")
-    val needsEstr = sql.contains("E'")
+    val needsEstr = sql.contains("E'") || sql.contains("e'")
     if (!needsOps && !needsFns && !needsEstr) return sql
     var s = sql
     // PG escape-string literals (psql: array_to_string(acl, E'\n')) —
     // Spark's default string literal already processes backslash
     // escapes, so dropping the E prefix preserves the value
-    if (needsEstr) s = EscapeString.replaceAllIn(s, "")
+    if (needsEstr) s = stripEscapeStringPrefixes(s)
     if (needsOps) {
       s = OperatorRegexMatch.replaceAllIn(s,
         m => if (m.group(1) == "!~") " NOT RLIKE " else " RLIKE ")

@@ -128,16 +128,9 @@ object SpatialJoinPlans {
       case u: ScalaUDF if u.udfName.exists(_.equalsIgnoreCase("st_dwithin")) =>
         litD(u.children(2)).flatMap(d =>
           orientD(u.children(0), u.children(1), d, strict = false))
-      case LessThan(u: ScalaUDF, lim) if isDistance(u) =>
-        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = true))
-      case LessThanOrEqual(u: ScalaUDF, lim) if isDistance(u) =>
-        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = false))
-      case GreaterThan(lim, u: ScalaUDF) if isDistance(u) =>
-        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = true))
-      case GreaterThanOrEqual(lim, u: ScalaUDF) if isDistance(u) =>
-        litD(lim).flatMap(d => orientD(u.children(0), u.children(1), d, strict = false))
-      // st_distance registers as a native node (round 9) — same four
-      // comparison shapes, matched structurally
+      // st_distance registers as a native node (round 9), so the four
+      // comparison shapes match it structurally (it can no longer
+      // appear as a ScalaUDF)
       case LessThan(graft.spatial.StDistanceExpr(l, r), lim) =>
         litD(lim).flatMap(d => orientD(l, r, d, strict = true))
       case LessThanOrEqual(graft.spatial.StDistanceExpr(l, r), lim) =>
@@ -149,9 +142,6 @@ object SpatialJoinPlans {
       case _ => None
     }
   }
-
-  private def isDistance(u: ScalaUDF): Boolean =
-    u.udfName.exists(_.equalsIgnoreCase("st_distance"))
 }
 
 /** Planner strategy (the reference's ExtensionPlanner,

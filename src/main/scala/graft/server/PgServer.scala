@@ -62,9 +62,17 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * pushed its filters into the SQL it sent) without packet capture. */
   private val statementLog =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val statementLogSize = new java.util.concurrent.atomic.AtomicInteger(0)
   private def logStatement(sql: String): Unit = {
-    statementLog.add(sql)
-    while (statementLog.size > 256) statementLog.poll()
+    // bounded in BOTH dimensions: per-entry text is capped (a multi-MB
+    // COPY/VALUES buffer must not pin its whole body on the heap) and
+    // the count is tracked explicitly (ConcurrentLinkedQueue.size is
+    // O(n) and this runs per statement)
+    statementLog.add(if (sql.length <= 4096) sql else sql.take(4096))
+    if (statementLogSize.incrementAndGet() > 256) {
+      statementLog.poll()
+      statementLogSize.decrementAndGet()
+    }
   }
   def recentStatements: Seq[String] = {
     val b = Seq.newBuilder[String]
@@ -205,7 +213,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       def guarded(body: => Unit): Unit =
         try body catch {
           case NonFatal(e) =>
-            out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage))
+            out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
             out.flush()
             skipUntilSync = true
         }
@@ -230,8 +238,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
               val it = stmts.iterator
               var ok = true
               while (ok && it.hasNext) it.next() match {
-                case CopyInRe(table, _, cols, opts) => copyIn(sess, out, in, table, cols, opts)
-                case CopyRe(source, opts)           => copyOut(sess, out, source, opts)
+                case CopyInRe(table, _, cols, opts) =>
+                  ok = !copyIn(sess, out, in, table, cols, opts)
+                case CopyRe(source, opts) => ok = !copyOut(sess, out, source, opts)
                 case one => ok = !runQuery(sess, out, one, Nil, describeOnly = false)
               }
             }
@@ -523,9 +532,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           // COPY is legal through the extended protocol too (PG spec:
           // Execute on a COPY portal starts the copy sub-protocol)
           case Some(Portal(CopyInRe(table, _, cols, opts), _, _)) =>
-            copyIn(sess, out, in, table, cols, opts); None
+            errored = copyIn(sess, out, in, table, cols, opts); None
           case Some(Portal(CopyRe(source, opts), _, _)) =>
-            copyOut(sess, out, source, opts); None
+            errored = copyOut(sess, out, source, opts); None
           case Some(Portal(sql, args, fmts)) if sql.nonEmpty =>
             val df = if (args.isEmpty) sess.sql(sql) else Prepared.execute(sess, sql, args)
             if (df.schema.isEmpty) {
@@ -573,8 +582,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * CSV format; unlisted columns go NULL). The ingest half of the
     * bulk path — rows are parsed, cast to the table schema, and
     * appended through the normal write path. */
+  /** @return true when the COPY errored (the multi-statement buffer
+    *         must abort, same as [[runQuery]]'s contract) */
   private def copyIn(sess: SparkSession, out: PgWire.Out, in: DataInputStream,
-      table: String, colList: String, opts: String): Unit = {
+      table: String, colList: String, opts: String): Boolean = {
     val csv = opts != null && opts.toLowerCase.contains("csv")
     val binary = opts != null && opts.toLowerCase.contains("binary")
     try {
@@ -603,7 +614,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       if (failed) {
         out.errorResponse("57014", "COPY from stdin failed (client abort)")
-        return
+        return true
       }
       val parsed: Seq[Seq[Option[String]]] =
         if (binary) {
@@ -651,9 +662,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         }.toSeq: _*)
       df.write.mode("append").insertInto(table)
       out.commandComplete(s"COPY ${rows.size}")
+      false
     } catch {
       case NonFatal(e) =>
         out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
+        true
     }
   }
 
@@ -726,7 +739,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
 
   /** COPY OUT: stream the result as PG text-format (or CSV) CopyData
     * messages — the bulk-export path (no 1024-row cap). */
-  private def copyOut(sess: SparkSession, out: PgWire.Out, source: String, opts: String): Unit =
+  /** @return true when the COPY errored (buffer-abort contract). */
+  private def copyOut(sess: SparkSession, out: PgWire.Out, source: String, opts: String): Boolean =
     try {
       val sql =
         if (source.startsWith("(")) source.substring(1, source.length - 1)
@@ -745,7 +759,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.errorResponse("0A000",
             "COPY BINARY unsupported for column type: " + noBin
               .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", "))
-          return
+          return true
         }
         out.copyOutResponse(schema.size, binary = true)
         out.copyData(PgWire.CopyBinaryHeader)
@@ -760,7 +774,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         out.copyData(PgWire.CopyBinaryTrailer)
         out.copyDone()
         out.commandComplete(s"COPY $n")
-        return
+        return false
       }
       out.copyOutResponse(schema.size)
       var n = 0L
@@ -790,9 +804,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       out.copyDone()
       out.commandComplete(s"COPY $n")
+      false
     } catch {
       case NonFatal(e) =>
         out.errorResponse(sqlStateOf(e), String.valueOf(e.getMessage).take(800))
+        true
     }
 
   private def csvField(s: String): String =

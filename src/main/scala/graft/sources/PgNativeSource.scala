@@ -77,24 +77,44 @@ object PgNativeSource {
     case LongType    => text.trim.toLong
     case IntegerType => text.trim.toInt
     case ShortType   => text.trim.toShort
-    case ByteType    => text.trim.toByte
     case DoubleType  => parseFloat(text).toDouble
     case FloatType   => parseFloat(text).toFloat
     case BooleanType => text == "t" || text == "true"
     case BinaryType  => // \x-prefixed hex (PG bytea hex format)
       val hexDigits = if (text.startsWith("\\x")) text.substring(2) else text
       hexDigits.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case ByteType =>
+      // PG "char" (oid 18) renders as the CHARACTER on a real server
+      // ('r' in pg_class.relkind); the repo's own server renders Spark
+      // ByteType numerically — accept both
+      val t = text.trim
+      if (t.length == 1 && !t.charAt(0).isDigit) t.charAt(0).toByte
+      else t.toByte
     case DateType =>
       java.time.LocalDate.parse(text).toEpochDay.toInt
     case TimestampNTZType =>
-      val ldt = java.time.LocalDateTime.parse(text.replace(' ', 'T'))
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      // timestamptz (oid 1184) text from a real server carries a zone
+      // offset suffix ("+00", "-05:30"); normalize to UTC wall time.
+      // timestamp (1114) has no suffix and parses directly.
+      val m = TzSuffix.findFirstMatchIn(text)
+      val (wall, offsetSecs) = m match {
+        case Some(mm) =>
+          val off = java.time.ZoneOffset.of(mm.group(1))
+          (text.substring(0, mm.start), off.getTotalSeconds.toLong)
+        case None => (text, 0L)
+      }
+      val ldt = java.time.LocalDateTime.parse(wall.replace(' ', 'T'))
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - offsetSecs) * 1000000L +
+        ldt.getNano / 1000L
     case d: DecimalType =>
       org.apache.spark.sql.types.Decimal(
         new java.math.BigDecimal(text), d.precision, d.scale)
     case other =>
       throw new IllegalArgumentException(s"pgwire: unsupported read type $other")
   }
+
+  /** trailing zone offset of PG timestamptz text: +HH, +HH:MM, +HH:MM:SS */
+  private val TzSuffix = "([+-]\\d{2}(?::?\\d{2}){0,2})$".r
 
   private def parseFloat(text: String): Double = text match {
     case "NaN"       => Double.NaN
@@ -166,14 +186,25 @@ private final class PgNativeScanBuilder(full: StructType, o: PgNativeOptions)
 }
 
 /** Spark source Filter -> SQL text (the subset with exact PG
-  * semantics; anything else stays unhandled and Spark re-evaluates). */
+  * semantics; anything else stays unhandled and Spark re-evaluates).
+  * STRING range comparisons are deliberately NOT compiled: the remote
+  * database orders strings by its collation (glibc en_US & co.), Spark
+  * by binary UTF-8 — a pushed `name > 'b'` could drop rows Spark's
+  * semantics keep, and a dropped row cannot be recovered by
+  * re-filtering. String equality/IN stay pushed (PG's default
+  * collations are deterministic: equal means byte-equal). */
 private object PgFilterSql {
+  private def ordered(v: Any): Option[Any] = v match {
+    case null                        => None
+    case _: String | _: UTF8String  => None // collation-sensitive
+    case other                       => Some(other)
+  }
   def compile(f: Filter): Option[String] = f match {
     case EqualTo(a, v)            => lit(v).map(l => s"${q(a)} = $l")
-    case GreaterThan(a, v)        => lit(v).map(l => s"${q(a)} > $l")
-    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")
-    case LessThan(a, v)           => lit(v).map(l => s"${q(a)} < $l")
-    case LessThanOrEqual(a, v)    => lit(v).map(l => s"${q(a)} <= $l")
+    case GreaterThan(a, v)        => ordered(v).flatMap(lit).map(l => s"${q(a)} > $l")
+    case GreaterThanOrEqual(a, v) => ordered(v).flatMap(lit).map(l => s"${q(a)} >= $l")
+    case LessThan(a, v)           => ordered(v).flatMap(lit).map(l => s"${q(a)} < $l")
+    case LessThanOrEqual(a, v)    => ordered(v).flatMap(lit).map(l => s"${q(a)} <= $l")
     case IsNull(a)                => Some(s"${q(a)} IS NULL")
     case IsNotNull(a)             => Some(s"${q(a)} IS NOT NULL")
     case In(a, vs) if vs.nonEmpty =>

@@ -36,7 +36,10 @@ final class PgWireClient(host: String, port: Int, database: String,
   def fields: Array[(String, Int)] = fieldsVar
 
   // ---- startup + auth ----
-  locally {
+  // a throw out of the constructor leaves no reference for close() to
+  // run on, so a failed handshake (SCRAM-only server, bad credentials,
+  // wrong database) must close the already-connected socket itself
+  try {
     val buf = new ByteArrayOutputStream()
     val d = new DataOutputStream(buf)
     d.writeInt(196608) // protocol 3.0
@@ -46,6 +49,10 @@ final class PgWireClient(host: String, port: Int, database: String,
     d.writeByte(0)
     out.writeInt(4 + buf.size); buf.writeTo(out); out.flush()
     awaitReady()
+  } catch {
+    case t: Throwable =>
+      try sock.close() catch { case _: Throwable => }
+      throw t
   }
 
   private def send(tag: Char)(body: DataOutputStream => Unit): Unit = {

@@ -28,15 +28,20 @@ final case class StScalarExpr(name: String, child: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // dispatch is resolved ONCE at bind time to an int opcode (a per-row
+  // string match would re-add a slice of the interpretation overhead
+  // this lift strips); the generated call embeds the constant
+  private val op: Int = StScalarOps.opFor(name)
+
   override protected def nullSafeEval(in: Any): Any =
-    StScalarOps.eval(name, in.asInstanceOf[Array[Byte]])
+    StScalarOps.eval(op, in.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val res = ctx.freshName("stScalar")
       val boxed = CodeGenerator.boxedType(dataType)
       s"""
-         |Object $res = graft.spatial.StScalarOps.eval("$name", $c);
+         |Object $res = graft.spatial.StScalarOps.eval($op, $c);
          |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -89,33 +94,46 @@ object StScalarOps {
     if (a == null || b == null) null else Double.box(a.distance(b))
   }
 
-  def eval(name: String, wkb: Array[Byte]): Object = {
+  /** name -> opcode, resolved once per expression instance. */
+  def opFor(name: String): Int = name match {
+    case "st_area"                     => 0
+    case "st_length"                   => 1
+    case "st_x"                        => 2
+    case "st_y"                        => 3
+    case "st_xmin"                     => 4
+    case "st_xmax"                     => 5
+    case "st_ymin"                     => 6
+    case "st_ymax"                     => 7
+    case "st_isempty"                  => 8
+    case "st_isvalid"                  => 9
+    case "st_npoints" | "st_numpoints" => 10
+    case "st_srid"                     => 11
+    case other => throw new IllegalArgumentException(s"unknown scalar $other")
+  }
+
+  def eval(op: Int, wkb: Array[Byte]): Object = {
     val x = Geo.fromWkb(wkb)
     if (x == null) return null
-    name match {
-      case "st_area"   => Double.box(x.getArea)
-      case "st_length" => Double.box(x.getLength)
-      case "st_x" => x match {
+    (op: @scala.annotation.switch) match {
+      case 0 => Double.box(x.getArea)
+      case 1 => Double.box(x.getLength)
+      case 2 => x match {
         case p: org.locationtech.jts.geom.Point => Double.box(p.getX)
         case _                                  => null
       }
-      case "st_y" => x match {
+      case 3 => x match {
         case p: org.locationtech.jts.geom.Point => Double.box(p.getY)
         case _                                  => null
       }
-      case "st_xmin" =>
-        if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMinX)
-      case "st_xmax" =>
-        if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMaxX)
-      case "st_ymin" =>
-        if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMinY)
-      case "st_ymax" =>
-        if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMaxY)
-      case "st_isempty"                  => Boolean.box(x.isEmpty)
-      case "st_isvalid"                  => Boolean.box(x.isValid)
-      case "st_npoints" | "st_numpoints" => Int.box(x.getNumPoints)
-      case "st_srid"                     => Int.box(x.getSRID)
-      case other => throw new IllegalArgumentException(s"unknown scalar $other")
+      case 4 => if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMinX)
+      case 5 => if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMaxX)
+      case 6 => if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMinY)
+      case 7 => if (x.isEmpty) null else Double.box(x.getEnvelopeInternal.getMaxY)
+      case 8 => Boolean.box(x.isEmpty)
+      case 9 => Boolean.box(x.isValid)
+      case 10 => Int.box(x.getNumPoints)
+      case 11 => Int.box(x.getSRID)
+      case other => throw new IllegalArgumentException(s"unknown scalar op $other")
     }
   }
 }

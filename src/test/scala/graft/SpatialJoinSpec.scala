@@ -12,7 +12,14 @@ import graft.spatial.SpatialFunctions
   * including geometries spanning multiple grid cells (duplicate
   * suppression) and all supported join types.
   */
-class SpatialJoinSpec extends GraftSuite {
+class SpatialJoinSpec extends GraftSuite
+    with org.scalatest.BeforeAndAfterAll {
+  // the grid outer-join path persists its matched-id set and relies on
+  // the CONSUMER's release point (Bench releases per query, the wire
+  // server per session); this suite drives grid() directly, so it is
+  // that consumer — leaving the entries tracked fails later suites'
+  // leak assertions (PgWireFuzzSpec checks the global registry)
+  override def afterAll(): Unit = graft.util.Persist.releaseAll()
   import SparkTestBase.spark.implicits._
 
   SpatialFunctions.registerAll(spark)

@@ -103,6 +103,22 @@ class SqlSurfaceSpec extends GraftSuite {
     assert(r2 == "SELECT DISTINCT ON (x)")
   }
 
+  test("E-string prefix strip is quote-aware: literals ending in E survive") {
+    // regression: the old regex rewrite matched the E INSIDE 'GRADE E'
+    // (preceded by a space, followed by the literal's closing quote)
+    // and silently corrupted the value to 'GRADE '
+    assert(spark.sql("SELECT 'GRADE E' AS s").head.getString(0) == "GRADE E")
+    assert(spark.sql("SELECT 'PLAN E' AS s WHERE 'SIZE E' = 'SIZE E'")
+      .head.getString(0) == "PLAN E")
+    // a REAL escape-string literal still has its prefix stripped, both
+    // cases, including after '(' and ','
+    assert(spark.sql("SELECT length(E'a\\nb') AS n").head.getInt(0) == 3)
+    assert(spark.sql("SELECT concat('x', e'\\ty') AS s").head.getString(0) == "x\ty")
+    // E inside comments and quoted identifiers is untouched
+    assert(spark.sql("SELECT 'ok' AS s -- note E'ish trailer")
+      .head.getString(0) == "ok")
+  }
+
   test("rewrite helpers leave plain SQL untouched") {
     assert(GraftSqlParser.rewriteDistinctOn("SELECT a FROM t").isEmpty)
     assert(GraftSqlParser.rewriteQualify("SELECT a FROM t WHERE b > 1").isEmpty)
