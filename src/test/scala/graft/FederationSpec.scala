@@ -237,6 +237,46 @@ class FederationSpec extends GraftSuite {
     }
   }
 
+  test("postgres_scan native client: decimal, timestamp, binary and NULL round-trips") {
+    // the wire text formats beyond the common scalars: NUMERIC plain
+    // text -> Decimal(38,18), timestamp (oid 1114) with fractional
+    // seconds -> TimestampNTZ micros, bytea \x-hex -> binary, and SQL
+    // NULL columns through every type
+    spark.range(6).selectExpr(
+      "id",
+      "cast(cast(id as decimal(10, 2)) / 4 as decimal(10, 2)) AS price",
+      "timestampadd(MINUTE, cast(id AS int), " +
+        "timestamp_ntz'2024-03-01 12:00:00.123456') AS ts",
+      "cast(concat('b', id) AS binary) AS payload",
+      "CASE WHEN id % 2 = 0 THEN concat('s', id) END AS maybe_null")
+      .createOrReplaceTempView("fed_types")
+    val srv = new graft.server.PgServer(spark, port = 0, password = None)
+    val port = srv.start()
+    spark.conf.set("spark.graft.federation.pg_native", "true")
+    try {
+      val rows = spark.sql(
+        s"SELECT * FROM postgres_scan('postgres://127.0.0.1:$port', " +
+          "'postgres', 'fed_types') ORDER BY id").collect()
+      assert(rows.length == 6)
+      for ((r, i) <- rows.zipWithIndex) {
+        assert(r.getLong(0) == i)
+        assert(r.getDecimal(1).compareTo(
+          new java.math.BigDecimal(i).divide(new java.math.BigDecimal(4))) == 0,
+          s"price row $i: ${r.getDecimal(1)}")
+        assert(r.getAs[java.time.LocalDateTime]("ts") ==
+          java.time.LocalDateTime.of(2024, 3, 1, 12, i, 0, 123456000),
+          s"ts row $i: ${r.getAs[java.time.LocalDateTime]("ts")}")
+        assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == s"b$i")
+        if (i % 2 == 0) assert(r.getString(4) == s"s$i")
+        else assert(r.isNullAt(4), s"maybe_null row $i not null")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.federation.pg_native")
+      srv.stop()
+      spark.catalog.dropTempView("fed_types")
+    }
+  }
+
   test("duckdb_scan runs end-to-end against a real DuckDB engine") {
     // The duckdb JDBC driver is an unmanaged TEST jar (build.sbt) from
     // the pre-warmed cache; skip gracefully if it isn't loadable here.
