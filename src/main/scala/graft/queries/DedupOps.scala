@@ -1405,27 +1405,41 @@ object DedupOps {
         |  UNION ALL SELECT 5, 'near_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM c5
         |) ORDER BY stage_idx""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.Column
-    val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
-      size(expr(toksE)).cast("long").as("n_tok"))
-    // stage 2: charset gate — t44's keep rule verbatim
+    // ONE regex-battery pass over the corpus: the five funnel counters
+    // all consume this compact persisted stats frame (doc_id, n_tok,
+    // per-stage gate verdicts) — without it, each stage aggregate and
+    // each downstream join re-derived the scan and re-ran every regex
+    // (observed ~5 full passes; this was the bench's slowest query)
     def cnt(p: String) = length(regexp_replace(col("text"), p, "")).cast("long")
     val nChars = nullif(length(col("text")), lit(0))
     def ratio(c: Column) = c.cast("double") / nChars
-    val c2 = base.filter(ratio(cnt("[\\x01-\\x7f]")) <= 0.1 &&
-      ratio(cnt("[^0-9]")) <= 0.3 && ratio(cnt("[^A-Z]")) <= 0.3)
-    // stage 3: Gopher gate — t07's keep rule verbatim
+    // stage-2 charset gate (t44's keep rule) + stage-3 Gopher gate
+    // (t07's keep rule) as verdict columns; filter(col) keeps TRUE rows
+    // only, so null verdicts drop exactly like the original filters
     val meanLen =
       length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")
     val nSym = size(filter(expr(toksE), t => t.rlike("[#%$@]")))
     val nAlpha = size(filter(expr(toksE), t => t.rlike("\\p{L}")))
     val nEll = size(filter(split(col("text"), "\n"), l => l.startsWith("...")))
     val nLines = size(split(col("text"), "\n"))
-    val c3 = c2.filter(
-      (col("n_tok") >= 30 && col("n_tok") <= 50000) &&
-        (col("n_tok") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
-        (col("n_tok") > 0 && nSym.cast("double") / col("n_tok") < 0.5) &&
-        (nLines === 0 || nEll.cast("double") / nLines <= 0.3) &&
-        (col("n_tok") > 0 && nAlpha.cast("double") / col("n_tok") >= 0.6))
+    // text rides in the cached frame so the digest/shingle stages read
+    // it back without a second parquet scan or an id-rejoin shuffle
+    // (the cache spills to disk if a bigger corpus outgrows memory)
+    val stats = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      size(expr(toksE)).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("text"), col("n_tok"),
+        (ratio(cnt("[\\x01-\\x7f]")) <= 0.1 &&
+          ratio(cnt("[^0-9]")) <= 0.3 && ratio(cnt("[^A-Z]")) <= 0.3).as("p2"),
+        ((col("n_tok") >= 30 && col("n_tok") <= 50000) &&
+          (col("n_tok") > 0 && meanLen >= 2.0 && meanLen <= 12.0) &&
+          (col("n_tok") > 0 && nSym.cast("double") / col("n_tok") < 0.5) &&
+          (nLines === 0 || nEll.cast("double") / nLines <= 0.3) &&
+          (col("n_tok") > 0 && nAlpha.cast("double") / col("n_tok") >= 0.6)).as("p3"))
+      .persistTracked()
+    val base = stats // stage-1 counter: every ingested doc
+    val c2 = stats.filter(col("p2"))
+    val c3 = stats.filter(col("p2") && col("p3"))
+      .select(col("doc_id"), col("text"), col("n_tok"))
     // stage 4: exact dedup — keep min doc_id per text digest
     val keepers = c3.groupBy(md5(col("text")).as("dg"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
