@@ -174,14 +174,39 @@ object Federation {
     val slash = rest.indexOf('/')
     require(slash > 0, s"postgres_scan: malformed url ${scan.url}")
     val authority = rest.substring(0, slash)
-    val db = rest.substring(slash + 1)
+    // a generic jdbc_scan URL may carry ?key=value parameters that the
+    // pgjdbc leg would honor; the database name must not swallow them.
+    // Credentials and benign no-ops pass through; anything the native
+    // transport cannot actually provide (sslmode=require & co.) fails
+    // LOUDLY rather than silently downgrading the connection.
+    val (db, params) = rest.substring(slash + 1).split("\\?", 2) match {
+      case Array(d)    => (d, Map.empty[String, String])
+      case Array(d, q) => (d, q.split('&').filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> urlDecode(v)
+          case Array(k)    => k -> ""
+        }
+      }.toMap)
+    }
+    val benign = Set("sslmode" -> "disable", "sslmode" -> "prefer",
+      "sslmode" -> "allow", "ssl" -> "false", "gssencmode" -> "disable")
+    val unsupported = params.filter { case (k, v) =>
+      !Set("user", "password").contains(k) && !benign((k, v.toLowerCase))
+    }
+    require(unsupported.isEmpty,
+      s"postgres_scan native client: unsupported URL parameter(s) " +
+        s"${unsupported.keys.mkString(", ")} in ${scan.url} — these would be " +
+        "silently ignored on the native transport; use the pgjdbc driver " +
+        "or drop them")
     val (creds, hostPort) = authority.lastIndexOf('@') match {
       case -1 => (None, authority)
       case i  => (Some(authority.substring(0, i)), authority.substring(i + 1))
     }
+    // userinfo credentials are percent-encoded in URLs (a password
+    // containing '@' or ':' MUST be) — decode before the wire handshake
     val (user, pass) = creds.map(_.split(":", 2)) match {
-      case Some(Array(u, p)) => (u, p)
-      case Some(Array(u))    => (u, "")
+      case Some(Array(u, p)) => (urlDecode(u), urlDecode(p))
+      case Some(Array(u))    => (urlDecode(u), "")
       case _                 => ("postgres", "")
     }
     val (host, port) = hostPort.split(":", 2) match {
@@ -190,7 +215,12 @@ object Federation {
     }
     val reader = session.read.format(classOf[PgNativeSource].getName)
       .option("host", host).option("port", port.toString)
-      .option("database", db).option("user", user).option("password", pass)
+      .option("database", db)
+      .option("user", params.getOrElse("user", user))
+      .option("password", params.getOrElse("password", pass))
+      .option("prefer_timestamp_ntz", session.conf
+        .getOption("spark.graft.federation.pg_prefer_timestamp_ntz")
+        .getOrElse("false"))
       .option("table", scan.table)
     val part = scan.partition.orElse(confPartition(session))
     val withPart = part.fold(reader) { p =>
@@ -201,6 +231,9 @@ object Federation {
     }
     withPart.load().queryExecution.logical
   }
+
+  private def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
 
   /** Entries for SparkSessionExtensions.injectTableFunction. */
   def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TvfBuilder)] =

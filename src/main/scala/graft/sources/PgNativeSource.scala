@@ -41,7 +41,7 @@ final class PgNativeSource extends TableProvider with DataSourceRegister {
     try {
       val fields = cli.describe(s"SELECT * FROM ${o.table} LIMIT 0")
       StructType(fields.map { case (name, oid) =>
-        StructField(name, PgNativeSource.typeFor(oid))
+        StructField(name, PgNativeSource.typeFor(oid, o.preferTimestampNtz))
       })
     } finally cli.close()
   }
@@ -55,8 +55,16 @@ object PgNativeSource {
   /** PG type oid -> Spark type — the inverse of the server-side map
     * (server/PgWire.scala:184-206). RowDescription carries no typmod
     * from this server, so numeric falls to the JDBC-default (38,18);
-    * unknown oids pass through as text, the PG catch-all. */
-  def typeFor(oid: Int): DataType = oid match {
+    * unknown oids pass through as text, the PG catch-all.
+    *
+    * Timestamp mapping matches the pgjdbc leg's default (both 1114
+    * `timestamp` and 1184 `timestamptz` -> TimestampType, Spark JDBC's
+    * own choice) so an identical postgres_scan keeps one schema
+    * whichever client leg a container happens to engage. `preferNtz`
+    * is the native analogue of Spark JDBC's preferTimestampNTZ: 1114
+    * maps to TimestampNTZType instead (1184 always carries an instant
+    * and stays TimestampType, as in Spark JDBC). */
+  def typeFor(oid: Int, preferNtz: Boolean = false): DataType = oid match {
     case 16          => BooleanType
     case 18          => ByteType
     case 21          => ShortType
@@ -66,7 +74,8 @@ object PgNativeSource {
     case 701         => DoubleType
     case 17          => BinaryType
     case 1082        => DateType
-    case 1114 | 1184 => TimestampNTZType
+    case 1114        => if (preferNtz) TimestampNTZType else TimestampType
+    case 1184        => TimestampType
     case 1700        => DecimalType(38, 18)
     case _           => StringType
   }
@@ -106,6 +115,23 @@ object PgNativeSource {
       val ldt = java.time.LocalDateTime.parse(wall.replace(' ', 'T'))
       (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - offsetSecs) * 1000000L +
         ldt.getNano / 1000L
+    case TimestampType =>
+      // instant micros. timestamptz text carries its offset; plain
+      // timestamp (no suffix) is a zone-less wall time that the pgjdbc
+      // leg resolves through java.sql.Timestamp = the JVM default zone
+      // — mirror that exactly so the two legs agree value-for-value.
+      val m = TzSuffix.findFirstMatchIn(text)
+      m match {
+        case Some(mm) =>
+          val off = java.time.ZoneOffset.of(mm.group(1))
+          val ldt = java.time.LocalDateTime.parse(
+            text.substring(0, mm.start).replace(' ', 'T'))
+          ldt.toEpochSecond(off) * 1000000L + ldt.getNano / 1000L
+        case None =>
+          val ldt = java.time.LocalDateTime.parse(text.replace(' ', 'T'))
+          val zdt = ldt.atZone(java.time.ZoneId.systemDefault())
+          zdt.toEpochSecond * 1000000L + zdt.getNano / 1000L
+      }
     case d: DecimalType =>
       org.apache.spark.sql.types.Decimal(
         new java.math.BigDecimal(text), d.precision, d.scale)
@@ -152,6 +178,10 @@ private final case class PgNativeOptions(rawOpts: Map[String, String]) {
       (PgNativeSource.quoteIdent(col), req("lowerbound").toLong,
         req("upperbound").toLong, req("numpartitions").toInt)
     }
+  /** Spark JDBC preferTimestampNTZ analogue: map oid 1114 to
+    * TimestampNTZType instead of the JDBC-default TimestampType. */
+  val preferTimestampNtz: Boolean =
+    opts.get("prefer_timestamp_ntz").exists(_.toBoolean)
   def connect(): PgWireClient =
     new PgWireClient(host, port, database, user, password)
 }
@@ -228,7 +258,14 @@ private object PgFilterSql {
     case s: UTF8String         => lit(s.toString)
     case b: Boolean            => Some(if (b) "TRUE" else "FALSE")
     case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
-    case f: Float if !f.isNaN && !f.isInfinite   => Some(f.toString)
+    // Float comparisons are NOT pushed: PG evaluates `float4col = 0.1`
+    // after promoting BOTH sides to float8/numeric, where the shortest
+    // text form of a Float (e.g. "0.1") is a DIFFERENT number than the
+    // float4 bit pattern Spark compares against — a pushed predicate
+    // could drop rows Spark semantics keep, and pushed filters are not
+    // re-checked. Doubles are exact: PG float8 = Spark double, and the
+    // shortest-round-trip text parses back to the identical value.
+    case _: Float => None
     case d: Double if !d.isNaN && !d.isInfinite  => Some(d.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal           => Some(d.bigDecimal.toPlainString)
@@ -299,8 +336,13 @@ private final class PgNativeReaderFactory(required: StructType,
 private final class PgNativePartitionReader(required: StructType,
     o: PgNativeOptions, sql: String) extends PartitionReader[InternalRow] {
 
+  // a throw from execute (write failure, server error on flush) means
+  // the reader is never constructed and Spark never calls close() —
+  // the already-open socket must be released here, like PgWireClient's
+  // own failed-handshake guard
   private val cli = o.connect()
-  cli.execute(sql)
+  try cli.execute(sql)
+  catch { case t: Throwable => try cli.close() catch { case _: Throwable => }; throw t }
   private var row: Array[Option[String]] = _
 
   override def next(): Boolean = {

@@ -63,14 +63,30 @@ final case class StDistanceExpr(left: Expression, right: Expression)
 
   override def prettyName: String = "st_distance"
   override def dataType: DataType = DoubleType
+  // distance() itself can return NULL for non-null inputs (malformed
+  // WKB -> Geo.fromWkb null), independent of input nullability
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     StScalarOps.distance(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
 
+  // boxed-result + explicit null check, the same pattern as
+  // StScalarExpr: defineCodeGen would assign the boxed Double straight
+  // into a primitive slot, so a null kernel result would NPE under
+  // codegen while the interpreted path returns NULL
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) =>
-      s"graft.spatial.StScalarOps.distance($l, $r)")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val res = ctx.freshName("stDist")
+      s"""
+         |java.lang.Double $res = graft.spatial.StScalarOps.distance($l, $r);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

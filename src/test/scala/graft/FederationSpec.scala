@@ -239,9 +239,10 @@ class FederationSpec extends GraftSuite {
 
   test("postgres_scan native client: decimal, timestamp, binary and NULL round-trips") {
     // the wire text formats beyond the common scalars: NUMERIC plain
-    // text -> Decimal(38,18), timestamp (oid 1114) with fractional
-    // seconds -> TimestampNTZ micros, bytea \x-hex -> binary, and SQL
-    // NULL columns through every type
+    // text -> Decimal(38,18), timestamp (oid 1114) -> TimestampType
+    // (the pgjdbc leg's default mapping — both legs must agree on
+    // schema AND value, round-9 advice), bytea \x-hex -> binary, and
+    // SQL NULL columns through every type
     spark.range(6).selectExpr(
       "id",
       "cast(cast(id as decimal(10, 2)) / 4 as decimal(10, 2)) AS price",
@@ -254,26 +255,92 @@ class FederationSpec extends GraftSuite {
     val port = srv.start()
     spark.conf.set("spark.graft.federation.pg_native", "true")
     try {
-      val rows = spark.sql(
+      val df = spark.sql(
         s"SELECT * FROM postgres_scan('postgres://127.0.0.1:$port', " +
-          "'postgres', 'fed_types') ORDER BY id").collect()
+          "'postgres', 'fed_types') ORDER BY id")
+      // JDBC-parity default: oid 1114 maps to TimestampType, exactly
+      // as pgjdbc+Spark-JDBC would
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, df.schema.treeString)
+      val rows = df.collect()
       assert(rows.length == 6)
       for ((r, i) <- rows.zipWithIndex) {
         assert(r.getLong(0) == i)
         assert(r.getDecimal(1).compareTo(
           new java.math.BigDecimal(i).divide(new java.math.BigDecimal(4))) == 0,
           s"price row $i: ${r.getDecimal(1)}")
-        assert(r.getAs[java.time.LocalDateTime]("ts") ==
-          java.time.LocalDateTime.of(2024, 3, 1, 12, i, 0, 123456000),
-          s"ts row $i: ${r.getAs[java.time.LocalDateTime]("ts")}")
+        // a zone-less wire timestamp resolves through the JVM default
+        // zone — the same rule java.sql.Timestamp (the pgjdbc leg)
+        // applies, so the expected instant is computed the same way
+        val expected = java.time.LocalDateTime
+          .of(2024, 3, 1, 12, i, 0, 123456000)
+          .atZone(java.time.ZoneId.systemDefault()).toInstant
+        assert(r.getTimestamp(2).toInstant == expected,
+          s"ts row $i: ${r.getTimestamp(2)}")
         assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == s"b$i")
         if (i % 2 == 0) assert(r.getString(4) == s"s$i")
         else assert(r.isNullAt(4), s"maybe_null row $i not null")
       }
+
+      // ... and the preferTimestampNTZ analogue restores the NTZ
+      // mapping for zone-less analytics pipelines
+      spark.conf.set("spark.graft.federation.pg_prefer_timestamp_ntz", "true")
+      val ntz = spark.sql(
+        s"SELECT ts FROM postgres_scan('postgres://127.0.0.1:$port', " +
+          "'postgres', 'fed_types') ORDER BY ts")
+      assert(ntz.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType, ntz.schema.treeString)
+      assert(ntz.collect().head.getAs[java.time.LocalDateTime](0) ==
+        java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0, 123456000))
     } finally {
+      spark.conf.unset("spark.graft.federation.pg_prefer_timestamp_ntz")
       spark.conf.unset("spark.graft.federation.pg_native")
       srv.stop()
       spark.catalog.dropTempView("fed_types")
+    }
+  }
+
+  test("postgres_scan native client: float filters stay Spark-side, URL params guarded") {
+    // (round-9 advice) a pushed `float4col = 0.1` would be evaluated by
+    // PG after float8 promotion, where 0.1f != 0.1 — the filter must
+    // NOT compile into the wire SQL (and the result must still be
+    // exact, re-filtered by Spark)
+    spark.range(8).selectExpr(
+      "id", "cast(id / 10.0 AS float) AS ratio4")
+      .createOrReplaceTempView("fed_float")
+    val srv = new graft.server.PgServer(spark, port = 0, password = None)
+    val port = srv.start()
+    spark.conf.set("spark.graft.federation.pg_native", "true")
+    try {
+      val df = spark.sql(
+        s"SELECT id FROM postgres_scan('postgres://127.0.0.1:$port', " +
+          "'postgres', 'fed_float') WHERE ratio4 = cast(0.3 AS float)")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // the float predicate is absent from every statement that
+      // reached the wire — Spark re-evaluated it post-scan
+      assert(!srv.recentStatements.exists(s =>
+        s.contains("fed_float") && s.contains("0.3")),
+        s"float predicate leaked to the wire:\n${srv.recentStatements.mkString("\n")}")
+
+      // unsupported URL parameters fail loudly instead of silently
+      // downgrading (sslmode=require has no native-transport backing)
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
+          "?sslmode=require', 'org.postgresql.Driver', 'fed_float')").collect())
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+      assert(msgs(e).contains("sslmode"), msgs(e))
+
+      // benign params and percent-encoded credentials parse cleanly
+      val ok = spark.sql(
+        s"SELECT count(*) AS n FROM jdbc_scan('jdbc:postgresql://" +
+          s"us%40er:p%40ss@127.0.0.1:$port/postgres?sslmode=disable', " +
+          "'org.postgresql.Driver', 'fed_float')")
+      assert(ok.collect().head.getLong(0) == 8L)
+    } finally {
+      spark.conf.unset("spark.graft.federation.pg_native")
+      srv.stop()
+      spark.catalog.dropTempView("fed_float")
     }
   }
 
