@@ -35,7 +35,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     password: Option[String] = sys.env.get("GRAFT_PG_PASSWORD"),
     keystore: Option[(String, String)] =
       for (p <- sys.env.get("GRAFT_PG_KEYSTORE");
-           pw <- sys.env.get("GRAFT_PG_KEYSTORE_PASSWORD")) yield (p, pw)) {
+           pw <- sys.env.get("GRAFT_PG_KEYSTORE_PASSWORD")) yield (p, pw),
+    // password exchange when a password is configured: "md5" (the
+    // reference's scheme, auth.rs:60-110) or "scram-sha-256" (what a
+    // modern psql/pgjdbc expects by default — lets the native
+    // federation client's SCRAM leg be proven end-to-end in-repo)
+    auth: String = sys.env.getOrElse("GRAFT_PG_AUTH", "md5")) {
 
   /** TLS context from the PKCS12 keystore, when one is configured —
     * SSLRequest is then accepted ('S') and the connection upgrades
@@ -348,17 +353,94 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.errorResponse("28000", s"""role "$user" does not exist""")
           out.flush(); return false
         }
-        val salt = Array[Byte](0x12, 0x34, 0x56, 0x78)
-        out.authenticationMd5(salt); out.flush()
-        val m = PgWire.readMessage(in)
-        val given = PgWire.cstrings(m.body).head
-        val expect = md5Password(user, pass, salt)
-        if (given == expect) { out.authenticationOk(); true }
+        if (auth.equalsIgnoreCase("scram-sha-256"))
+          authenticateScram(in, out, user, pass)
         else {
-          out.errorResponse("28P01", s"""password authentication failed for user "$user"""")
-          out.flush(); false
+          val salt = Array[Byte](0x12, 0x34, 0x56, 0x78)
+          out.authenticationMd5(salt); out.flush()
+          val m = PgWire.readMessage(in)
+          val given = PgWire.cstrings(m.body).head
+          val expect = md5Password(user, pass, salt)
+          if (given == expect) { out.authenticationOk(); true }
+          else {
+            out.errorResponse("28P01", s"""password authentication failed for user "$user"""")
+            out.flush(); false
+          }
         }
     }
+
+  /** SCRAM-SHA-256 server leg (RFC 5802/7677; PG >= 14's default
+    * password_encryption). Plaintext channel only, so the client's gs2
+    * header must be "n" (no binding) or "y" (client could bind, server
+    * offered no -PLUS mechanism) — a "p=..." header is a hard error
+    * because this listener never advertises channel binding. */
+  private def authenticateScram(in: DataInputStream, out: PgWire.Out,
+      user: String, pass: String): Boolean = {
+    def fail(msg: String): Boolean = {
+      out.errorResponse("28P01", msg); out.flush(); false
+    }
+    out.authenticationSasl(Seq(Scram.Mechanism)); out.flush()
+    // SASLInitialResponse: mechanism cstring + int32 payload length
+    val init = PgWire.readMessage(in)
+    if (init.tag != 'p') return fail("expected SASLInitialResponse")
+    val buf = java.nio.ByteBuffer.wrap(init.body)
+    val mechSb = new StringBuilder
+    var b = buf.get()
+    while (b != 0) { mechSb.append(b.toChar); b = buf.get() }
+    if (mechSb.toString != Scram.Mechanism)
+      return fail(s"unsupported SASL mechanism ${mechSb.toString}")
+    val initLen = buf.getInt
+    if (initLen < 0 || initLen > buf.remaining())
+      return fail("malformed SASLInitialResponse payload")
+    val initBytes = new Array[Byte](initLen)
+    buf.get(initBytes)
+    val clientFirst = new String(initBytes, UTF_8)
+    // gs2 header: cbind-flag "," [authzid] "," then client-first-bare
+    if (clientFirst.isEmpty) return fail("empty SCRAM client-first message")
+    val gs2End = clientFirst.indexOf(',', clientFirst.indexOf(',') + 1)
+    if (gs2End < 0 || (clientFirst.head != 'n' && clientFirst.head != 'y'))
+      return fail("channel binding not supported on this listener")
+    val gs2Header = clientFirst.substring(0, gs2End + 1)
+    val clientFirstBare = clientFirst.substring(gs2End + 1)
+    val clientNonce = Scram.attrs(clientFirstBare).getOrElse('r',
+      return fail("client-first lacks r= nonce"))
+
+    val salt = new Array[Byte](16)
+    secretRng.nextBytes(salt)
+    val iterations = 4096
+    val serverNonce = clientNonce + Scram.randomNonce(secretRng)
+    val serverFirst =
+      s"r=$serverNonce,s=${Scram.b64(salt)},i=$iterations"
+    out.authenticationSaslContinue(serverFirst.getBytes(UTF_8)); out.flush()
+
+    // SASLResponse: raw client-final-message
+    val resp = PgWire.readMessage(in)
+    if (resp.tag != 'p') return fail("expected SASLResponse")
+    val clientFinal = new String(resp.body, UTF_8)
+    val a = Scram.attrs(clientFinal)
+    if (!a.get('r').contains(serverNonce))
+      return fail("SCRAM nonce mismatch")
+    // c= must encode the exact gs2 header from client-first
+    if (!a.get('c').contains(Scram.b64(gs2Header.getBytes(UTF_8))))
+      return fail("SCRAM channel-binding data mismatch")
+    val proof = a.get('p') match {
+      case Some(p) => try Scram.unb64(p) catch {
+        case _: IllegalArgumentException => return fail("malformed SCRAM proof")
+      }
+      case None => return fail("client-final lacks p= proof")
+    }
+    val proofCut = clientFinal.lastIndexOf(",p=")
+    if (proofCut < 0) return fail("client-final lacks p= proof")
+    val withoutProof = clientFinal.substring(0, proofCut)
+    val salted = Scram.saltedPassword(pass, salt, iterations)
+    val authMsg = Scram.authMessage(clientFirstBare, serverFirst, withoutProof)
+    if (!Scram.verifyClientProof(salted, authMsg, proof))
+      return fail(s"""password authentication failed for user "$user"""")
+    out.authenticationSaslFinal(
+      s"v=${Scram.b64(Scram.serverSignature(salted, authMsg))}".getBytes(UTF_8))
+    out.authenticationOk()
+    true
+  }
 
   /** PG MD5 scheme: "md5" + md5(md5(password + user) + salt). */
   private def md5Password(user: String, pass: String, salt: Array[Byte]): String = {

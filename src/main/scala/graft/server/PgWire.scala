@@ -26,6 +26,21 @@ object PgWire {
     def flush(): Unit = out.flush()
 
     def authenticationOk(): Unit = msg('R')(_.writeInt(0))
+    /** AuthenticationSASL: advertised mechanisms, NUL-separated with a
+      * terminating empty name. */
+    def authenticationSasl(mechanisms: Seq[String]): Unit = msg('R') { d =>
+      d.writeInt(10)
+      mechanisms.foreach { m =>
+        d.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.writeByte(0)
+      }
+      d.writeByte(0)
+    }
+    def authenticationSaslContinue(data: Array[Byte]): Unit = msg('R') { d =>
+      d.writeInt(11); d.write(data)
+    }
+    def authenticationSaslFinal(data: Array[Byte]): Unit = msg('R') { d =>
+      d.writeInt(12); d.write(data)
+    }
     def authenticationMd5(salt: Array[Byte]): Unit = msg('R') { d =>
       d.writeInt(5); d.write(salt)
     }

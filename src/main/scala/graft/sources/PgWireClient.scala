@@ -14,16 +14,23 @@ import graft.server.PgWire
   * counterpart, reusing the repo's own frame reader (PgWire.readMessage
   * — tag + int32 length + body is symmetric between the directions).
   *
-  * Scope: startup with trust / cleartext / MD5 auth, one simple Query
-  * per call, text-format results streamed row-at-a-time (the reader
-  * pulls DataRows from the socket as the Spark task consumes them — no
-  * whole-result buffering, which is what makes a 100 TB-side federated
-  * scan possible at all). SCRAM and TLS are out of scope and fail with
-  * a clear message; pgjdbc remains the preferred path when its jar is
+  * Scope: startup with trust / cleartext / MD5 / SCRAM-SHA-256 auth
+  * (the RFC 5802/7677 exchange in [[graft.server.Scram]] — PG >= 14
+  * defaults to scram-sha-256, and the reference's rust-postgres client
+  * speaks it), one simple Query per call, text-format results streamed
+  * row-at-a-time (the reader pulls DataRows from the socket as the
+  * Spark task consumes them — no whole-result buffering, which is what
+  * makes a 100 TB-side federated scan possible at all). TLS stays out
+  * of scope (clear error); pgjdbc remains preferred when its jar is
   * present.
+  *
+  * `nonceOverride` pins the SCRAM client nonce for the RFC 7677
+  * test-vector spec; production callers leave it None (SecureRandom).
   */
 final class PgWireClient(host: String, port: Int, database: String,
-    user: String, password: String) extends AutoCloseable {
+    user: String, password: String,
+    private[graft] val nonceOverride: Option[String] = None)
+    extends AutoCloseable {
 
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), 15000)
@@ -67,6 +74,11 @@ final class PgWireClient(host: String, port: Int, database: String,
 
   /** Drain messages until ReadyForQuery, answering auth requests. */
   private def awaitReady(): Unit = {
+    import graft.server.Scram
+    // SCRAM exchange state, live between the three 'R' sub-messages
+    var scramNonce: String = null
+    var scramFirstBare: String = null
+    var scramExpectV: Array[Byte] = null
     var ready = false
     while (!ready) {
       val m = PgWire.readMessage(in)
@@ -80,9 +92,58 @@ final class PgWireClient(host: String, port: Int, database: String,
             case 5 => // MD5: "md5" + md5(md5(password + user) + salt)
               val salt = java.util.Arrays.copyOfRange(m.body, 4, 8)
               send('p')(d => { d.write(md5Password(salt).getBytes(UTF_8)); d.writeByte(0) })
+            case 10 => // AuthenticationSASL: server's mechanism list
+              val mechs = new String(m.body, 4, m.body.length - 4, UTF_8)
+                .split("\u0000").filter(_.nonEmpty).toSeq
+              if (!mechs.contains(Scram.Mechanism))
+                throw new java.io.IOException(
+                  "postgres_scan native client: no mutually supported SASL " +
+                    s"mechanism (server offers: ${mechs.mkString(", ")}; " +
+                    s"client speaks ${Scram.Mechanism} without channel binding)")
+              scramNonce = nonceOverride.getOrElse(
+                Scram.randomNonce(new java.security.SecureRandom()))
+              scramFirstBare = Scram.clientFirstBare(scramNonce)
+              // SASLInitialResponse: mechanism cstring + int32-length
+              // payload; gs2 header "n,," = no channel binding
+              val init = ("n,," + scramFirstBare).getBytes(UTF_8)
+              send('p') { d =>
+                d.write(Scram.Mechanism.getBytes(UTF_8)); d.writeByte(0)
+                d.writeInt(init.length); d.write(init)
+              }
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              if (scramNonce == null) throw new java.io.IOException(
+                "postgres_scan native client: SASLContinue before SASL start")
+              val serverFirst = new String(m.body, 4, m.body.length - 4, UTF_8)
+              val a = Scram.attrs(serverFirst)
+              val fullNonce = a.getOrElse('r', throw new java.io.IOException(
+                s"postgres_scan native client: server-first lacks r=: $serverFirst"))
+              if (!fullNonce.startsWith(scramNonce))
+                throw new java.io.IOException(
+                  "postgres_scan native client: server nonce does not extend " +
+                    "the client nonce (possible MITM) — aborting SCRAM")
+              val salt = Scram.unb64(a('s'))
+              val iterations = a('i').toInt
+              val salted = Scram.saltedPassword(password, salt, iterations)
+              // c= carries the base64 gs2 header ("n,," -> "biws")
+              val finalNoProof = s"c=biws,r=$fullNonce"
+              val authMsg = Scram.authMessage(scramFirstBare, serverFirst, finalNoProof)
+              val proof = Scram.clientProof(salted, authMsg)
+              scramExpectV = Scram.serverSignature(salted, authMsg)
+              val resp = s"$finalNoProof,p=${Scram.b64(proof)}".getBytes(UTF_8)
+              send('p')(_.write(resp)) // SASLResponse: raw payload, no cstring
+            case 12 => // AuthenticationSASLFinal: v=ServerSignature
+              if (scramExpectV == null) throw new java.io.IOException(
+                "postgres_scan native client: SASLFinal before client-final")
+              val v = Scram.attrs(
+                new String(m.body, 4, m.body.length - 4, UTF_8)).getOrElse('v', "")
+              if (!java.security.MessageDigest.isEqual(
+                  Scram.unb64(v), scramExpectV))
+                throw new java.io.IOException(
+                  "postgres_scan native client: server signature verification " +
+                    "failed — the server does not know the password (possible MITM)")
             case other => throw new java.io.IOException(
               s"postgres_scan native client: unsupported auth method $other " +
-                "(trust/cleartext/md5 supported; for SCRAM use the pgjdbc driver)")
+                "(trust/cleartext/md5/scram-sha-256 supported)")
           }
         case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
         case 'Z'             => ready = true

@@ -23,6 +23,31 @@ class PsqlInteropSpec extends GraftSuite {
     try f(port, run) finally srv.stop()
   }
 
+  test("psql authenticates over SCRAM-SHA-256 (libpq's native exchange)") {
+    // server-side SCRAM proven against the REAL libpq implementation,
+    // not just the repo's own client: psql >= 10 answers an
+    // AuthenticationSASL offer with the full RFC 7677 exchange
+    assume(psqlAvailable, "psql not installed")
+    val srv = new PgServer(spark, port = 0, password = Some("sc ram!pass"),
+      auth = "scram-sha-256")
+    val port = srv.start()
+    try {
+      def run(pass: String, sql: String): (Int, String) = {
+        val out = new StringBuilder
+        val code = Process(
+          Seq("psql", "-h", "127.0.0.1", "-p", port.toString, "-U", "postgres",
+            "-d", "postgres", "-X", "-At", "-c", sql),
+          None, "PGPASSWORD" -> pass).!(ProcessLogger(s => out.append(s).append('\n'),
+            s => out.append(s).append('\n')))
+        (code, out.toString)
+      }
+      val (ok, res) = run("sc ram!pass", "SELECT 40 + 2")
+      assert(ok == 0 && res.trim == "42", s"exit=$ok out=$res")
+      val (bad, err) = run("wrong", "SELECT 1")
+      assert(bad != 0 && err.contains("password authentication failed"), err)
+    } finally srv.stop()
+  }
+
   test("psql runs scalar, catalog, and multi-statement queries") {
     withPsql { (_, run) =>
       assert(run(Seq("-c", "SELECT 1 + 1")).trim == "2")
