@@ -221,6 +221,9 @@ object Federation {
       .option("prefer_timestamp_ntz", session.conf
         .getOption("spark.graft.federation.pg_prefer_timestamp_ntz")
         .getOrElse("false"))
+      .option("result_format", session.conf
+        .getOption("spark.graft.federation.pg_result_format")
+        .getOrElse("binary"))
       .option("table", scan.table)
     val part = scan.partition.orElse(confPartition(session))
     val withPart = part.fold(reader) { p =>

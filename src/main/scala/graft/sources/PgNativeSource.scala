@@ -139,6 +139,63 @@ object PgNativeSource {
       throw new IllegalArgumentException(s"pgwire: unsupported read type $other")
   }
 
+  /** Types the reader requests in BINARY result format (format code
+    * 1): fixed-width wire forms that decode without a text parse, plus
+    * bytea (raw pass-through) and numeric (base-10000 groups, cheaper
+    * than BigDecimal text for wide values). Strings stay text — their
+    * binary form IS the text bytes. */
+  def binaryFormatFor(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BinaryType | DateType => true
+    case TimestampType | TimestampNTZType               => true
+    case _: DecimalType                                 => true
+    case _                                              => false
+  }
+
+  /** Binary wire cell -> Catalyst internal value. Decode keys on the
+    * column's RowDescription oid (graft.server.PgWire.decodeBinaryParam
+    * — the battle-tested inverse the server uses for bound
+    * parameters), then adapts to the expected Spark type; numeric
+    * widenings cover a user-supplied schema wider than the remote
+    * column. */
+  def convertBinary(oid: Int, bytes: Array[Byte], dt: DataType): Any = {
+    val v = graft.server.PgWire.decodeBinaryParam(oid, bytes)
+    (v, dt) match {
+      case (b: Boolean, BooleanType)            => b
+      case (b: Byte, ByteType)                  => b
+      case (n: Short, ShortType)                => n
+      case (n: Int, IntegerType)                => n
+      case (n: Long, LongType)                  => n
+      case (f: Float, FloatType)                => f
+      case (d: Double, DoubleType)              => d
+      case (n: java.lang.Number, LongType)      => n.longValue()
+      case (n: java.lang.Number, IntegerType)   => n.intValue()
+      case (n: java.lang.Number, ShortType)     => n.shortValue()
+      case (n: java.lang.Number, DoubleType)    => n.doubleValue()
+      case (n: java.lang.Number, FloatType)     => n.floatValue()
+      case (b: Array[Byte], BinaryType)         => b
+      case (d: java.time.LocalDate, DateType)   => d.toEpochDay.toInt
+      case (t: java.time.LocalDateTime, TimestampNTZType) =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      case (t: java.time.LocalDateTime, TimestampType) =>
+        // zone-less wall time resolved through the JVM default zone,
+        // the same rule as the text path / the pgjdbc leg
+        val zdt = t.atZone(java.time.ZoneId.systemDefault())
+        zdt.toEpochSecond * 1000000L + zdt.getNano / 1000L
+      case (t: java.time.Instant, TimestampType) =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      case (t: java.time.Instant, TimestampNTZType) =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      case (bd: java.math.BigDecimal, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+      case (s: String, _) => convert(s, dt) // remote column was text-ish
+      case (other, StringType) => UTF8String.fromString(other.toString)
+      case (other, _) => throw new IllegalArgumentException(
+        s"pgwire: cannot adapt binary oid $oid value " +
+          s"(${other.getClass.getSimpleName}) to $dt")
+    }
+  }
+
   /** trailing zone offset of PG timestamptz text: +HH, +HH:MM, +HH:MM:SS */
   private val TzSuffix = "([+-]\\d{2}(?::?\\d{2}){0,2})$".r
 
@@ -182,6 +239,15 @@ private final case class PgNativeOptions(rawOpts: Map[String, String]) {
     * TimestampNTZType instead of the JDBC-default TimestampType. */
   val preferTimestampNtz: Boolean =
     opts.get("prefer_timestamp_ntz").exists(_.toBoolean)
+  /** "binary" (default): extended-protocol reads with binary result
+    * format for fixed-width columns — no per-cell text parse, and no
+    * simple-protocol row cap. "text": legacy simple-protocol reads. */
+  val resultFormat: String = {
+    val f = opts.getOrElse("result_format", "binary")
+    require(f == "binary" || f == "text",
+      s"pgwire: result_format must be 'binary' or 'text', got '$f'")
+    f
+  }
   def connect(): PgWireClient =
     new PgWireClient(host, port, database, user, password)
 }
@@ -288,6 +354,7 @@ private final class PgNativeScan(required: StructType, pushed: Array[Filter],
   override def description(): String = {
     val filters = pushed.map(_.toString).mkString(", ")
     s"PgWireScan ${o.table} PushedFilters: [$filters], " +
+      s"ResultFormat: ${o.resultFormat}, " +
       s"ReadSchema: ${required.catalogString}"
   }
 
@@ -336,28 +403,51 @@ private final class PgNativeReaderFactory(required: StructType,
 private final class PgNativePartitionReader(required: StructType,
     o: PgNativeOptions, sql: String) extends PartitionReader[InternalRow] {
 
+  // requested per-column formats: binary for fixed-width decode, text
+  // otherwise (the server's RowDescription remains authoritative —
+  // see the `formats` read below). Data reads ALWAYS go through the
+  // extended protocol regardless of format: Execute(max_rows=0) has no
+  // row cap, while a simple Query against the reference-shaped server
+  // is clamped at DEFAULT_ROW_LIMIT=1024 — a simple-protocol scan of a
+  // >1024-row partition would silently truncate.
+  private val wantFormats: Array[Int] =
+    if (o.resultFormat == "binary")
+      required.fields.map(f =>
+        if (PgNativeSource.binaryFormatFor(f.dataType)) 1 else 0)
+    else new Array[Int](required.length)
+
   // a throw from execute (write failure, server error on flush) means
   // the reader is never constructed and Spark never calls close() —
   // the already-open socket must be released here, like PgWireClient's
   // own failed-handshake guard
   private val cli = o.connect()
-  try cli.execute(sql)
-  catch { case t: Throwable => try cli.close() catch { case _: Throwable => }; throw t }
-  private var row: Array[Option[String]] = _
+  try cli.executeExtended(sql, wantFormats)
+  catch {
+    case t: Throwable => try cli.close() catch { case _: Throwable => }; throw t
+  }
+  private var row: Array[Option[Array[Byte]]] = _
 
   override def next(): Boolean = {
-    row = cli.fetchRow()
+    row = cli.fetchRowRaw()
     row != null
   }
 
   override def get(): InternalRow = {
     if (required.isEmpty) return new GenericInternalRow(0)
+    val formats = cli.fieldFormats
+    val oids = cli.fields
     val out = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
       out(i) = row(i) match {
-        case Some(text) => PgNativeSource.convert(text, required(i).dataType)
-        case None       => null
+        case Some(cell) =>
+          if (i < formats.length && formats(i) == 1)
+            PgNativeSource.convertBinary(oids(i)._2, cell, required(i).dataType)
+          else
+            PgNativeSource.convert(
+              new String(cell, java.nio.charset.StandardCharsets.UTF_8),
+              required(i).dataType)
+        case None => null
       }
       i += 1
     }

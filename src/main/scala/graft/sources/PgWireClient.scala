@@ -42,6 +42,13 @@ final class PgWireClient(host: String, port: Int, database: String,
   private var fieldsVar: Array[(String, Int)] = Array.empty
   def fields: Array[(String, Int)] = fieldsVar
 
+  /** Per-column wire format of the in-flight query (0 text, 1 binary)
+    * as ANNOUNCED by the server's RowDescription — authoritative over
+    * what [[executeExtended]] requested (a server that cannot encode a
+    * type in binary degrades it to text and says so here). */
+  private var fieldFormatsVar: Array[Int] = Array.empty
+  def fieldFormats: Array[Int] = fieldFormatsVar
+
   // ---- startup + auth ----
   // a throw out of the constructor leaves no reference for close() to
   // run on, so a failed handshake (SCRAM-only server, bad credentials,
@@ -181,23 +188,69 @@ final class PgWireClient(host: String, port: Int, database: String,
     new java.io.IOException(s"server error $code: $message")
   }
 
-  /** Issue one simple Query. Rows are then pulled via [[fetchRow]]. */
+  /** Issue one simple Query. Rows are then pulled via [[fetchRow]] /
+    * [[fetchRowRaw]] (all columns arrive in text format). */
   def execute(sql: String): Unit = {
     fieldsVar = Array.empty
+    fieldFormatsVar = Array.empty
     pendingError = null
     done = false
     send('Q')(d => { d.write(sql.getBytes(UTF_8)); d.writeByte(0) })
+  }
+
+  /** Issue one query through the EXTENDED protocol
+    * (Parse/Bind/Describe/Execute/Sync pipelined in a single flush)
+    * with per-column result format codes (0 = text, 1 = binary). Two
+    * wins over the simple protocol for a federated scan: fixed-width
+    * types arrive in their 2/4/8-byte wire form instead of text that
+    * must be re-parsed per cell, and Execute's max_rows=0 means no
+    * server-side row cap (the reference server's simple protocol
+    * clamps at DEFAULT_ROW_LIMIT=1024 — ours mirrors that, so a
+    * self-federated scan MUST take this path to see every row).
+    * Rows are then pulled via [[fetchRowRaw]]; the actual per-column
+    * format (a server may degrade binary to text and must say so in
+    * RowDescription) is in [[fieldFormats]]. */
+  def executeExtended(sql: String, resultFormats: Array[Int]): Unit = {
+    fieldsVar = Array.empty
+    fieldFormatsVar = Array.empty
+    pendingError = null
+    done = false
+    def cstr(d: DataOutputStream, s: String): Unit = {
+      d.write(s.getBytes(UTF_8)); d.writeByte(0)
+    }
+    send('P') { d => // Parse: unnamed statement, no declared param oids
+      cstr(d, ""); cstr(d, sql); d.writeShort(0)
+    }
+    send('B') { d => // Bind: unnamed portal/statement, no params
+      cstr(d, ""); cstr(d, "")
+      d.writeShort(0) // param format codes
+      d.writeShort(0) // param values
+      d.writeShort(resultFormats.length)
+      resultFormats.foreach(d.writeShort)
+    }
+    send('D') { d => d.writeByte('P'); cstr(d, "") } // Describe portal
+    send('E') { d => cstr(d, ""); d.writeInt(0) }    // Execute, no row cap
+    send('S')(_ => ())                               // Sync
   }
 
   private var pendingError: java.io.IOException = null
   private var done = false
 
   /** Next DataRow of the in-flight query as per-column text values
-    * (None = SQL NULL), or null when the result set is exhausted.
-    * Reads the socket incrementally — one message per call on the
-    * row-bearing path. Throws the server's error (after the protocol
-    * reaches ReadyForQuery, so the connection stays usable). */
+    * (None = SQL NULL), or null when the result set is exhausted. */
   def fetchRow(): Array[Option[String]] = {
+    val raw = fetchRowRaw()
+    if (raw == null) null
+    else raw.map(_.map(new String(_, UTF_8)))
+  }
+
+  /** Next DataRow as raw per-column cell bytes (text or binary per
+    * [[fieldFormats]]; None = SQL NULL), or null when the result set
+    * is exhausted. Reads the socket incrementally — one message per
+    * call on the row-bearing path. Throws the server's error (after
+    * the protocol reaches ReadyForQuery, so the connection stays
+    * usable). */
+  def fetchRowRaw(): Array[Option[Array[Byte]]] = {
     if (done) return null
     while (true) {
       val m = PgWire.readMessage(in)
@@ -205,7 +258,7 @@ final class PgWireClient(host: String, port: Int, database: String,
         case 'D' =>
           val bb = java.nio.ByteBuffer.wrap(m.body)
           val n = bb.getShort.toInt
-          val row = new Array[Option[String]](n)
+          val row = new Array[Option[Array[Byte]]](n)
           var i = 0
           while (i < n) {
             val len = bb.getInt
@@ -213,7 +266,7 @@ final class PgWireClient(host: String, port: Int, database: String,
             else {
               val bytes = new Array[Byte](len)
               bb.get(bytes)
-              row(i) = Some(new String(bytes, UTF_8))
+              row(i) = Some(bytes)
             }
             i += 1
           }
@@ -221,16 +274,21 @@ final class PgWireClient(host: String, port: Int, database: String,
         case 'T' =>
           val bb = java.nio.ByteBuffer.wrap(m.body)
           val n = bb.getShort.toInt
-          fieldsVar = (0 until n).map { _ =>
+          val fs = new Array[Int](n)
+          fieldsVar = (0 until n).map { i =>
             val nameBytes = new java.io.ByteArrayOutputStream()
             var b = bb.get()
             while (b != 0) { nameBytes.write(b); b = bb.get() }
             bb.getInt; bb.getShort // table oid, attnum
             val oid = bb.getInt
-            bb.getShort; bb.getInt; bb.getShort // typlen, typmod, format
+            bb.getShort; bb.getInt // typlen, typmod
+            fs(i) = bb.getShort.toInt // format code (authoritative)
             (new String(nameBytes.toByteArray, UTF_8), oid)
           }.toArray
-        case 'C' | 'I' | 'N' | 'S' => // CommandComplete / Empty / Notice
+          fieldFormatsVar = fs
+        // '1'/'2' = Parse/BindComplete (extended); 'C'/'I'/'N'/'S' as
+        // in the simple protocol
+        case '1' | '2' | 'C' | 'I' | 'N' | 'S' =>
         case 'E' => pendingError = errorFrom(m.body)
         case 'Z' =>
           done = true
