@@ -297,6 +297,51 @@ class SpatialJoinSpec extends GraftSuite
     assert(counts.max <= 400, s"kdb leaves unbalanced: ${counts.toSeq.sorted.reverse}")
   }
 
+  test("pair-explosion guard: degenerate density collapse fails loudly when budgeted") {
+    // 40k x 40k geometries stacked on FOUR distinct locations: every
+    // partitioning is powerless (cost is linear in the ~4·10^8 emitted
+    // pairs). With a budget conf set, both schemes must throw the guard
+    // message from bounded statistics BEFORE launching the join; with
+    // no budget (default) the conf-gated guard stays out of the way.
+    val stackedL = spark.range(40000).select(col("id").as("l_id"),
+      expr("st_makepoint(cast(id % 2 as double), cast(id % 2 as double))").as("l_geom"))
+    val stackedR = spark.range(40000).select(col("id").as("r_id"),
+      expr("st_makepoint(cast(id % 2 as double) + 0.001, " +
+        "cast(id % 2 as double))").as("r_geom"))
+    try {
+      spark.conf.set("spark.graft.spatial_join.max_candidate_pairs", "1000000")
+      // kdb path: the SAMPLE sees the collapse (per-leaf occupancy
+      // products explode even at a tiny join radius)
+      val eK = intercept[IllegalStateException](
+        SpatialJoin.grid(stackedL, stackedR, "l_geom", "r_geom",
+          "st_dwithin", distance = 0.01, adaptive = true).count())
+      assert(eK.getMessage.contains("max_candidate_pairs") &&
+        eK.getMessage.contains("estimated candidate pairs"), eK.getMessage)
+      // uniform path has no sample; its formula catches the other
+      // explosion mode — a join window comparable to the whole extent,
+      // where every row pairs with a constant fraction of the other side
+      val eU = intercept[IllegalStateException](
+        SpatialJoin.grid(stackedL, stackedR, "l_geom", "r_geom",
+          "st_dwithin", distance = 0.5, adaptive = false).count())
+      assert(eU.getMessage.contains("max_candidate_pairs"), eU.getMessage)
+      // a well-spread join of the SAME row counts stays under budget
+      val spreadL = spark.range(40000).select(col("id").as("l_id"),
+        expr("st_makepoint(cast(id % 200 as double), " +
+          "cast(id div 200 as double))").as("l_geom"))
+      val spreadR = spark.range(40000).select(col("id").as("r_id"),
+        expr("st_makepoint(cast(id % 200 as double) + 0.3, " +
+          "cast(id div 200 as double))").as("r_geom"))
+      assert(SpatialJoin.grid(spreadL, spreadR, "l_geom", "r_geom",
+        "st_dwithin", distance = 0.5).count() == 40000L)
+    } finally {
+      spark.conf.unset("spark.graft.spatial_join.max_candidate_pairs")
+    }
+    // without the conf the degenerate join is merely slow, not blocked
+    // (bounded here to a cheap prefix to keep the spec fast)
+    assert(SpatialJoin.grid(stackedL.limit(200), stackedR.limit(200),
+      "l_geom", "r_geom", "st_dwithin", distance = 0.01).count() == 20000L)
+  }
+
   test("uniform scheme still correct (adaptive=false)") {
     val got = SpatialJoin.grid(pts, boxes, "p_geom", "b_geom", "st_within",
       cells = 25, adaptive = false).select("p_id", "b_id").as[(Long, Long)].collect()
