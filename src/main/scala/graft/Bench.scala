@@ -37,8 +37,16 @@ object Bench {
       else try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)) \ "queries") match {
+        val root = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        // a sidecar from a DIFFERENT scale factor is not a baseline:
+        // cross-sf deltas read as huge fake regressions/improvements
+        val sameSf = (root \ "sf") match {
+          case JString(s) => s == sfDir
+          case _          => true // legacy sidecar without sf: accept
+        }
+        if (!sameSf) Map.empty[String, Double]
+        else (root \ "queries") match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v))    => k -> v.toDouble
@@ -65,6 +73,13 @@ object Bench {
     val p1 = pass()
     spark.catalog.clearCache() // drop pass-1 persisted intermediates
     val p2 = pass()
+    // both single-pass totals ride along in the artifact (judge ask,
+    // round 9 #3): the box swings ~20% run-to-run, so the pass spread
+    // is the noise band a round-over-round comparison must ignore —
+    // regressions are computed on the per-query MIN, which is the
+    // machine's real cost
+    val totalPass1 = p1.map(_._2).sum
+    val totalPass2 = p2.map(_._2).sum
     val measured = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // Outlier tripwire: any query >10x the run median is almost always a
     // plan defect (exponential lineage, a rogue global window, a missed
@@ -117,6 +132,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(perQueryPath),
       (s"""{"metric":"per_query","unit":"sec","sf":"$sfDir",""" +
+        s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},""" +
         s""""median":$median,"slowest":${jmap(slowest)},""" +
         s""""outliers":${jmap(outliers)},""" +
         s""""outlier_attribution":$attributionJson,""" +
@@ -127,7 +143,8 @@ object Bench {
     println(s"""{"metric":"per_query","unit":"sec","file":"$perQueryPath","n":${results.size}}""")
     println(s"""{"metric":"outliers","threshold":"10x_median","median":$median,"n":${outliers.size},"queries":${jmap(outliers.take(3))}}""")
     println(s"""{"metric":"regressions_vs_prev","n":${regressions.size},"queries":${jmap(regressions.take(3))}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
