@@ -188,10 +188,26 @@ object Federation {
         }
       }.toMap)
     }
-    val benign = Set("sslmode" -> "disable", "sslmode" -> "prefer",
-      "sslmode" -> "allow", "ssl" -> "false", "gssencmode" -> "disable")
+    // sslmode maps onto the native client's TLS negotiation; verify-*
+    // would claim certificate-chain verification the trust-all context
+    // cannot deliver, so they fail loudly rather than silently
+    // downgrade. pgjdbc's ssl=true (TLS, no verification) = require.
+    val sslMode = params.get("sslmode").map(_.toLowerCase)
+      .orElse(params.get("ssl").map(v =>
+        if (v.isEmpty || v.equalsIgnoreCase("true")) "require" else "disable"))
+      .getOrElse("disable") match {
+      case "disable" | "allow" => "disable"
+      case "prefer"            => "prefer"
+      case "require"           => "require"
+      case other => throw new IllegalArgumentException(
+        s"postgres_scan native client: sslmode=$other requires certificate " +
+          "verification against a CA store — use the pgjdbc driver, or " +
+          "sslmode=require for encryption without chain verification")
+    }
+    val benign = Set("gssencmode" -> "disable")
     val unsupported = params.filter { case (k, v) =>
-      !Set("user", "password").contains(k) && !benign((k, v.toLowerCase))
+      !Set("user", "password", "sslmode", "ssl").contains(k) &&
+        !benign((k, v.toLowerCase))
     }
     require(unsupported.isEmpty,
       s"postgres_scan native client: unsupported URL parameter(s) " +
@@ -224,6 +240,7 @@ object Federation {
       .option("result_format", session.conf
         .getOption("spark.graft.federation.pg_result_format")
         .getOrElse("binary"))
+      .option("sslmode", sslMode)
       .option("table", scan.table)
     val part = scan.partition.orElse(confPartition(session))
     val withPart = part.fold(reader) { p =>

@@ -248,8 +248,15 @@ private final case class PgNativeOptions(rawOpts: Map[String, String]) {
       s"pgwire: result_format must be 'binary' or 'text', got '$f'")
     f
   }
+  /** libpq sslmode subset: disable (default) / prefer / require. */
+  val sslMode: String = {
+    val m = opts.getOrElse("sslmode", "disable")
+    require(Set("disable", "prefer", "require")(m),
+      s"pgwire: sslmode must be disable, prefer or require, got '$m'")
+    m
+  }
   def connect(): PgWireClient =
-    new PgWireClient(host, port, database, user, password)
+    new PgWireClient(host, port, database, user, password, sslMode)
 }
 
 private final class PgNativeTable(tableSchema: StructType, opts: Map[String, String])

@@ -20,23 +20,77 @@ import graft.server.PgWire
   * speaks it), one simple Query per call, text-format results streamed
   * row-at-a-time (the reader pulls DataRows from the socket as the
   * Spark task consumes them — no whole-result buffering, which is what
-  * makes a 100 TB-side federated scan possible at all). TLS stays out
-  * of scope (clear error); pgjdbc remains preferred when its jar is
-  * present.
+  * makes a 100 TB-side federated scan possible at all). TLS upgrades
+  * in place via SSLRequest with libpq's sslmode=disable/prefer/require
+  * semantics (require = encrypted, no CA verification — verify-* need
+  * a trust store and stay on pgjdbc); pgjdbc remains preferred when
+  * its jar is present.
   *
   * `nonceOverride` pins the SCRAM client nonce for the RFC 7677
   * test-vector spec; production callers leave it None (SecureRandom).
   */
 final class PgWireClient(host: String, port: Int, database: String,
     user: String, password: String,
+    sslMode: String = "disable",
     private[graft] val nonceOverride: Option[String] = None)
     extends AutoCloseable {
 
   private val sock = new Socket()
   sock.connect(new InetSocketAddress(host, port), 15000)
   sock.setTcpNoDelay(true)
-  private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-  private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+  /** The protocol channel: the plain socket, or its in-place TLS
+    * upgrade when sslmode negotiates one (SSLRequest -> 'S' ->
+    * handshake, libpq semantics: "require" encrypts WITHOUT
+    * certificate-chain verification — verify-ca/verify-full need a CA
+    * store and are rejected upstream; "prefer" falls back to
+    * plaintext on 'N', "require" aborts). */
+  private val chan: Socket =
+    try negotiateTls()
+    catch {
+      case t: Throwable =>
+        try sock.close() catch { case _: Throwable => }
+        throw t
+    }
+  private val in = new DataInputStream(new BufferedInputStream(chan.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(chan.getOutputStream))
+
+  private def negotiateTls(): Socket = sslMode match {
+    case "disable" => sock
+    case "prefer" | "require" =>
+      val raw = new DataOutputStream(sock.getOutputStream)
+      raw.writeInt(8); raw.writeInt(80877103); raw.flush() // SSLRequest
+      sock.getInputStream.read() match {
+        case 'S' =>
+          // trust-all context = libpq sslmode=require (encryption, no
+          // chain verification; self-signed server certs accepted)
+          val trustAll = new javax.net.ssl.X509TrustManager {
+            def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+            def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+          }
+          val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+          ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+          val ssl = ctx.getSocketFactory
+            .createSocket(sock, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(true)
+          ssl.startHandshake()
+          ssl
+        case 'N' =>
+          if (sslMode == "require") throw new java.io.IOException(
+            "postgres_scan native client: server refused TLS and sslmode=require")
+          else sock
+        case -1 => throw new java.io.IOException(
+          "postgres_scan native client: connection closed during TLS negotiation")
+        case other => throw new java.io.IOException(
+          s"postgres_scan native client: unexpected TLS negotiation byte $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"postgres_scan native client: unsupported sslmode '$other' " +
+        "(disable/prefer/require; verify-ca/verify-full need a CA store — " +
+        "use the pgjdbc driver)")
+  }
 
   /** RowDescription of the in-flight query: (name, type oid) per column. */
   private var fieldsVar: Array[(String, Int)] = Array.empty
@@ -311,6 +365,7 @@ final class PgWireClient(host: String, port: Int, database: String,
 
   override def close(): Unit = {
     try send('X')(_ => ()) catch { case _: Throwable => }
+    try chan.close() catch { case _: Throwable => } // TLS close_notify
     try sock.close() catch { case _: Throwable => }
   }
 }

@@ -322,14 +322,25 @@ class FederationSpec extends GraftSuite {
         s.contains("fed_float") && s.contains("0.3")),
         s"float predicate leaked to the wire:\n${srv.recentStatements.mkString("\n")}")
 
-      // unsupported URL parameters fail loudly instead of silently
-      // downgrading (sslmode=require has no native-transport backing)
-      val e = intercept[Exception](spark.sql(
-        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
-          "?sslmode=require', 'org.postgresql.Driver', 'fed_float')").collect())
       def msgs(t: Throwable): String =
         if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
-      assert(msgs(e).contains("sslmode"), msgs(e))
+      // URL parameters the native transport cannot deliver fail loudly
+      // instead of silently downgrading: verify-full claims CA-chain
+      // verification (trust-all cannot), unknown keys are unknown
+      val ev = intercept[Exception](spark.sql(
+        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
+          "?sslmode=verify-full', 'org.postgresql.Driver', 'fed_float')").collect())
+      assert(msgs(ev).contains("sslmode"), msgs(ev))
+      val eu = intercept[Exception](spark.sql(
+        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
+          "?loadBalanceHosts=true', 'org.postgresql.Driver', 'fed_float')").collect())
+      assert(msgs(eu).contains("loadBalanceHosts"), msgs(eu))
+      // sslmode=require against a server that refuses TLS: clean abort,
+      // never a silent plaintext downgrade
+      val er = intercept[Exception](spark.sql(
+        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
+          "?sslmode=require', 'org.postgresql.Driver', 'fed_float')").collect())
+      assert(msgs(er).toLowerCase.contains("refused tls"), msgs(er))
 
       // benign params and percent-encoded credentials parse cleanly
       val ok = spark.sql(
@@ -399,6 +410,52 @@ class FederationSpec extends GraftSuite {
       spark.conf.unset("spark.graft.federation.pg_native")
       srv.stop()
       spark.catalog.dropTempView("fed_bin")
+    }
+  }
+
+  test("postgres_scan self-federation over TLS (sslmode=require + SCRAM)") {
+    // the native client's SSLRequest upgrade against the repo's own
+    // TLS-enabled server: encrypted channel (libpq require semantics —
+    // self-signed cert accepted without chain verification), SCRAM
+    // running inside it, binary results on top. sslmode=prefer also
+    // works against a PLAIN server (falls back to cleartext).
+    val dir = java.nio.file.Files.createTempDirectory("fed-tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool",
+      "-genkeypair", "-alias", "pg", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2").start()
+    assume(keytool.waitFor() == 0, "keytool unavailable")
+    spark.range(12).selectExpr("id", "id * id AS sq")
+      .createOrReplaceTempView("fed_tls")
+    val srv = new graft.server.PgServer(spark, port = 0,
+      password = Some("tls-pencil"), keystore = Some((ksPath, "changeit")),
+      auth = "scram-sha-256")
+    val port = srv.start()
+    spark.conf.set("spark.graft.federation.pg_native", "true")
+    try {
+      val df = spark.sql(
+        s"SELECT sq FROM jdbc_scan('jdbc:postgresql://postgres:tls-pencil@" +
+          s"127.0.0.1:$port/postgres?sslmode=require', 'org.postgresql.Driver', " +
+          "'fed_tls') WHERE id >= 9 ORDER BY id")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(81L, 100L, 121L))
+
+      // prefer against a TLS-less server: plaintext fallback, same rows
+      val plain = new graft.server.PgServer(spark, port = 0, password = None)
+      val pPort = plain.start()
+      try {
+        val cli = new graft.sources.PgWireClient(
+          "127.0.0.1", pPort, "postgres", "postgres", "", sslMode = "prefer")
+        try {
+          cli.execute("SELECT 5 + 6")
+          assert(cli.fetchRow()(0).contains("11"))
+        } finally cli.close()
+      } finally plain.stop()
+    } finally {
+      spark.conf.unset("spark.graft.federation.pg_native")
+      srv.stop()
+      spark.catalog.dropTempView("fed_tls")
     }
   }
 
