@@ -29,6 +29,29 @@ class PgJdbcInteropSpec extends GraftSuite {
     try f(conn) finally { conn.close(); srv.stop() }
   }
 
+  test("pgjdbc authenticates over SCRAM-SHA-256") {
+    // pgjdbc >= 42.2 answers AuthenticationSASL with the full RFC 7677
+    // exchange — the server's scram mode proven against the second
+    // real-world client implementation (libpq is PsqlInteropSpec's)
+    assume(driverAvailable, "pgjdbc not in the offline cache")
+    val srv = new PgServer(spark, port = 0, password = Some("jdbc pencil"),
+      auth = "scram-sha-256")
+    val port = srv.start()
+    try {
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:postgresql://127.0.0.1:$port/postgres", "postgres", "jdbc pencil")
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT 40 + 2")
+        assert(rs.next() && rs.getInt(1) == 42)
+      } finally conn.close()
+      val bad = intercept[java.sql.SQLException](
+        java.sql.DriverManager.getConnection(
+          s"jdbc:postgresql://127.0.0.1:$port/postgres", "postgres", "wrong"))
+      assert(bad.getMessage.toLowerCase.contains("password") ||
+        bad.getSQLState == "28P01", bad.getMessage)
+    } finally srv.stop()
+  }
+
   test("prepared statement with binary params round-trips") {
     withConn { conn =>
       val ps = conn.prepareStatement(
