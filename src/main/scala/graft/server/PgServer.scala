@@ -46,8 +46,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * SSLRequest is then accepted ('S') and the connection upgrades
     * in-place (libpq sslmode=require semantics); without a keystore the
     * request is declined ('N') and clients retry plaintext. */
-  private val tlsContext: Option[javax.net.ssl.SSLContext] = keystore.map {
-    case (path, pw) =>
+  private val tlsMaterial: Option[(javax.net.ssl.SSLContext, Array[Byte])] =
+    keystore.map { case (path, pw) =>
       val ks = java.security.KeyStore.getInstance("PKCS12")
       val fis = new java.io.FileInputStream(path)
       try ks.load(fis, pw.toCharArray) finally fis.close()
@@ -56,8 +56,20 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       kmf.init(ks, pw.toCharArray)
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
       ctx.init(kmf.getKeyManagers, null, null)
-      ctx
-  }
+      // the server's own end-entity certificate hash = the RFC 5929
+      // tls-server-end-point data SCRAM-SHA-256-PLUS clients bind to
+      val aliases = ks.aliases()
+      var cert: java.security.cert.X509Certificate = null
+      while (aliases.hasMoreElements && cert == null) {
+        val a = aliases.nextElement()
+        ks.getCertificate(a) match {
+          case c: java.security.cert.X509Certificate => cert = c
+          case _ =>
+        }
+      }
+      (ctx, if (cert == null) null else Scram.endpointHash(cert))
+    }
+  private def tlsContext: Option[javax.net.ssl.SSLContext] = tlsMaterial.map(_._1)
 
   private val RowLimit = 1024 // reference DEFAULT_ROW_LIMIT
 
@@ -126,6 +138,9 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     var out = new PgWire.Out(rawOut)
     val pid = pidCounter.incrementAndGet()
     var connSess: SparkSession = null // for release on disconnect
+    // tls-server-end-point data once the connection upgrades to TLS:
+    // enables the SCRAM-SHA-256-PLUS offer on this connection
+    var connCbind: Option[Array[Byte]] = None
     try {
       var st = PgWire.readStartup(in)
       if (st.code == 80877104) { // GSSENCRequest: decline, client falls back
@@ -144,6 +159,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             in = new DataInputStream(ssl.getInputStream)
             rawOut = new DataOutputStream(ssl.getOutputStream)
             out = new PgWire.Out(rawOut)
+            connCbind = tlsMaterial.flatMap(m => Option(m._2))
           case None => // decline, client retries plain
             rawOut.writeByte('N'); rawOut.flush()
         }
@@ -160,7 +176,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         return
       }
       val user = st.params.getOrElse("user", "")
-      if (!authenticate(in, out, user)) return
+      if (!authenticate(in, out, user, connCbind)) return
 
       // PG session semantics: each authenticated connection gets its
       // OWN SparkSession (shared SparkContext + catalog, isolated temp
@@ -345,7 +361,8 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
   }
 
-  private def authenticate(in: DataInputStream, out: PgWire.Out, user: String): Boolean =
+  private def authenticate(in: DataInputStream, out: PgWire.Out, user: String,
+      cbind: Option[Array[Byte]] = None): Boolean =
     password match {
       case None => out.authenticationOk(); true
       case Some(pass) =>
@@ -354,7 +371,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           out.flush(); return false
         }
         if (auth.equalsIgnoreCase("scram-sha-256"))
-          authenticateScram(in, out, user, pass)
+          authenticateScram(in, out, user, pass, cbind)
         else {
           val salt = Array[Byte](0x12, 0x34, 0x56, 0x78)
           out.authenticationMd5(salt); out.flush()
@@ -370,16 +387,24 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
 
   /** SCRAM-SHA-256 server leg (RFC 5802/7677; PG >= 14's default
-    * password_encryption). Plaintext channel only, so the client's gs2
-    * header must be "n" (no binding) or "y" (client could bind, server
-    * offered no -PLUS mechanism) — a "p=..." header is a hard error
-    * because this listener never advertises channel binding. */
+    * password_encryption). On a TLS connection (`cbind` carries the
+    * server's own RFC 5929 end-point hash) SCRAM-SHA-256-PLUS is
+    * offered as well, and a -PLUS client must echo exactly that hash
+    * in c= — a TLS-terminating MITM presents a different cert and the
+    * echo breaks. gs2-flag handling per RFC 5802 §6: "p=..." only with
+    * -PLUS, "y" is REJECTED whenever -PLUS was on offer (a client that
+    * supports binding but "thinks the server doesn't" while the server
+    * plainly advertised it = downgrade attack), "n" is always legal
+    * (genuinely binding-incapable client). */
   private def authenticateScram(in: DataInputStream, out: PgWire.Out,
-      user: String, pass: String): Boolean = {
+      user: String, pass: String, cbind: Option[Array[Byte]]): Boolean = {
     def fail(msg: String): Boolean = {
       out.errorResponse("28P01", msg); out.flush(); false
     }
-    out.authenticationSasl(Seq(Scram.Mechanism)); out.flush()
+    val offered =
+      if (cbind.isDefined) Seq(Scram.MechanismPlus, Scram.Mechanism)
+      else Seq(Scram.Mechanism)
+    out.authenticationSasl(offered); out.flush()
     // SASLInitialResponse: mechanism cstring + int32 payload length
     val init = PgWire.readMessage(in)
     if (init.tag != 'p') return fail("expected SASLInitialResponse")
@@ -387,8 +412,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val mechSb = new StringBuilder
     var b = buf.get()
     while (b != 0) { mechSb.append(b.toChar); b = buf.get() }
-    if (mechSb.toString != Scram.Mechanism)
-      return fail(s"unsupported SASL mechanism ${mechSb.toString}")
+    val mech = mechSb.toString
+    if (!offered.contains(mech))
+      return fail(s"unsupported SASL mechanism $mech")
+    val usePlus = mech == Scram.MechanismPlus
     val initLen = buf.getInt
     if (initLen < 0 || initLen > buf.remaining())
       return fail("malformed SASLInitialResponse payload")
@@ -398,8 +425,17 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     // gs2 header: cbind-flag "," [authzid] "," then client-first-bare
     if (clientFirst.isEmpty) return fail("empty SCRAM client-first message")
     val gs2End = clientFirst.indexOf(',', clientFirst.indexOf(',') + 1)
-    if (gs2End < 0 || (clientFirst.head != 'n' && clientFirst.head != 'y'))
-      return fail("channel binding not supported on this listener")
+    if (gs2End < 0) return fail("malformed gs2 header")
+    val gs2Flag = clientFirst.head
+    if (usePlus && !clientFirst.startsWith("p=tls-server-end-point,"))
+      return fail(s"$mech requires gs2 header p=tls-server-end-point")
+    if (!usePlus && gs2Flag == 'p')
+      return fail("channel binding sent without the -PLUS mechanism")
+    if (!usePlus && gs2Flag == 'y' && cbind.isDefined)
+      return fail("SCRAM downgrade detected: client supports channel " +
+        "binding but declined SCRAM-SHA-256-PLUS that this server offered")
+    if (!usePlus && gs2Flag != 'n' && gs2Flag != 'y')
+      return fail("malformed gs2 cbind flag")
     val gs2Header = clientFirst.substring(0, gs2End + 1)
     val clientFirstBare = clientFirst.substring(gs2End + 1)
     val clientNonce = Scram.attrs(clientFirstBare).getOrElse('r',
@@ -420,8 +456,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     val a = Scram.attrs(clientFinal)
     if (!a.get('r').contains(serverNonce))
       return fail("SCRAM nonce mismatch")
-    // c= must encode the exact gs2 header from client-first
-    if (!a.get('c').contains(Scram.b64(gs2Header.getBytes(UTF_8))))
+    // c= must encode the exact gs2 header from client-first, plus —
+    // for -PLUS — THIS server's certificate end-point hash (the actual
+    // channel binding: a MITM's cert hashes differently)
+    val expectedC = Scram.b64(gs2Header.getBytes(UTF_8) ++
+      (if (usePlus) cbind.get else Array.emptyByteArray))
+    if (!a.get('c').contains(expectedC))
       return fail("SCRAM channel-binding data mismatch")
     val proof = a.get('p') match {
       case Some(p) => try Scram.unb64(p) catch {

@@ -23,6 +23,22 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 object Scram {
 
   val Mechanism = "SCRAM-SHA-256"
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
+
+  /** RFC 5929 tls-server-end-point channel-binding data: a hash of the
+    * server certificate's DER encoding, keyed by the certificate's own
+    * signature hash (MD5/SHA-1 upgrade to SHA-256 per the RFC; SHA-384
+    * and SHA-512 pass through). Both SCRAM-SHA-256-PLUS legs bind to
+    * this value, so a TLS-terminating man in the middle — who must
+    * present a DIFFERENT certificate — breaks the proof. */
+  def endpointHash(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
+    val alg =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
 
   def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val mac = Mac.getInstance("HmacSHA256")

@@ -39,6 +39,15 @@ final class PgWireClient(host: String, port: Int, database: String,
   sock.connect(new InetSocketAddress(host, port), 15000)
   sock.setTcpNoDelay(true)
 
+  /** Server end-entity certificate of the TLS channel (null on
+    * plaintext) — the SCRAM-PLUS channel-binding material. DECLARED
+    * BEFORE `chan`: negotiateTls() assigns it during chan's
+    * initialization, and a later declaration-site `= null` would
+    * overwrite the captured certificate. */
+  private var peerCert: java.security.cert.X509Certificate = null
+  /** SASL mechanism actually negotiated (diagnostics / tests). */
+  private[graft] var saslMechanism: String = null
+
   /** The protocol channel: the plain socket, or its in-place TLS
     * upgrade when sslmode negotiates one (SSLRequest -> 'S' ->
     * handshake, libpq semantics: "require" encrypts WITHOUT
@@ -76,6 +85,11 @@ final class PgWireClient(host: String, port: Int, database: String,
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setUseClientMode(true)
           ssl.startHandshake()
+          // channel-binding material for SCRAM-SHA-256-PLUS: the
+          // server's end-entity certificate (RFC 5929 end-point hash)
+          peerCert = ssl.getSession.getPeerCertificates.headOption.collect {
+            case c: java.security.cert.X509Certificate => c
+          }.orNull
           ssl
         case 'N' =>
           if (sslMode == "require") throw new java.io.IOException(
@@ -140,6 +154,8 @@ final class PgWireClient(host: String, port: Int, database: String,
     var scramNonce: String = null
     var scramFirstBare: String = null
     var scramExpectV: Array[Byte] = null
+    var scramGs2: String = null
+    var scramCbind: Array[Byte] = Array.emptyByteArray
     var ready = false
     while (!ready) {
       val m = PgWire.readMessage(in)
@@ -156,19 +172,37 @@ final class PgWireClient(host: String, port: Int, database: String,
             case 10 => // AuthenticationSASL: server's mechanism list
               val mechs = new String(m.body, 4, m.body.length - 4, UTF_8)
                 .split("\u0000").filter(_.nonEmpty).toSeq
-              if (!mechs.contains(Scram.Mechanism))
+              val speakable = Set(Scram.Mechanism) ++
+                (if (peerCert != null) Set(Scram.MechanismPlus) else Set.empty)
+              if (!mechs.exists(speakable))
                 throw new java.io.IOException(
                   "postgres_scan native client: no mutually supported SASL " +
                     s"mechanism (server offers: ${mechs.mkString(", ")}; " +
-                    s"client speaks ${Scram.Mechanism} without channel binding)")
+                    s"client speaks ${speakable.mkString(", ")})")
               scramNonce = nonceOverride.getOrElse(
                 Scram.randomNonce(new java.security.SecureRandom()))
               scramFirstBare = Scram.clientFirstBare(scramNonce)
+              // mechanism choice: on a TLS channel with the server
+              // offering -PLUS, bind to the server certificate
+              // (tls-server-end-point) — a TLS-terminating MITM must
+              // present a different cert and the proof then fails. gs2
+              // header "p=..." carries the binding; "n,," = none.
+              val usePlus =
+                peerCert != null && mechs.contains(Scram.MechanismPlus)
+              saslMechanism =
+                if (usePlus) Scram.MechanismPlus else Scram.Mechanism
+              if (usePlus) {
+                scramGs2 = "p=tls-server-end-point,,"
+                scramCbind = Scram.endpointHash(peerCert)
+              } else {
+                scramGs2 = "n,,"
+                scramCbind = Array.emptyByteArray
+              }
               // SASLInitialResponse: mechanism cstring + int32-length
-              // payload; gs2 header "n,," = no channel binding
-              val init = ("n,," + scramFirstBare).getBytes(UTF_8)
+              // payload
+              val init = (scramGs2 + scramFirstBare).getBytes(UTF_8)
               send('p') { d =>
-                d.write(Scram.Mechanism.getBytes(UTF_8)); d.writeByte(0)
+                d.write(saslMechanism.getBytes(UTF_8)); d.writeByte(0)
                 d.writeInt(init.length); d.write(init)
               }
             case 11 => // AuthenticationSASLContinue: server-first-message
@@ -185,8 +219,10 @@ final class PgWireClient(host: String, port: Int, database: String,
               val salt = Scram.unb64(a('s'))
               val iterations = a('i').toInt
               val salted = Scram.saltedPassword(password, salt, iterations)
-              // c= carries the base64 gs2 header ("n,," -> "biws")
-              val finalNoProof = s"c=biws,r=$fullNonce"
+              // c= carries base64(gs2 header ++ channel-binding data):
+              // "biws" for the unbound "n,,", header+cert-hash for -PLUS
+              val c = Scram.b64(scramGs2.getBytes(UTF_8) ++ scramCbind)
+              val finalNoProof = s"c=$c,r=$fullNonce"
               val authMsg = Scram.authMessage(scramFirstBare, serverFirst, finalNoProof)
               val proof = Scram.clientProof(salted, authMsg)
               scramExpectV = Scram.serverSignature(salted, authMsg)

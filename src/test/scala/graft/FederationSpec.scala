@@ -413,6 +413,89 @@ class FederationSpec extends GraftSuite {
     }
   }
 
+  /** Raw TLS + SCRAM exchange with caller-shaped mechanism / gs2
+    * header / channel-binding bytes — protocol attacks the real client
+    * cannot emit. Returns the server's error text ("" = authenticated,
+    * which for these callers would be the FAILURE). */
+  private def rawTlsScram(port: Int, pass: String, mech: String,
+      gs2: String, cbind: Array[Byte]): String = {
+    import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.server.Scram
+    val plain = new java.net.Socket("127.0.0.1", port)
+    val pout = new DataOutputStream(plain.getOutputStream)
+    val pin = new DataInputStream(plain.getInputStream)
+    pout.writeInt(8); pout.writeInt(80877103); pout.flush()
+    assert(pin.readByte().toChar == 'S', "server must accept TLS")
+    val trustAll = new javax.net.ssl.X509TrustManager {
+      def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+      def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+      def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array(trustAll), null)
+    val ssl = ctx.getSocketFactory.createSocket(plain, "127.0.0.1", port, false)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(true); ssl.startHandshake()
+    val in = new DataInputStream(ssl.getInputStream)
+    val out = new DataOutputStream(ssl.getOutputStream)
+    try {
+      val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
+      d.writeInt(196608)
+      for (s <- Seq("user", "postgres", "database", "postgres")) {
+        d.write(s.getBytes(UTF_8)); d.writeByte(0)
+      }
+      d.writeByte(0)
+      out.writeInt(4 + body.size); body.writeTo(out); out.flush()
+      def send(tag: Char, b: Array[Byte]): Unit = {
+        out.writeByte(tag); out.writeInt(4 + b.length); out.write(b); out.flush()
+      }
+      def read(): (Char, Array[Byte]) = {
+        val t = in.readByte().toChar; val l = in.readInt()
+        val b = new Array[Byte](l - 4); in.readFully(b); (t, b)
+      }
+      def errText(b: Array[Byte]): String = {
+        var i = 0; var m = ""
+        while (i < b.length && b(i) != 0) {
+          val t = b(i).toChar; val e = b.indexOf(0.toByte, i + 1)
+          if (t == 'M') m = new String(b, i + 1, e - i - 1, UTF_8)
+          i = e + 1
+        }
+        m
+      }
+      val (t0, b0) = read()
+      assert(t0 == 'R' && java.nio.ByteBuffer.wrap(b0, 0, 4).getInt == 10, t0)
+      val nonce = "rawNONCErawNONCE"
+      val bare = s"n=,r=$nonce"
+      val init = (gs2 + bare).getBytes(UTF_8)
+      val ib = new ByteArrayOutputStream(); val id = new DataOutputStream(ib)
+      id.write(mech.getBytes(UTF_8)); id.writeByte(0)
+      id.writeInt(init.length); id.write(init)
+      send('p', ib.toByteArray)
+      val (t1, b1) = read()
+      if (t1 == 'E') return errText(b1)
+      assert(t1 == 'R' && java.nio.ByteBuffer.wrap(b1, 0, 4).getInt == 11, t1)
+      val serverFirst = new String(b1, 4, b1.length - 4, UTF_8)
+      val a = Scram.attrs(serverFirst)
+      val salted = Scram.saltedPassword(pass, Scram.unb64(a('s')), a('i').toInt)
+      val c = Scram.b64(gs2.getBytes(UTF_8) ++ cbind)
+      val fnp = s"c=$c,r=${a('r')}"
+      val am = Scram.authMessage(bare, serverFirst, fnp)
+      send('p', s"$fnp,p=${Scram.b64(Scram.clientProof(salted, am))}".getBytes(UTF_8))
+      val (t2, b2) = read()
+      if (t2 == 'E') errText(b2) else ""
+    } finally ssl.close()
+  }
+
+  private def scramPlusWithBinding(port: Int, pass: String,
+      cbind: Array[Byte]): String =
+    rawTlsScram(port, pass, graft.server.Scram.MechanismPlus,
+      "p=tls-server-end-point,,", cbind)
+
+  private def scramDowngradeY(port: Int, pass: String): String =
+    rawTlsScram(port, pass, graft.server.Scram.Mechanism, "y,,",
+      Array.emptyByteArray)
+
   test("postgres_scan self-federation over TLS (sslmode=require + SCRAM)") {
     // the native client's SSLRequest upgrade against the repo's own
     // TLS-enabled server: encrypted channel (libpq require semantics —
@@ -441,6 +524,30 @@ class FederationSpec extends GraftSuite {
           "'fed_tls') WHERE id >= 9 ORDER BY id")
       assert(df.collect().map(_.getLong(0)).toSeq == Seq(81L, 100L, 121L))
 
+      // channel binding: over TLS both sides negotiate
+      // SCRAM-SHA-256-PLUS (tls-server-end-point) automatically
+      val bound = new graft.sources.PgWireClient(
+        "127.0.0.1", port, "postgres", "postgres", "tls-pencil",
+        sslMode = "require")
+      try {
+        assert(bound.saslMechanism == graft.server.Scram.MechanismPlus,
+          s"expected -PLUS over TLS, got ${bound.saslMechanism}")
+        bound.execute("SELECT 2 + 3")
+        assert(bound.fetchRow()(0).contains("5"))
+      } finally bound.close()
+
+      // MITM-shaped negative: a -PLUS exchange whose c= carries a
+      // DIFFERENT certificate hash (what a TLS-terminating middlebox
+      // would produce) is rejected as a binding mismatch even though
+      // the password proof itself is computed correctly
+      assert(scramPlusWithBinding(port, "tls-pencil",
+        "not-the-server-cert".getBytes("UTF-8"))
+        .contains("channel-binding data mismatch"))
+
+      // downgrade negative: gs2 flag "y" (client SUPPORTS binding but
+      // declined -PLUS) while the server plainly offered -PLUS
+      assert(scramDowngradeY(port, "tls-pencil").contains("downgrade"))
+
       // prefer against a TLS-less server: plaintext fallback, same rows
       val plain = new graft.server.PgServer(spark, port = 0, password = None)
       val pPort = plain.start()
@@ -450,6 +557,9 @@ class FederationSpec extends GraftSuite {
         try {
           cli.execute("SELECT 5 + 6")
           assert(cli.fetchRow()(0).contains("11"))
+          // no TLS channel -> plain SCRAM, never -PLUS... (trust auth
+          // here, so no SASL at all; mechanism stays unset)
+          assert(cli.saslMechanism == null)
         } finally cli.close()
       } finally plain.stop()
     } finally {

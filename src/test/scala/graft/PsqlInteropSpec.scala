@@ -48,6 +48,46 @@ class PsqlInteropSpec extends GraftSuite {
     } finally srv.stop()
   }
 
+  test("psql binds the TLS channel: SCRAM-SHA-256-PLUS with channel_binding=require") {
+    // libpq's channel_binding=require refuses to authenticate unless
+    // the server offers SCRAM-SHA-256-PLUS over TLS AND the
+    // tls-server-end-point hash verifies — the strongest independent
+    // check of the round-10 channel-binding implementation
+    assume(psqlAvailable, "psql not installed")
+    val dir = java.nio.file.Files.createTempDirectory("psql-tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val keytool = new java.lang.ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool",
+      "-genkeypair", "-alias", "pg", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2").start()
+    assume(keytool.waitFor() == 0, "keytool unavailable")
+    val srv = new PgServer(spark, port = 0, password = Some("bind pencil"),
+      keystore = Some((ksPath, "changeit")), auth = "scram-sha-256")
+    val port = srv.start()
+    try {
+      def run(pass: String, extra: String): (Int, String) = {
+        val outBuf = new StringBuilder
+        val code = Process(
+          Seq("psql",
+            s"host=127.0.0.1 port=$port user=postgres dbname=postgres $extra",
+            "-X", "-At", "-c", "SELECT 6 * 7"),
+          None, "PGPASSWORD" -> pass).!(
+          ProcessLogger(s => outBuf.append(s).append('\n'),
+            s => outBuf.append(s).append('\n')))
+        (code, outBuf.toString)
+      }
+      val (ok, res) = run("bind pencil",
+        "sslmode=require channel_binding=require")
+      assert(ok == 0 && res.trim == "42", s"exit=$ok out=$res")
+      // channel_binding=require over PLAINTEXT must refuse client-side
+      val (plainCode, plainOut) = run("bind pencil",
+        "sslmode=disable channel_binding=require")
+      assert(plainCode != 0 && plainOut.toLowerCase.contains("channel binding"),
+        s"exit=$plainCode out=$plainOut")
+    } finally srv.stop()
+  }
+
   test("psql runs scalar, catalog, and multi-statement queries") {
     withPsql { (_, run) =>
       assert(run(Seq("-c", "SELECT 1 + 1")).trim == "2")
