@@ -524,6 +524,14 @@ class FederationSpec extends GraftSuite {
           "'fed_tls') WHERE id >= 9 ORDER BY id")
       assert(df.collect().map(_.getLong(0)).toSeq == Seq(81L, 100L, 121L))
 
+      // the postgres_scan DSN form carries ?sslmode too (re-attached
+      // after the /db segment of the synthesized JDBC URL)
+      val viaDsn = spark.sql(
+        s"SELECT sq FROM postgres_scan('postgres://postgres:tls-pencil@" +
+          s"127.0.0.1:$port?sslmode=require', 'postgres', 'fed_tls') " +
+          "WHERE id = 4")
+      assert(viaDsn.collect().map(_.getLong(0)).toSeq == Seq(16L))
+
       // channel binding: over TLS both sides negotiate
       // SCRAM-SHA-256-PLUS (tls-server-end-point) automatically
       val bound = new graft.sources.PgWireClient(
