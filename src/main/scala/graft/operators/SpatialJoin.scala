@@ -301,12 +301,9 @@ object SpatialJoin {
       // fan-out on small unknown-stats inputs). Rows from the
       // limit(1000) full-scan fallback are NOT a sample — they are the
       // whole (small) input, so the ×10 multiplier does not apply.
-      def resolve(est: Long, nRows: Int, fromSample: Boolean): Long =
-        if (est > 0) est
-        else math.max(1L, if (fromSample) nRows.toLong * 10 else nRows.toLong)
       graft.spatial.GraftConf.balancedCells(cells,
-        resolve(estL, lBoxes.length, lSampled),
-        resolve(estR, rBoxes.length, rSampled), area,
+        resolvedRows(estL, lBoxes.length, lSampled),
+        resolvedRows(estR, rBoxes.length, rSampled), area,
         avgDim, radius)
     }
     SpatialJoin.lastCells = nCells
@@ -378,8 +375,10 @@ object SpatialJoin {
     val x1 = valid.map(_.getDouble(2)).max
     val y1 = valid.map(_.getDouble(3)).max
     val avgDim = valid.map(_.getDouble(4)).sum / valid.length
+    // exact per-side counts from the envelope aggregate (tag-keyed) —
+    // consumed by the sizing fold AND the pair guard below
+    val countBySide = sides.map(r => r.getString(6) -> r.getLong(5)).toMap
     val nCells = sizing.fold(cells) { case (estL, estR, radius) =>
-      val countBySide = sides.map(r => r.getString(6) -> r.getLong(5)).toMap
       def resolve(est: Long, side: String): Long =
         if (est > 0) est
         else math.max(1L, countBySide.getOrElse(side, 1L))
@@ -397,7 +396,6 @@ object SpatialJoin {
     // every row), so no sampling scale applies.
     if (left.sparkSession.conf
         .getOption("spark.graft.spatial_join.max_candidate_pairs").isDefined) {
-      val countBySide = sides.map(r => r.getString(6) -> r.getLong(5)).toMap
       val (estL, estR, radius) = sizing.getOrElse((-1L, -1L, 0.0))
       val rowsL = if (estL > 0) estL else countBySide.getOrElse("L", 1L)
       val rowsR = if (estR > 0) estR else countBySide.getOrElse("R", 1L)

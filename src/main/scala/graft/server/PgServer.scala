@@ -42,6 +42,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     // federation client's SCRAM leg be proven end-to-end in-repo)
     auth: String = sys.env.getOrElse("GRAFT_PG_AUTH", "md5")) {
 
+  // a typo'd GRAFT_PG_AUTH must not silently fall back to MD5 and
+  // defeat an operator's intended SCRAM hardening
+  require(auth.equalsIgnoreCase("md5") || auth.equalsIgnoreCase("scram-sha-256"),
+    s"GRAFT_PG_AUTH / auth must be 'md5' or 'scram-sha-256', got '$auth'")
+
   /** TLS context from the PKCS12 keystore, when one is configured —
     * SSLRequest is then accepted ('S') and the connection upgrades
     * in-place (libpq sslmode=require semantics); without a keystore the
@@ -57,16 +62,24 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
       ctx.init(kmf.getKeyManagers, null, null)
       // the server's own end-entity certificate hash = the RFC 5929
-      // tls-server-end-point data SCRAM-SHA-256-PLUS clients bind to
+      // tls-server-end-point data SCRAM-SHA-256-PLUS clients bind to.
+      // It must be the certificate the KeyManager actually SERVES in
+      // the handshake: prefer key-entry aliases (the end-entity cert
+      // with its private key) over trustedCertEntry CAs a multi-entry
+      // keystore may also hold — clients hash what they were presented
       val aliases = ks.aliases()
-      var cert: java.security.cert.X509Certificate = null
-      while (aliases.hasMoreElements && cert == null) {
+      var keyCert: java.security.cert.X509Certificate = null
+      var anyCert: java.security.cert.X509Certificate = null
+      while (aliases.hasMoreElements && keyCert == null) {
         val a = aliases.nextElement()
         ks.getCertificate(a) match {
-          case c: java.security.cert.X509Certificate => cert = c
+          case c: java.security.cert.X509Certificate =>
+            if (ks.isKeyEntry(a)) keyCert = c
+            else if (anyCert == null) anyCert = c
           case _ =>
         }
       }
+      val cert = if (keyCert != null) keyCert else anyCert
       (ctx, if (cert == null) null else Scram.endpointHash(cert))
     }
   private def tlsContext: Option[javax.net.ssl.SSLContext] = tlsMaterial.map(_._1)

@@ -15,10 +15,14 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * >= 14 defaults to scram-sha-256, so without this exchange a
   * default-config server is unreachable from the JDBC-free leg.
   *
-  * Only the TLS-less channel-binding stance is implemented: the client
-  * advertises gs2 header "n,," (no channel binding); the server also
-  * accepts "y,," (client supports binding, server did not advertise
-  * -PLUS). That matches libpq/psql over a plaintext socket.
+  * Channel-binding stances (RFC 5802 §6): over plaintext the client
+  * sends gs2 "n,," and the server offers only the base mechanism; over
+  * TLS both sides negotiate SCRAM-SHA-256-PLUS bound to the RFC 5929
+  * tls-server-end-point certificate hash ([[endpointHash]]), the
+  * client sends "y,," if a TLS server somehow omitted -PLUS (so a
+  * genuine server detects a stripped offer), and the server rejects
+  * "y" whenever it DID offer -PLUS (downgrade detection). Matches
+  * libpq/psql semantics in both channels.
   */
 object Scram {
 

@@ -199,9 +199,12 @@ object Federation {
     // would claim certificate-chain verification the trust-all context
     // cannot deliver, so they fail loudly rather than silently
     // downgrade. pgjdbc's ssl=true (TLS, no verification) = require.
+    // pgjdbc's ssl parameter enables TLS for ANY value except an
+    // explicit "false" — ssl=on / ssl=1 / bare ssl all mean "encrypt";
+    // mapping them to disable would be a silent plaintext downgrade
     val sslMode = params.get("sslmode").map(_.toLowerCase)
       .orElse(params.get("ssl").map(v =>
-        if (v.isEmpty || v.equalsIgnoreCase("true")) "require" else "disable"))
+        if (v.equalsIgnoreCase("false")) "disable" else "require"))
       .getOrElse("disable") match {
       case "disable" | "allow" => "disable"
       case "prefer"            => "prefer"
@@ -226,10 +229,14 @@ object Federation {
       case i  => (Some(authority.substring(0, i)), authority.substring(i + 1))
     }
     // userinfo credentials are percent-encoded in URLs (a password
-    // containing '@' or ':' MUST be) — decode before the wire handshake
+    // containing '@' or ':' MUST be) — decode before the wire
+    // handshake. RFC 3986 percent-decoding ONLY: in the userinfo
+    // segment '+' is a literal character (URLDecoder's form decoding
+    // would corrupt it to a space; that rule applies to ?params, where
+    // pgjdbc itself uses form decoding — see urlDecode below)
     val (user, pass) = creds.map(_.split(":", 2)) match {
-      case Some(Array(u, p)) => (urlDecode(u), urlDecode(p))
-      case Some(Array(u))    => (urlDecode(u), "")
+      case Some(Array(u, p)) => (percentDecode(u), percentDecode(p))
+      case Some(Array(u))    => (percentDecode(u), "")
       case _                 => ("postgres", "")
     }
     val (host, port) = hostPort.split(":", 2) match {
@@ -259,8 +266,30 @@ object Federation {
     withPart.load().queryExecution.logical
   }
 
+  /** Form decoding ('+' = space) for ?query parameters — the rule
+    * pgjdbc applies to its own URL args, so both legs agree. */
   private def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** RFC 3986 percent-decoding for the userinfo segment: '+' stays a
+    * literal '+'; %XX sequences decode byte-wise and re-assemble as
+    * UTF-8 (multi-byte characters span several %XX groups). */
+  private def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        val bs = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bs, 0, bs.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Entries for SparkSessionExtensions.injectTableFunction. */
   def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TvfBuilder)] =

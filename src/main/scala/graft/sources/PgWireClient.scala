@@ -156,6 +156,7 @@ final class PgWireClient(host: String, port: Int, database: String,
     var scramExpectV: Array[Byte] = null
     var scramGs2: String = null
     var scramCbind: Array[Byte] = Array.emptyByteArray
+    var scramVerified = false
     var ready = false
     while (!ready) {
       val m = PgWire.readMessage(in)
@@ -164,6 +165,15 @@ final class PgWireClient(host: String, port: Int, database: String,
           val code = java.nio.ByteBuffer.wrap(m.body, 0, 4).getInt
           code match {
             case 0 => // AuthenticationOk
+              // mutual authentication is only real if the server PROVED
+              // knowledge of the password: once a SCRAM exchange has
+              // started, AuthenticationOk is valid only AFTER a verified
+              // SASLFinal — a server that skips it (it cannot forge v=
+              // without the password) is an impostor collecting proofs
+              if (scramNonce != null && !scramVerified)
+                throw new java.io.IOException(
+                  "postgres_scan native client: server sent AuthenticationOk " +
+                    "without a verified SCRAM server signature (possible MITM)")
             case 3 => // cleartext password
               send('p')(d => { d.write(password.getBytes(UTF_8)); d.writeByte(0) })
             case 5 => // MD5: "md5" + md5(md5(password + user) + salt)
@@ -194,6 +204,13 @@ final class PgWireClient(host: String, port: Int, database: String,
               if (usePlus) {
                 scramGs2 = "p=tls-server-end-point,,"
                 scramCbind = Scram.endpointHash(peerCert)
+              } else if (peerCert != null) {
+                // RFC 5802 downgrade detection: we DO support binding
+                // (TLS channel) but the offer lacked -PLUS — gs2 "y"
+                // lets a genuine server that really offered -PLUS (a
+                // MITM stripped it from the list) reject the exchange
+                scramGs2 = "y,,"
+                scramCbind = Array.emptyByteArray
               } else {
                 scramGs2 = "n,,"
                 scramCbind = Array.emptyByteArray
@@ -218,6 +235,14 @@ final class PgWireClient(host: String, port: Int, database: String,
                     "the client nonce (possible MITM) — aborting SCRAM")
               val salt = Scram.unb64(a('s'))
               val iterations = a('i').toInt
+              // a hostile server could demand an absurd iteration count
+              // and pin every partition reader in PBKDF2 for hours —
+              // same spirit as the frame-length guard. PG defaults to
+              // 4096; RFC 7677 suggests >= 4096; 10M >> any real server.
+              if (iterations < 1 || iterations > 10000000)
+                throw new java.io.IOException(
+                  s"postgres_scan native client: unreasonable SCRAM " +
+                    s"iteration count $iterations (limit 10000000)")
               val salted = Scram.saltedPassword(password, salt, iterations)
               // c= carries base64(gs2 header ++ channel-binding data):
               // "biws" for the unbound "n,,", header+cert-hash for -PLUS
@@ -238,6 +263,7 @@ final class PgWireClient(host: String, port: Int, database: String,
                 throw new java.io.IOException(
                   "postgres_scan native client: server signature verification " +
                     "failed — the server does not know the password (possible MITM)")
+              scramVerified = true
             case other => throw new java.io.IOException(
               s"postgres_scan native client: unsupported auth method $other " +
                 "(trust/cleartext/md5/scram-sha-256 supported)")

@@ -341,6 +341,12 @@ class FederationSpec extends GraftSuite {
         s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
           "?sslmode=require', 'org.postgresql.Driver', 'fed_float')").collect())
       assert(msgs(er).toLowerCase.contains("refused tls"), msgs(er))
+      // pgjdbc's ssl flag means "encrypt" for ANY value except false —
+      // ssl=on must behave like require, not silently downgrade
+      val eo = intercept[Exception](spark.sql(
+        s"SELECT * FROM jdbc_scan('jdbc:postgresql://127.0.0.1:$port/postgres" +
+          "?ssl=on', 'org.postgresql.Driver', 'fed_float')").collect())
+      assert(msgs(eo).toLowerCase.contains("refused tls"), msgs(eo))
 
       // benign params and percent-encoded credentials parse cleanly
       val ok = spark.sql(
@@ -586,13 +592,15 @@ class FederationSpec extends GraftSuite {
     spark.range(25).selectExpr("id", "concat('row-', id) AS tag")
       .createOrReplaceTempView("fed_scram")
     val srv = new graft.server.PgServer(spark, port = 0,
-      password = Some("p@ss pencil"), auth = "scram-sha-256")
+      password = Some("p@ss+pen cil"), auth = "scram-sha-256")
     val port = srv.start()
     spark.conf.set("spark.graft.federation.pg_native", "true")
     try {
-      // password percent-encoded in the DSN (it contains '@' and ' ')
+      // password percent-encoded in the DSN ('@' and ' ' must be; '+'
+      // is a LITERAL userinfo character per RFC 3986 — form decoding
+      // would corrupt it to a space)
       val df = spark.sql(
-        s"SELECT tag FROM postgres_scan('postgres://postgres:p%40ss%20pencil" +
+        s"SELECT tag FROM postgres_scan('postgres://postgres:p%40ss+pen%20cil" +
           s"@127.0.0.1:$port', 'postgres', 'fed_scram') WHERE id >= 20 ORDER BY id")
       assert(df.collect().map(_.getString(0)).toSeq ==
         (20 until 25).map(i => s"row-$i"))

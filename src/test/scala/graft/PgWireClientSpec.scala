@@ -105,7 +105,8 @@ class PgWireClientSpec extends GraftSuite {
     body
   }
 
-  private def scramServer(pass: String, tamperSignature: Boolean)(
+  private def scramServer(pass: String, tamperSignature: Boolean,
+      skipFinal: Boolean = false)(
       captured: java.util.concurrent.ConcurrentLinkedQueue[String]): Int =
     interactiveServer { (in, out) =>
       // AuthenticationSASL advertising SCRAM-SHA-256
@@ -144,6 +145,10 @@ class PgWireClientSpec extends GraftSuite {
         err.write('C'); err.write("28P01".getBytes(UTF_8)); err.write(0)
         err.write(0)
         msg(out, 'E', err.toByteArray)
+      } else if (skipFinal) {
+        // an impostor that cannot forge v= just... skips it
+        msg(out, 'R', i32(0)) // AuthenticationOk with NO SASLFinal
+        msg(out, 'Z', Array('I'.toByte))
       } else {
         var sig = Scram.serverSignature(salted, authMsg)
         if (tamperSignature) { sig = sig.clone(); sig(0) = (sig(0) ^ 1).toByte }
@@ -186,6 +191,36 @@ class PgWireClientSpec extends GraftSuite {
     val e = intercept[java.io.IOException](
       new PgWireClient("127.0.0.1", port, "db", "postgres", "pencil"))
     assert(e.getMessage.contains("server signature"), e.getMessage)
+  }
+
+  test("SCRAM: AuthenticationOk without a verified SASLFinal is rejected (MITM)") {
+    // an impostor that cannot forge v= (it lacks the password) could
+    // collect the client proof and simply skip SASLFinal — mutual
+    // authentication means the client must refuse exactly that
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val port = scramServer("pencil", tamperSignature = false,
+      skipFinal = true)(captured)
+    val e = intercept[java.io.IOException](
+      new PgWireClient("127.0.0.1", port, "db", "postgres", "pencil"))
+    assert(e.getMessage.contains("without a verified"), e.getMessage)
+  }
+
+  test("SCRAM: absurd server iteration count is rejected, not ground through") {
+    val port = interactiveServer { (in, out) =>
+      val offer = new java.io.ByteArrayOutputStream()
+      offer.write(i32(10))
+      offer.write(Scram.Mechanism.getBytes(UTF_8)); offer.write(0); offer.write(0)
+      msg(out, 'R', offer.toByteArray); out.flush()
+      readP(in)
+      val serverFirst = "r=anyNONCE,s=QUJDRA==,i=2000000000"
+      val cont = new java.io.ByteArrayOutputStream()
+      cont.write(i32(11)); cont.write(serverFirst.getBytes(UTF_8))
+      msg(out, 'R', cont.toByteArray); out.flush()
+    }
+    val e = intercept[java.io.IOException](
+      new PgWireClient("127.0.0.1", port, "db", "postgres", "pencil",
+        nonceOverride = Some("anyNONCE")))
+    assert(e.getMessage.contains("iteration count"), e.getMessage)
   }
 
   test("SCRAM: server nonce must extend the client nonce") {
