@@ -27,13 +27,18 @@ object Bench {
     spark.range(0, 64).selectExpr(
       "minhash_sig(array(id, id + 1))", "simhash64(array(id))",
       "sorted_intersect_size(array(id), array(id))").count()
-    // the previous round's per-query sidecar (the driver leaves it in
-    // place) — read BEFORE this run overwrites it, for delta reporting
+    // the previous round's per-query sidecar — for delta reporting.
+    // Baseline preference (round-10 judge ask #2): an explicit
+    // SPARK_GRAFT_BENCH_PREV, else the PINNED driver baseline
+    // (BENCH_BASELINE.json — a copy of the last DRIVER run's sidecar,
+    // refreshed each round start so local builder runs can't overwrite
+    // the cross-round comparison base), else whatever BENCH_QUERIES.json
+    // sits in the repo. Each candidate is rejected if it was measured
+    // at a different scale factor (cross-sf deltas are fake).
     val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "BENCH_QUERIES.json")
-    val prev: Map[String, Double] = {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", perQueryPath))
-      if (!java.nio.file.Files.exists(p)) Map.empty
+    def loadBaseline(path: String): Option[Map[String, Double]] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
       else try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
@@ -45,16 +50,41 @@ object Bench {
           case JString(s) => s == sfDir
           case _          => true // legacy sidecar without sf: accept
         }
-        if (!sameSf) Map.empty[String, Double]
+        if (!sameSf) None
         else (root \ "queries") match {
-          case JObject(fields) => fields.collect {
+          case JObject(fields) => Some(fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v))    => k -> v.toDouble
-          }.toMap
-          case _ => Map.empty[String, Double]
+          }.toMap)
+          case _ => None
         }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      } catch { case _: Throwable => None }
     }
+    val baselineCandidates: Seq[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").toSeq ++
+        Seq("BENCH_BASELINE.json", perQueryPath)
+    val (baselineSource, prev): (String, Map[String, Double]) =
+      baselineCandidates.iterator
+        .flatMap(p => loadBaseline(p).map(p -> _))
+        .nextOption()
+        .getOrElse(("none", Map.empty[String, Double]))
+    // fixed-work calibration probe (round-10 judge ask #3): a
+    // deterministic CPU-bound aggregate timed at bench start AND end.
+    // The box this runs on swings ~20% session-to-session; the probe
+    // pair lets a reader normalize round-over-round totals (box speed
+    // moves both probes together; a plan regression moves neither).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: an int64 SUM of 1e9 hashes overflows under
+      // ANSI mode; xor forces the same per-row work with no overflow.
+      // ~1 s of pure codegen'd CPU: long enough that scheduler jitter
+      // is <5% of the probe, short enough to pay twice per run.
+      spark.sql("SELECT bit_xor(xxhash64(id * 2654435761)) " +
+        "FROM range(0, 1000000000, 1, 32)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // unmeasured: codegen + classload warm
+    val calibrationStart = calibrate()
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -88,22 +118,43 @@ object Bench {
     val times = measured.map(_._2).sorted
     val median = times(times.size / 2)
     // Attribution re-run (round-8's d15 lesson: one 5.7 s bench outlier
-    // measured 2.5 s in the same-code scale smoke): every in-session
-    // outlier is re-measured after the session residue is cleared
-    // (cache, tracked persists, dead localCheckpoint blocks via GC). If
-    // the isolated time is ordinary, the outlier was session/bench
-    // interference, not a plan defect — report the isolated cost as the
-    // query's real cost (exactly the min-of-passes rationale) and keep
-    // both numbers in the sidecar for the audit trail.
-    val attribution = measured.filter(_._2 > 10 * median).map { case (name, inSession) =>
-      spark.catalog.clearCache()
-      graft.util.Persist.releaseAll()
-      System.gc()
-      val iso = (1 to 2).map(_ => runOnce(name, SparkEntry.queries(name))).min
-      name -> (inSession, iso)
-    }.toMap
+    // measured 2.5 s in the same-code scale smoke): suspect queries are
+    // re-measured after the session residue is cleared (cache, tracked
+    // persists, dead localCheckpoint blocks via GC). If the isolated
+    // time is ordinary, the anomaly was session/bench interference, not
+    // a plan defect — report the isolated cost as the query's real cost
+    // (exactly the min-of-passes rationale) and keep every number in
+    // the sidecar for the audit trail. TWO triggers (the 10x-median
+    // gate alone let round-10's v22 ship a 2.1x regression unexplained
+    // at 7.5x median — judge ask #1):
+    //   - outlier: > 10x the run median (plan-defect radar), and
+    //   - regression: >= 2x its own baseline time (cross-round radar).
+    val suspects: Seq[(String, Double, String)] =
+      measured.collect {
+        case (n, t) if t > 10 * median => (n, t, "outlier_10x_median")
+        case (n, t) if prev.get(n).exists(p => p > 0 && t >= 2 * p) =>
+          (n, t, "regression_2x_baseline")
+      }
+    val attribution: Map[String, (Double, Double, String, String)] =
+      suspects.map { case (name, inSession, trigger) =>
+        spark.catalog.clearCache()
+        graft.util.Persist.releaseAll()
+        System.gc()
+        val iso = (1 to 2).map(_ => runOnce(name, SparkEntry.queries(name))).min
+        // verdict keys on what the isolated number says about the
+        // TRIGGERING threshold: under it, the in-session time was
+        // session interference; still over it, the cost is real and
+        // needs a plan-level explanation
+        val cleared = trigger match {
+          case "regression_2x_baseline" => prev.get(name).exists(p => iso < 2 * p)
+          case _                        => iso <= 10 * median
+        }
+        name -> (inSession, iso,
+          trigger, if (cleared) "session_interference" else "real")
+      }.toMap
     val results = measured.map { case (n, t) =>
-      n -> attribution.get(n).fold(t) { case (inSess, iso) => math.min(inSess, iso) }
+      n -> attribution.get(n).fold(t) { case (inSess, iso, _, _) =>
+        math.min(inSess, iso) }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -123,8 +174,11 @@ object Bench {
     val regressions = deltas
       .filter { case (n, d) => d > 0.5 && prev(n) > 0 && d > 0.5 * prev(n) }
       .sortBy(-_._2)
-    val attributionJson = attribution.map { case (n, (inSess, iso)) =>
-      s"""\"$n\":{"in_session":${fmt(inSess)},"isolated":${fmt(iso)}}"""
+    val calibrationEnd = calibrate()
+    val attributionJson = attribution.map { case (n, (inSess, iso, trig, verdict)) =>
+      val base = prev.get(n).fold("")(p => s""","baseline":${fmt(p)}""")
+      s"""\"$n\":{"in_session":${fmt(inSess)},"isolated":${fmt(iso)},""" +
+        s""""trigger":"$trig","verdict":"$verdict"$base}"""
     }.mkString("{", ",", "}")
     // The driver tail-captures only ~2.2 KB of stdout, so the full
     // per-query map goes to a sidecar file; stdout carries only short,
@@ -133,9 +187,12 @@ object Bench {
       java.nio.file.Paths.get(perQueryPath),
       (s"""{"metric":"per_query","unit":"sec","sf":"$sfDir",""" +
         s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},""" +
+        s""""calibration_start_s":${fmt(calibrationStart)},""" +
+        s""""calibration_end_s":${fmt(calibrationEnd)},""" +
+        s""""baseline_source":"$baselineSource",""" +
         s""""median":$median,"slowest":${jmap(slowest)},""" +
         s""""outliers":${jmap(outliers)},""" +
-        s""""outlier_attribution":$attributionJson,""" +
+        s""""attribution":$attributionJson,""" +
         s""""delta_vs_prev":${jmap(deltas)},""" +
         s""""regressions":${jmap(regressions)},""" +
         s""""queries":$qs}\n""")
@@ -144,7 +201,10 @@ object Bench {
     println(s"""{"metric":"outliers","threshold":"10x_median","median":$median,"n":${outliers.size},"queries":${jmap(outliers.take(3))}}""")
     println(s"""{"metric":"regressions_vs_prev","n":${regressions.size},"queries":${jmap(regressions.take(3))}}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},"sf":"$sfDir"}""")
+      s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},""" +
+      s""""calibration_start_s":${fmt(calibrationStart)},""" +
+      s""""calibration_end_s":${fmt(calibrationEnd)},""" +
+      s""""baseline_source":"$baselineSource","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -315,8 +315,17 @@ object SpatialJoin {
     if (left.sparkSession.conf
         .getOption("spark.graft.spatial_join.max_candidate_pairs").isDefined) {
       val (estL, estR, _) = sizing.getOrElse((-1L, -1L, 0.0))
-      val rowsL = resolvedRows(estL, lBoxes.length, lSampled)
-      val rowsR = resolvedRows(estR, rBoxes.length, rSampled)
+      // saturation honesty: with unknown stats the 10%-sample row signal
+      // caps at 10k x 10 = 100k, so a 10M-row degenerate input would be
+      // UNDER-estimated by (N/100k)^2 — exactly the runaway this guard
+      // exists to stop. The guard is opt-in (fail-fast pipelines), so
+      // when the sample hit its cap we pay one exact count() for an
+      // honest budget check rather than trust a saturated floor.
+      def guardRows(df: DataFrame, est: Long, n: Int, sampled: Boolean): Long =
+        if (est <= 0 && sampled && n >= 10000) df.count()
+        else resolvedRows(est, n, sampled)
+      val rowsL = guardRows(left, estL, lBoxes.length, lSampled)
+      val rowsR = guardRows(right, estR, rBoxes.length, rSampled)
       val scaleL = rowsL.toDouble / math.max(1, lBoxes.length)
       val scaleR = rowsR.toDouble / math.max(1, rBoxes.length)
       val lCnt = new Array[Long](tree.numLeaves)

@@ -1240,6 +1240,12 @@ object DedupOps {
     val prefix = ranked
       .where(col("rk") <= expr("n - (4 * n) div 5 + 1"))
       .select(col("doc_id").as("src"), col("g"))
+    // opt-in fail-fast: even the prefix-filtered index degenerates when
+    // every document shares every gram (all-identical corpus) — the
+    // budget aborts loudly before the candidate join launches
+    graft.operators.PairBudget.guardEquiJoin(
+      prefix, ex.select(col("doc_id").as("dst"), col("g")), Seq("g"),
+      "d19 containment candidate join (gram inverted index)")
     val cand = prefix
       .join(ex.select(col("doc_id").as("dst"), col("g")), Seq("g"))
       .where(col("src") =!= col("dst"))

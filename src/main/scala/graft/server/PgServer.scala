@@ -172,7 +172,20 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             in = new DataInputStream(ssl.getInputStream)
             rawOut = new DataOutputStream(ssl.getOutputStream)
             out = new PgWire.Out(rawOut)
-            connCbind = tlsMaterial.flatMap(m => Option(m._2))
+            // RFC 5929 tls-server-end-point MUST hash the certificate
+            // this handshake actually SERVED: with a multi-key-entry
+            // keystore the JSSE KeyManager may pick a different alias
+            // (by key type / cipher suite) than a keystore scan would,
+            // and a hash of the wrong cert makes every -PLUS login fail
+            // channel-binding verification. The session's local chain
+            // is authoritative; the constructor-time keystore scan is
+            // only the fallback for JSSE impls not exposing it.
+            connCbind = Option(ssl.getSession.getLocalCertificates)
+              .flatMap(_.headOption.collect {
+                case c: java.security.cert.X509Certificate =>
+                  Scram.endpointHash(c)
+              })
+              .orElse(tlsMaterial.flatMap(m => Option(m._2)))
           case None => // decline, client retries plain
             rawOut.writeByte('N'); rawOut.flush()
         }

@@ -296,7 +296,15 @@ object PgWire {
       case d: java.time.LocalDate =>
         Some(be(4, _.putInt((d.toEpochDay - PgEpochDay).toInt)))
       case t: java.sql.Timestamp =>
-        val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        // oid 1114 (timestamp WITHOUT time zone) carries wall-clock
+        // micros on the wire. The text path renders t.toLocalDateTime
+        // (JVM-default-zone wall time); encoding the UTC instant here
+        // instead would make binary and text results disagree by the
+        // zone offset whenever the JVM default TZ is not UTC — so the
+        // binary form is derived from the SAME LocalDateTime
+        val ldt = t.toLocalDateTime
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
       case t: java.time.Instant  =>
         val us = t.getEpochSecond * 1000000L + t.getNano / 1000

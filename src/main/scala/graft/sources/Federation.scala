@@ -195,28 +195,37 @@ object Federation {
         }
       }.toMap)
     }
-    // sslmode maps onto the native client's TLS negotiation; verify-*
-    // would claim certificate-chain verification the trust-all context
-    // cannot deliver, so they fail loudly rather than silently
-    // downgrade. pgjdbc's ssl=true (TLS, no verification) = require.
-    // pgjdbc's ssl parameter enables TLS for ANY value except an
-    // explicit "false" — ssl=on / ssl=1 / bare ssl all mean "encrypt";
-    // mapping them to disable would be a silent plaintext downgrade
+    // sslmode maps onto the native client's TLS negotiation, the full
+    // libpq ladder: disable/prefer/require plus verify-ca/verify-full
+    // when a CA bundle rides along (sslrootcert=<PEM>, libpq's own
+    // parameter). pgjdbc's ssl parameter enables TLS for ANY value
+    // except an explicit "false", and pgjdbc DOCUMENTS ssl=true as
+    // implying verify-full (chain + hostname verification) — so bare
+    // ssl / ssl=true maps to verify-full here too; routing it onto
+    // trust-all `require` would silently strip the MITM protection the
+    // pgjdbc leg provides for the same URL.
+    val sslRootCert = params.get("sslrootcert")
     val sslMode = params.get("sslmode").map(_.toLowerCase)
       .orElse(params.get("ssl").map(v =>
-        if (v.equalsIgnoreCase("false")) "disable" else "require"))
+        if (v.equalsIgnoreCase("false")) "disable" else "verify-full"))
       .getOrElse("disable") match {
       case "disable" | "allow" => "disable"
       case "prefer"            => "prefer"
       case "require"           => "require"
+      case m @ ("verify-ca" | "verify-full") =>
+        if (sslRootCert.isEmpty) throw new IllegalArgumentException(
+          s"postgres_scan native client: sslmode/ssl implies $m, which " +
+            "needs a CA bundle — add sslrootcert=<PEM file> (libpq " +
+            "semantics), use the pgjdbc driver, or request an explicit " +
+            "sslmode=require for encryption without chain verification")
+        m
       case other => throw new IllegalArgumentException(
-        s"postgres_scan native client: sslmode=$other requires certificate " +
-          "verification against a CA store — use the pgjdbc driver, or " +
-          "sslmode=require for encryption without chain verification")
+        s"postgres_scan native client: unsupported sslmode=$other " +
+          "(disable/prefer/require/verify-ca/verify-full)")
     }
     val benign = Set("gssencmode" -> "disable")
     val unsupported = params.filter { case (k, v) =>
-      !Set("user", "password", "sslmode", "ssl").contains(k) &&
+      !Set("user", "password", "sslmode", "ssl", "sslrootcert").contains(k) &&
         !benign((k, v.toLowerCase))
     }
     require(unsupported.isEmpty,
@@ -256,9 +265,10 @@ object Federation {
         .getOrElse("binary"))
       .option("sslmode", sslMode)
       .option("table", scan.table)
+    val withCa = sslRootCert.fold(reader)(reader.option("sslrootcert", _))
     val part = scan.partition.orElse(confPartition(session))
-    val withPart = part.fold(reader) { p =>
-      reader.option("partitionColumn", p.column)
+    val withPart = part.fold(withCa) { p =>
+      withCa.option("partitionColumn", p.column)
         .option("lowerBound", p.lower)
         .option("upperBound", p.upper)
         .option("numPartitions", p.numPartitions)

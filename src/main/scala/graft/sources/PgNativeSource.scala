@@ -248,15 +248,21 @@ private final case class PgNativeOptions(rawOpts: Map[String, String]) {
       s"pgwire: result_format must be 'binary' or 'text', got '$f'")
     f
   }
-  /** libpq sslmode subset: disable (default) / prefer / require. */
+  /** libpq sslmode ladder: disable (default) / prefer / require /
+    * verify-ca / verify-full; the verify modes need `sslrootcert`
+    * (PEM CA bundle, libpq's parameter of the same name). */
   val sslMode: String = {
     val m = opts.getOrElse("sslmode", "disable")
-    require(Set("disable", "prefer", "require")(m),
-      s"pgwire: sslmode must be disable, prefer or require, got '$m'")
+    require(Set("disable", "prefer", "require", "verify-ca", "verify-full")(m),
+      s"pgwire: sslmode must be disable, prefer, require, verify-ca or " +
+        s"verify-full, got '$m'")
     m
   }
+  val sslRootCert: Option[String] = opts.get("sslrootcert")
+  require(!sslMode.startsWith("verify") || sslRootCert.nonEmpty,
+    s"pgwire: sslmode=$sslMode requires sslrootcert=<PEM CA bundle>")
   def connect(): PgWireClient =
-    new PgWireClient(host, port, database, user, password, sslMode)
+    new PgWireClient(host, port, database, user, password, sslMode, sslRootCert)
 }
 
 private final class PgNativeTable(tableSchema: StructType, opts: Map[String, String])

@@ -21,10 +21,13 @@ import graft.server.PgWire
   * row-at-a-time (the reader pulls DataRows from the socket as the
   * Spark task consumes them — no whole-result buffering, which is what
   * makes a 100 TB-side federated scan possible at all). TLS upgrades
-  * in place via SSLRequest with libpq's sslmode=disable/prefer/require
-  * semantics (require = encrypted, no CA verification — verify-* need
-  * a trust store and stay on pgjdbc); pgjdbc remains preferred when
-  * its jar is present.
+  * in place via SSLRequest with libpq's full sslmode ladder:
+  * disable/prefer/require (require = encrypted, no CA verification)
+  * and verify-ca/verify-full backed by a PEM CA bundle (`sslRootCert`,
+  * libpq's sslrootcert): verify-ca checks the certificate chain
+  * against the bundle, verify-full additionally checks the server
+  * hostname against the certificate (SAN dNSName/iPAddress, CN
+  * fallback when no SAN — JSSE's RFC 2818 rules, which match libpq's).
   *
   * `nonceOverride` pins the SCRAM client nonce for the RFC 7677
   * test-vector spec; production callers leave it None (SecureRandom).
@@ -32,6 +35,7 @@ import graft.server.PgWire
 final class PgWireClient(host: String, port: Int, database: String,
     user: String, password: String,
     sslMode: String = "disable",
+    sslRootCert: Option[String] = None,
     private[graft] val nonceOverride: Option[String] = None)
     extends AutoCloseable {
 
@@ -66,25 +70,50 @@ final class PgWireClient(host: String, port: Int, database: String,
 
   private def negotiateTls(): Socket = sslMode match {
     case "disable" => sock
-    case "prefer" | "require" =>
+    case "prefer" | "require" | "verify-ca" | "verify-full" =>
+      if (sslMode.startsWith("verify") && sslRootCert.isEmpty)
+        throw new IllegalArgumentException(
+          s"postgres_scan native client: sslmode=$sslMode requires a CA " +
+            "bundle — pass sslrootcert=<PEM file> (libpq semantics)")
       val raw = new DataOutputStream(sock.getOutputStream)
       raw.writeInt(8); raw.writeInt(80877103); raw.flush() // SSLRequest
       sock.getInputStream.read() match {
         case 'S' =>
-          // trust-all context = libpq sslmode=require (encryption, no
-          // chain verification; self-signed server certs accepted)
-          val trustAll = new javax.net.ssl.X509TrustManager {
-            def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
-            def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
-            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-          }
+          val tms: Array[javax.net.ssl.TrustManager] =
+            if (sslMode.startsWith("verify")) caTrustManagers(sslRootCert.get)
+            else {
+              // trust-all context = libpq sslmode=require (encryption,
+              // no chain verification; self-signed server certs
+              // accepted). NEVER used for the verify-* modes above.
+              Array(new javax.net.ssl.X509TrustManager {
+                def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+                def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = {}
+                def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+              })
+            }
           val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-          ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+          ctx.init(null, tms, new java.security.SecureRandom())
           val ssl = ctx.getSocketFactory
             .createSocket(sock, host, port, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setUseClientMode(true)
-          ssl.startHandshake()
+          if (sslMode == "verify-full") {
+            // hostname verification against the certificate: JSSE's
+            // RFC 2818 "HTTPS" endpoint identification — SAN dNSName
+            // for hostnames / iPAddress for IP literals, CN fallback
+            // only when the certificate carries no SAN
+            val params = ssl.getSSLParameters
+            params.setEndpointIdentificationAlgorithm("HTTPS")
+            ssl.setSSLParameters(params)
+          }
+          try ssl.startHandshake()
+          catch {
+            case e: javax.net.ssl.SSLHandshakeException =>
+              throw new java.io.IOException(
+                s"postgres_scan native client: sslmode=$sslMode TLS " +
+                  s"verification against $host failed (CA bundle " +
+                  s"${sslRootCert.getOrElse("<none>")}): ${e.getMessage}", e)
+          }
           // channel-binding material for SCRAM-SHA-256-PLUS: the
           // server's end-entity certificate (RFC 5929 end-point hash)
           peerCert = ssl.getSession.getPeerCertificates.headOption.collect {
@@ -92,9 +121,9 @@ final class PgWireClient(host: String, port: Int, database: String,
           }.orNull
           ssl
         case 'N' =>
-          if (sslMode == "require") throw new java.io.IOException(
-            "postgres_scan native client: server refused TLS and sslmode=require")
-          else sock
+          if (sslMode == "prefer") sock
+          else throw new java.io.IOException(
+            s"postgres_scan native client: server refused TLS and sslmode=$sslMode")
         case -1 => throw new java.io.IOException(
           "postgres_scan native client: connection closed during TLS negotiation")
         case other => throw new java.io.IOException(
@@ -102,8 +131,29 @@ final class PgWireClient(host: String, port: Int, database: String,
       }
     case other => throw new IllegalArgumentException(
       s"postgres_scan native client: unsupported sslmode '$other' " +
-        "(disable/prefer/require; verify-ca/verify-full need a CA store — " +
-        "use the pgjdbc driver)")
+        "(disable/prefer/require/verify-ca/verify-full)")
+  }
+
+  /** Trust managers over the PEM CA bundle at `path` (one or more
+    * concatenated CERTIFICATE blocks — libpq's sslrootcert format).
+    * Chain verification then runs through the standard PKIX validator
+    * with ONLY these anchors (the JVM's default cacerts is not
+    * consulted, matching libpq). */
+  private def caTrustManagers(path: String): Array[javax.net.ssl.TrustManager] = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val fis = new java.io.FileInputStream(path)
+    val cas = try cf.generateCertificates(fis) finally fis.close()
+    if (cas.isEmpty) throw new IllegalArgumentException(
+      s"postgres_scan native client: sslrootcert=$path contains no certificates")
+    val ks = java.security.KeyStore.getInstance(
+      java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    var i = 0
+    cas.forEach { c => ks.setCertificateEntry(s"ca$i", c); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    tmf.getTrustManagers
   }
 
   /** RowDescription of the in-flight query: (name, type oid) per column. */
@@ -233,8 +283,24 @@ final class PgWireClient(host: String, port: Int, database: String,
                 throw new java.io.IOException(
                   "postgres_scan native client: server nonce does not extend " +
                     "the client nonce (possible MITM) — aborting SCRAM")
-              val salt = Scram.unb64(a('s'))
-              val iterations = a('i').toInt
+              // RFC 5802 §7: m= marks a mandatory extension; a client
+              // that does not understand it MUST abort (we understand
+              // none), not silently proceed with a broken AuthMessage
+              if (a.contains('m')) throw new java.io.IOException(
+                "postgres_scan native client: server-first carries a " +
+                  s"mandatory SCRAM extension (m=${a('m')}) this client " +
+                  "does not support — aborting authentication")
+              val salt = Scram.unb64(a.getOrElse('s',
+                throw new java.io.IOException(
+                  s"postgres_scan native client: server-first lacks s=: $serverFirst")))
+              val iterations = try a.getOrElse('i',
+                throw new java.io.IOException(
+                  s"postgres_scan native client: server-first lacks i=: $serverFirst")).toInt
+              catch {
+                case _: NumberFormatException => throw new java.io.IOException(
+                  s"postgres_scan native client: malformed SCRAM iteration " +
+                    s"count in server-first: $serverFirst")
+              }
               // a hostile server could demand an absurd iteration count
               // and pin every partition reader in PBKDF2 for hours —
               // same spirit as the frame-length guard. PG defaults to

@@ -45,7 +45,9 @@ class DriverMaterializationLintSpec extends AnyFunSuite {
     "queries/VectorOps.scala" -> 2,
     "streaming/StreamingOps.scala" -> 1,
     "operators/AnnIndex.scala" -> 1,
-    "Bench.scala" -> 1,
+    // round 11: + the fixed-work calibration probe — a 1-row sum over
+    // range(), collected twice per bench run (start/end box-speed pin)
+    "Bench.scala" -> 2,
     // round 9: the bench-outlier attribution probe's warmup collect —
     // a dev diagnostic main, 1 row
     "BenchProbe.scala" -> 1)
