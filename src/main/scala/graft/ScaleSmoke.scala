@@ -152,32 +152,58 @@ object ScaleSmoke {
     // must actually FIRE on the degenerate density the unguarded
     // timing legs measure — sp07's replicated lattice collapses ~K×N
     // points onto a fixed plane, the exact runaway the budget exists
-    // to stop at real scale. Budget defaults to 1e7 × factor: far
-    // above any healthy per-factor estimate (base sp07 estimates
-    // ~10^5 pairs), far below the collapsed one (×100 estimates
-    // ~10^10) — so the leg PROVES the fail-fast path, after the
-    // timing legs already recorded the honest unguarded cost.
-    val guarded: Option[(Long, Boolean, String)] =
+    // to stop at real scale. Three cheap probes instead of one blind
+    // budget: (1) capture the guard's own pair ESTIMATE at base and
+    // (2) at the scaled replica by aborting under budget=1 (the abort
+    // happens right after the sampling pass, seconds, never the join),
+    // then (3) re-run the scaled leg under the geometric mean of the
+    // two estimates — a budget that by construction admits the healthy
+    // base density and rejects the collapsed one — and assert the loud
+    // abort fires with its diagnostic.
+    val guarded: Option[String] =
       if (!queries.contains("sp07_dbscan_clusters")) None
       else {
-        val budget = sys.env.getOrElse("SPARK_GRAFT_GUARD_BUDGET",
-          (10000000L * factor).toString).toLong
-        spark.conf.set("spark.graft.spatial_join.max_candidate_pairs",
-          budget.toString)
-        val (aborted, detail) = try {
-          SparkEntry.queries("sp07_dbscan_clusters")(spark, outDir).count()
-          (false, "no abort: estimate stayed under budget")
-        } catch {
-          case e: IllegalStateException
-              if e.getMessage.contains("max_candidate_pairs") =>
-            (true, e.getMessage.replaceAll("[\"\\\\\n]", " ").take(220))
-        } finally {
-          spark.conf.unset("spark.graft.spatial_join.max_candidate_pairs")
-          graft.util.Persist.releaseAll()
-          System.gc()
+        val conf = "spark.graft.spatial_join.max_candidate_pairs"
+        val EstRe = "candidate pairs ([0-9.eE+-]+) ".r
+        def estimate(dir: String): Option[Double] = {
+          spark.conf.set(conf, "1")
+          try {
+            SparkEntry.queries("sp07_dbscan_clusters")(spark, dir).count()
+            None // estimate of 0 pairs: nothing to guard
+          } catch {
+            case e: IllegalStateException if e.getMessage.contains(conf) =>
+              EstRe.findFirstMatchIn(e.getMessage).map(_.group(1).toDouble)
+          } finally {
+            spark.conf.unset(conf)
+            graft.util.Persist.releaseAll()
+            System.gc()
+          }
         }
-        println(s"""{"query":"sp07_guarded","budget":$budget,"aborted":$aborted}""")
-        Some((budget, aborted, detail))
+        val baseEst = estimate(base)
+        val scaledEst = estimate(outDir)
+        val leg = (baseEst, scaledEst) match {
+          case (Some(b), Some(s)) if s > b =>
+            val budget = math.sqrt(b * s).toLong
+            spark.conf.set(conf, budget.toString)
+            val (aborted, detail) = try {
+              SparkEntry.queries("sp07_dbscan_clusters")(spark, outDir).count()
+              (false, "UNEXPECTED: no abort under a budget below the scaled estimate")
+            } catch {
+              case e: IllegalStateException if e.getMessage.contains(conf) =>
+                (true, e.getMessage.replaceAll("[\"\\\\\n]", " ").take(220))
+            } finally {
+              spark.conf.unset(conf)
+              graft.util.Persist.releaseAll()
+              System.gc()
+            }
+            s""""base_estimate":$b,"scaled_estimate":$s,"budget":$budget,""" +
+              s""""aborted":$aborted,"detail":"$detail""""
+          case _ =>
+            s""""aborted":false,"detail":"probe could not capture both """ +
+              s"""estimates (base=$baseEst scaled=$scaledEst)""""
+        }
+        println(s"""{"query":"sp07_guarded",$leg}""")
+        Some(leg)
       }
     val fed = federationLeg(spark, outDir)
     val json = rows.map { case (q, tb, ts, r) =>
@@ -186,10 +212,8 @@ object ScaleSmoke {
     val fedJson = fed.fold("") { case (n, p1, p8, speedup) =>
       s""","federation_duckdb":{"rows":$n,"p1_s":${d3(p1)},"p8_s":${d3(p8)},"speedup":${d3(speedup)}}"""
     }
-    val guardJson = guarded.fold("") { case (budget, aborted, detail) =>
-      s""","guarded":{"query":"sp07_dbscan_clusters","budget":$budget,""" +
-        s""""aborted":$aborted,"detail":"$detail"}"""
-    }
+    val guardJson = guarded.fold("")(leg =>
+      s""","guarded":{"query":"sp07_dbscan_clusters",$leg}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       (s"""{"factor":$factor,"base":"$base","flagged":[${
         flagged.map("\"" + _._1 + "\"").mkString(",")}]$fedJson$guardJson,"queries":$json}\n""")

@@ -55,9 +55,10 @@ final class PgWireClient(host: String, port: Int, database: String,
   /** The protocol channel: the plain socket, or its in-place TLS
     * upgrade when sslmode negotiates one (SSLRequest -> 'S' ->
     * handshake, libpq semantics: "require" encrypts WITHOUT
-    * certificate-chain verification — verify-ca/verify-full need a CA
-    * store and are rejected upstream; "prefer" falls back to
-    * plaintext on 'N', "require" aborts). */
+    * certificate-chain verification; verify-ca verifies the chain
+    * against the `sslRootCert` PEM bundle, verify-full additionally
+    * checks the hostname; "prefer" falls back to plaintext on 'N',
+    * every other mode aborts on refusal). */
   private val chan: Socket =
     try negotiateTls()
     catch {
