@@ -85,11 +85,18 @@ object Bench {
     }
     calibrate() // unmeasured: codegen + classload warm
     val calibrationStart = calibrate()
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, completed?) — a throwing query is timed to failure so
+    // the pass keeps moving (correctness has its own gate), but the
+    // failure FLAG must ride along: an attribution re-run that crashes
+    // fast must never report its time-to-crash as the query's real cost
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.util.Persist.releaseAll() // drop query-local caches
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        finally graft.util.Persist.releaseAll() // drop query-local caches
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // sorted order: deterministic run sequence so per-query numbers are
     // comparable across rounds (Map iteration order is not stable).
@@ -98,7 +105,7 @@ object Bench {
     // min of two interleaved passes reports the machine's real cost.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> runOnce(name, fn)
+        name -> runOnce(name, fn)._1
       }
     val p1 = pass()
     spark.catalog.clearCache() // drop pass-1 persisted intermediates
@@ -129,32 +136,46 @@ object Bench {
     // at 7.5x median — judge ask #1):
     //   - outlier: > 10x the run median (plan-defect radar), and
     //   - regression: >= 2x its own baseline time (cross-round radar).
-    val suspects: Seq[(String, Double, String)] =
-      measured.collect {
-        case (n, t) if t > 10 * median => (n, t, "outlier_10x_median")
-        case (n, t) if prev.get(n).exists(p => p > 0 && t >= 2 * p) =>
-          (n, t, "regression_2x_baseline")
+    // A query may trip BOTH; the verdict then requires clearing BOTH
+    // thresholds (an isolated time under 10x-median that is still 2x
+    // the baseline is a real cross-round regression, not interference).
+    // The suspect list is capped (severity-ordered) so a uniformly
+    // ~2x-slower session — box drift, which the calibration probe pins
+    // — degrades to a bounded extra cost, not a third full pass.
+    val suspectCap = 12
+    val allSuspects: Seq[(String, Double, Boolean, Boolean)] =
+      measured.flatMap { case (n, t) =>
+        val outlier = t > 10 * median
+        val regr = prev.get(n).exists(p => p > 0 && t >= 2 * p)
+        if (outlier || regr) Some((n, t, outlier, regr)) else None
       }
-    val attribution: Map[String, (Double, Double, String, String)] =
-      suspects.map { case (name, inSession, trigger) =>
+    val suspects = allSuspects
+      .sortBy { case (n, t, _, _) =>
+        -math.max(t / math.max(median, 1e-3),
+          prev.get(n).filter(_ > 0).fold(0.0)(p => t / p)) }
+      .take(suspectCap)
+    val attributionCapped = allSuspects.size > suspects.size
+    val attribution: Map[String, (Double, Option[Double], String, String)] =
+      suspects.map { case (name, inSession, outlier, regr) =>
         spark.catalog.clearCache()
         graft.util.Persist.releaseAll()
         System.gc()
-        val iso = (1 to 2).map(_ => runOnce(name, SparkEntry.queries(name))).min
-        // verdict keys on what the isolated number says about the
-        // TRIGGERING threshold: under it, the in-session time was
-        // session interference; still over it, the cost is real and
-        // needs a plan-level explanation
-        val cleared = trigger match {
-          case "regression_2x_baseline" => prev.get(name).exists(p => iso < 2 * p)
-          case _                        => iso <= 10 * median
+        val reruns = (1 to 2).map(_ => runOnce(name, SparkEntry.queries(name)))
+        val isoOk = reruns.filter(_._2).map(_._1)
+        val trigger = (if (outlier) Seq("outlier_10x_median") else Nil) ++
+          (if (regr) Seq("regression_2x_baseline") else Nil)
+        val verdict = isoOk.minOption match {
+          case None => "rerun_failed" // crash time is NOT a cost signal
+          case Some(iso) =>
+            val outlierCleared = !outlier || iso <= 10 * median
+            val regrCleared = !regr || prev.get(name).exists(p => iso < 2 * p)
+            if (outlierCleared && regrCleared) "session_interference" else "real"
         }
-        name -> (inSession, iso,
-          trigger, if (cleared) "session_interference" else "real")
+        name -> (inSession, isoOk.minOption, trigger.mkString("+"), verdict)
       }.toMap
     val results = measured.map { case (n, t) =>
       n -> attribution.get(n).fold(t) { case (inSess, iso, _, _) =>
-        math.min(inSess, iso) }
+        iso.fold(inSess)(math.min(inSess, _)) }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -177,19 +198,23 @@ object Bench {
     val calibrationEnd = calibrate()
     val attributionJson = attribution.map { case (n, (inSess, iso, trig, verdict)) =>
       val base = prev.get(n).fold("")(p => s""","baseline":${fmt(p)}""")
-      s"""\"$n\":{"in_session":${fmt(inSess)},"isolated":${fmt(iso)},""" +
+      val isoJson = iso.fold(""""isolated":null""")(v => s""""isolated":${fmt(v)}""")
+      s"""\"$n\":{"in_session":${fmt(inSess)},$isoJson,""" +
         s""""trigger":"$trig","verdict":"$verdict"$base}"""
     }.mkString("{", ",", "}")
+    // env-supplied paths land inside JSON strings — escape them
+    def jstr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     // The driver tail-captures only ~2.2 KB of stdout, so the full
     // per-query map goes to a sidecar file; stdout carries only short,
     // individually parseable lines (pointer + total).
     java.nio.file.Files.write(
       java.nio.file.Paths.get(perQueryPath),
-      (s"""{"metric":"per_query","unit":"sec","sf":"$sfDir",""" +
+      (s"""{"metric":"per_query","unit":"sec","sf":"${jstr(sfDir)}",""" +
         s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},""" +
         s""""calibration_start_s":${fmt(calibrationStart)},""" +
         s""""calibration_end_s":${fmt(calibrationEnd)},""" +
-        s""""baseline_source":"$baselineSource",""" +
+        s""""baseline_source":"${jstr(baselineSource)}",""" +
+        s""""attribution_capped":$attributionCapped,""" +
         s""""median":$median,"slowest":${jmap(slowest)},""" +
         s""""outliers":${jmap(outliers)},""" +
         s""""attribution":$attributionJson,""" +
@@ -204,7 +229,7 @@ object Bench {
       s""""total_pass1":${fmt(totalPass1)},"total_pass2":${fmt(totalPass2)},""" +
       s""""calibration_start_s":${fmt(calibrationStart)},""" +
       s""""calibration_end_s":${fmt(calibrationEnd)},""" +
-      s""""baseline_source":"$baselineSource","sf":"$sfDir"}""")
+      s""""baseline_source":"${jstr(baselineSource)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
   }
 

@@ -198,6 +198,14 @@ object ScaleSmoke {
             }
             s""""base_estimate":$b,"scaled_estimate":$s,"budget":$budget,""" +
               s""""aborted":$aborted,"detail":"$detail""""
+          case (Some(b), Some(s)) =>
+            // both estimates captured but density did NOT inflate with
+            // the replica — the degenerate-collapse PRECONDITION of
+            // this leg failed (replica generation bug, sampling fluke);
+            // say so instead of hiding it behind a probe error
+            s""""base_estimate":$b,"scaled_estimate":$s,"aborted":false,""" +
+              s""""detail":"PRECONDITION FAILED: scaled estimate does not """ +
+              s"""exceed base — replica did not inflate density""""
           case _ =>
             s""""aborted":false,"detail":"probe could not capture both """ +
               s"""estimates (base=$baseEst scaled=$scaledEst)""""

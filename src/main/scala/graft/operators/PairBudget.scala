@@ -41,7 +41,7 @@ object PairBudget {
       // exactly in the cases this guard exists for
       val est = Option(lc.join(rc, keys)
         .agg(sum(col("__lc").cast("double") * col("__rc").cast("double")))
-        .head.get(0)).fold(0.0)(_.asInstanceOf[Double])
+        .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
       abortOver(budget, est, what,
         s"equi-join on (${keys.mkString(", ")})")
     }
@@ -54,7 +54,7 @@ object PairBudget {
       val est = Option(df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).cast("double").as("__c"))
         .agg(sum(col("__c") * col("__c")))
-        .head.get(0)).fold(0.0)(_.asInstanceOf[Double])
+        .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
       abortOver(budget, est, what,
         s"self-join on (${keys.mkString(", ")})")
     }

@@ -266,12 +266,15 @@ object SpatialJoin {
   private def kdbScheme(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cells: Int,
       sizing: Option[(Long, Long, Double)]): Option[Scheme] = {
-    // ((cx, cy, maxdim) per sampled envelope, came-from-10%-sample?) —
-    // the boolean records WHICH path produced the rows: the 10% sample
-    // (rows ≈ a tenth of the input) or the full-scan limit(1000)
-    // fallback for small inputs (rows ≈ ALL of the input, no scaling)
+    // ((cx, cy, maxdim) per sampled envelope, came-from-10%-sample?,
+    // sample-hit-the-10k-cap?) — the first boolean records WHICH path
+    // produced the rows: the 10% sample (rows ≈ a tenth of the input)
+    // or the full-scan limit(1000) fallback for small inputs (rows ≈
+    // ALL of the input, no scaling). Saturation is judged on the RAW
+    // sample length BEFORE null-geometry filtering: a few nulls in a
+    // capped sample must not mask that the row signal bottomed out.
     def boxes(df: DataFrame,
-        geom: String): (Array[(Double, Double, Double)], Boolean) = {
+        geom: String): (Array[(Double, Double, Double)], Boolean, Boolean) = {
       val boxed = df.select(expr(s"st_box2d($geom)").as("b"))
       val s = boxed.sample(0.1, seed = 42L).limit(10000).collect()
       val sampled = s.length >= 1000
@@ -281,10 +284,10 @@ object SpatialJoin {
         ((b.getDouble(0) + b.getDouble(2)) / 2,
          (b.getDouble(1) + b.getDouble(3)) / 2,
          math.max(b.getDouble(2) - b.getDouble(0), b.getDouble(3) - b.getDouble(1)))
-      }.toArray, sampled)
+      }.toArray, sampled, sampled && s.length >= 10000)
     }
-    val (lBoxes, lSampled) = boxes(left, leftGeom)
-    val (rBoxes, rSampled) = boxes(right, rightGeom)
+    val (lBoxes, lSampled, lSaturated) = boxes(left, leftGeom)
+    val (rBoxes, rSampled, rSaturated) = boxes(right, rightGeom)
     val boxSample = lBoxes ++ rBoxes
     if (boxSample.isEmpty) return None
     val sample = boxSample.map(b => (b._1, b._2))
@@ -321,11 +324,12 @@ object SpatialJoin {
       // exists to stop. The guard is opt-in (fail-fast pipelines), so
       // when the sample hit its cap we pay one exact count() for an
       // honest budget check rather than trust a saturated floor.
-      def guardRows(df: DataFrame, est: Long, n: Int, sampled: Boolean): Long =
-        if (est <= 0 && sampled && n >= 10000) df.count()
+      def guardRows(df: DataFrame, est: Long, n: Int, sampled: Boolean,
+          saturated: Boolean): Long =
+        if (est <= 0 && saturated) df.count()
         else resolvedRows(est, n, sampled)
-      val rowsL = guardRows(left, estL, lBoxes.length, lSampled)
-      val rowsR = guardRows(right, estR, rBoxes.length, rSampled)
+      val rowsL = guardRows(left, estL, lBoxes.length, lSampled, lSaturated)
+      val rowsR = guardRows(right, estR, rBoxes.length, rSampled, rSaturated)
       val scaleL = rowsL.toDouble / math.max(1, lBoxes.length)
       val scaleR = rowsR.toDouble / math.max(1, rBoxes.length)
       val lCnt = new Array[Long](tree.numLeaves)

@@ -307,7 +307,14 @@ object PgWire {
           ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
       case t: java.time.Instant  =>
-        val us = t.getEpochSecond * 1000000L + t.getNano / 1000
+        // TimestampType surfaces as Instant when java8API is enabled —
+        // the SAME default-zone wall-clock rule as java.sql.Timestamp
+        // above, or the two collect() modes would put different values
+        // on the wire for one column
+        val ldt = java.time.LocalDateTime.ofInstant(
+          t, java.time.ZoneId.systemDefault())
+        val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
       case t: java.time.LocalDateTime => // TimestampNTZ
         val us = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
@@ -535,8 +542,12 @@ object PgWire {
     case b: Boolean              => Some(if (b) "t" else "f")
     case b: Array[Byte]          => Some("\\x" + b.map("%02x".format(_)).mkString)
     case t: java.sql.Timestamp   => Some(t.toLocalDateTime.format(tsFmt))
+    // Instant is TimestampType under java8API: render the same
+    // default-zone wall time as java.sql.Timestamp.toLocalDateTime, or
+    // the two collect() modes would disagree for one column (and the
+    // binary encoder below matches this rule)
     case t: java.time.Instant    => Some(java.time.LocalDateTime
-      .ofInstant(t, java.time.ZoneOffset.UTC).format(tsFmt))
+      .ofInstant(t, java.time.ZoneId.systemDefault()).format(tsFmt))
     case t: java.time.LocalDateTime => Some(t.format(tsFmt)) // TimestampNTZ
     case t: java.time.LocalTime  => Some(t.format(timeFmt))
     case d: java.sql.Date        => Some(d.toString)

@@ -52,6 +52,15 @@ final class PgWireClient(host: String, port: Int, database: String,
   /** SASL mechanism actually negotiated (diagnostics / tests). */
   private[graft] var saslMechanism: String = null
 
+  /** libpq parity: `require` WITH a root-cert bundle provided behaves
+    * as `verify-ca` (the libpq sslmode table documents exactly this) —
+    * a user who supplies a CA expects it consulted; silently ignoring
+    * it would be the trust-all downgrade the verify modes exist to
+    * prevent. DECLARED BEFORE `chan` (same initialization-order rule
+    * as peerCert above: chan's initializer reads this field). */
+  private val effectiveSslMode: String =
+    if (sslMode == "require" && sslRootCert.nonEmpty) "verify-ca" else sslMode
+
   /** The protocol channel: the plain socket, or its in-place TLS
     * upgrade when sslmode negotiates one (SSLRequest -> 'S' ->
     * handshake, libpq semantics: "require" encrypts WITHOUT
@@ -69,19 +78,19 @@ final class PgWireClient(host: String, port: Int, database: String,
   private val in = new DataInputStream(new BufferedInputStream(chan.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(chan.getOutputStream))
 
-  private def negotiateTls(): Socket = sslMode match {
+  private def negotiateTls(): Socket = effectiveSslMode match {
     case "disable" => sock
     case "prefer" | "require" | "verify-ca" | "verify-full" =>
-      if (sslMode.startsWith("verify") && sslRootCert.isEmpty)
+      if (effectiveSslMode.startsWith("verify") && sslRootCert.isEmpty)
         throw new IllegalArgumentException(
-          s"postgres_scan native client: sslmode=$sslMode requires a CA " +
+          s"postgres_scan native client: sslmode=$effectiveSslMode requires a CA " +
             "bundle — pass sslrootcert=<PEM file> (libpq semantics)")
       val raw = new DataOutputStream(sock.getOutputStream)
       raw.writeInt(8); raw.writeInt(80877103); raw.flush() // SSLRequest
       sock.getInputStream.read() match {
         case 'S' =>
           val tms: Array[javax.net.ssl.TrustManager] =
-            if (sslMode.startsWith("verify")) caTrustManagers(sslRootCert.get)
+            if (effectiveSslMode.startsWith("verify")) caTrustManagers(sslRootCert.get)
             else {
               // trust-all context = libpq sslmode=require (encryption,
               // no chain verification; self-signed server certs
@@ -98,7 +107,7 @@ final class PgWireClient(host: String, port: Int, database: String,
             .createSocket(sock, host, port, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setUseClientMode(true)
-          if (sslMode == "verify-full") {
+          if (effectiveSslMode == "verify-full") {
             // hostname verification against the certificate: JSSE's
             // RFC 2818 "HTTPS" endpoint identification — SAN dNSName
             // for hostnames / iPAddress for IP literals, CN fallback
@@ -111,7 +120,7 @@ final class PgWireClient(host: String, port: Int, database: String,
           catch {
             case e: javax.net.ssl.SSLHandshakeException =>
               throw new java.io.IOException(
-                s"postgres_scan native client: sslmode=$sslMode TLS " +
+                s"postgres_scan native client: sslmode=$effectiveSslMode TLS " +
                   s"verification against $host failed (CA bundle " +
                   s"${sslRootCert.getOrElse("<none>")}): ${e.getMessage}", e)
           }
@@ -122,9 +131,9 @@ final class PgWireClient(host: String, port: Int, database: String,
           }.orNull
           ssl
         case 'N' =>
-          if (sslMode == "prefer") sock
+          if (effectiveSslMode == "prefer") sock
           else throw new java.io.IOException(
-            s"postgres_scan native client: server refused TLS and sslmode=$sslMode")
+            s"postgres_scan native client: server refused TLS and sslmode=$effectiveSslMode")
         case -1 => throw new java.io.IOException(
           "postgres_scan native client: connection closed during TLS negotiation")
         case other => throw new java.io.IOException(

@@ -42,6 +42,9 @@ class DriverMaterializationLintSpec extends AnyFunSuite {
     // SpillSmoke: the 1-row fingerprint aggregate head()
     "SpillSmoke.scala" -> 1,
     "operators/SpatialJoin.scala" -> 3,
+    // round 11: the opt-in pair-budget guard's two 1-row Σ-product
+    // aggregates (equi-join + self-join forms) — bounded by definition
+    "operators/PairBudget.scala" -> 2,
     "queries/VectorOps.scala" -> 2,
     "streaming/StreamingOps.scala" -> 1,
     "operators/AnnIndex.scala" -> 1,

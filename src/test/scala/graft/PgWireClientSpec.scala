@@ -344,6 +344,18 @@ class PgWireClientSpec extends GraftSuite {
         new PgWireClient("127.0.0.1", port, "postgres", "postgres", "",
           sslMode = "verify-full"))
       assert(cfg.getMessage.contains("sslrootcert"), cfg.getMessage)
+      // libpq parity: require WITH a root cert behaves as verify-ca —
+      // a supplied CA bundle is consulted, never silently ignored
+      val reqOk = new PgWireClient("127.0.0.1", port, "postgres", "postgres", "",
+        sslMode = "require", sslRootCert = Some(pem))
+      try {
+        reqOk.execute("SELECT 5 + 5")
+        assert(reqOk.fetchRow()(0).contains("10"))
+      } finally reqOk.close()
+      val reqBad = intercept[java.io.IOException](
+        new PgWireClient("127.0.0.1", port, "postgres", "postgres", "",
+          sslMode = "require", sslRootCert = Some(wrongPem)))
+      assert(reqBad.getMessage.contains("verification"), reqBad.getMessage)
     } finally srv.stop()
   }
 

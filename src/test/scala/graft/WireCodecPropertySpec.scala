@@ -83,6 +83,34 @@ class WireCodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("oid 1114: Timestamp and Instant agree, text and binary agree, under a non-UTC zone") {
+    // TimestampType surfaces as java.sql.Timestamp by default and as
+    // java.time.Instant under java8API — one column, two JVM shapes.
+    // Both ENCODE rules must match each other AND their own text path
+    // (default-zone wall time), or the same query would wire different
+    // values depending on a session conf / result format.
+    val prevTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+    try {
+      val tsType = org.apache.spark.sql.types.TimestampType
+      val gen = Gen.chooseNum(-2000000000L, 4000000000L) // ±~63y of epoch secs
+        .map(s => java.time.Instant.ofEpochSecond(s, 123456000L))
+      check(Prop.forAll(gen) { inst: java.time.Instant =>
+        val asTs = java.sql.Timestamp.from(inst)
+        val binTs = PgWire.encodeBinary(asTs, tsType).get
+        val binInst = PgWire.encodeBinary(inst, tsType).get
+        val txtTs = PgWire.encodeValue(asTs).get
+        val txtInst = PgWire.encodeValue(inst).get
+        // binary forms identical across JVM shapes; text forms too
+        java.util.Arrays.equals(binTs, binInst) && txtTs == txtInst &&
+          // and binary decodes to the wall time the text path printed
+          PgWire.decodeBinaryParam(1114, binTs)
+            .asInstanceOf[java.time.LocalDateTime] ==
+            java.time.LocalDateTime.parse(txtTs.replace(' ', 'T'))
+      }, n = 200)
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("INTERVAL binary: Duration and Period ENCODE to the 16-byte layout and round-trip") {
     val durGen = for {
       sec <- Gen.chooseNum(-3153600000L, 3153600000L)
