@@ -102,6 +102,13 @@ object DedupOps {
         bind("minhash_sig(sh)", "sg")(sg =>
           s"transform(sequence(0, 15), b -> xxhash64(slice($sg, b * 4 + 1, 4)))")))
         .as(Seq("band", "bhash")))
+    // opt-in fail-fast (spark.graft.join.max_candidate_pairs): an
+    // all-near-identical corpus puts every doc in every band bucket and
+    // the bucket self-join degenerates toward |corpus|² — the budget
+    // aborts loudly before it launches (AQE skew-split only rebalances
+    // the pair work, it cannot shrink a pair count that is the output)
+    graft.operators.PairBudget.guardSelfJoin(banded, Seq("band", "bhash"),
+      "LSH band-bucket self-join (MinHash candidate stage)")
     val l = banded.select(col("band"), col("bhash"), col("doc_id").as("a"))
     val r = banded.select(col("band"), col("bhash"), col("doc_id").as("b"))
     val pairs = l.hint("shuffle_hash").join(r, Seq("band", "bhash"))

@@ -80,6 +80,28 @@ class PairBudgetSpec extends GraftSuite {
     }
   }
 
+  test("d01 LSH aborts on an all-identical corpus; sf data passes the same budget") {
+    // 120 identical docs share one minhash signature: all 16 bands
+    // collapse to one bucket of 120 → Σ|G|² = 16·120² = 230 400; the
+    // sf0.001 corpus's buckets are near-singletons (~10k)
+    val dir = java.nio.file.Files.createTempDirectory("pairbudget-d01")
+    spark.range(120).selectExpr("id AS doc_id",
+      "'every single document in this corpus carries the very same " +
+        "shingle stream so each band bucket holds the whole corpus' AS text")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set(PairBudget.ConfKey, "100000")
+    try {
+      val e = intercept[IllegalStateException](
+        SparkEntry.queries("d01_minhash_lsh_pairs")(spark, dir.toString))
+      assert(e.getMessage.contains("LSH band-bucket"), e.getMessage)
+      SparkEntry.queries("d01_minhash_lsh_pairs")(spark, sf)
+    } finally {
+      spark.conf.unset(PairBudget.ConfKey)
+      graft.util.Persist.releaseAll()
+    }
+  }
+
   test("q46 aborts on a degenerate giant basket; sf data passes the same budget") {
     // one order holding 500 distinct parts: 500² = 250 000 basket pairs
     val dir = java.nio.file.Files.createTempDirectory("pairbudget-q46")
