@@ -261,6 +261,14 @@ private final case class PgNativeOptions(rawOpts: Map[String, String]) {
   val sslRootCert: Option[String] = opts.get("sslrootcert")
   require(!sslMode.startsWith("verify") || sslRootCert.nonEmpty,
     s"pgwire: sslmode=$sslMode requires sslrootcert=<PEM CA bundle>")
+  // the inverse contradiction: a CA bundle with TLS disabled would be
+  // silently ignored — fail loudly instead (require+sslrootcert is
+  // honored as verify-ca per libpq; prefer keeps libpq's no-verify
+  // semantics, so only 'disable' is an outright conflict)
+  require(sslRootCert.isEmpty || sslMode != "disable",
+    "pgwire: sslrootcert supplied but sslmode=disable — the CA bundle " +
+      "would be silently ignored; set sslmode=require, verify-ca or " +
+      "verify-full")
   def connect(): PgWireClient =
     new PgWireClient(host, port, database, user, password, sslMode, sslRootCert)
 }

@@ -370,6 +370,15 @@ class FederationSpec extends GraftSuite {
           s"?sslmode=verify-full&sslrootcert=$pemPath', 'postgres', " +
           "'fed_verify') WHERE id >= 7 ORDER BY id")
       assert(df.collect().map(_.getLong(0)).toSeq == Seq(21L, 24L))
+      // a CA bundle with TLS off is a config contradiction, not a
+      // silently-ignored parameter
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM postgres_scan('postgres://127.0.0.1:$port" +
+          s"?sslmode=disable&sslrootcert=$pemPath', 'postgres', " +
+          "'fed_verify')").collect())
+      assert(msgs(e).contains("silently ignored"), msgs(e))
     } finally {
       spark.conf.unset("spark.graft.federation.pg_native")
       srv.stop()
