@@ -40,7 +40,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     // reference's scheme, auth.rs:60-110) or "scram-sha-256" (what a
     // modern psql/pgjdbc expects by default — lets the native
     // federation client's SCRAM leg be proven end-to-end in-repo)
-    auth: String = sys.env.getOrElse("GRAFT_PG_AUTH", "md5")) {
+    auth: String = sys.env.getOrElse("GRAFT_PG_AUTH", "md5"),
+    // COPY FROM STDIN buffers the payload driver-side for one atomic
+    // append; this cap bounds that buffer so a multi-GB COPY errors
+    // the CONNECTION (54000) instead of OOMing the server process
+    copyMaxBytes: Long =
+      sys.env.get("GRAFT_PG_COPY_MAX_BYTES").map(_.toLong).getOrElse(1L << 30)) {
 
   // a typo'd GRAFT_PG_AUTH must not silently fall back to MD5 and
   // defeat an operator's intended SCRAM hardening
@@ -142,7 +147,15 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         val t = new Thread(() => handle(sock), s"pg-conn-${sock.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Throwable if !running.get() => /* closing */ }
+      } catch {
+        case _: Throwable if !running.get() => // closing
+        case NonFatal(_) =>
+          // transient accept failure (fd exhaustion & co.) while RUNNING:
+          // the acceptor must survive — a dead acceptor leaves a server
+          // that looks healthy but refuses every future connection.
+          // Brief backoff so a persistent error can't spin a hot loop.
+          try Thread.sleep(100) catch { case _: InterruptedException => }
+      }
     }
 
   private def handle(sock: Socket): Unit = {
@@ -309,7 +322,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           case 'B' => guarded { // Bind: portal, stmt, param formats+values, result formats
             val (portal, stmt, args, resultFormats) =
               parseBind(m.body, s => stmtOids.getOrElse(s, Nil))
-            portals(portal) = Portal(statements.getOrElse(stmt, ""), args, resultFormats)
+            // PG errors 26000 here; silently binding an empty-SQL portal
+            // would later answer EmptyQueryResponse to Execute — a write
+            // the client believes succeeded that never ran
+            val sql = statements.getOrElse(stmt, throw PgError("26000",
+              s"""prepared statement "$stmt" does not exist"""))
+            portals(portal) = Portal(sql, args, resultFormats)
             openPortals.remove(portal)
             out.bindComplete()
           }
@@ -606,10 +624,14 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     b.map("%02X".format(_)).mkString
 
   private def readCstr(buf: java.nio.ByteBuffer): String = {
-    val sb = new StringBuilder
+    // accumulate BYTES and decode UTF-8 once: the old per-byte toChar
+    // sign-extended every byte >= 0x80, mangling non-ASCII SQL in the
+    // extended protocol (Parse is the path every JDBC-class driver
+    // uses; the simple protocol always decoded correctly)
+    val bytes = new java.io.ByteArrayOutputStream()
     var b = buf.get()
-    while (b != 0) { sb += b.toChar; b = buf.get() }
-    sb.toString
+    while (b != 0) { bytes.write(b); b = buf.get() }
+    new String(bytes.toByteArray, UTF_8)
   }
 
   private def parseBind(body: Array[Byte],
@@ -687,7 +709,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             val df = if (args.isEmpty) sess.sql(sql) else Prepared.execute(sess, sql, args)
             if (df.schema.isEmpty) {
               df.collect()
-              out.commandComplete(commandTag(sql, 0))
+              out.commandComplete(commandTag(sql, writtenRows(df)))
               None
             } else {
               val o = new OpenPortal(df.schema, df.toLocalIterator(), fmts,
@@ -751,10 +773,19 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val buf = new java.io.ByteArrayOutputStream()
       var done = false
       var failed = false
+      // the ingest edge buffers the payload on the driver (parse +
+      // cast + append is one atomic write); a multi-GB COPY would OOM
+      // the whole server, not just this connection — cap it LOUDLY.
+      // The stream is still drained past the cap to keep protocol sync.
+      val maxBytes = copyMaxBytes
+      var overflow = false
       while (!done) {
         val m = PgWire.readMessage(in)
         m.tag match {
-          case 'd' => buf.write(m.body)
+          case 'd' =>
+            if (!overflow && buf.size().toLong + m.body.length > maxBytes)
+              overflow = true
+            if (!overflow) buf.write(m.body)
           case 'c' => done = true
           case 'f' => done = true; failed = true
           case _   => // Flush/Sync interleaved: ignore
@@ -762,6 +793,14 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       if (failed) {
         out.errorResponse("57014", "COPY from stdin failed (client abort)")
+        return true
+      }
+      if (overflow) {
+        out.errorResponse("54000", // program_limit_exceeded
+          s"COPY payload exceeds the server's copyMaxBytes=$maxBytes " +
+            "(GRAFT_PG_COPY_MAX_BYTES); the ingest edge buffers the payload " +
+            "driver-side for an atomic append — raise the cap or split the " +
+            "COPY into batches")
         return true
       }
       val parsed: Seq[Seq[Option[String]]] =
@@ -790,7 +829,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.types.StringType, nullable = true)))
       import scala.jdk.CollectionConverters._
-      import org.apache.spark.sql.functions.{col => fcol, concat, lit, regexp_replace, unhex}
+      import org.apache.spark.sql.functions.{col => fcol, regexp_replace, unhex}
       val df = sess.createDataFrame(rows.asJava, strSchema)
         .select(schema.fields.map { f =>
           (f.dataType match {
@@ -799,12 +838,19 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             case org.apache.spark.sql.types.BinaryType =>
               unhex(regexp_replace(fcol(f.name), "^\\\\x", ""))
             // COPY carries WALL time for oid 1114, and the export side
-            // (text AND binary) renders instants as UTC wall — so the
-            // import must interpret the wall time as UTC too, or a
-            // same-bytes round trip shifts by the session-tz offset.
-            // The explicit 'Z' suffix pins the cast's zone.
+            // (text AND binary, Timestamp AND Instant shapes) renders
+            // the JVM-default-zone wall time — so the import must
+            // resolve the wall text through the SAME zone, or a
+            // same-bytes round trip shifts by the zone offset. The old
+            // 'Z' pin assumed UTC-wall exports, which was only true
+            // for the Instant shape before the encode rules unified.
+            // cast-then-to_utc_timestamp is the standard re-zone idiom
+            // (the cast's session-zone resolution cancels in the
+            // render to_utc_timestamp re-reads).
             case dt @ org.apache.spark.sql.types.TimestampType =>
-              concat(fcol(f.name), lit("Z")).cast(dt)
+              org.apache.spark.sql.functions.to_utc_timestamp(
+                fcol(f.name).cast(dt),
+                java.time.ZoneId.systemDefault().getId)
             case dt => fcol(f.name).cast(dt)
           }).as(f.name)
         }.toSeq: _*)
@@ -995,7 +1041,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       val schema = df.schema
       if (schema.isEmpty) { // commands (SET, BEGIN, DDL): no result set
         df.collect()
-        out.commandComplete(commandTag(sql, 0))
+        out.commandComplete(commandTag(sql, writtenRows(df)))
       } else {
         val geom = geometryFlags(df)
         if (withDescription)
@@ -1017,8 +1063,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
 
   /** Split a simple-query buffer into statements on semicolons that
-    * are outside single/double quotes and dollar-quoted strings are not
-    * supported by Spark SQL anyway; empty fragments are dropped. */
+    * are outside single/double quotes, `--` line comments and
+    * bracketed comments (a semicolon inside a comment or literal is
+    * data, and a mis-split there errors the bogus fragment and — per
+    * the abort-rest contract — kills the remainder of the client's
+    * buffer). SQL-standard quote escaping is doubling ('' / ""), which
+    * the toggle handles naturally; dollar-quoting is not Spark SQL.
+    * Empty fragments are dropped. */
   private def splitStatements(raw: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()
     val sb = new StringBuilder
@@ -1027,15 +1078,33 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     var i = 0
     while (i < raw.length) {
       val c = raw(i)
-      c match {
-        case '\'' if !inD => inS = !inS; sb += c
-        case '"' if !inS  => inD = !inD; sb += c
-        case ';' if !inS && !inD =>
-          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-          sb.clear()
-        case _ => sb += c
+      if (!inS && !inD && c == '-' && i + 1 < raw.length && raw(i + 1) == '-') {
+        // line comment: copy through end-of-line, splitting disabled
+        while (i < raw.length && raw(i) != '\n') { sb += raw(i); i += 1 }
+      } else if (!inS && !inD && c == '/' && i + 1 < raw.length && raw(i + 1) == '*') {
+        // bracketed comment: copy through the closing */ (unterminated
+        // comments copy to end-of-buffer and fail in the parser, which
+        // is the right error surface)
+        sb += c; sb += raw(i + 1); i += 2
+        while (i < raw.length && !(raw(i) == '*' && i + 1 < raw.length && raw(i + 1) == '/')) {
+          sb += raw(i); i += 1
+        }
+        if (i < raw.length) { sb += raw(i); sb += raw(i + 1); i += 2 }
+      } else if (inS && c == '\\' && i + 1 < raw.length) {
+        // Spark's default literal mode treats backslash as an escape
+        // inside '...' (so '\'' does NOT close the string) — copy the
+        // pair opaquely
+        sb += c; sb += raw(i + 1); i += 2
+      } else {
+        c match {
+          case '\'' if !inD => inS = !inS; sb += c; i += 1
+          case '"' if !inS  => inD = !inD; sb += c; i += 1
+          case ';' if !inS && !inD =>
+            if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+            sb.clear(); i += 1
+          case _ => sb += c; i += 1
+        }
       }
-      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString.trim
     out.toSeq
@@ -1051,6 +1120,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     * malformed frames as 08P01 (protocol_violation); unclassified
     * errors fall back to 42601 like the reference's generic handler. */
   private def sqlStateOf(e: Throwable): String = {
+    e match {
+      case pe: PgError => return pe.state
+      case _           =>
+    }
     val m = String.valueOf(e.getMessage).toLowerCase
     if (m.contains("cancelled") || m.contains("canceled")) "57014"
     else if (m.contains("invalid message length")) "08P01"
@@ -1064,6 +1137,23 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
   }
 
+  /** Best-effort written-row count for a command DataFrame: the write
+    * node's numOutputRows metric when the executed plan exposes one
+    * (InsertInto* / V2 writes), else 0. PG's INSERT tag carries the
+    * true count and JDBC executeUpdate() returns it — a hardcoded 0
+    * reads as "write failed" to optimistic-locking / ORM checks. */
+  private def writtenRows(df: org.apache.spark.sql.DataFrame): Int =
+    try {
+      df.queryExecution.executedPlan match {
+        case c: org.apache.spark.sql.execution.CommandResultExec =>
+          c.commandPhysicalPlan.collectFirst {
+            case p if p.metrics.contains("numOutputRows") =>
+              p.metrics("numOutputRows").value.toInt
+          }.getOrElse(0)
+        case _ => 0
+      }
+    } catch { case NonFatal(_) => 0 }
+
   private def commandTag(sql: String, rows: Int): String = {
     val head = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
     head match {
@@ -1073,3 +1163,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     }
   }
 }
+
+/** Wire error carrying a pinned SQLSTATE — thrown inside `guarded`
+  * blocks where the generic Spark-throwable mapping cannot know the
+  * protocol context (e.g. Bind to a missing prepared statement is
+  * 26000 per the PG error-code appendix). */
+private[server] final case class PgError(state: String, msg: String)
+  extends RuntimeException(msg)

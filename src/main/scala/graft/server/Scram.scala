@@ -111,6 +111,10 @@ object Scram {
     * constant-time compare (RFC 5802 §3). */
   def verifyClientProof(salted: Array[Byte], authMsg: Array[Byte],
       proof: Array[Byte]): Boolean = {
+    // a proof that is not exactly SHA-256-sized cannot be valid — and
+    // xor over a longer array would index past the 32-byte signature
+    // (an AIOOBE a hostile client could trigger pre-auth)
+    if (proof.length != 32) return false
     val stored = storedKey(clientKey(salted))
     val signature = hmac(stored, authMsg)
     val recovered = xor(proof, signature)

@@ -427,6 +427,9 @@ final class PgWireClient(host: String, port: Int, database: String,
 
   private var pendingError: java.io.IOException = null
   private var done = false
+  /** CommandComplete tag of the last finished statement (NUL stripped). */
+  private var lastCommandTagVar: String = null
+  private[graft] def lastCommandTag: String = lastCommandTagVar
 
   /** Next DataRow of the in-flight query as per-column text values
     * (None = SQL NULL), or null when the result set is exhausted. */
@@ -478,9 +481,12 @@ final class PgWireClient(host: String, port: Int, database: String,
             (new String(nameBytes.toByteArray, UTF_8), oid)
           }.toArray
           fieldFormatsVar = fs
-        // '1'/'2' = Parse/BindComplete (extended); 'C'/'I'/'N'/'S' as
-        // in the simple protocol
-        case '1' | '2' | 'C' | 'I' | 'N' | 'S' =>
+        case 'C' => // CommandComplete: keep the tag (tests / diagnostics)
+          lastCommandTagVar =
+            new String(m.body, 0, math.max(0, m.body.length - 1), UTF_8)
+        // '1'/'2' = Parse/BindComplete (extended); 'I'/'N'/'S' as in
+        // the simple protocol
+        case '1' | '2' | 'I' | 'N' | 'S' =>
         case 'E' => pendingError = errorFrom(m.body)
         case 'Z' =>
           done = true

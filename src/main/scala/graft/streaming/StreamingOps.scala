@@ -52,7 +52,8 @@ object StreamingOps {
     * gaps-and-islands numbering because sessions close in event-time
     * order per key. */
   def sessionize(events: Dataset[EventIn], gapMinutes: Long = 30,
-      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+      watermarkDelay: String = "2 hours",
+      counterRetentionMinutes: Long = 60L * 24 * 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -66,10 +67,28 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[EventIn], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed end + gap: the open session is final
             val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.nextSessionId, s.n, s.startUs, s.endUs, s.sum))
+            if (s.n == 0L) {
+              // counter-only state reached its retention horizon
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed end + gap: the open session is final.
+              // The per-user ORDINAL must survive the close — removing
+              // it would restart the user's next session at id 1,
+              // breaking the batch gaps-and-islands numbering this
+              // function promises. A counter-only state (n = 0) keeps
+              // the ordinal for counterRetentionMinutes of event time,
+              // then drops — per-user numbering parity holds across
+              // visits separated by less than the retention horizon,
+              // and state stays watermark-bounded rather than growing
+              // with every user ever seen.
+              state.update(SessionState(s.nextSessionId + 1, 0L, s.endUs, s.endUs, 0.0))
+              state.setTimeoutTimestamp(math.max(
+                s.endUs / 1000L + counterRetentionMinutes * 60L * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.single(SessionOut(userId, s.nextSessionId, s.n, s.startUs, s.endUs, s.sum))
+            }
           } else {
             // events within a micro-batch arrive unordered per key
             val sorted = it.toArray.sortBy(e => usOf(e.ts))
@@ -78,6 +97,12 @@ object StreamingOps {
             sorted.foreach { e =>
               val us = usOf(e.ts)
               cur match {
+                // counter-only carryover: no open session, but the next
+                // ordinal is pinned (any event reaching here is already
+                // past the old session's end + gap — the timeout that
+                // created this state proved the watermark passed it)
+                case Some(s) if s.n == 0L =>
+                  cur = Some(SessionState(s.nextSessionId, 1L, us, us, e.value))
                 case Some(s) if us - s.endUs > gapUs =>
                   closed += SessionOut(userId, s.nextSessionId, s.n, s.startUs, s.endUs, s.sum)
                   cur = Some(SessionState(s.nextSessionId + 1, 1L, us, us, e.value))

@@ -44,6 +44,12 @@ class ScramSpec extends GraftSuite {
     // a single flipped proof bit fails too
     val flipped = proof.clone(); flipped(0) = (flipped(0) ^ 1).toByte
     assert(!Scram.verifyClientProof(salted, authMsg, flipped))
+    // a proof that is not SHA-256-sized is REJECTED, never an
+    // ArrayIndexOutOfBounds a hostile pre-auth client could trigger
+    // (xor used to index the 32-byte signature by the proof's length)
+    assert(!Scram.verifyClientProof(salted, authMsg, new Array[Byte](64)))
+    assert(!Scram.verifyClientProof(salted, authMsg, new Array[Byte](16)))
+    assert(!Scram.verifyClientProof(salted, authMsg, Array.emptyByteArray))
   }
 
   test("attribute parser keeps base64 padding and '=' inside values") {

@@ -73,6 +73,38 @@ class StreamingSpec extends AnyFunSuite {
 
   private def us(minutes: Long): Long = ts(minutes).getTime * 1000L
 
+  test("sessionize: per-user numbering survives a timeout-flushed session") {
+    // (round-11 review) the timeout branch used to state.remove() the
+    // whole SessionState, so a user returning AFTER a watermark-flushed
+    // session restarted at session_id 1 — colliding with the emitted
+    // session and breaking the batch gaps-and-islands parity. The fix
+    // retains a counter-only state for counterRetentionMinutes.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val out = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("sessions_renum").outputMode("append").start()
+    try {
+      // session 1 for u7, flushed by TIMEOUT via the sentinel
+      mem.addData(EventIn(7L, ts(0), 1.0), EventIn(7L, ts(10), 2.0))
+      query.processAllAvailable()
+      mem.addData(sentinel) // watermark passes end + gap -> timeout fires
+      query.processAllAvailable()
+      // u7 returns a day later: a NEW session, which must number 2
+      mem.addData(EventIn(7L, ts(60 * 26), 3.0))
+      query.processAllAvailable()
+      mem.addData(EventIn(99L, ts(60 * 50), 0.0)) // flush session 2
+      query.processAllAvailable()
+
+      val got = spark.table("sessions_renum")
+        .filter(col("user_id") === 7L)
+        .select("session_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 3.0), (2L, 1L, 3.0)), got)
+    } finally query.stop()
+  }
+
   test("hourly counts: finalized windows equal batch aggregation") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
