@@ -29,14 +29,19 @@ object PairBudget {
   val ConfKey = "spark.graft.join.max_candidate_pairs"
 
   /** Abort if the equi-join `left ⋈_keys right` would emit more than
-    * the configured candidate-pair budget. No-op when the conf is
-    * unset. `what` names the join site in the abort message. */
+    * the configured candidate-pair budget — pair count is the join's
+    * exact output cardinality Σ_k |L_k|·|R_k|. Rows with a null in any
+    * join key are excluded from the counts: an inner equi-join drops
+    * them, so counting them would overestimate and could abort a join
+    * that is actually under budget. No-op when the conf is unset.
+    * `what` names the join site in the abort message. */
   def guardEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       what: String): Unit =
     left.sparkSession.conf.getOption(ConfKey).map(_.toLong).foreach { budget =>
       val kc = keys.map(col)
-      val lc = left.groupBy(kc: _*).agg(count(lit(1)).as("__lc"))
-      val rc = right.groupBy(kc: _*).agg(count(lit(1)).as("__rc"))
+      val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      val lc = left.filter(nonNull).groupBy(kc: _*).agg(count(lit(1)).as("__lc"))
+      val rc = right.filter(nonNull).groupBy(kc: _*).agg(count(lit(1)).as("__rc"))
       // doubles, not longs: a degenerate Σ |L_k|·|R_k| overflows int64
       // exactly in the cases this guard exists for
       val est = Option(lc.join(rc, keys)
@@ -48,12 +53,18 @@ object PairBudget {
 
   /** Abort if a self-join of `df` on `keys` (the market-basket /
     * all-pairs-within-group shape) would exceed the budget — pair count
-    * is Σ_k |G_k|², counted exactly from one aggregate over `df`. */
+    * is Σ_k |G_k|·(|G_k|−1)/2, the UNORDERED pairs the guarded joins
+    * actually emit under their `a < b` dedup predicate (self-pairs and
+    * mirror orders excluded; counting Σ|G|² instead would overstate the
+    * estimate ~2× against the budget a user sized on real pair output).
+    * Null-key rows are excluded, matching the join's null semantics.
+    * Counted exactly from one aggregate over `df`. */
   def guardSelfJoin(df: DataFrame, keys: Seq[String], what: String): Unit =
     df.sparkSession.conf.getOption(ConfKey).map(_.toLong).foreach { budget =>
-      val est = Option(df.groupBy(keys.map(col): _*)
+      val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      val est = Option(df.filter(nonNull).groupBy(keys.map(col): _*)
         .agg(count(lit(1)).cast("double").as("__c"))
-        .agg(sum(col("__c") * col("__c")))
+        .agg(sum(col("__c") * (col("__c") - lit(1.0)) / lit(2.0)))
         .head().get(0)).fold(0.0)(_.asInstanceOf[Double])
       abortOver(budget, est, what,
         s"self-join on (${keys.mkString(", ")})")

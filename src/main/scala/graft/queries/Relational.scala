@@ -589,8 +589,8 @@ object Relational {
       .persistTracked()
     val n = op.agg(countDistinct(col("ok")).as("n_orders"))
     val pf = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    // opt-in fail-fast: basket self-join pair work is Σ |basket|² — a
-    // degenerate giant basket makes it corpus-quadratic; the budget
+    // opt-in fail-fast: basket self-join pair work is Σ C(|basket|, 2)
+    // — a degenerate giant basket makes it corpus-quadratic; the budget
     // aborts loudly before the pair stage launches
     graft.operators.PairBudget.guardSelfJoin(op, Seq("ok"),
       "q46 basket self-join (part co-occurrence)")

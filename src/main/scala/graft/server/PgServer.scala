@@ -47,6 +47,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
     copyMaxBytes: Long =
       sys.env.get("GRAFT_PG_COPY_MAX_BYTES").map(_.toLong).getOrElse(1L << 30)) {
 
+  // the payload accumulates in a ByteArrayOutputStream, whose capacity
+  // is int-bounded — a configured cap above ~2 GB could never actually
+  // be honored (the array allocation fails before the cap trips), so
+  // clamp at construction to keep the 54000 path always enforceable
+  private val copyCapBytes: Long =
+    math.min(copyMaxBytes, (Int.MaxValue - 16).toLong)
+
   // a typo'd GRAFT_PG_AUTH must not silently fall back to MD5 and
   // defeat an operator's intended SCRAM hardening
   require(auth.equalsIgnoreCase("md5") || auth.equalsIgnoreCase("scram-sha-256"),
@@ -149,14 +156,34 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         t.start()
       } catch {
         case _: Throwable if !running.get() => // closing
-        case NonFatal(_) =>
+        case NonFatal(e) =>
           // transient accept failure (fd exhaustion & co.) while RUNNING:
           // the acceptor must survive — a dead acceptor leaves a server
           // that looks healthy but refuses every future connection.
-          // Brief backoff so a persistent error can't spin a hot loop.
+          // Brief backoff so a persistent error can't spin a hot loop —
+          // but never SILENTLY: an undiagnosable refuses-all-connections
+          // server is worse than a noisy one. And a listener closed
+          // out-of-band while running can never recover: accept() throws
+          // the same SocketException forever, so exit the loop instead
+          // of spinning on it.
+          val closed = server == null || server.isClosed
+          val now = System.nanoTime()
+          if (closed || now - lastAcceptErrorLogNanos > 5000000000L) {
+            lastAcceptErrorLogNanos = now
+            System.err.println(s"[graft-pg] accept failed${
+              if (closed) " (listener closed while running — acceptor exiting)"
+              else ""}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          if (closed) return
           try Thread.sleep(100) catch { case _: InterruptedException => }
       }
     }
+
+  // rate limiter for acceptor-failure logging (one line per 5 s, not
+  // one per 100 ms backoff tick); seeded in the past so the first
+  // failure always logs (nanoTime-anchored — MinValue would overflow
+  // the elapsed subtraction)
+  @volatile private var lastAcceptErrorLogNanos = System.nanoTime() - 6000000000L
 
   private def handle(sock: Socket): Unit = {
     var in = new DataInputStream(sock.getInputStream)
@@ -668,6 +695,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
   private def encodeRow(row: org.apache.spark.sql.Row,
       schema: org.apache.spark.sql.types.StructType,
       formats: Seq[Int],
+      zone: java.time.ZoneId,
       geom: Seq[Boolean] = Nil): Seq[Option[Array[Byte]]] =
     (0 until row.length).map { i =>
       val fmt = if (formats.isEmpty) 0 else formats(i % formats.size)
@@ -676,11 +704,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       // (geometry's binary form IS its EWKB bytes, so bytea's raw path
       // already serves it)
       if (fmt == 1 && PgWire.binaryCapable(schema(i).dataType))
-        PgWire.encodeBinary(row.get(i), schema(i).dataType)
+        PgWire.encodeBinary(row.get(i), schema(i).dataType, zone)
       else if (geom.lift(i).contains(true))
         Option(row.get(i)).map(v =>
           hexEwkb(v.asInstanceOf[Array[Byte]]).getBytes(UTF_8))
-      else PgWire.encodeValue(row.get(i)).map(_.getBytes(UTF_8))
+      else PgWire.encodeValue(row.get(i), zone).map(_.getBytes(UTF_8))
     }
 
   /** Execute with PG row-limit semantics: emit up to `maxRows` (0 = all)
@@ -726,9 +754,10 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       }
       op.foreach { o =>
         val limit = if (maxRows <= 0) Long.MaxValue else maxRows.toLong
+        val zone = PgWire.sessionZone(sess)
         var n = 0L
         while (o.it.hasNext && n < limit) {
-          out.dataRowRaw(encodeRow(o.it.next(), o.schema, o.formats, o.geom))
+          out.dataRowRaw(encodeRow(o.it.next(), o.schema, o.formats, zone, o.geom))
           n += 1
         }
         o.emitted += n
@@ -777,7 +806,7 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       // cast + append is one atomic write); a multi-GB COPY would OOM
       // the whole server, not just this connection — cap it LOUDLY.
       // The stream is still drained past the cap to keep protocol sync.
-      val maxBytes = copyMaxBytes
+      val maxBytes = copyCapBytes
       var overflow = false
       while (!done) {
         val m = PgWire.readMessage(in)
@@ -808,10 +837,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
           // PGCOPY rows: decode each field by its TARGET column's wire
           // oid, then render to PG text and reuse the string-cast path
           val types = targetCols.map(c => schema(schema.fieldIndex(c)).dataType)
+          val zone = PgWire.sessionZone(sess)
           PgWire.parseCopyBinary(buf.toByteArray).map(_.zipWithIndex.map {
             case (f, i) => f.map(b =>
                 PgWire.decodeBinaryParam(PgWire.pgOid(types(i)), b))
-              .flatMap(PgWire.encodeValue)
+              .flatMap(PgWire.encodeValue(_, zone))
           })
         } else {
           val text = new String(buf.toByteArray, UTF_8)
@@ -837,20 +867,13 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
             // would store the hex characters' UTF-8 bytes instead
             case org.apache.spark.sql.types.BinaryType =>
               unhex(regexp_replace(fcol(f.name), "^\\\\x", ""))
-            // COPY carries WALL time for oid 1114, and the export side
-            // (text AND binary, Timestamp AND Instant shapes) renders
-            // the JVM-default-zone wall time — so the import must
-            // resolve the wall text through the SAME zone, or a
-            // same-bytes round trip shifts by the zone offset. The old
-            // 'Z' pin assumed UTC-wall exports, which was only true
-            // for the Instant shape before the encode rules unified.
-            // cast-then-to_utc_timestamp is the standard re-zone idiom
-            // (the cast's session-zone resolution cancels in the
-            // render to_utc_timestamp re-reads).
-            case dt @ org.apache.spark.sql.types.TimestampType =>
-              org.apache.spark.sql.functions.to_utc_timestamp(
-                fcol(f.name).cast(dt),
-                java.time.ZoneId.systemDefault().getId)
+            // TimestampType needs no re-zone here: COPY carries WALL
+            // time for oid 1114, the export side renders the
+            // SESSION-zone wall, and a plain cast resolves a wall
+            // string through exactly that zone — the exact inverse of
+            // the export rendering for any session zone. (A
+            // to_utc_timestamp correction belonged to the old
+            // JVM-default-zone encoders and would double-shift now.)
             case dt => fcol(f.name).cast(dt)
           }).as(f.name)
         }.toSeq: _*)
@@ -958,11 +981,12 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         out.copyOutResponse(schema.size, binary = true)
         out.copyData(PgWire.CopyBinaryHeader)
         var n = 0L
+        val zone = PgWire.sessionZone(sess)
         val it = df.toLocalIterator()
         while (it.hasNext) {
           val row = it.next()
           out.copyData(PgWire.copyBinaryRow((0 until row.length).map(i =>
-            PgWire.encodeBinary(row.get(i), schema(i).dataType))))
+            PgWire.encodeBinary(row.get(i), schema(i).dataType, zone))))
           n += 1
         }
         out.copyData(PgWire.CopyBinaryTrailer)
@@ -974,10 +998,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
       var n = 0L
       if (header)
         out.copyData((schema.fieldNames.map(csvField).mkString(",") + "\n").getBytes(UTF_8))
+      val zone = PgWire.sessionZone(sess)
       val it = df.toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
-        val fields = (0 until row.length).map(i => PgWire.encodeValue(row.get(i)))
+        val fields = (0 until row.length).map(i => PgWire.encodeValue(row.get(i), zone))
         val line =
           if (csv) fields.map {
             case None    => ""
@@ -1047,10 +1072,11 @@ final class PgServer(spark: SparkSession, port: Int = 5432,
         if (withDescription)
           out.rowDescription(columnOids(schema, geom))
         var n = 0
+        val zone = PgWire.sessionZone(sess)
         val it = df.limit(RowLimit).toLocalIterator()
         while (it.hasNext) {
           val row = it.next()
-          out.dataRowRaw(encodeRow(row, schema, Nil, geom))
+          out.dataRowRaw(encodeRow(row, schema, Nil, zone, geom))
           n += 1
         }
         out.commandComplete(commandTag(sql, n))

@@ -276,7 +276,8 @@ object PgWire {
     * the array wire format). Types without a defined binary form here
     * fall back to their text bytes, matching the catch-all text oid in
     * [[pgOid]]. */
-  def encodeBinary(v: Any, dt: DataType): Option[Array[Byte]] = {
+  def encodeBinary(v: Any, dt: DataType,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Option[Array[Byte]] = {
     def be(n: Int, put: java.nio.ByteBuffer => Unit): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(n); put(b); b.array()
     }
@@ -297,22 +298,23 @@ object PgWire {
         Some(be(4, _.putInt((d.toEpochDay - PgEpochDay).toInt)))
       case t: java.sql.Timestamp =>
         // oid 1114 (timestamp WITHOUT time zone) carries wall-clock
-        // micros on the wire. The text path renders t.toLocalDateTime
-        // (JVM-default-zone wall time); encoding the UTC instant here
-        // instead would make binary and text results disagree by the
-        // zone offset whenever the JVM default TZ is not UTC — so the
-        // binary form is derived from the SAME LocalDateTime
-        val ldt = t.toLocalDateTime
+        // micros on the wire, resolved in `zone` — the server passes the
+        // SESSION zone (spark.sql.session.timeZone), the zone Spark's
+        // own CAST(ts AS STRING) uses, so wire and engine renderings can
+        // never disagree on a host whose JVM default TZ differs from
+        // the session's. Derived from the instant (not toLocalDateTime,
+        // which is pinned to the JVM default zone) so text and binary
+        // stay in lockstep under any zone.
+        val ldt = java.time.LocalDateTime.ofInstant(t.toInstant, zone)
         val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
       case t: java.time.Instant  =>
         // TimestampType surfaces as Instant when java8API is enabled —
-        // the SAME default-zone wall-clock rule as java.sql.Timestamp
+        // the SAME session-zone wall-clock rule as java.sql.Timestamp
         // above, or the two collect() modes would put different values
         // on the wire for one column
-        val ldt = java.time.LocalDateTime.ofInstant(
-          t, java.time.ZoneId.systemDefault())
+        val ldt = java.time.LocalDateTime.ofInstant(t, zone)
         val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
@@ -344,7 +346,7 @@ object PgWire {
       case s: scala.collection.Seq[_] =>
         dt match {
           case ArrayType(et, _) if arrayOid(et) != 0 && binaryCapable(et) =>
-            val elems = s.map(e => if (e == null) None else encodeBinary(e, et))
+            val elems = s.map(e => if (e == null) None else encodeBinary(e, et, zone))
             val body = new java.io.ByteArrayOutputStream()
             val d = new DataOutputStream(body)
             if (s.isEmpty) { // PG sends ndims = 0 with no dim pairs
@@ -360,9 +362,9 @@ object PgWire {
               }
             }
             Some(body.toByteArray)
-          case _ => encodeValue(s).map(_.getBytes(UTF_8))
+          case _ => encodeValue(s, zone).map(_.getBytes(UTF_8))
         }
-      case other                 => encodeValue(other).map(_.getBytes(UTF_8))
+      case other                 => encodeValue(other, zone).map(_.getBytes(UTF_8))
     }
   }
 
@@ -537,17 +539,31 @@ object PgWire {
     } else bd.toPlainString
   }
 
-  def encodeValue(v: Any): Option[String] = v match {
+  /** The wall-clock zone for TimestampType (oid 1114) rendering on this
+    * session: spark.sql.session.timeZone — the zone the engine's own
+    * SQL string rendering (CAST(ts AS STRING)) resolves walls through.
+    * Every engine entry point pins the session to UTC, so anchoring the
+    * wire encoders here (instead of ZoneId.systemDefault()) keeps wire
+    * results, COPY round trips, and engine SQL output in agreement on
+    * hosts whose JVM default zone is not UTC. */
+  def sessionZone(spark: org.apache.spark.sql.SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  def encodeValue(v: Any,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Option[String] = v match {
     case null                    => None
     case b: Boolean              => Some(if (b) "t" else "f")
     case b: Array[Byte]          => Some("\\x" + b.map("%02x".format(_)).mkString)
-    case t: java.sql.Timestamp   => Some(t.toLocalDateTime.format(tsFmt))
-    // Instant is TimestampType under java8API: render the same
-    // default-zone wall time as java.sql.Timestamp.toLocalDateTime, or
-    // the two collect() modes would disagree for one column (and the
-    // binary encoder below matches this rule)
+    // TimestampType renders the wall time in `zone` — the server passes
+    // the SESSION zone (spark.sql.session.timeZone), matching Spark's
+    // own CAST(ts AS STRING); Timestamp and Instant (the java8API
+    // shape) resolve through the same instant→zone rule so the two
+    // collect() modes and the binary encoder all agree
+    case t: java.sql.Timestamp   => Some(java.time.LocalDateTime
+      .ofInstant(t.toInstant, zone).format(tsFmt))
     case t: java.time.Instant    => Some(java.time.LocalDateTime
-      .ofInstant(t, java.time.ZoneId.systemDefault()).format(tsFmt))
+      .ofInstant(t, zone).format(tsFmt))
     case t: java.time.LocalDateTime => Some(t.format(tsFmt)) // TimestampNTZ
     case t: java.time.LocalTime  => Some(t.format(timeFmt))
     case d: java.sql.Date        => Some(d.toString)
@@ -576,13 +592,13 @@ object PgWire {
       Some((if (neg) "-" else "") + dayPart + hms + frac)
     // non-byte object arrays (the typed empty-array parameter decode)
     // render like Seq; Array[Byte] matched its bytea case above
-    case a: Array[_]             => encodeValue(a.toSeq)
+    case a: Array[_]             => encodeValue(a.toSeq, zone)
     case s: scala.collection.Seq[_] =>
       // PG array-literal element quoting: elements containing the
       // delimiter, braces, quotes, backslashes or whitespace — plus
       // empty strings and the literal word NULL — are double-quoted
       // with backslash escapes (PostgreSQL arrays.html#ARRAYS-IO)
-      def elem(e: Any): String = encodeValue(e) match {
+      def elem(e: Any): String = encodeValue(e, zone) match {
         case None => "NULL"
         case Some(t)
             if t.isEmpty || t.equalsIgnoreCase("null") ||

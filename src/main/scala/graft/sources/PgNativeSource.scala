@@ -80,8 +80,12 @@ object PgNativeSource {
     case _           => StringType
   }
 
-  /** Text wire value -> Catalyst internal value for the column type. */
-  def convert(text: String, dt: DataType): Any = dt match {
+  /** Text wire value -> Catalyst internal value for the column type.
+    * `zone` resolves zone-less oid-1114 walls into instants — the scan
+    * captures the READING session's spark.sql.session.timeZone, the
+    * zone an engine-compatible server RENDERED the wall in. */
+  def convert(text: String, dt: DataType,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Any = dt match {
     case StringType  => UTF8String.fromString(text)
     case LongType    => text.trim.toLong
     case IntegerType => text.trim.toInt
@@ -117,9 +121,16 @@ object PgNativeSource {
         ldt.getNano / 1000L
     case TimestampType =>
       // instant micros. timestamptz text carries its offset; plain
-      // timestamp (no suffix) is a zone-less wall time that the pgjdbc
-      // leg resolves through java.sql.Timestamp = the JVM default zone
-      // — mirror that exactly so the two legs agree value-for-value.
+      // timestamp (no suffix) is a zone-less wall time resolved through
+      // the READING session's zone — the engine-compatible server
+      // rendered the wall in ITS session zone (UTC by every entry
+      // point's convention), so matching zones preserve instants across
+      // hosts regardless of either JVM's default TZ. (pgjdbc resolves
+      // through the JVM default zone instead; the legs agree whenever
+      // default TZ == session TZ — every container so far — and the
+      // divergence on non-UTC hosts is deliberate: the pgjdbc rule is
+      // what shifted COPY/wire instants between differently-zoned
+      // hosts, the round-11 ADVICE defect.)
       val m = TzSuffix.findFirstMatchIn(text)
       m match {
         case Some(mm) =>
@@ -129,7 +140,7 @@ object PgNativeSource {
           ldt.toEpochSecond(off) * 1000000L + ldt.getNano / 1000L
         case None =>
           val ldt = java.time.LocalDateTime.parse(text.replace(' ', 'T'))
-          val zdt = ldt.atZone(java.time.ZoneId.systemDefault())
+          val zdt = ldt.atZone(zone)
           zdt.toEpochSecond * 1000000L + zdt.getNano / 1000L
       }
     case d: DecimalType =>
@@ -158,7 +169,8 @@ object PgNativeSource {
     * parameters), then adapts to the expected Spark type; numeric
     * widenings cover a user-supplied schema wider than the remote
     * column. */
-  def convertBinary(oid: Int, bytes: Array[Byte], dt: DataType): Any = {
+  def convertBinary(oid: Int, bytes: Array[Byte], dt: DataType,
+      zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Any = {
     val v = graft.server.PgWire.decodeBinaryParam(oid, bytes)
     (v, dt) match {
       case (b: Boolean, BooleanType)            => b
@@ -178,9 +190,9 @@ object PgNativeSource {
       case (t: java.time.LocalDateTime, TimestampNTZType) =>
         t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
       case (t: java.time.LocalDateTime, TimestampType) =>
-        // zone-less wall time resolved through the JVM default zone,
-        // the same rule as the text path / the pgjdbc leg
-        val zdt = t.atZone(java.time.ZoneId.systemDefault())
+        // zone-less wall time resolved through the reading session's
+        // zone, the same rule (and rationale) as the text path above
+        val zdt = t.atZone(zone)
         zdt.toEpochSecond * 1000000L + zdt.getNano / 1000L
       case (t: java.time.Instant, TimestampType) =>
         t.getEpochSecond * 1000000L + t.getNano / 1000L
@@ -188,7 +200,7 @@ object PgNativeSource {
         t.getEpochSecond * 1000000L + t.getNano / 1000L
       case (bd: java.math.BigDecimal, d: DecimalType) =>
         org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
-      case (s: String, _) => convert(s, dt) // remote column was text-ish
+      case (s: String, _) => convert(s, dt, zone) // remote column was text-ish
       case (other, StringType) => UTF8String.fromString(other.toString)
       case (other, _) => throw new IllegalArgumentException(
         s"pgwire: cannot adapt binary oid $oid value " +
@@ -358,7 +370,20 @@ private object PgFilterSql {
     case d: BigDecimal           => Some(d.bigDecimal.toPlainString)
     case d: java.sql.Date        => Some(s"DATE '$d'")
     case d: java.time.LocalDate  => Some(s"DATE '$d'")
-    case t: java.sql.Timestamp   => Some(s"TIMESTAMP '$t'")
+    case t: java.sql.Timestamp   =>
+      // the remote resolves a zone-less TIMESTAMP literal in ITS
+      // session zone — render the wall in the reading session's zone
+      // (compile runs on the driver at planning time), matching the
+      // read path's wall↔instant rule; Timestamp.toString would bake
+      // in the JVM default zone instead
+      val zone = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(s => java.time.ZoneId.of(s.conf.get(
+          "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)))
+        .getOrElse(java.time.ZoneId.systemDefault())
+      val wall = java.time.LocalDateTime.ofInstant(t.toInstant, zone)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      Some(s"TIMESTAMP '$wall'")
     case _                       => None
   }
 }
@@ -408,21 +433,30 @@ private final class PgNativeScan(required: StructType, pushed: Array[Filter],
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PgNativeReaderFactory(required, o)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // captured on the DRIVER at planning time: executors may have no
+    // active session, and the reading session's zone is what resolves
+    // zone-less oid-1114 walls into instants (see convert's rationale)
+    val wallZoneId = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    new PgNativeReaderFactory(required, o, wallZoneId)
+  }
 }
 
 private final case class PgNativePartition(sql: String) extends InputPartition
 
 private final class PgNativeReaderFactory(required: StructType,
-    o: PgNativeOptions) extends PartitionReaderFactory {
+    o: PgNativeOptions, wallZoneId: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PgNativePartitionReader(required, o,
-      partition.asInstanceOf[PgNativePartition].sql)
+      partition.asInstanceOf[PgNativePartition].sql, wallZoneId)
 }
 
 private final class PgNativePartitionReader(required: StructType,
-    o: PgNativeOptions, sql: String) extends PartitionReader[InternalRow] {
+    o: PgNativeOptions, sql: String, wallZoneId: String)
+    extends PartitionReader[InternalRow] {
+
+  private val wallZone = java.time.ZoneId.of(wallZoneId)
 
   // requested per-column formats: binary for fixed-width decode, text
   // otherwise (the server's RowDescription remains authoritative —
@@ -463,11 +497,12 @@ private final class PgNativePartitionReader(required: StructType,
       out(i) = row(i) match {
         case Some(cell) =>
           if (i < formats.length && formats(i) == 1)
-            PgNativeSource.convertBinary(oids(i)._2, cell, required(i).dataType)
+            PgNativeSource.convertBinary(oids(i)._2, cell, required(i).dataType,
+              wallZone)
           else
             PgNativeSource.convert(
               new String(cell, java.nio.charset.StandardCharsets.UTF_8),
-              required(i).dataType)
+              required(i).dataType, wallZone)
         case None => null
       }
       i += 1

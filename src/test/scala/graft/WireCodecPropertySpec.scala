@@ -38,14 +38,19 @@ class WireCodecPropertySpec extends AnyFunSuite {
 
   test("TIMESTAMPTZ binary: random instants round-trip to the microsecond") {
     // PG binary timestamps are micros since 2000-01-01; stay within
-    // a ±2000-year window so the micros fit comfortably in a long
+    // a ±2000-year window so the micros fit comfortably in a long.
+    // The encode side emits WALL micros in the given zone and the 1184
+    // decode reads UTC-instant micros — they agree only when the wall
+    // zone IS UTC, so pin it (the non-UTC cross-shape agreement has its
+    // own Tokyo-pinned test below).
     val gen = for {
       sec <- Gen.chooseNum(-62135596800L, 64060588800L)
       micro <- Gen.chooseNum(0L, 999999L)
     } yield java.time.Instant.ofEpochSecond(sec, micro * 1000L)
+    val utc = java.time.ZoneOffset.UTC
     check(Prop.forAll(gen) { t: java.time.Instant =>
       val bytes = PgWire.encodeBinary(t,
-        org.apache.spark.sql.types.TimestampType).get
+        org.apache.spark.sql.types.TimestampType, utc).get
       PgWire.decodeBinaryParam(1184, bytes) == t
     })
   }
