@@ -1,0 +1,129 @@
+package graft
+
+/** Per-round interop-coverage ledger (round-11 judge ask #6).
+  *
+  * The per-round containers pre-warm a DIFFERENT subset of JDBC driver
+  * jars and client binaries (round 10: pgjdbc + psql + sqlite; round
+  * 11: only duckdb_jdbc; round 12: only derby), so the jar-gated
+  * interop specs self-skip on variance — capability is unchanged, but
+  * a judge reading one round's test report can't tell a self-skip from
+  * a regression without archaeology. This main probes every gate with
+  * the SAME detection the specs use (Class.forName / binary --version),
+  * merges `last_live_round` forward from the previous ledger, and
+  * writes INTEROP_LEDGER.json: which interop specs can run live THIS
+  * round, and the last round each ran live.
+  *
+  * Run per round (round number from SPARK_GRAFT_ROUND, else inferred
+  * as 1 + the highest BENCH_r{N}.json present).
+  */
+object InteropLedger {
+
+  private final case class Gate(name: String, how: String,
+      present: () => Boolean, specs: Seq[String])
+
+  def main(args: Array[String]): Unit = {
+    def cls(c: String): () => Boolean = () =>
+      try { Class.forName(c, false, getClass.getClassLoader); true }
+      catch { case _: Throwable => false }
+    def bin(cmd: String*): () => Boolean = () =>
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor() == 0
+      } catch { case _: Throwable => false }
+
+    val gates = Seq(
+      Gate("pgjdbc", "Class.forName(org.postgresql.Driver)",
+        cls("org.postgresql.Driver"),
+        Seq("PgJdbcInteropSpec (real pgjdbc vs the wire server)",
+          "FederationSpec postgres_scan-via-pgjdbc legs")),
+      Gate("duckdb_jdbc", "Class.forName(org.duckdb.DuckDBDriver)",
+        cls("org.duckdb.DuckDBDriver"),
+        Seq("FederationSpec duckdb_scan e2e + partitioned reads",
+          "ScaleSmoke federation_duckdb leg")),
+      Gate("sqlite_jdbc", "Class.forName(org.sqlite.JDBC)",
+        cls("org.sqlite.JDBC"),
+        Seq("FederationSpec sqlite_scan e2e")),
+      Gate("derby", "Class.forName(org.apache.derby.iapi.jdbc.AutoloadedDriver)",
+        cls("org.apache.derby.iapi.jdbc.AutoloadedDriver"),
+        Seq("FederationSpec jdbc_scan e2e (generic JDBC machinery)")),
+      Gate("mysql_jdbc", "Class.forName(com.mysql.cj.jdbc.Driver)",
+        cls("com.mysql.cj.jdbc.Driver"),
+        Seq("none yet — mysql_scan resolves and plans; no container has " +
+          "ever pre-warmed the jar (the one standing SURVEY §2 gap)")),
+      Gate("psql", "psql --version",
+        bin("psql", "--version"),
+        Seq("PsqlInteropSpec (real libpq: SCRAM, SCRAM-PLUS channel " +
+          "binding, COPY)")),
+      Gate("keytool", "$JAVA_HOME/bin/keytool -help",
+        bin(sys.props.get("java.home")
+          .map(_ + "/bin/keytool").getOrElse("keytool"), "-help"),
+        Seq("FederationSpec / PgWireClientSpec TLS legs (server keystore " +
+          "generation)")))
+
+    val repo = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "."))
+    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val listed = java.nio.file.Files.list(repo)
+      val max = try {
+        import scala.jdk.CollectionConverters._
+        listed.iterator().asScala
+          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).foldLeft(0)(math.max)
+      } finally listed.close()
+      max + 1
+    }
+
+    // carry last_live_round forward from the previous ledger
+    val ledgerPath = repo.resolve("INTEROP_LEDGER.json")
+    val prevLive: Map[String, Int] =
+      if (!java.nio.file.Files.exists(ledgerPath)) Map.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(ledgerPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        (root \ "gates") match {
+          case JObject(fields) => fields.collect {
+            case (name, g) => (g \ "last_live_round") match {
+              case JInt(n) => Some(name -> n.toInt)
+              case _       => None
+            }
+          }.flatten.toMap
+          case _ => Map.empty[String, Int]
+        }
+      } catch { case _: Throwable => Map.empty }
+
+    // rounds with known-live runs that predate the ledger itself, so the
+    // first ledger doesn't erase documented history (COVERAGE prose:
+    // r10 ran pgjdbc/psql/sqlite live; r11 ran duckdb live; derby has
+    // been live every round since its spec landed)
+    val documentedLive = Map(
+      "pgjdbc" -> 10, "psql" -> 10, "sqlite_jdbc" -> 10,
+      "duckdb_jdbc" -> 11, "derby" -> 11, "keytool" -> 11)
+
+    val rows = gates.map { g =>
+      val present = g.present()
+      val lastLive =
+        if (present) round
+        else math.max(prevLive.getOrElse(g.name, 0),
+          documentedLive.getOrElse(g.name, 0))
+      val lastLiveJson = if (lastLive == 0) "null" else lastLive.toString
+      val specsJson = g.specs.map(s =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      s""""${g.name}":{"present_this_round":$present,""" +
+        s""""detect":"${g.how.replace("\"", "\\\"")}",""" +
+        s""""last_live_round":$lastLiveJson,"specs":$specsJson}"""
+    }
+    val json = s"""{"round":$round,"note":"jar-gated interop specs """ +
+      """self-skip when a gate is absent and self-arm when it returns; """ +
+      """last_live_round records the most recent round the gated specs """ +
+      s"""actually executed","gates":{${rows.mkString(",")}}}\n"""
+    java.nio.file.Files.write(ledgerPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json.trim)
+  }
+}
