@@ -630,4 +630,61 @@ class FuzzDifferentialSpec extends GraftSuite {
       s"${failures.size}/$n DIFFERENTIAL MISMATCHES:\n\n" +
         failures.take(5).mkString("\n\n"))
   }
+
+  test("wire differential: random queries round-trip the PG server bit-for-bit") {
+    // third fuzz axis: the SAME grammar routed through the PG wire
+    // server and back through the repo's native client — in BOTH
+    // result formats — must reproduce direct spark.sql() cell-for-cell.
+    // This exercises the full encoder/decoder stack (RowDescription oid
+    // mapping, text rendering, binary wire forms, session-zone
+    // timestamps, non-ASCII cstrings) on random result shapes: exactly
+    // the defect class of round 11's cstring-corruption and
+    // timestamp-zone bugs, which no curated query covered.
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0xD1FFL) + 1
+    val n = sys.env.get("GRAFT_WIRE_DIFF_N").map(_.toInt).getOrElse(60)
+    val rnd = new Random(seed)
+    val g = new Gen(rnd)
+    for (t <- tables.keys)
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+    val srv = new graft.server.PgServer(spark, port = 0, password = None)
+    val port = srv.start()
+    try {
+      val failures = scala.collection.mutable.Buffer[String]()
+      for (i <- 0 until n) {
+        val sql = genQuery(g, rnd)
+        val direct: Either[String, Seq[Seq[String]]] =
+          try Right(spark.sql(sql).collect().toSeq
+            .map(r => (0 until r.length).map(j => canonCell(r.get(j)))))
+          catch { case e: Throwable =>
+            Left(String.valueOf(e.getMessage).take(200)) }
+        direct match {
+          case Left(_) => // engine-rejected (e.g. empty-ROLLUP shapes
+          // never occur here; skip anything spark itself rejects)
+          case Right(want) =>
+            for (fmt <- Seq("text", "binary")) {
+              val got =
+                try spark.read
+                  .format(classOf[graft.sources.PgNativeSource].getName)
+                  .option("host", "127.0.0.1").option("port", port.toString)
+                  .option("database", "postgres")
+                  .option("table", s"($sql) AS fz")
+                  .option("result_format", fmt).load()
+                  .collect().toSeq
+                  .map(r => (0 until r.length).map(j => canonCell(r.get(j))))
+                catch { case e: Throwable =>
+                  Seq(Seq(s"WIRE ERROR: ${String.valueOf(e.getMessage).take(200)}")) }
+              if (!rowsMatch(want, got))
+                failures += s"query #$i fmt=$fmt (seed=$seed) wire round-trip " +
+                  s"mismatch (direct ${want.size} rows, wire ${got.size}):\n$sql\n" +
+                  s"direct head: ${want.take(2)}\nwire head:   ${got.take(2)}"
+            }
+        }
+      }
+      info(s"$n queries x 2 formats through the wire (seed=$seed), " +
+        s"${failures.size} mismatches")
+      assert(failures.isEmpty,
+        s"${failures.size} WIRE ROUND-TRIP MISMATCHES:\n\n" +
+          failures.take(4).mkString("\n\n"))
+    } finally srv.stop()
+  }
 }
