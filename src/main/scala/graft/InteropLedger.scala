@@ -63,17 +63,33 @@ object InteropLedger {
 
     val repo = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "."))
-    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val listed = java.nio.file.Files.list(repo)
-      val max = try {
-        import scala.jdk.CollectionConverters._
-        listed.iterator().asScala
-          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
-          .map(_.group(1).toInt).foldLeft(0)(math.max)
-      } finally listed.close()
-      max + 1
-    }
+    // Round resolution order: explicit env; the driver's PROGRESS.jsonl
+    // (its last line carries the CURRENT round mid-round, so the ledger
+    // can run at any point in the round); else 1 + the highest
+    // BENCH_r{N}.json — correct only BEFORE the current round's bench
+    // sidecar lands, hence the lowest priority.
+    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .orElse {
+        val p = repo.resolve("PROGRESS.jsonl")
+        if (!java.nio.file.Files.exists(p)) None
+        else try {
+          import scala.jdk.CollectionConverters._
+          val re = "\"round\"\\s*:\\s*(\\d+)".r
+          java.nio.file.Files.readAllLines(p).asScala.lastOption
+            .flatMap(re.findFirstMatchIn(_)).map(_.group(1).toInt)
+        } catch { case _: Throwable => None }
+      }
+      .getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        val listed = java.nio.file.Files.list(repo)
+        val max = try {
+          import scala.jdk.CollectionConverters._
+          listed.iterator().asScala
+            .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+            .map(_.group(1).toInt).foldLeft(0)(math.max)
+        } finally listed.close()
+        max + 1
+      }
 
     // carry last_live_round forward from the previous ledger
     val ledgerPath = repo.resolve("INTEROP_LEDGER.json")

@@ -58,7 +58,16 @@ object PairBudget {
     * mirror orders excluded; counting Σ|G|² instead would overstate the
     * estimate ~2× against the budget a user sized on real pair output).
     * Null-key rows are excluded, matching the join's null semantics.
-    * Counted exactly from one aggregate over `df`. */
+    * Counted exactly from one aggregate over `df`.
+    *
+    * Budget SEMANTICS, for sizing: the number compared to the budget is
+    * the join's post-`a < b` OUTPUT cardinality. The physical join
+    * stage evaluates ~2× that many matches before the filter drops the
+    * diagonal and mirror orders — a constant factor, irrelevant to the
+    * orders-of-magnitude degeneracies this guard exists for, but size
+    * the budget on pairs you expect to SEE, not on stage row counts.
+    * (guardEquiJoin's Σ|L|·|R| is likewise the equi-join's own output,
+    * before any residual post-filter like d19's src≠dst.) */
   def guardSelfJoin(df: DataFrame, keys: Seq[String], what: String): Unit =
     df.sparkSession.conf.getOption(ConfKey).map(_.toLong).foreach { budget =>
       val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)

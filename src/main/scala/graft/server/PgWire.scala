@@ -302,10 +302,8 @@ object PgWire {
         // SESSION zone (spark.sql.session.timeZone), the zone Spark's
         // own CAST(ts AS STRING) uses, so wire and engine renderings can
         // never disagree on a host whose JVM default TZ differs from
-        // the session's. Derived from the instant (not toLocalDateTime,
-        // which is pinned to the JVM default zone) so text and binary
-        // stay in lockstep under any zone.
-        val ldt = java.time.LocalDateTime.ofInstant(t.toInstant, zone)
+        // the session's.
+        val ldt = timestampWall(t, zone)
         val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000
         Some(be(8, _.putLong(us - PgEpochMicros)))
@@ -539,6 +537,15 @@ object PgWire {
     } else bd.toPlainString
   }
 
+  /** Zone-id parse with the SHORT_IDS alias map: Spark itself validates
+    * spark.sql.session.timeZone via `ZoneId.of(id, ZoneId.SHORT_IDS)`,
+    * so legal session zones include EST/PST/CST & co. — a plain
+    * ZoneId.of would throw on them and kill every wire query after a
+    * SET of such a zone. The ONE zone-string parser for the whole wire
+    * stack (server encoders, native client, pushed literals). */
+  def zoneOf(id: String): java.time.ZoneId =
+    java.time.ZoneId.of(id, java.time.ZoneId.SHORT_IDS)
+
   /** The wall-clock zone for TimestampType (oid 1114) rendering on this
     * session: spark.sql.session.timeZone — the zone the engine's own
     * SQL string rendering (CAST(ts AS STRING)) resolves walls through.
@@ -547,8 +554,29 @@ object PgWire {
     * results, COPY round trips, and engine SQL output in agreement on
     * hosts whose JVM default zone is not UTC. */
   def sessionZone(spark: org.apache.spark.sql.SparkSession): java.time.ZoneId =
-    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+    zoneOf(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
+
+  /** The session-zone wall of a collect()-shaped java.sql.Timestamp.
+    *
+    * NOT `LocalDateTime.ofInstant(t.toInstant, zone)`: Spark's default
+    * (non-java8API) collect() REBASES proleptic micros into the hybrid
+    * Julian/Gregorian calendar when building java.sql.Timestamp
+    * (DateTimeUtils.toJavaTimestamp), so for pre-1582-10-15 values the
+    * Timestamp's raw instant is days off the engine's value and only
+    * the hybrid-calendar getters (toLocalDateTime, anchored to the JVM
+    * default zone) recover the wall CAST(ts AS STRING) renders. Recover
+    * that default-zone wall first, then re-zone it PROLEPTICALLY into
+    * the session zone — for modern values this is exactly the
+    * instant→zone rendering; for ancient ones it avoids the 10-day
+    * Julian-Gregorian shift. */
+  def timestampWall(t: java.sql.Timestamp,
+      zone: java.time.ZoneId): java.time.LocalDateTime = {
+    val defaultWall = t.toLocalDateTime
+    val dz = java.time.ZoneId.systemDefault()
+    if (zone == dz) defaultWall
+    else defaultWall.atZone(dz).withZoneSameInstant(zone).toLocalDateTime
+  }
 
   def encodeValue(v: Any,
       zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Option[String] = v match {
@@ -558,10 +586,10 @@ object PgWire {
     // TimestampType renders the wall time in `zone` — the server passes
     // the SESSION zone (spark.sql.session.timeZone), matching Spark's
     // own CAST(ts AS STRING); Timestamp and Instant (the java8API
-    // shape) resolve through the same instant→zone rule so the two
+    // shape) resolve to the same wall (timestampWall handles the
+    // hybrid-calendar rebase of the Timestamp shape) so the two
     // collect() modes and the binary encoder all agree
-    case t: java.sql.Timestamp   => Some(java.time.LocalDateTime
-      .ofInstant(t.toInstant, zone).format(tsFmt))
+    case t: java.sql.Timestamp   => Some(timestampWall(t, zone).format(tsFmt))
     case t: java.time.Instant    => Some(java.time.LocalDateTime
       .ofInstant(t, zone).format(tsFmt))
     case t: java.time.LocalDateTime => Some(t.format(tsFmt)) // TimestampNTZ

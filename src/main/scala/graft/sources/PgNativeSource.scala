@@ -377,8 +377,7 @@ private object PgFilterSql {
       // read path's wall↔instant rule; Timestamp.toString would bake
       // in the JVM default zone instead
       val zone = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(s => java.time.ZoneId.of(s.conf.get(
-          "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)))
+        .map(graft.server.PgWire.sessionZone)
         .getOrElse(java.time.ZoneId.systemDefault())
       val wall = java.time.LocalDateTime.ofInstant(t.toInstant, zone)
         .format(java.time.format.DateTimeFormatter
@@ -436,9 +435,11 @@ private final class PgNativeScan(required: StructType, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory = {
     // captured on the DRIVER at planning time: executors may have no
     // active session, and the reading session's zone is what resolves
-    // zone-less oid-1114 walls into instants (see convert's rationale)
-    val wallZoneId = org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    // zone-less oid-1114 walls into instants (see convert's rationale).
+    // sessionZone normalizes SHORT_IDS aliases (EST & co.), so the
+    // getId shipped to executors always re-parses with plain ZoneId.of.
+    val wallZoneId = graft.server.PgWire
+      .sessionZone(org.apache.spark.sql.SparkSession.active).getId
     new PgNativeReaderFactory(required, o, wallZoneId)
   }
 }
@@ -456,7 +457,7 @@ private final class PgNativePartitionReader(required: StructType,
     o: PgNativeOptions, sql: String, wallZoneId: String)
     extends PartitionReader[InternalRow] {
 
-  private val wallZone = java.time.ZoneId.of(wallZoneId)
+  private val wallZone = graft.server.PgWire.zoneOf(wallZoneId)
 
   // requested per-column formats: binary for fixed-width decode, text
   // otherwise (the server's RowDescription remains authoritative —

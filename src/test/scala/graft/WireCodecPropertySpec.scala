@@ -116,6 +116,43 @@ class WireCodecPropertySpec extends AnyFunSuite {
     } finally java.util.TimeZone.setDefault(prevTz)
   }
 
+  test("zoneOf accepts Spark-legal SHORT_IDS zone aliases") {
+    // Spark validates spark.sql.session.timeZone with
+    // ZoneId.of(id, ZoneId.SHORT_IDS), so EST/PST/CST are LEGAL session
+    // zones; a plain ZoneId.of throws on them — which would kill every
+    // wire query after SET spark.sql.session.timeZone=EST (round-12
+    // review finding)
+    for (id <- Seq("EST", "PST", "CST", "HST", "UTC", "America/Chicago",
+      "+05:30"))
+      PgWire.zoneOf(id) // must not throw
+    assert(PgWire.zoneOf("EST").getRules
+      .getOffset(java.time.Instant.EPOCH).getTotalSeconds == -5 * 3600)
+  }
+
+  test("pre-Gregorian timestamps render the hybrid-calendar wall, any zone") {
+    // Spark's non-java8API collect() rebases proleptic micros into the
+    // hybrid Julian/Gregorian calendar when building java.sql.Timestamp
+    // — deriving the wall via t.toInstant would shift pre-1582 values
+    // by the 10-day Julian-Gregorian delta (round-12 review finding).
+    // timestampWall must recover the hybrid wall in the JVM default
+    // zone and re-zone it proleptically.
+    val prevTz = java.util.TimeZone.getDefault
+    try {
+      for (defTz <- Seq("UTC", "Asia/Tokyo")) {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(defTz))
+        // hybrid wall in the CURRENT default zone, like Spark's encoder
+        val t = java.sql.Timestamp.valueOf("1500-01-01 00:00:00")
+        val wallSame = PgWire.timestampWall(t, java.time.ZoneId.of(defTz))
+        assert(wallSame == java.time.LocalDateTime.of(1500, 1, 1, 0, 0),
+          s"default=$defTz same-zone wall: $wallSame")
+        // the instant-derived wall would be 1500-01-10 — day must stay 1
+        assert(PgWire.encodeValue(t,
+          java.time.ZoneId.of(defTz)).get.startsWith("1500-01-01"),
+          s"default=$defTz text render")
+      }
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("INTERVAL binary: Duration and Period ENCODE to the 16-byte layout and round-trip") {
     val durGen = for {
       sec <- Gen.chooseNum(-3153600000L, 3153600000L)
