@@ -114,9 +114,13 @@ class FuzzDifferentialSpec extends GraftSuite {
         case 0 => s"(CAST(${intExpr(d - 1)} AS BIGINT) + ${rnd.nextInt(100)})"
         case 1 => s"(CAST(${intExpr(d - 1)} AS BIGINT) - CAST(${intExpr(d - 1)} AS BIGINT))"
         case 2 => s"(CAST(${intExpr(d - 1)} AS BIGINT) * ${rnd.nextInt(20) + 1})"
-        case 3 => s"length(${strExpr(d - 1)})"
+        case 3 => if (rnd.nextBoolean()) s"length(${strExpr(d - 1)})"
+          // instr: 1-based find, 0 when absent — identical in both
+          else s"instr(${strExpr(d - 1)}, ${q(pick(Seq("a", "é", "B#", "ss")))})"
         case 4 if colsOf(TTs).nonEmpty =>
-          s"extract(${pick(Seq("YEAR", "MONTH", "DAY"))} FROM ${pick(colsOf(TTs))})"
+          if (rnd.nextBoolean())
+            s"extract(${pick(Seq("YEAR", "MONTH", "DAY"))} FROM ${pick(colsOf(TTs))})"
+          else s"extract(YEAR FROM date_trunc(${q(pick(Seq("month", "year", "quarter")))}, ${pick(colsOf(TTs))}))"
         case _ => s"(CASE WHEN ${pred(d - 1)} THEN ${intExpr(d - 1)} ELSE ${intExpr(d - 1)} END)"
       }
     }
@@ -154,7 +158,8 @@ class FuzzDifferentialSpec extends GraftSuite {
         // may differ legitimately
         case 0 if cols.nonEmpty => s"upper(${pick(cols)})"
         case 1 if cols.nonEmpty => s"lower(${pick(cols)})"
-        case 2 => s"trim(${strExpr(d - 1)})"
+        case 2 => if (rnd.nextBoolean()) s"trim(${strExpr(d - 1)})"
+          else s"${if (rnd.nextBoolean()) "lpad" else "rpad"}(${strExpr(d - 1)}, ${rnd.nextInt(12) + 1}, ${q(pick(Seq("*", "ab")))})"
         case 3 => s"substr(${strExpr(d - 1)}, ${rnd.nextInt(4) + 1}, ${rnd.nextInt(8) + 1})"
         case 4 => s"replace(${strExpr(d - 1)}, ${q(pick(Seq("a", "e", "B", "0")))}, ${q(pick(Seq("x", "ø", "")))})"
         // || not concat(): concat() skips NULLs in DuckDB but
@@ -283,9 +288,18 @@ class FuzzDifferentialSpec extends GraftSuite {
       val proj = items.zipWithIndex
         .map { case ((e, _), i) => s"$e AS c${i + 1}" }.mkString(", ")
       val distinct = if (rnd.nextInt(4) == 0) "DISTINCT " else ""
-      wrapOrdered(
-        s"SELECT${ws()}$distinct$proj FROM $from WHERE ${pred(2)}",
-        items.size)
+      val inner = s"SELECT${ws()}$distinct$proj FROM $from WHERE ${pred(2)}"
+      if (rnd.nextInt(4) == 0) {
+        // CTE wrapper with an outer predicate over the projected cols
+        val saved = (scope, scopeLow)
+        scope = items.zipWithIndex.map { case ((_, t), i) => (s"c${i + 1}", t) }
+        scopeLow = Nil
+        val outerPred = pred(1)
+        scope = saved._1; scopeLow = saved._2
+        wrapOrdered(
+          s"WITH w0 AS ($inner)${ws()}SELECT * FROM w0 WHERE $outerPred",
+          items.size)
+      } else wrapOrdered(inner, items.size)
     }
 
     def aggSelect(): String = {
@@ -300,9 +314,13 @@ class FuzzDifferentialSpec extends GraftSuite {
       val proj = items.zipWithIndex
         .map { case (e, i) => s"$e AS c${i + 1}" }.mkString(", ")
       val group = if (keys.isEmpty) ""
-        else if (rnd.nextInt(5) == 0)
-          s" GROUP BY ROLLUP(${keys.mkString(", ")})"
-        else s" GROUP BY ${keys.mkString(", ")}"
+        else rnd.nextInt(8) match {
+          case 0 => s" GROUP BY ROLLUP(${keys.mkString(", ")})"
+          case 1 => s" GROUP BY CUBE(${keys.mkString(", ")})"
+          case 2 if keys.size >= 2 =>
+            s" GROUP BY GROUPING SETS ((${keys.head}), (${keys.mkString(", ")}), ())"
+          case _ => s" GROUP BY ${keys.mkString(", ")}"
+        }
       val having = if (keys.nonEmpty && rnd.nextInt(3) == 0)
         s" HAVING count(*) > ${rnd.nextInt(5)}" else ""
       wrapOrdered(
@@ -396,7 +414,12 @@ class FuzzDifferentialSpec extends GraftSuite {
         unique.map(u => s"t0.$u").head,
         s"row_number() OVER (PARTITION BY $partKey ORDER BY $ordKey)",
         s"rank() OVER (PARTITION BY $partKey ORDER BY t0.$fcol)",
-        s"sum(t0.$fcol) OVER (PARTITION BY $partKey)")
+        if (rnd.nextBoolean())
+          s"sum(t0.$fcol) OVER (PARTITION BY $partKey)"
+        else // running frame over a unique order: deterministic prefix sums
+          s"sum(t0.$fcol) OVER (PARTITION BY $partKey ORDER BY $ordKey " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        s"lag(t0.$fcol, 1) OVER (PARTITION BY $partKey ORDER BY $ordKey)")
       val proj = items.zipWithIndex
         .map { case (e, i) => s"$e AS c${i + 1}" }.mkString(", ")
       wrapOrdered(
@@ -591,7 +614,8 @@ class FuzzDifferentialSpec extends GraftSuite {
     // every cell is NULL or 0.
     def emptyRollupDivergence(sql: String, s: Seq[Seq[String]],
         d: Seq[Seq[String]]): Boolean =
-      sql.contains("ROLLUP") && s.isEmpty && d.size == 1 &&
+      (sql.contains("ROLLUP") || sql.contains("CUBE") ||
+        sql.contains("GROUPING SETS")) && s.isEmpty && d.size == 1 &&
         d.head.forall(c => c == "∅" || parseNum(c).contains(0.0))
 
     // Spark side + diff
@@ -684,6 +708,67 @@ class FuzzDifferentialSpec extends GraftSuite {
         s"${failures.size} mismatches")
       assert(failures.isEmpty,
         s"${failures.size} WIRE ROUND-TRIP MISMATCHES:\n\n" +
+          failures.take(4).mkString("\n\n"))
+    } finally srv.stop()
+  }
+
+  test("pushdown differential: random predicates through the wire source match direct filters") {
+    // fourth fuzz axis: random predicates applied ON TOP of the native
+    // wire source — PgFilterSql pushes the compilable subset into the
+    // SQL shipped over the wire and Spark re-evaluates the rest — must
+    // select exactly the rows a direct filter on the same table does.
+    // This fuzzes the pushdown COMPILER's semantics (literal rendering,
+    // the deliberately-unpushed string-range/float-equality carve-outs)
+    // rather than the result encoders.
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0xD1FFL) + 2
+    val n = sys.env.get("GRAFT_PUSH_DIFF_N").map(_.toInt).getOrElse(40)
+    val rnd = new Random(seed)
+    val g = new Gen(rnd)
+    for (t <- tables.keys)
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+    val srv = new graft.server.PgServer(spark, port = 0, password = None)
+    val port = srv.start()
+    try {
+      val failures = scala.collection.mutable.Buffer[String]()
+      var pushedSomething = false
+      for (i <- 0 until n) {
+        val t = g.pick(Seq("lineitem", "orders", "customer", "part"))
+        // bare column names: pushed filters and df.where both see the
+        // loaded schema unqualified
+        g.scope = tables(t).map(c => (c.name, c.t))
+        g.scopeLow = tables(t).filter(_.lowCard).map(c => (c.name, c.t))
+        val predSql = g.pred(2)
+        val direct: Either[String, Seq[Seq[String]]] =
+          try Right(spark.table(t).where(predSql).collect().toSeq
+            .map(r => (0 until r.length).map(j => canonCell(r.get(j)))))
+          catch { case e: Throwable =>
+            Left(String.valueOf(e.getMessage).take(200)) }
+        direct match {
+          case Left(_) => // engine-rejected predicate: skip
+          case Right(want) =>
+            val got =
+              try spark.read
+                .format(classOf[graft.sources.PgNativeSource].getName)
+                .option("host", "127.0.0.1").option("port", port.toString)
+                .option("database", "postgres").option("table", t)
+                .load().where(predSql).collect().toSeq
+                .map(r => (0 until r.length).map(j => canonCell(r.get(j))))
+              catch { case e: Throwable =>
+                Seq(Seq(s"WIRE ERROR: ${String.valueOf(e.getMessage).take(200)}")) }
+            if (!rowsMatch(want, got))
+              failures += s"predicate #$i (seed=$seed) pushdown mismatch on " +
+                s"$t (direct ${want.size} rows, wire ${got.size}):\n$predSql\n" +
+                s"direct head: ${want.take(2)}\nwire head:   ${got.take(2)}"
+        }
+      }
+      pushedSomething = srv.recentStatements.exists(_.contains("WHERE"))
+      info(s"$n predicates through the wire source (seed=$seed), " +
+        s"${failures.size} mismatches, filters pushed on the wire: $pushedSomething")
+      assert(pushedSomething,
+        "no predicate ever reached the wire — the pushdown leg isn't " +
+          "exercising PgFilterSql at all")
+      assert(failures.isEmpty,
+        s"${failures.size} PUSHDOWN MISMATCHES:\n\n" +
           failures.take(4).mkString("\n\n"))
     } finally srv.stop()
   }
