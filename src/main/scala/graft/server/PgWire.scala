@@ -572,11 +572,21 @@ object PgWire {
     * Julian-Gregorian shift. */
   def timestampWall(t: java.sql.Timestamp,
       zone: java.time.ZoneId): java.time.LocalDateTime = {
-    val defaultWall = t.toLocalDateTime
-    val dz = java.time.ZoneId.systemDefault()
-    if (zone == dz) defaultWall
-    else defaultWall.atZone(dz).withZoneSameInstant(zone).toLocalDateTime
+    // ≥1900: the hybrid/proleptic rebase is the identity (no Julian
+    // delta, no LMT zone-rule drift), so the instant itself is exact —
+    // prefer it, because wall reconstruction is ambiguous for walls in
+    // a DST fall-back overlap of the default zone
+    if (t.getTime >= Epoch1900Millis)
+      java.time.LocalDateTime.ofInstant(t.toInstant, zone)
+    else {
+      val defaultWall = t.toLocalDateTime
+      val dz = java.time.ZoneId.systemDefault()
+      if (zone == dz) defaultWall
+      else defaultWall.atZone(dz).withZoneSameInstant(zone).toLocalDateTime
+    }
   }
+
+  private val Epoch1900Millis = -2208988800000L // 1900-01-01T00:00:00Z
 
   def encodeValue(v: Any,
       zone: java.time.ZoneId = java.time.ZoneId.systemDefault()): Option[String] = v match {
