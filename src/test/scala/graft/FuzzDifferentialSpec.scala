@@ -519,6 +519,11 @@ class FuzzDifferentialSpec extends GraftSuite {
       p.waitFor() == 0
     } catch { case _: Throwable => false }
 
+  // fixture scale for the fuzz corpus: default sf0.001; GRAFT_FUZZ_SF
+  // points a one-off hunt at a bigger fixture (sf0.01 makes the
+  // LIMIT-64 total-order boundary actually cut rows)
+  private def fuzzSf: String = sys.env.getOrElse("GRAFT_FUZZ_SF", sf)
+
   test("500 seeded random queries agree with DuckDB row-for-row") {
     assume(duckdbAvailable, "python3+duckdb oracle not in this container")
     val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0xD1FFL)
@@ -529,14 +534,14 @@ class FuzzDifferentialSpec extends GraftSuite {
 
     // register fixture views once per engine
     for (t <- tables.keys)
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+      spark.read.parquet(s"$fuzzSf/$t.parquet").createOrReplaceTempView(t)
 
     // DuckDB side: one python process executes the whole batch
     val dir = java.nio.file.Files.createTempDirectory("fuzzdiff")
     val specPath = dir.resolve("spec.json")
     val outPath = dir.resolve("out.json")
     val viewsJson = tables.keys.map(t =>
-      s""""$t":"$sf/$t.parquet"""").mkString(",")
+      s""""$t":"$fuzzSf/$t.parquet"""").mkString(",")
     def jstr(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\t", "\\t")
@@ -669,7 +674,7 @@ class FuzzDifferentialSpec extends GraftSuite {
     val rnd = new Random(seed)
     val g = new Gen(rnd)
     for (t <- tables.keys)
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+      spark.read.parquet(s"$fuzzSf/$t.parquet").createOrReplaceTempView(t)
     val srv = new graft.server.PgServer(spark, port = 0, password = None)
     val port = srv.start()
     try {
@@ -725,7 +730,7 @@ class FuzzDifferentialSpec extends GraftSuite {
     val rnd = new Random(seed)
     val g = new Gen(rnd)
     for (t <- tables.keys)
-      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(t)
+      spark.read.parquet(s"$fuzzSf/$t.parquet").createOrReplaceTempView(t)
     val srv = new graft.server.PgServer(spark, port = 0, password = None)
     val port = srv.start()
     try {
