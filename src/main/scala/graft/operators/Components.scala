@@ -23,6 +23,12 @@ object Components {
     * the scale smoke (per-stage attribution of iterative cost). */
   @volatile var lastRounds: Int = 0
 
+  /** Rounds the last [[kCorePeel]] / [[kTrussPeel]] call actually ran
+    * before the fixpoint early-exit fired — spec/profiling diagnostic
+    * (the round budget stays the contract; these record the savings). */
+  @volatile var lastPeelRounds: Int = 0
+  @volatile var lastTrussRounds: Int = 0
+
   /** The checkpoint-backed RDD of a `localCheckpoint(true)`'d frame —
     * the flat [[org.apache.spark.sql.execution.LogicalRDD]] leaf that
     * call produces. Used to free SUPERSEDED loop generations
@@ -63,7 +69,16 @@ object Components {
     */
   def minLabel(edges: DataFrame, vertices: DataFrame,
       maxRounds: Int = -1): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+    // localCheckpoint, not persist (r13): a persisted frame keeps its
+    // FULL logical plan, so every round's nbrMin/stepped analysis (and
+    // Catalyst optimization) re-walks the whole upstream tree — for the
+    // dedup callers that tree is the entire LSH candidate+verify
+    // pipeline, re-analyzed O(rounds) times on the driver while the
+    // executors idle (the d24 lesson, applied to the edge set this loop
+    // was still holding as a persist). The eager checkpoint runs the
+    // upstream once and every round sees a flat leaf.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var eCkpt = checkpointRdd(e)
     val spark = edges.sparkSession
     val cap = if (maxRounds > 0) maxRounds
       else GraftConf.componentsMaxRounds(spark)
@@ -121,7 +136,13 @@ object Components {
       labels = next.select(col("v"), col("comp"))
       rounds += 1
     } finally {
-      e.unpersist(false)
+      // the labels the caller consumes never re-read the edge
+      // checkpoint, so its blocks are released here; the FINAL labels
+      // checkpoint must stay live (the caller's plan reads it) and is
+      // reclaimed by the GC-driven ContextCleaner like any other
+      // returned checkpoint generation
+      eCkpt.foreach(_.unpersist(false))
+      eCkpt = None
       liveJump.foreach(_.unpersist(false))
     }
     lastRounds = rounds
@@ -158,7 +179,19 @@ object Components {
     var v = e.select(col("src")).distinct()
     var eCkpt = checkpointRdd(e)
     var vCkpt = Option.empty[org.apache.spark.rdd.RDD[_]]
-    for (_ <- 1 to rounds) {
+    // fixpoint early-exit: peeling is monotone (each round's semi-joins
+    // only REMOVE edges, so e_r ⊆ e_{r-1} and equal counts ⇒ equal
+    // sets), hence once a round leaves the edge set unchanged every
+    // later round is the identity — running it is pure waste (2
+    // semi-joins + an aggregate + a checkpoint materialization per
+    // round at 100 TB). The count is read off the just-materialized
+    // checkpoint (densestPeel already proves that cost is negligible);
+    // the fixed round budget survives as the CAP, so output is
+    // bit-identical to the unconditional loop.
+    var prevEdges = -1L
+    var ran = 0
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       v = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src"))
         .localCheckpoint(true)
@@ -171,7 +204,11 @@ object Components {
       vCkpt.foreach(_.unpersist(false))
       eCkpt = checkpointRdd(e)
       vCkpt = checkpointRdd(v)
+      ran += 1
+      val ne = e.count()
+      if (ne == prevEdges) converged = true else prevEdges = ne
     }
+    lastPeelRounds = ran
     (v, e)
   }
 
@@ -193,7 +230,14 @@ object Components {
       .where(col("lo") < col("hi")).distinct()
       .localCheckpoint(true)
     var uCkpt = checkpointRdd(u)
-    for (_ <- 1 to rounds) {
+    // same monotone fixpoint early-exit as kCorePeel: the semi-join only
+    // removes edges, so an unchanged count means every later round is
+    // the identity — skip it (the wedge closure is this operator's
+    // expensive stage, two joins over the symmetrized edge list)
+    var prevEdges = -1L
+    var ran = 0
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val sym = u.select(col("lo").as("s"), col("hi").as("d"))
         .union(u.select(col("hi").as("s"), col("lo").as("d")))
       // wedge closure: edge (lo,hi) + shared neighbor d of both ends
@@ -208,7 +252,11 @@ object Components {
         .localCheckpoint(true)
       uCkpt.foreach(_.unpersist(false)) // superseded generation
       uCkpt = checkpointRdd(u)
+      ran += 1
+      val ne = u.count()
+      if (ne == prevEdges) converged = true else prevEdges = ne
     }
+    lastTrussRounds = ran
     u
   }
 
@@ -227,11 +275,22 @@ object Components {
     var e = undirected.select(col("lo"), col("hi")).localCheckpoint(true)
     var eCkpt = checkpointRdd(e)
     val stats = scala.collection.mutable.Buffer[(Int, Long, Long)]()
+    var prevNe = -1L
     for (r <- 0 to rounds) {
       val ne = e.count()
       val nv = e.select(col("lo").as("v"))
         .union(e.select(col("hi").as("v"))).distinct().count()
       stats += ((r, nv, ne))
+      // fixpoint early-exit: an unchanged edge count means the previous
+      // peel removed nothing; the keep test is a deterministic function
+      // of the edge set, so every later round repeats these exact stats
+      // — fill them without running the rounds (output-identical)
+      if (ne == prevNe && r < rounds) {
+        for (rr <- (r + 1) to rounds) stats += ((rr, nv, ne))
+        eCkpt.foreach(_.unpersist(false)) // only stats leave this fn
+        return stats.toSeq
+      }
+      prevNe = ne
       if (r < rounds && ne > 0) {
         val deg = e.select(col("lo").as("v"))
           .union(e.select(col("hi").as("v")))

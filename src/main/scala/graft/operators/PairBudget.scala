@@ -82,7 +82,12 @@ object PairBudget {
   private def abortOver(budget: Long, est: Double, what: String,
       shape: String): Unit =
     if (est > budget.toDouble) throw new IllegalStateException(
-      f"$what aborted: the $shape would emit $est%.3g candidate pairs, " +
+      // Locale.ROOT: the f-interpolator's %.3g uses the JVM default
+      // locale, and a comma-decimal locale renders '6,18e+03' — the
+      // scale-smoke probes parse this estimate back out of the message
+      s"$what aborted: the $shape would emit " +
+        String.format(java.util.Locale.ROOT, "%.3g", Double.box(est)) +
+        " candidate pairs, " +
         s"over $ConfKey=$budget. This usually means degenerate key " +
         "density — many rows collapsed onto few distinct join keys " +
         "(identical documents sharing every gram, one basket holding a " +

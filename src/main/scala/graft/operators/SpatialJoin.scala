@@ -243,7 +243,11 @@ object SpatialJoin {
     spark.conf.getOption("spark.graft.spatial_join.max_candidate_pairs")
       .map(_.toLong).foreach { budget =>
         if (estPairs > budget.toDouble) throw new IllegalStateException(
-          f"spatial join aborted: estimated candidate pairs $estPairs%.3g " +
+          // Locale.ROOT for the same reason as PairBudget.abortOver:
+          // the smoke probes regex the estimate out of this message
+          "spatial join aborted: estimated candidate pairs " +
+            String.format(java.util.Locale.ROOT, "%.3g",
+              Double.box(estPairs)) + " " +
             s"exceed spark.graft.spatial_join.max_candidate_pairs=$budget " +
             s"($detail). This usually means degenerate density — many " +
             "geometries collapsed onto few distinct locations — where join " +

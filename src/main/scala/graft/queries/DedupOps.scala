@@ -91,6 +91,13 @@ object DedupOps {
   private def lshVerifiedPairsOf(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     graft.functions.SketchFunctions.registerAll(s)
+    // NOT persisted (r13 measured): the shingle battery runs up to
+    // three times (both self-join sides — AQE reuses that exchange at
+    // runtime — plus the verify fetch), but caching it costs MORE: the
+    // columnar encode/decode of array<long> rows plus the materialization
+    // barrier beat the recompute at every scale tried, and at 100 TB a
+    // cache of the full corpus' shingle sets is another corpus-sized
+    // disk write+read vs pure CPU over an already-read scan.
     val t = docs.select(col("doc_id"), expr(shE).as("sh"))
     // no user repartition here: the self-join's own ENSURE_REQUIREMENTS
     // exchanges canonicalize identically, so Spark computes the sketch
@@ -569,8 +576,13 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.util.Det.dsum
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13, the minLabel lesson): both
+    // pagerank rounds and the degree table reference this frame, and a
+    // persisted-but-lineage-intact edge set makes every downstream
+    // Dataset op re-analyze the whole LSH pipeline tree on the driver;
+    // the eager checkpoint flattens it to a leaf once
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .persistTracked()
+      .localCheckpoint(true)
     // degree table is joined in every round (and n derives from it):
     // persist so the rounds rebuild neither the edge aggregate nor the
     // upstream LSH pipeline

@@ -1141,14 +1141,27 @@ object Relational {
     val redParts = Tables.part(s, d)
       .where(col("p_name").like("%red%"))
       .select(col("p_partkey"))
-    val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+    // r13: the red-part semi-join moved BELOW the aggregates (guide
+    // §3.2 — pre-filter the big side before shuffling it): only red
+    // parts can ever qualify, so aggregating the other ~90% of lineitem
+    // was wasted shuffle; the broadcast semi-join drops those rows at
+    // the scan. Per-part aggregates are unaffected by other parts, so
+    // the qualifying set is identical.
+    val redLi = li
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val ps = redLi.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("supp_qty"))
-    val pt = li.groupBy(col("l_partkey").as("pt_partkey"))
-      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("part_qty"),
-        countDistinct(col("l_suppkey")).as("n_supps"))
+    // pt is an exact re-aggregate of ps — decimal sums are associative,
+    // and COUNT(DISTINCT l_suppkey) per part ≡ the number of
+    // (part, supp) groups — so the second full lineitem aggregate
+    // (which also paid a distinct-expand) is gone (guide §2.3
+    // "aggregate before you shuffle", applied twice)
+    val pt = ps.groupBy(col("l_partkey").as("pt_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"),
+        count(lit(1)).as("n_supps"))
     val qualifying = ps
       .join(pt, col("l_partkey") === col("pt_partkey"))
-      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
       .where(col("supp_qty").cast("double") * col("n_supps")
         > col("part_qty").cast("double") * 3.0)
       .select(col("l_suppkey")).distinct()

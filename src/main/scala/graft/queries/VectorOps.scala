@@ -2242,8 +2242,20 @@ object VectorOps {
       .select(col("vec_id"), (col("dim0") + 1).as("dim"), col("v"))
 
   /** Two power-iteration rounds over the exploded table; returns the
-    * un-normalized second-round direction (dim, w2), its squared norm
-    * (ww2), and the corpus trace (tr) — all decimal-exact. */
+    * un-normalized second-round direction (dim, w2) — eagerly
+    * localCheckpoint'ed, see below — its squared norm (ww2), and the
+    * corpus trace (tr) — all decimal-exact.
+    *
+    * Deliberately NOT merged into fewer passes (r13 measured): folding
+    * t1/tr (and v35's norms) into one persisted per-vector frame
+    * regressed v35 4.3→6.8 s — the extra cache materialization barrier
+    * and the wider aggregate cost more than the saved scans of the
+    * already-cached `ex`. The cost that IS worth removing is
+    * driver-side: w2 is referenced by every downstream consumer (n2,
+    * the direction vector, v35's projections), and each reference
+    * re-embeds — and re-analyzes — the whole two-round join/aggregate
+    * tree. Checkpointing the 64-row w2 flattens all of them to a leaf
+    * for one tiny eager job. */
   private def powerStages(ex: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val t1 = ex.groupBy(col("vec_id")).agg(dsum(col("v")).as("t"))
     val w1 = ex.join(t1, "vec_id")
@@ -2255,6 +2267,7 @@ object VectorOps {
       .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
     val w2 = ex.join(t2, "vec_id")
       .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w2"))
+      .localCheckpoint(true)
     val n2 = w2.agg(dsum(col("w2") * col("w2")).as("ww2"))
     val tr = ex.agg(dsum(col("v") * col("v")).as("tr"))
     (w2, n2, tr)
@@ -2327,10 +2340,14 @@ object VectorOps {
     // never materialize; their per-dim unit sums are S_j - u_j * beta
     val nrm = ex.groupBy(col("vec_id"))
       .agg(sqrt(dsum(col("v") * col("v"))).as("nr0"))
+    // localCheckpoint, not persist (r13): svec and beta both reference
+    // alpha, and a lineage-intact persist made each of them re-analyze
+    // the projection+norm tree on the driver; the eager checkpoint
+    // flattens it (same blocks-in-memory cost as the persist it replaces)
     val alpha = proj.join(nrm, "vec_id")
       .select(col("vec_id"), col("t"),
         sqrt(col("nr0") * col("nr0") - col("t") * col("t")).as("nr1"))
-      .persistTracked()
+      .localCheckpoint(true)
     val ub = ex.join(nrm, "vec_id").where(col("nr0") > 0)
       .groupBy(col("dim")).agg(dsum(col("v") / col("nr0")).as("sb"))
     val svec = ex.join(alpha, "vec_id").where(col("nr1") > 0)

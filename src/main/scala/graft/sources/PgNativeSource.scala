@@ -379,7 +379,12 @@ private object PgFilterSql {
       val zone = org.apache.spark.sql.SparkSession.getActiveSession
         .map(graft.server.PgWire.sessionZone)
         .getOrElse(java.time.ZoneId.systemDefault())
-      val wall = java.time.LocalDateTime.ofInstant(t.toInstant, zone)
+      // timestampWall, not LocalDateTime.ofInstant: Catalyst hands
+      // pushdown values as hybrid-rebased java.sql.Timestamp, so for
+      // pre-1900 instants the plain instant→zone wall is shifted by the
+      // Julian/Gregorian delta and the pushed predicate would select
+      // different rows than Spark's own residual evaluation
+      val wall = graft.server.PgWire.timestampWall(t, zone)
         .format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
       Some(s"TIMESTAMP '$wall'")

@@ -53,7 +53,10 @@ class DriverMaterializationLintSpec extends AnyFunSuite {
     "Bench.scala" -> 2,
     // round 9: the bench-outlier attribution probe's warmup collect —
     // a dev diagnostic main, 1 row
-    "BenchProbe.scala" -> 1)
+    "BenchProbe.scala" -> 1,
+    // round 13: the subset A/B bench's warmup collect — a dev
+    // diagnostic main (Bench's methodology over named queries), 1 row
+    "MiniBench.scala" -> 1)
 
   test("driver-side materialization stays within the audited per-file budget") {
     val root = java.nio.file.Paths.get("src/main/scala/graft")

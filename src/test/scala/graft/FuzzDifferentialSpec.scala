@@ -676,7 +676,15 @@ class FuzzDifferentialSpec extends GraftSuite {
             oracleOptimizerBugs += 1
             info(s"query #$i: DuckDB OPTIMIZER divergence (de-optimized " +
               s"oracle agrees with Spark): ${sql.take(160)}")
-          case _ =>
+          case Left(e) =>
+            // an arbiter execution failure is NOT evidence the engines
+            // disagree — report it as its own category so diagnostics
+            // never misattribute it as a confirmed mismatch
+            failures += s"query #$i (seed=$seed) result mismatch " +
+              s"(spark ${s.size} rows, duckdb ${d.size} rows; arbiter " +
+              s"run failed: ${e.toString.take(200)}):\n$sql\n" +
+              s"spark head: ${s.take(3)}\nduck head:  ${d.take(3)}"
+          case Right(_) =>
             failures += s"query #$i (seed=$seed) result mismatch " +
               s"(spark ${s.size} rows, duckdb ${d.size} rows, arbiter " +
               s"agrees with duckdb):\n$sql\n" +

@@ -193,6 +193,35 @@ class Round6OpsSpec extends GraftSuite {
       (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L)))
   }
 
+  test("peel fixpoint early-exit: converged fixtures stop before the round budget") {
+    // K4 {20..23} is already a 2-core/3-core fixpoint: round 1 peels the
+    // pendant, round 2 re-confirms (count unchanged) — so kCorePeel must
+    // run 2 rounds of its 5-round budget, and the output must equal the
+    // full-budget answer (monotonicity makes early exit output-identical)
+    val undirected = Seq((20L, 21L), (20L, 22L), (20L, 23L),
+      (21L, 22L), (21L, 23L), (22L, 23L), (23L, 24L)) // K4 + pendant 24
+    val edges = spark.createDataFrame(
+      undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .toDF("src", "dst")
+    val (v2, _) = graft.operators.Components.kCorePeel(edges, 2, 5)
+    assert(v2.collect().map(_.getLong(0)).toSet == Set(20L, 21L, 22L, 23L))
+    assert(graft.operators.Components.lastPeelRounds == 2,
+      s"expected early exit at round 2, ran ${graft.operators.Components.lastPeelRounds}")
+    val u3 = graft.operators.Components.kTrussPeel(edges, 3, 3)
+    assert(u3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L)))
+    assert(graft.operators.Components.lastTrussRounds == 2,
+      s"expected early exit at round 2, ran ${graft.operators.Components.lastTrussRounds}")
+    // a fixture that genuinely needs the budget still runs it: a 6-chain
+    // peels one layer per round under k=2 until empty (no premature exit)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val chainEdges = spark.createDataFrame(
+      chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }).toDF("src", "dst")
+    val (vc, _) = graft.operators.Components.kCorePeel(chainEdges, 2, 5)
+    assert(vc.collect().isEmpty)
+    assert(graft.operators.Components.lastPeelRounds >= 3)
+  }
+
   test("Components.densestPeel density improves toward the densest cluster") {
     // K5 {50..54} (density 2.0) + sparse periphery: chain 1-2-3-4 and
     // star 6-(7,8,9); the peel must discard the periphery and land on
