@@ -122,16 +122,15 @@ object DedupOps {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    // fetch both sides' shingle sets in ONE pass over t (explode each
-    // pair to its two member ids, join, regroup) — two separate a-/b-
-    // joins would run the sketch stage twice more
+    // fetch both sides' shingle sets with two direct key joins (r13):
+    // the former explode-join-regroup "one pass" shape paid an extra
+    // exchange on (a, b) plus a SORT-based aggregate (array-typed
+    // first() can't hash-aggregate), which cost more than the second
+    // sketch evaluation it saved — and at scale the two keyed joins
+    // shuffle narrower rows than the exploded pair stream anyway
     val fetched = pairs
-      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("doc_id"))
-      .join(t, Seq("doc_id"))
-      .groupBy(col("a"), col("b"))
-      .agg(
-        first(when(col("doc_id") === col("a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("doc_id") === col("b"), col("sh")), ignoreNulls = true).as("sh_b"))
+      .join(t.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(t.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
     fetched
       .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
@@ -396,7 +395,12 @@ object DedupOps {
         |  (doc_id = component) AS keep
         |FROM comp
         |ORDER BY component, doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -441,15 +445,12 @@ object DedupOps {
         |    >= CAST(0.8 AS DOUBLE) AS is_dup
         |FROM m ORDER BY a, b""".stripMargin) { (s, d) =>
     val tx = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // one pass over documents for both sides (d01's fetch pattern)
+    // two direct key joins (r13, same rewrite as the shared verify
+    // fetch): the explode-join-regroup shape paid an extra exchange and
+    // a sort-based aggregate (string-typed first() can't hash-aggregate)
     val fetched = lshVerifiedPairs(s, d)
-      .select(col("a"), col("b"), col("jaccard"),
-        explode(array(col("a"), col("b"))).as("doc_id"))
-      .join(tx, Seq("doc_id"))
-      .groupBy(col("a"), col("b"), col("jaccard"))
-      .agg(
-        first(when(col("doc_id") === col("a"), col("text")), ignoreNulls = true).as("ta"),
-        first(when(col("doc_id") === col("b"), col("text")), ignoreNulls = true).as("tb"))
+      .join(tx.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(tx.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
     fetched
       .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
       .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
@@ -575,7 +576,12 @@ object DedupOps {
          |FROM p1 JOIN p2 ON p2.src = p1.src
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.util.Det.dsum
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     // localCheckpoint, not persist (r13, the minLabel lesson): both
     // pagerank rounds and the degree table reference this frame, and a
     // persisted-but-lineage-intact edge set makes every downstream
@@ -650,7 +656,12 @@ object DedupOps {
         |    ELSE NULL END AS clustering
         |FROM deg LEFT JOIN tc ON tc.n = deg.n
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val deg = pairs.select(col("a").as("n"))
       .union(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).persistTracked()
@@ -723,6 +734,12 @@ object DedupOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source").isin("src18", "src19").as("is_new"))
       .persistTracked()
+    // stays LAZY (r13, measured): an eager checkpoint here forces the
+    // full LSH pipeline to materialize, but this query's consumers can
+    // legally skip most of it — e.g. Catalyst pushes the is_new filter
+    // into the pair derivation, and a count-only action eliminates the
+    // unique-key left join outright. Never force work the action can
+    // prove away.
     val p = lshVerifiedPairs(s, d).select(col("a"), col("b"))
     val e = p.union(p.select(col("b"), col("a"))).toDF("x", "y")
     val cl = e
@@ -776,7 +793,12 @@ object DedupOps {
         |  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 1) IN ('0','1','2','3')
         |       THEN 'eval' ELSE 'train' END AS split
         |FROM ac ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -912,7 +934,12 @@ object DedupOps {
         |  (ac.doc_id = struct_extract(pick.best, 'doc_id')) AS keep
         |FROM ac JOIN sc USING (doc_id) JOIN pick ON pick.component = ac.component
         |ORDER BY ac.doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1063,7 +1090,12 @@ object DedupOps {
         |  CAST(sum(toks) AS BIGINT) AS tokens_total,
         |  CAST(sum(toks_rm) AS BIGINT) AS tokens_removed
         |FROM cl GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1124,13 +1156,15 @@ object DedupOps {
         |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
         |FROM np JOIN nd USING (src_a, src_b) ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // localCheckpoint, not persist (r13): see d06's pair checkpoint —
+    // flattens the LSH lineage for the two downstream aggregates
     val lab = lshVerifiedPairs(s, d)
       .select(col("a"), col("b"))
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"), col("a"), col("b"))
-      .persistTracked()
+      .localCheckpoint(true)
     val np = lab.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
     val nd = lab
@@ -1179,7 +1213,12 @@ object DedupOps {
         |SELECT csize, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
         |  CAST(SUM(csize * n_clusters) AS BIGINT) AS n_docs
         |FROM hist GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v"))).persistTracked()
@@ -1472,7 +1511,7 @@ object DedupOps {
     // stage 5: near-dup collapse among survivors (d01 pairs → d06
     // components → d15 canonical keep)
     val pairs = lshVerifiedPairsOf(s, c4.select(col("doc_id"), col("text")))
-      .select(col("a"), col("b")).persistTracked()
+      .select(col("a"), col("b")).localCheckpoint(true) // flat leaf, see d06
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1577,6 +1616,10 @@ object DedupOps {
       |LEFT JOIN docs ON thr.thr = docs.thr
       |ORDER BY thr.thr""".stripMargin) { (s, d) =>
     import graft.util.Persist.Syntax
+    // persist, NOT an eager checkpoint (r13, measured): d23's output
+    // joins are unique-key left joins, so count-only consumers prune
+    // them and never run the sketch at all — a lazy persist preserves
+    // that optimizer freedom, an eager checkpoint destroys it
     val pairs = lshVerifiedPairs(s, d).persistTracked()
     val thr = broadcast(s.createDataFrame(
       Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(Tuple1(_))).toDF("thr"))
@@ -1636,7 +1679,12 @@ object DedupOps {
            |LEFT JOIN deg2 ON d0.src = deg2.src
            |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").persistTracked()
     // 5 peel rounds via the shared checkpointed-loop helper: persist
@@ -1705,7 +1753,12 @@ object DedupOps {
            |FROM deg0 LEFT JOIN td ON deg0.v = td.v
            |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").persistTracked()
     val u3 = graft.operators.Components.kTrussPeel(edges, 3, 3)
@@ -1766,7 +1819,12 @@ object DedupOps {
            |            WHERE density = (SELECT MAX(density) FROM stats2))) AS is_best
            |FROM stats2 ORDER BY round""".stripMargin
     }) { (s, d) =>
-    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b")).persistTracked()
+    // localCheckpoint, not persist (r13): every downstream consumer of
+    // the pair set re-analyzed the whole LSH pipeline tree per Dataset
+    // op under a lineage-intact persist; the eager checkpoint runs the
+    // pipeline once and flattens it to a leaf
+    val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
+      .localCheckpoint(true)
     val u = pairs.select(least(col("a"), col("b")).as("lo"),
       greatest(col("a"), col("b")).as("hi")).distinct()
     val stats = graft.operators.Components.densestPeel(u, 6)
