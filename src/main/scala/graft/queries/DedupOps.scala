@@ -122,15 +122,22 @@ object DedupOps {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    // fetch both sides' shingle sets with two direct key joins (r13):
-    // the former explode-join-regroup "one pass" shape paid an extra
-    // exchange on (a, b) plus a SORT-based aggregate (array-typed
-    // first() can't hash-aggregate), which cost more than the second
-    // sketch evaluation it saved — and at scale the two keyed joins
-    // shuffle narrower rows than the exploded pair stream anyway
+    // fetch both sides' shingle sets in ONE pass over t (explode each
+    // pair to its two member ids, join, regroup). r13 tried the
+    // "simpler" two-direct-key-joins shape and the ×100 smoke rejected
+    // it: two joins evaluate AND shuffle the corpus-sized sketch frame
+    // twice (d01's scaled leg went 13.4 s → 45.6 s), while this shape's
+    // extra costs — the exploded pair stream and the (a, b) regroup
+    // (sort-based, array first() can't hash-aggregate) — scale with the
+    // CANDIDATE-PAIR count, which dedup keeps small by construction.
+    // Pair-proportional overhead beats corpus-proportional recompute.
     val fetched = pairs
-      .join(t.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(t.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(t, Seq("doc_id"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        first(when(col("doc_id") === col("a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("b"), col("sh")), ignoreNulls = true).as("sh_b"))
     fetched
       .withColumn("inter", expr("sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("total", size(col("sh_a")) + size(col("sh_b")))
@@ -445,12 +452,17 @@ object DedupOps {
         |    >= CAST(0.8 AS DOUBLE) AS is_dup
         |FROM m ORDER BY a, b""".stripMargin) { (s, d) =>
     val tx = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // two direct key joins (r13, same rewrite as the shared verify
-    // fetch): the explode-join-regroup shape paid an extra exchange and
-    // a sort-based aggregate (string-typed first() can't hash-aggregate)
+    // one pass over documents for both sides (d01's fetch pattern; the
+    // r13 two-join variant was rejected by the ×100 smoke for the same
+    // corpus-vs-pair-proportional reason as the shared verify fetch)
     val fetched = lshVerifiedPairs(s, d)
-      .join(tx.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
-      .join(tx.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(tx, Seq("doc_id"))
+      .groupBy(col("a"), col("b"), col("jaccard"))
+      .agg(
+        first(when(col("doc_id") === col("a"), col("text")), ignoreNulls = true).as("ta"),
+        first(when(col("doc_id") === col("b"), col("text")), ignoreNulls = true).as("tb"))
     fetched
       .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
       .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
