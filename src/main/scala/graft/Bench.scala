@@ -275,6 +275,18 @@ object Bench {
       val idx = sortedNames.indexOf(n)
       n -> math.min(driftAt(probes1.toSeq, idx), driftAt(probes2.toSeq, idx))
     }
+    // the drift ratio is measured at the query's IN-SESSION pass
+    // position; when attribution substituted the isolated re-run as the
+    // reported time, say so — otherwise the sidecar would annotate an
+    // isolated number with drift that applied to a different run of it
+    val regressionDriftMeasurement: Seq[(String, String)] =
+      regressions.map { case (n, _) =>
+        val substituted = attribution.get(n).exists {
+          case (inSess, iso, _, _) => iso.exists(_ < inSess)
+        }
+        n -> (if (substituted) "isolated_rerun_reported_drift_not_applicable"
+              else "in_session")
+      }
     val calibrationEnd = calibrate()
     // one-line warm-up attribution for the sidecar (judge ask #3)
     val pass1Note = warmupSecs match {
@@ -309,6 +321,9 @@ object Bench {
         s""""calibration_series_pass1":[${probes1.map { case (i, v) => s"[$i,${fmt(v)}]" }.mkString(",")}],""" +
         s""""calibration_series_pass2":[${probes2.map { case (i, v) => s"[$i,${fmt(v)}]" }.mkString(",")}],""" +
         s""""regression_drift_vs_pass_start":${jmap(regressionDrift)},""" +
+        s""""regression_drift_measurement":${regressionDriftMeasurement
+          .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")},""" +
         s""""baseline_source":"${jstr(baselineSource)}",""" +
         s""""attribution_capped":$attributionCapped,""" +
         s""""attribution_dropped":[${attributionDropped.map(n => "\"" + n + "\"").mkString(",")}],""" +

@@ -25,12 +25,16 @@ object MiniBench {
     spark.sql("SELECT count(*) FROM range(1000000)").collect()
     graft.spatial.SpatialFunctions.registerAll(spark)
     graft.functions.SketchFunctions.registerAll(spark)
-    def runOnce(name: String, dir: String): Double = {
+    // (seconds, completed?) like Bench's runOnce: a crashing variant
+    // finishes fast, and reporting its time-to-crash as a min= line
+    // silently inverts an A/B conclusion — failures must print FAILED
+    def runOnce(name: String, dir: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).count()
-      catch { case _: Throwable => () }
-      finally graft.util.Persist.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case _: Throwable => false }
+        finally graft.util.Persist.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val warmupDir = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.001").getPath
@@ -39,8 +43,11 @@ object MiniBench {
     val p1 = qs.map(q => q -> runOnce(q, sfDir))
     spark.catalog.clearCache()
     val p2 = qs.map(q => q -> runOnce(q, sfDir))
-    p1.zip(p2).foreach { case ((q, a), (_, b)) =>
-      println(f"""MINI $q%-35s min=${math.min(a, b)}%.3f p1=$a%.3f p2=$b%.3f""")
+    p1.zip(p2).foreach { case ((q, (a, okA)), (_, (b, okB))) =>
+      if (okA && okB)
+        println(f"""MINI $q%-35s min=${math.min(a, b)}%.3f p1=$a%.3f p2=$b%.3f""")
+      else
+        println(f"""MINI $q%-35s FAILED (p1 ok=$okA%b $a%.3fs, p2 ok=$okB%b $b%.3fs)""")
     }
     spark.stop()
   }

@@ -138,13 +138,14 @@ object Components {
     } finally {
       // the labels the caller consumes never re-read the edge
       // checkpoint, so its blocks are released here; the FINAL labels
-      // checkpoint must stay live (the caller's plan reads it) and is
-      // reclaimed by the GC-driven ContextCleaner like any other
-      // returned checkpoint generation
+      // checkpoint must stay live (the caller's plan reads it) — it is
+      // registered below for release with the query's other tracked
+      // state once the caller's action completes
       eCkpt.foreach(_.unpersist(false))
       eCkpt = None
       liveJump.foreach(_.unpersist(false))
     }
+    prevCkpt.foreach(graft.util.Persist.trackRdd(spark, _))
     lastRounds = rounds
     // Unconverged labels silently split one true component in two — for
     // consumers like d12 (leakage-free split) that is the exact defect the
@@ -209,6 +210,10 @@ object Components {
       if (ne == prevEdges) converged = true else prevEdges = ne
     }
     lastPeelRounds = ran
+    // the FINAL generations survive into the caller's plan; register
+    // them so the query's consumer frees their blocks after its action
+    eCkpt.foreach(graft.util.Persist.trackRdd(edges.sparkSession, _))
+    vCkpt.foreach(graft.util.Persist.trackRdd(edges.sparkSession, _))
     (v, e)
   }
 
@@ -257,6 +262,8 @@ object Components {
       if (ne == prevEdges) converged = true else prevEdges = ne
     }
     lastTrussRounds = ran
+    // final generation: released by the consumer, not the GC cleaner
+    uCkpt.foreach(graft.util.Persist.trackRdd(edges.sparkSession, _))
     u
   }
 

@@ -407,7 +407,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -593,14 +593,14 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     // localCheckpoint, not persist (r13, the minLabel lesson): both
     // pagerank rounds and the degree table reference this frame, and a
     // persisted-but-lineage-intact edge set makes every downstream
     // Dataset op re-analyze the whole LSH pipeline tree on the driver;
     // the eager checkpoint flattens it to a leaf once
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .localCheckpoint(true)
+      .checkpointTracked()
     // degree table is joined in every round (and n derives from it):
     // persist so the rounds rebuild neither the edge aggregate nor the
     // upstream LSH pipeline
@@ -673,7 +673,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val deg = pairs.select(col("a").as("n"))
       .union(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).persistTracked()
@@ -810,7 +810,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -951,7 +951,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1107,7 +1107,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1176,7 +1176,7 @@ object DedupOps {
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"), col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val np = lab.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
     val nd = lab
@@ -1230,7 +1230,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v"))).persistTracked()
@@ -1512,8 +1512,6 @@ object DedupOps {
           (nLines === 0 || nEll.cast("double") / nLines <= 0.3) &&
           (col("n_tok") > 0 && nAlpha.cast("double") / col("n_tok") >= 0.6)).as("p3"))
       .persistTracked()
-    val base = stats // stage-1 counter: every ingested doc
-    val c2 = stats.filter(col("p2"))
     val c3 = stats.filter(col("p2") && col("p3"))
       .select(col("doc_id"), col("text"), col("n_tok"))
     // stage 4: exact dedup — keep min doc_id per text digest
@@ -1523,7 +1521,7 @@ object DedupOps {
     // stage 5: near-dup collapse among survivors (d01 pairs → d06
     // components → d15 canonical keep)
     val pairs = lshVerifiedPairsOf(s, c4.select(col("doc_id"), col("text")))
-      .select(col("a"), col("b")).localCheckpoint(true) // flat leaf, see d06
+      .select(col("a"), col("b")).checkpointTracked() // flat leaf, see d06
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val labels = graft.operators.Components.minLabel(
       edges, edges.select(col("src").as("v")))
@@ -1536,16 +1534,37 @@ object DedupOps {
         .as("best"))
     val c5ids = ac.join(pick, Seq("component"))
       .filter(col("doc_id") === col("best.doc_id")).select(col("doc_id"))
-    val c5 = c4.join(c5ids, Seq("doc_id"), "left_semi")
-    def stage(i: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    stage(1, "ingested", base)
-      .unionAll(stage(2, "charset", c2))
-      .unionAll(stage(3, "quality", c3))
-      .unionAll(stage(4, "exact_dedup", c4))
-      .unionAll(stage(5, "near_dedup", c5))
+    // the five funnel counters in TWO aggregate passes instead of five
+    // (guide §2.3 "aggregate before you shuffle" — here: aggregate ONCE):
+    // stages 1-3 are conditional aggregates over the persisted stats
+    // frame (each row's gate verdicts already ride in p2/p3, so
+    // count/sum(CASE WHEN ...) over one pass ≡ three filtered passes),
+    // and stages 4-5 fuse into one pass over c4 with the near-dup
+    // survivor flag attached by a unique-key left join (c5ids is one row
+    // per component, so the join cannot duplicate). Conditional
+    // aggregates match the filtered originals exactly: COUNT skips
+    // nulls, SUM over an empty/all-null branch is NULL either way.
+    val g123 = stats.agg(
+      count(lit(1)).as("n1"), sum(col("n_tok")).as("t1"),
+      count(when(col("p2"), lit(1))).as("n2"),
+      sum(when(col("p2"), col("n_tok"))).as("t2"),
+      count(when(col("p2") && col("p3"), lit(1))).as("n3"),
+      sum(when(col("p2") && col("p3"), col("n_tok"))).as("t3"))
+    val g45 = c4.select(col("doc_id"), col("n_tok"))
+      .join(c5ids.withColumn("in5", lit(true)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n4"), sum(col("n_tok")).as("t4"),
+        count(when(col("in5"), lit(1))).as("n5"),
+        sum(when(col("in5"), col("n_tok"))).as("t5"))
+    def row(i: Int, name: String, n: String, t: String) =
+      struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+        col(n).as("n_docs"), col(t).as("n_tokens"))
+    g123.crossJoin(g45)
+      .select(explode(array(
+        row(1, "ingested", "n1", "t1"), row(2, "charset", "n2", "t2"),
+        row(3, "quality", "n3", "t3"), row(4, "exact_dedup", "n4", "t4"),
+        row(5, "near_dedup", "n5", "t5"))).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"),
+        col("s.n_tokens"))
       .orderBy(col("stage_idx"))
   }
 
@@ -1696,7 +1715,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").persistTracked()
     // 5 peel rounds via the shared checkpointed-loop helper: persist
@@ -1770,7 +1789,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("src", "dst").persistTracked()
     val u3 = graft.operators.Components.kTrussPeel(edges, 3, 3)
@@ -1836,7 +1855,7 @@ object DedupOps {
     // op under a lineage-intact persist; the eager checkpoint runs the
     // pipeline once and flattens it to a leaf
     val pairs = lshVerifiedPairs(s, d).select(col("a"), col("b"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val u = pairs.select(least(col("a"), col("b")).as("lo"),
       greatest(col("a"), col("b")).as("hi")).distinct()
     val stats = graft.operators.Components.densestPeel(u, 6)

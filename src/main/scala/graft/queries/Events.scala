@@ -1557,13 +1557,40 @@ object Events {
     val nf = p.agg(count(lit(1)).as("n"))
     val base = p.crossJoin(broadcast(ref))
       .withColumn("rec_days", expr("(ref_us - last_us) div 86400000000"))
-    def quintile(sort: Seq[org.apache.spark.sql.Column], out: String) =
-      Rank.globalRowNumber(base, sort).crossJoin(broadcast(nf))
-        .select(col("user_id"), Rank.ntileOf(col("rk"), col("n"), 5).as(out))
-    val rq = quintile(Seq(col("rec_days"), col("user_id")), "r_q")
-    val fq = quintile(Seq(col("freq").desc, col("user_id")), "f_q")
-    val mq = quintile(Seq(col("mon").desc, col("user_id")), "m_q")
-    p.join(rq, "user_id").join(fq, "user_id").join(mq, "user_id")
+    // ONE stacked global row-number instead of three (guide §2.4):
+    // r13 left this as three independent Rank.globalRowNumber passes —
+    // three range shuffles, three eager checkpoints, three user_id
+    // joins. All three quintiles rank the SAME n rows, so stacking the
+    // three orderings under a leading metric id (mid) turns them into
+    // one total order: (mid, key_l, key_d, user_id). Each metric keeps
+    // its native key type (descending metrics negate — exact for longs
+    // and sign-flip-exact for doubles; ±0.0 ties break on user_id in
+    // both forms), so within a mid block the stacked rank minus the
+    // block offset (mid-1)·n IS that metric's original global rank, and
+    // the quintile arithmetic is unchanged. Same 3n rows shuffled as
+    // before, but 1 range partition + 1 checkpoint + 1 pivot aggregate
+    // replace 3 of each plus the triple join — at 100 TB that is two
+    // fewer full-table stage barriers and two fewer materializations.
+    // mon rides along as -key_d on the mid=3 rows (double negation is
+    // bit-exact), so the final aggregate needs no join back to p.
+    val stacked = base.select(col("user_id"), lit(1).as("mid"),
+        col("rec_days").as("key_l"), lit(0.0).as("key_d"))
+      .unionAll(p.select(col("user_id"), lit(2).as("mid"),
+        (-col("freq")).as("key_l"), lit(0.0).as("key_d")))
+      .unionAll(p.select(col("user_id"), lit(3).as("mid"),
+        lit(0L).as("key_l"), (-col("mon")).as("key_d")))
+    val ranked = Rank.globalRowNumber(stacked,
+      Seq(col("mid"), col("key_l"), col("key_d"), col("user_id")))
+    val quint = ranked.crossJoin(broadcast(nf))
+      .select(col("user_id"), col("mid"), col("key_d"),
+        Rank.ntileOf(
+          col("rk") - (col("mid") - 1).cast("long") * col("n"),
+          col("n"), 5).as("q"))
+    quint.groupBy(col("user_id"))
+      .agg(max(when(col("mid") === 1, col("q"))).as("r_q"),
+        max(when(col("mid") === 2, col("q"))).as("f_q"),
+        max(when(col("mid") === 3, col("q"))).as("m_q"),
+        max(when(col("mid") === 3, -col("key_d"))).as("mon"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), dsum(col("mon")).as("seg_monetary"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))

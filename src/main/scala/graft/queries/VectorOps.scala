@@ -2267,7 +2267,7 @@ object VectorOps {
       .groupBy(col("vec_id")).agg(dsum(col("v") * col("u")).as("t"))
     val w2 = ex.join(t2, "vec_id")
       .groupBy(col("dim")).agg(dsum(col("v") * col("t")).as("w2"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val n2 = w2.agg(dsum(col("w2") * col("w2")).as("ww2"))
     val tr = ex.agg(dsum(col("v") * col("v")).as("tr"))
     (w2, n2, tr)
@@ -2347,7 +2347,7 @@ object VectorOps {
     val alpha = proj.join(nrm, "vec_id")
       .select(col("vec_id"), col("t"),
         sqrt(col("nr0") * col("nr0") - col("t") * col("t")).as("nr1"))
-      .localCheckpoint(true)
+      .checkpointTracked()
     val ub = ex.join(nrm, "vec_id").where(col("nr0") > 0)
       .groupBy(col("dim")).agg(dsum(col("v") / col("nr0")).as("sb"))
     val svec = ex.join(alpha, "vec_id").where(col("nr1") > 0)
@@ -2416,6 +2416,20 @@ object VectorOps {
          |ORDER BY q_id, rank""".stripMargin
     }) { (s, d) =>
     import graft.util.Persist.Syntax
+    // Decimal-exact dot product over two array<double> columns, kept in
+    // ARRAY form: each product rounds to DECIMAL(30,6) and the fold adds
+    // in DECIMAL(38,6) — addend-for-addend the same exact arithmetic as
+    // `dsum(v * u)` over the exploded (vec_id, dim, v) long form (sum of
+    // decimal(30,6) widens to the same (38,6); decimal addition is
+    // associative so fold order is irrelevant), so the oracle hash is
+    // unchanged. What IS gone (guide §2.3/§2.4, r14): the 64×-row
+    // exploded corpus persist and the three full aggregates over it —
+    // round-2 scoring was shuffling 64·N·|probes| exploded product rows
+    // into a hash aggregate where a per-row 64-element fold does the
+    // same exact math inside the scan stage.
+    def decDot(a: String, b: String): Column = expr(
+      s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DECIMAL(30, 6))),
+         |  CAST(0 AS DECIMAL(38, 6)), (acc, z) -> acc + z) AS DOUBLE)""".stripMargin)
     val e = embeddings(s, d)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -2423,22 +2437,28 @@ object VectorOps {
       .withColumn("sim", dot("emb", "q_emb") / (norm("q_emb") * norm("emb")))
     val top1 = TopK.topK(cand1, Seq("q_id"), col("sim"), col("vec_id"), 5, asc = false)
       .select(col("q_id"), col("id").as("vec_id")).persistTracked()
-    val ex = explodedEmb(s, d).persistTracked()
-    val fb = top1.join(ex, "vec_id")
-      .groupBy(col("q_id"), col("dim")).agg((dsum(col("v")) / 5).as("m"))
+    // feedback mean per (q_id, dim): explode only the 5·|probes| top-1
+    // vectors (the r13 shape exploded the WHOLE corpus first and
+    // filtered after)
+    val fb = top1.join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .select(col("q_id"), posexplode(col("emb")).as(Seq("dim0", "v")))
+      .groupBy(col("q_id"), col("dim0")).agg((dsum(col("v")) / 5).as("m"))
+    // updated query vector u = q + 0.75·m, re-assembled into dim order
+    // (dim0 is unique per q_id, so the array_sort is total) with its
+    // norm alongside — one 10-row broadcast feeds round 2 entirely
     val q2 = fb.join(
-        ex.select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv")),
-        Seq("q_id", "dim"))
-      .select(col("q_id"), col("dim"),
-        (col("qv") + lit(0.75) * col("m")).as("u")).persistTracked()
-    val qn = q2.groupBy(col("q_id")).agg(sqrt(dsum(col("u") * col("u"))).as("qnrm"))
-    val cn = ex.groupBy(col("vec_id")).agg(sqrt(dsum(col("v") * col("v"))).as("cnrm"))
-    val dots = ex.join(broadcast(q2), Seq("dim"))
-      .where(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id")).agg(dsum(col("v") * col("u")).as("dp"))
-    val p2 = dots.join(broadcast(qn), "q_id").join(cn, "vec_id")
+        probes.select(col("q_id"), posexplode(col("q_emb")).as(Seq("dim0", "qv"))),
+        Seq("q_id", "dim0"))
+      .select(col("q_id"), col("dim0"),
+        (col("qv") + lit(0.75) * col("m")).as("u"))
+    val uv = q2.groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("dim0"), col("u")))).as("du"))
+      .select(col("q_id"), expr("transform(du, x -> x.u)").as("uvec"))
+      .withColumn("qnrm", sqrt(decDot("uvec", "uvec")))
+    val p2 = e.join(broadcast(uv), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (col("dp") / (col("qnrm") * col("cnrm"))).as("sim2"))
+        (decDot("emb", "uvec") /
+          (col("qnrm") * sqrt(decDot("emb", "emb")))).as("sim2"))
     TopK.topK(p2, Seq("q_id"), col("sim2"), col("vec_id"), 5, asc = false)
       .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim2"), col("rank"))
       .join(top1.withColumn("in_r1", lit(true)), Seq("q_id", "vec_id"), "left")

@@ -22,6 +22,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 object Persist {
   private val tracked = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+  private val trackedRdds = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
 
   /** Register an already-persisted dataset for later release. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
@@ -36,11 +39,43 @@ object Persist {
   /** Persist + register in one call. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = track(ds.persist())
 
+  /** Eager `localCheckpoint(true)` + register the checkpoint-backed RDD
+    * for release. A bare localCheckpoint's blocks are reclaimed only
+    * when the GC-driven ContextCleaner notices the dropped reference —
+    * too slow for long-lived sessions (PgServer connections, the
+    * 236-query bench passes), where query-level checkpoint frames pile
+    * up as pinned storage the LRU cannot evict. Tracking the backing
+    * RDD (the flat LogicalRDD leaf) lets [[release]]/[[releaseAll]]
+    * free the blocks as soon as the query's action completes — the same
+    * discipline persistTracked gives cache entries. Loop-INTERNAL
+    * generations (Components) stay self-managed: they free each
+    * superseded generation mid-query, earlier than any registry could. */
+  def checkpointTracked[T](ds: Dataset[T]): Dataset[T] = {
+    val ck = ds.localCheckpoint(true)
+    ck.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(trackRdd(ck.sparkSession, _))
+    ck
+  }
+
+  /** Register a checkpoint-backed RDD (e.g. an iterative operator's
+    * FINAL surviving generation) for release with the session's other
+    * query-local state. */
+  def trackRdd(session: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds
+      .computeIfAbsent(
+        session,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.rdd.RDD[_]]())
+      .add(rdd)
+
   /** Unpersist everything tracked by `session` (non-blocking) and drop
     * its registry entry. Safe when nothing is tracked. */
   def release(session: SparkSession): Unit = {
     val q = tracked.remove(session)
     if (q != null) drain(q)
+    val r = trackedRdds.remove(session)
+    if (r != null) drainRdds(r)
   }
 
   /** Unpersist every tracked dataset across all sessions and clear the
@@ -50,6 +85,11 @@ object Persist {
     while (it.hasNext) {
       val q = tracked.remove(it.next())
       if (q != null) drain(q)
+    }
+    val rit = trackedRdds.keySet().iterator()
+    while (rit.hasNext) {
+      val r = trackedRdds.remove(rit.next())
+      if (r != null) drainRdds(r)
     }
   }
 
@@ -63,6 +103,16 @@ object Persist {
     }
   }
 
+  private def drainRdds(q: java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]): Unit = {
+    var rdd = q.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+      rdd = q.poll()
+    }
+  }
+
   /** Number of currently tracked (unreleased) datasets — for specs. */
   def trackedCount: Int = {
     var n = 0
@@ -71,8 +121,19 @@ object Persist {
     n
   }
 
-  /** `df.persistTracked()` syntax for query builders. */
+  /** Number of currently tracked (unreleased) checkpoint RDDs — for
+    * specs. */
+  def trackedCheckpointCount: Int = {
+    var n = 0
+    val it = trackedRdds.values().iterator()
+    while (it.hasNext) n += it.next().size()
+    n
+  }
+
+  /** `df.persistTracked()` / `df.checkpointTracked()` syntax for query
+    * builders. */
   implicit class Syntax[T](private val ds: Dataset[T]) extends AnyVal {
     def persistTracked(): Dataset[T] = Persist.persistTracked(ds)
+    def checkpointTracked(): Dataset[T] = Persist.checkpointTracked(ds)
   }
 }

@@ -27,7 +27,9 @@ object Rank {
     * ids, and a persisted-but-evicted frame could recompute with fresh
     * range-boundary sampling, shifting `spark_partition_id` between the
     * two passes and misaligning every offset. Checkpointing pins the
-    * partitioning for both reads.
+    * partitioning for both reads; the checkpoint rides [[Persist]]'s
+    * registry so consumers free its blocks right after the query's
+    * action instead of waiting on the GC-driven ContextCleaner.
     *
     * `numParts` defaults to the session's shuffle parallelism (a fixed
     * small constant would cap the operator's scale); the internal
@@ -42,9 +44,9 @@ object Rank {
       s"input already has ${clash.mkString(", ")}")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sort: _*)
-      .withColumn("__graft_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = Persist.checkpointTracked(
+      df.repartitionByRange(n, sort: _*)
+        .withColumn("__graft_pid", spark_partition_id()))
     val offs = ranged.groupBy(col("__graft_pid")).agg(count(lit(1)).as("_c"))
       .withColumn("__graft_off",
         sum(col("_c")).over(Window.orderBy(col("__graft_pid"))) - col("_c"))
