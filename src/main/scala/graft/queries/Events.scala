@@ -922,18 +922,31 @@ object Events {
       .withColumn("sid", sum(col("brk")).over(w))
       .select(col("user_id"), col("sid"), col("event_type"),
         struct(col("us"), col("event_id").as("eid")).as("t"))
-      .persistTracked()
-    val s1 = ev.groupBy(col("user_id"), col("sid"))
-      .agg(min(when(col("event_type") === "view", col("t"))).as("t1"))
-    val s2 = ev.join(s1, Seq("user_id", "sid"))
+    // The three stage minima chain as session-keyed WINDOWS over the
+    // rows the sessionization pass already shuffled (guide §2.4: window
+    // partitioned by a superset of the prior partitioning needs no new
+    // exchange): t1 is the session min over views, t2/t3 reference the
+    // previous stage's window column in their own filter — each stage
+    // is one WindowExec on the same hash(user_id) distribution. r13's
+    // shape ran each stage as a separate aggregate re-joined to the
+    // persisted session frame (3 aggregates + 3 session-keyed joins);
+    // the chained windows compute the identical minima (same rows, same
+    // struct order, same NULL propagation when a stage is absent), and
+    // one per-session dedup aggregate replaces the join chain. The
+    // session persist is gone with the re-reads.
+    val wp = Window.partitionBy(col("user_id"), col("sid"))
+    ev
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("t"))).over(wp))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("t") > col("t1"),
+          col("t"))).over(wp))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("t") > col("t2"),
+          col("t"))).over(wp))
       .groupBy(col("user_id"), col("sid"))
-      .agg(min(when(col("event_type") === "click" && col("t") > col("t1"),
-        col("t"))).as("t2"))
-    val s3 = ev.join(s2, Seq("user_id", "sid"))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(when(col("event_type") === "purchase" && col("t") > col("t2"),
-        col("t"))).as("t3"))
-    s1.join(s2, Seq("user_id", "sid")).join(s3, Seq("user_id", "sid"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
       .agg(count(lit(1)).as("n_sessions"), count(col("t1")).as("n_view"),
         count(col("t2")).as("n_view_click"), count(col("t3")).as("n_full_funnel"))
       .select(col("n_sessions"), col("n_view"), col("n_view_click"),

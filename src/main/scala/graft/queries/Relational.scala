@@ -1207,13 +1207,23 @@ object Relational {
     val lines = li.join(ords, col("l_orderkey") === col("o_orderkey"))
       .withColumn("is_late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-    // one aggregate replaces both correlated EXISTS probes: per order,
-    // how many distinct suppliers touched it / shipped late on it
-    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
-    val late = lines.where(col("is_late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // one (order, supplier) aggregate replaces both correlated EXISTS
+    // probes AND the separate late-pair distinct: r13's shape computed
+    // the lineitem⋈orders join twice (perOrder and late each re-derived
+    // it) and paid a 2-way COUNT(DISTINCT) expand; per (order, supp)
+    // the only fact needed is "shipped late on this order at all", so
+    // one map-side-combinable aggregate feeds both — the per-order
+    // supplier counts are exact re-aggregates of its groups
+    // (COUNT(DISTINCT supp) ≡ group count, the q77 argument), and the
+    // late pair set is a filter on it (guide §2.3/§2.4).
+    val ps = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("is_late"), 1).otherwise(0)).as("late_any"))
+      .persistTracked()
+    val perOrder = ps.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supps"),
+        count(when(col("late_any") === 1, lit(1))).as("n_late"))
+    val late = ps.where(col("late_any") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
     val waiting = late.join(perOrder, col("l_orderkey") === col("ok"))
       .where(col("n_supps") > 1 && col("n_late") === 1)
     waiting.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))

@@ -182,6 +182,12 @@ object Spatial {
     val pts = customerPoints(s, d)
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       expr(s"st_makepoint(${ptX("s_suppkey")}, ${ptY("s_suppkey")})").as("s_pt"))
+    // the rank window stays (r14 measured): a TopK-aggregate variant
+    // (the v09 shape) was tried and benched flat-to-worse — the ~45
+    // candidates per customer make the per-row O(k) typed-aggregate
+    // state costlier than one sorted window over the same shuffle, and
+    // per-key group size is radius-bounded so the window never sees an
+    // unbounded partition at scale.
     val w = Window.partitionBy(col("c_custkey")).orderBy(col("dist"), col("s_suppkey"))
     SpatialJoin.grid(pts, sup, "c_pt", "s_pt", "st_dwithin", distance = 12.0)
       .withColumn("dist", expr("st_distance(c_pt, s_pt)"))
