@@ -153,6 +153,29 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The K-row centroid set collected into ONE sorted array row
+    * (c_id asc) — broadcast so nearest-centroid assignment is pure
+    * per-row expression work (r14, guide §2.4): the old shape fanned
+    * the corpus out K× through a crossJoin and ranked it back down
+    * with a per-vector row_number window — a full-corpus exchange +
+    * sort whose only purpose was an argmax over K candidates already
+    * sitting on the row's executor. */
+  private def centArr(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("c_id"), col("c_emb"))))
+      .as("carr"))
+
+  /** argmax over the broadcast centroid array by (cosine DESC, c_id
+    * ASC), bit-equivalent to the rank-window form it replaces: the
+    * cosine is the SAME dot_fold expression chain, and array_max's
+    * interpreted struct ordering is the same total order Spark's sort
+    * uses on doubles (NaN greatest, -0.0 = 0.0 then tiebreak), with
+    * the negated c_id making the tiebreak ascending. */
+  private def nearestCid: Column = expr(
+    """array_max(transform(carr, c -> struct(
+      |  dot_fold(emb, c.c_emb) /
+      |    (sqrt(dot_fold(emb, emb)) * sqrt(dot_fold(c.c_emb, c.c_emb))) AS o,
+      |  -c.c_id AS nt, c.c_id AS c_id))).c_id""".stripMargin)
+
   /** Shared IVF coarse quantizer (v04/v05/v06): centroids are the
     * embeddings of 8 fixed vec_ids (100-107) — data-derived and
     * deterministic, so the DuckDB oracle replicates the assignment
@@ -160,12 +183,8 @@ object VectorOps {
   private[queries] def ivfAssign(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"), col("emb"))
+    e.crossJoin(broadcast(centArr(cents)))
+      .select(col("vec_id"), nearestCid.as("list_id"), col("emb"))
   }
 
   /** DuckDB mirror of [[ivfAssign]] — CTE prefix shared by v04/v05/v06
@@ -296,12 +315,10 @@ object VectorOps {
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
     var assign: DataFrame = null
     for (_ <- 1 to 2) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-      assign = e.crossJoin(broadcast(cents))
-        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") === 1)
-        .select(col("vec_id"), col("c_id"), col("emb"))
+      // per-row argmax over the broadcast centroid array (see
+      // ivfAssign) — each Lloyd assignment is now a map over the scan
+      assign = e.crossJoin(broadcast(centArr(cents)))
+        .select(col("vec_id"), nearestCid.as("c_id"), col("emb"))
       cents = assign
         .select(col("c_id"), posexplode(col("emb")).as(Seq("j", "x")))
         .groupBy(col("c_id"), col("j"))
@@ -434,14 +451,23 @@ object VectorOps {
       .select(col("c"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("cvec"))
     val sub = e.select(col("vec_id"), ms, col("emb"))
       .select(col("vec_id"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("svec"))
-    val dist = sub.join(broadcast(cb), Seq("m"))
+    // per-row argmin over the per-subspace codebook array (the
+    // ivfAssign/array_max shape with MIN semantics — ORDER BY d2, c
+    // ranks NaN last exactly like array_min's NaN-greatest ordering):
+    // the code assignment was a 4x corpus fan-out + a (vec_id, m)
+    // rank window; now the 4 candidate distances fold per row. The
+    // probe-side LUT keeps the explicit 4-way join — it is 10 rows
+    // wide and needs every (m, c) distance, not the argmin.
+    val cbArr = cb.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("c"), col("cvec")))).as("cbarr"))
+    val code = sub.join(broadcast(cbArr), Seq("m"))
+      .select(col("vec_id"), col("m"), expr(
+        """array_min(transform(cbarr, cc -> struct(
+          |  aggregate(zip_with(svec, cc.cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) AS o,
+          |  cc.c AS c))).c""".stripMargin).as("c"))
+    val lut = sub.filter(col("vec_id") < 10).join(broadcast(cb), Seq("m"))
       .withColumn("d2", expr(
         "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
-      .select(col("vec_id"), col("m"), col("c"), col("d2"))
-    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("c"))
-    val code = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("c"))
-    val lut = dist.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m"), col("c"), col("d2"))
     code.join(broadcast(lut), Seq("m", "c"))
       .where(col("vec_id") =!= col("q_id"))
@@ -526,7 +552,6 @@ object VectorOps {
          |  UNION ALL SELECT *, 3 FROM s3)
          |ORDER BY q_id, mmr_rank""".stripMargin
     }) { (s, d) =>
-    val half = lit(0.5).cast("double")
     val e = embeddings(s, d).select(col("vec_id"), col("emb"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -541,33 +566,53 @@ object VectorOps {
       .where(col("a") =!= col("b"))
       .withColumn("sim", dot("a_emb", "b_emb") / (norm("a_emb") * norm("b_emb")))
       .select(col("q_id"), col("a"), col("b"), col("sim"))
-      .persistTracked()
-    def pickTop(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel"), col("score"))
-    }
-    val s1 = pickTop(cand.withColumn("score", half * col("rel")))
-    val m2 = cand
-      .join(s1.select(col("q_id"), col("vec_id").as("p1")), Seq("q_id"))
-      .where(col("vec_id") =!= col("p1"))
-      .join(cs.withColumnRenamed("a", "vec_id").withColumnRenamed("b", "p1")
-        .withColumnRenamed("sim", "ms"), Seq("q_id", "vec_id", "p1"))
-      .withColumn("score", half * col("rel") - half * col("ms"))
-    val s2 = pickTop(m2)
-    val m3 = cand
-      .join(s1.select(col("q_id"), col("vec_id").as("p1")), Seq("q_id"))
-      .join(s2.select(col("q_id"), col("vec_id").as("p2")), Seq("q_id"))
-      .where(col("vec_id") =!= col("p1") && col("vec_id") =!= col("p2"))
-      .join(cs.select(col("q_id"), col("a").as("vec_id"), col("b").as("p1"),
-        col("sim").as("ms1")), Seq("q_id", "vec_id", "p1"))
-      .join(cs.select(col("q_id"), col("a").as("vec_id"), col("b").as("p2"),
-        col("sim").as("ms2")), Seq("q_id", "vec_id", "p2"))
-      .withColumn("score", half * col("rel") - half * greatest(col("ms1"), col("ms2")))
-    val s3 = pickTop(m3)
-    s1.withColumn("mmr_rank", lit(1))
-      .unionByName(s2.withColumn("mmr_rank", lit(2)))
-      .unionByName(s3.withColumn("mmr_rank", lit(3)))
+    // The greedy rounds run per probe over the COLLECTED k-candidate
+    // set (guide §1.2 step 1 — the r13 shape unrolled them into 22
+    // window argmaxes and ~15 self-joins over 8-row groups, pure
+    // stage/plan overhead at any scale since MMR state is k·|probes|
+    // bounded BY CONSTRUCTION). Arithmetic is the same double ops in
+    // the same order as the unrolled form (0.5·rel − 0.5·sim with
+    // 0.5· exact, max ≡ greatest with no NaN inputs), and every argmax
+    // breaks ties on (score desc, vec_id asc) exactly like the
+    // ROW_NUMBER it replaces, so the greedy trace — and the oracle
+    // hash — is unchanged. Collected arrays are k and k·(k−1) entries;
+    // input order cannot matter because the argmax ordering is total.
+    val greedy = udf((cands: Seq[(Long, Double)], sims: Seq[(Long, Long, Double)]) => {
+      val simOf = sims.map { case (a, b, v) => (a, b) -> v }.toMap
+      var remaining = cands.toVector
+      var selected = Vector.empty[Long]
+      val out = scala.collection.mutable.Buffer[(Long, Double, Double, Int)]()
+      var rank = 1
+      while (rank <= 3 && remaining.nonEmpty) {
+        val scored = remaining.flatMap { case (id, rel) =>
+          if (selected.isEmpty) Some((id, rel, 0.5 * rel))
+          else {
+            val ms = selected.flatMap(p => simOf.get((id, p)))
+            // mirror the unrolled joins: a candidate missing a sim row
+            // to any selected pick drops out of that round
+            if (ms.size < selected.size) None
+            else Some((id, rel, 0.5 * rel - 0.5 * ms.max))
+          }
+        }
+        if (scored.isEmpty) { remaining = Vector.empty }
+        else {
+          val best = scored.minBy { case (id, _, score) => (-score, id) }
+          out += ((best._1, best._2, best._3, rank))
+          selected :+= best._1
+          remaining = remaining.filterNot(_._1 == best._1)
+          rank += 1
+        }
+      }
+      out.toSeq
+    })
+    cand.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cands"))
+      .join(cs.groupBy(col("q_id"))
+        .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims")),
+        Seq("q_id"))
+      .select(col("q_id"), explode(greedy(col("cands"), col("sims"))).as("g"))
+      .select(col("q_id"), col("g._1").as("vec_id"), col("g._2").as("rel"),
+        col("g._3").as("score"), col("g._4").as("mmr_rank"))
       .orderBy(col("q_id"), col("mmr_rank"))
   }
 
@@ -992,14 +1037,18 @@ object VectorOps {
         .select(col("pc"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("cvec"))
       val sub = e.select(col("vec_id"), ms, col("emb"))
         .select(col("vec_id"), col("m"), expr("slice(emb, m * 8 + 1, 8)").as("svec"))
-      val dist = sub.join(broadcast(cb), Seq("m"))
+      // per-row argmin over the per-subspace codebook (see pqAdc):
+      // replaces the 4x fan-out + (vec_id, m) rank window
+      val cbArr = cb.groupBy(col("m"))
+        .agg(array_sort(collect_list(struct(col("pc"), col("cvec")))).as("cbarr"))
+      val code = sub.join(broadcast(cbArr), Seq("m"))
+        .select(col("vec_id"), col("m"), expr(
+          """array_min(transform(cbarr, cc -> struct(
+            |  aggregate(zip_with(svec, cc.cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) AS o,
+            |  cc.pc AS pc))).pc""".stripMargin).as("pc"))
+      val lut = sub.filter(col("vec_id") < 10).join(broadcast(cb), Seq("m"))
         .withColumn("d2", expr(
           "aggregate(zip_with(svec, cvec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
-        .select(col("vec_id"), col("m"), col("pc"), col("d2"))
-      val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("pc"))
-      val code = dist.withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("pc"))
-      val lut = dist.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("m"), col("pc"), col("d2"))
       val cand = assign.join(broadcast(pl), Seq("list_id"))
         .where(col("vec_id") =!= col("q_id"))
@@ -1430,14 +1479,12 @@ object VectorOps {
        |  CAST(sum(CASE WHEN fixed_list <> trained_list THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS churn
        |FROM j GROUP BY trained_list ORDER BY trained_list""".stripMargin) { (s, d) =>
     val e = embeddings(s, d).select(col("vec_id"), col("emb"))
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-      e.crossJoin(broadcast(c))
-        .withColumn("csim", dot("emb", "c_emb") / (norm("emb") * norm("c_emb")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") === 1)
-        .select(col("vec_id"), col("c_id"), col("emb"))
-    }
+    // per-row argmax over the broadcast centroid array (see ivfAssign):
+    // each of the THREE assignment passes drops its corpus-wide
+    // crossJoin fan-out + rank window for a map over the scan
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centArr(c)))
+        .select(col("vec_id"), nearestCid.as("c_id"), col("emb"))
     def update(a: DataFrame): DataFrame = a
       .select(col("c_id"), posexplode(col("emb")).as(Seq("j", "x")))
       .groupBy(col("c_id"), col("j"))
