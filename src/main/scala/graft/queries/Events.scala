@@ -1536,11 +1536,12 @@ object Events {
     * (purchase count) and monetary (decimal-exact value sum), each cut
     * into quintiles. The canonical SQL is `NTILE(5) OVER (ORDER BY
     * metric)` — ONE window partition holding every user, the classic
-    * scale killer. Here each quintile comes from [[graft.util.Rank]]:
-    * a range-partitioned global row number (the only unpartitioned
-    * window reads the P-row partition-count table) pushed through the
-    * closed-form NTILE bucket arithmetic; the oracle keeps native
-    * NTILE, proving the distributed form bucket-for-bucket identical.
+    * scale killer. Here all three quintiles come from ONE
+    * [[graft.util.Rank]] pass over the three orderings stacked under a
+    * metric id (r14; the only unpartitioned window reads the P-row
+    * partition-count table) pushed through the closed-form NTILE
+    * bucket arithmetic; the oracle keeps native NTILE, proving the
+    * distributed form bucket-for-bucket identical.
     * Ordering keys are total (metric, user_id), so ranks — and
     * therefore buckets — are reshuffle-invariant. */
   private val q79 = QDef(

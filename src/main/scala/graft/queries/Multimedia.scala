@@ -195,14 +195,25 @@ object Multimedia {
       .select(col("media_id"), col("frame_idx"), hex(col("frame_bytes")).as("frame_hex"))
       .where(length(col("frame_hex")) >= 120)
       .withColumn("ahash", expr(ahashE))
-      .select(col("media_id"), col("frame_idx"), col("ahash"))
-    val hm = fh.groupBy(col("ahash"))
-      .agg(countDistinct(col("media_id")).as("n_media"))
-    fh.join(hm, Seq("ahash"))
+      .select(col("media_id"), col("ahash"))
+    // two-level aggregate (r14, guide §2.3): the old shape evaluated
+    // the frame decode + aHash battery TWICE (the hash-frequency arm
+    // and the join arm each re-derived fh), shuffled every frame
+    // through an ahash join, and paid two COUNT(DISTINCT) expands. One
+    // (ahash, media) aggregate collapses frames first — per media its
+    // group count IS the distinct-hash count, per ahash its group
+    // count IS the distinct-media count (computed as a window on the
+    // already-collapsed frame, one exchange), and the cross-dup frame
+    // count is the conditional sum of group sizes. Bounded state per
+    // key, no expand, single pass over the decode.
+    val g = fh.groupBy(col("ahash"), col("media_id"))
+      .agg(count(lit(1)).as("nf"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+    g.withColumn("n_media", count(lit(1)).over(wH))
       .groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_sampled"),
-        countDistinct(col("ahash")).as("n_distinct"),
-        sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
+      .agg(sum(col("nf")).as("n_sampled"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_media") >= 2, col("nf")).otherwise(0L)).as("n_cross_dup"))
       .orderBy(col("media_id"))
   }
 

@@ -33,4 +33,22 @@ class PersistHygieneSpec extends GraftSuite {
     }
     assert(Persist.trackedCount == 0)
   }
+
+  test("checkpointTracked blocks are freed by releaseAll, not the GC cleaner") {
+    Persist.releaseAll()
+    val ck = Persist.checkpointTracked(spark.range(0, 1000).toDF("id"))
+    assert(ck.count() == 1000)
+    val rdd = ck.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdd.nonEmpty, "checkpointTracked frame should be a LogicalRDD leaf")
+    assert(rdd.exists(_.getStorageLevel.isValid),
+      "the checkpoint-backed RDD should hold pinned blocks before release")
+    Persist.releaseAll()
+    assert(rdd.exists(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "releaseAll must unpersist the checkpoint-backed RDD immediately " +
+        "(pre-registry behavior left it to the GC-driven ContextCleaner)")
+    assert(Persist.trackedCheckpointCount == 0)
+  }
 }

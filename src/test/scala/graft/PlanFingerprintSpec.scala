@@ -16,6 +16,18 @@ import org.apache.spark.sql.execution.ExplainMode
   *   GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanFingerprintSpec"
   * then review the golden diff like any code change: every changed
   * line is a plan-shape change you are signing off on.
+  *
+  * COVERAGE CAVEAT (r13 advisor): queries that eagerly
+  * `localCheckpoint` at sharing roots (the d-battery pair frames,
+  * Rank's ranged frame, the iterative operators' loops) flatten their
+  * upstream pipeline to LogicalRDD leaves, so their fingerprint counts
+  * only the post-checkpoint plan TAIL — an upstream plan regression
+  * hides behind the leaf, and building those plans here EXECUTES the
+  * checkpointed stages (this is a partial-execution test for them, not
+  * plan-only). The upstream shapes are instead pinned by the committed
+  * per-round plan files under plans/rNN (dumped from the same
+  * builders) and by the oracle diff; treat this file as the cheap
+  * tripwire, not the complete plan record.
   */
 class PlanFingerprintSpec extends GraftSuite {
 
