@@ -561,12 +561,13 @@ object Relational {
     * together more than chance — the association signal behind
     * "customers who bought X also bought Y").
     *
-    * Scale shape: the pair explosion is a self-join ON THE ORDER KEY,
-    * so pair work is bounded by basket size squared per order (≈7
-    * lines/order), never corpus-quadratic — the canonical distributed
-    * market-basket shape. Frequencies join back by part key; lift is
-    * ONE division of exact integer products, so the oracle matches
-    * bit-exactly. */
+    * Scale shape: baskets build as per-order part sets in one
+    * map-side-combined aggregate and the pair explosion unfolds
+    * IN-ROW from each sorted basket, so pair work is bounded by basket
+    * size squared per order (≈7 lines/order), never corpus-quadratic —
+    * the canonical distributed market-basket shape. Frequencies join
+    * back by part key; lift is ONE division of exact integer products,
+    * so the oracle matches bit-exactly. */
   private val q46 = QDef(
     "q46_part_affinity",
     """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -583,20 +584,38 @@ object Relational {
       |FROM pairs JOIN pf fa ON pairs.pa = fa.pk JOIN pf fb ON pairs.pb = fb.pk
       |CROSS JOIN n
       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
-    val op = Tables.lineitem(s, d)
+    // baskets as per-order sorted part SETS (r14, guide §2.4): the old
+    // shape materialized the distinct (order, part) table and SELF-
+    // JOINED it on the order key — the distinct's shuffle plus two more
+    // join-side shuffles of the same 600k rows. One collect_set
+    // aggregate builds each basket in-row (map-side combined), the
+    // ordered pairs unfold from the sorted array (x at position i pairs
+    // with every later element — exactly the a.pk < b.pk join output),
+    // and the part frequencies/order count read off the SAME basket
+    // frame instead of re-shuffling the pair table. Basket size bounds
+    // the in-row pair work just like it bounded the self-join's
+    // per-key work — the canonical distributed market-basket shape.
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy(col("ok"))
+      .agg(expr("array_sort(collect_set(pk))").as("parts"))
       .persistTracked()
-    val n = op.agg(countDistinct(col("ok")).as("n_orders"))
-    val pf = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    // opt-in fail-fast: basket self-join pair work is Σ C(|basket|, 2)
-    // — a degenerate giant basket makes it corpus-quadratic; the budget
-    // aborts loudly before the pair stage launches
-    graft.operators.PairBudget.guardSelfJoin(op, Seq("ok"),
-      "q46 basket self-join (part co-occurrence)")
-    val pairs = op.select(col("ok"), col("pk").as("pa"))
-      .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .where(col("pa") < col("pb"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val pf = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    // opt-in fail-fast: basket pair work is Σ C(|basket|, 2) — a
+    // degenerate giant basket makes it corpus-quadratic; the budget
+    // aborts loudly before the pair stage launches (the guard's count
+    // frame is built lazily, only when the conf is set)
+    graft.operators.PairBudget.guardSelfJoin(
+      baskets.select(col("ok"), explode(col("parts")).as("pk")), Seq("ok"),
+      "q46 basket pair expansion (part co-occurrence)")
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 2)

@@ -2502,10 +2502,14 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("dim0"), col("u")))).as("du"))
       .select(col("q_id"), expr("transform(du, x -> x.u)").as("uvec"))
       .withColumn("qnrm", sqrt(decDot("uvec", "uvec")))
-    val p2 = e.join(broadcast(uv), col("vec_id") =!= col("q_id"))
+    // corpus norms hoist BELOW the probe join: evaluated once per
+    // vector instead of once per (vector, probe) pair — same
+    // expression, same doubles, 1/|probes| of the fold work
+    val en = e.select(col("vec_id"), col("emb"),
+      sqrt(decDot("emb", "emb")).as("cnrm"))
+    val p2 = en.join(broadcast(uv), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (decDot("emb", "uvec") /
-          (col("qnrm") * sqrt(decDot("emb", "emb")))).as("sim2"))
+        (decDot("emb", "uvec") / (col("qnrm") * col("cnrm"))).as("sim2"))
     TopK.topK(p2, Seq("q_id"), col("sim2"), col("vec_id"), 5, asc = false)
       .select(col("q_id"), col("id").as("vec_id"), col("ordv").as("sim2"), col("rank"))
       .join(top1.withColumn("in_r1", lit(true)), Seq("q_id", "vec_id"), "left")
