@@ -1649,12 +1649,18 @@ object TextOps {
          |ORDER BY per.source""".stripMargin
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(expr(gram8E)).as("g"))
-      .persistTracked()
-    val fg = sh.groupBy(col("g")).agg(min(col("source")).as("first_src"))
-    val per = sh.groupBy(col("source"))
-      .agg(countDistinct(col("g")).as("n_grams"))
+    // two-level aggregate (r14, the mm05 shape): collapse the gram
+    // explode to distinct (g, source) ONCE — first-owner is a min over
+    // those groups (identical: min over distinct sources ≡ min over
+    // occurrences) and the per-source distinct-gram count is a plain
+    // group count. Drops the corpus-sized persisted explode (a
+    // corpus×8 cache at 100 TB), the COUNT(DISTINCT) expand, and one
+    // full-gram re-aggregate.
+    val g2 = Tables.documents(s, d)
+      .select(col("source"), explode(expr(gram8E)).as("g"))
+      .groupBy(col("g"), col("source")).agg(count(lit(1)).as("_n"))
+    val fg = g2.groupBy(col("g")).agg(min(col("source")).as("first_src"))
+    val per = g2.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val nov = fg.groupBy(col("first_src").as("source"))
       .agg(count(lit(1)).as("n_novel"))
     per.join(nov, Seq("source"), "left")
@@ -1703,14 +1709,21 @@ object TextOps {
          |FROM sh JOIN gc USING (g)
          |GROUP BY sh.source ORDER BY sh.source""".stripMargin
     }) { (s, d) =>
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(expr(gram8E)).as("g"))
-      .persistTracked()
-    val gc = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-    sh.join(gc, Seq("g"))
+    // two-level aggregate (r14, the mm05 shape): collapse the gram
+    // explode to (g, source) occurrence counts ONCE; the per-gram doc
+    // count is the SUM of those group counts as a window over the
+    // collapsed frame (per-doc grams are distinct, so occurrences ≡
+    // docs), and the per-source totals are conditional sums of group
+    // sizes. Drops the corpus-sized persisted explode (a corpus×8
+    // cache at 100 TB) and the full-gram join back.
+    val g2 = Tables.documents(s, d)
+      .select(col("source"), explode(expr(gram8E)).as("g"))
+      .groupBy(col("g"), col("source")).agg(count(lit(1)).as("n_gs"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    g2.withColumn("nd", sum(col("n_gs")).over(wG))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .agg(sum(col("n_gs")).as("n_grams"),
+        sum(when(col("nd") >= 2, col("n_gs")).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_mass",
         col("n_dup_grams").cast("double") / col("n_grams"))
       .orderBy(col("source"))
